@@ -1,0 +1,51 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Cross-engine numeric determinism helpers.
+  *
+  * The correctness gate hash-compares our parquet output against DuckDB
+  * running "the same" SQL. Floating-point aggregation order is
+  * non-deterministic in both engines, so a raw `sum(double)` over 60k rows
+  * can differ in the last few ulps between runs/engines. Two remedies, both
+  * of which reduce to IEEE-754 ops that Spark and DuckDB implement
+  * identically:
+  *
+  *  - `dsum`: cast each element to an exact DECIMAL *before* summing.
+  *    Decimal addition is exact and order-independent; one final
+  *    decimal→double conversion is deterministic. Use for sums of
+  *    fixed-point-ish columns (prices, quantities).
+  *
+  *  - `stab`: floor(x·10^d + 0.5)/10^d. Not "rounding" in either engine's
+  *    library sense — a fixed sequence of IEEE double ops (mul, add, floor,
+  *    div) that both engines execute bit-identically, collapsing last-ulp
+  *    noise. Use for small-cardinality double sums (per-doc scores, cosines)
+  *    where a decimal cast of intermediates is awkward.
+  *
+  * SQL twins are in the oracle strings: `CAST(sum(CAST(x AS DECIMAL(18,s)))
+  * AS DOUBLE)` and `floor(x*1e<d>+0.5)/1e<d>`.
+  */
+object Stable {
+
+  /** Order-independent exact sum via decimal, surfaced as double. */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** IEEE-deterministic fixed-point collapse of last-ulp noise. */
+  def stab(c: Column, digits: Int): Column = {
+    val p = math.pow(10, digits)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** SQL twin of `stab` for oracle strings. */
+  def stabSql(expr: String, digits: Int): String = {
+    val p = "1" + ("0" * digits) + ".0"
+    s"floor(($expr)*$p+0.5)/$p"
+  }
+
+  /** SQL twin of `dsum`. */
+  def dsumSql(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+}

@@ -1,0 +1,132 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Deduplication operators for a large-scale training-data pipeline: exact,
+  * n-gram Jaccard, MinHash+LSH, and SimHash. (Embedding-cosine near-dup
+  * lives in Similarity.scala.)
+  *
+  * Scale posture: exact dedup is a single hash aggregate on a digest (never
+  * group by the raw 100 KB text at 100 TB — group by its MD5). MinHash-LSH
+  * is the scale path for near-dup: cost is O(docs × shingles) for signatures
+  * plus a self-join on (band, band_hash) buckets whose size LSH keeps small;
+  * the exact-Jaccard verify runs only on candidate pairs. The all-pairs
+  * n-gram Jaccard here is the *oracle/verify* path — quadratic candidate
+  * generation via the shingle inverted index, fine at test SF, and exactly
+  * what LSH approximates.
+  *
+  * Hash-function choice: MD5 via `functions.md5` — not because MD5 is fast
+  * (xxhash64 is faster) but because the DuckDB oracle computes the identical
+  * digest, making even the LSH bucketing byte-for-byte checkable. Swapping
+  * in xxhash64 is a one-line change flagged for the bench path.
+  */
+object Dedup {
+
+  /** doc → distinct n-word shingles. Computed array-side (transform over
+    * sequence) so no per-token window/shuffle is needed.
+    */
+  def shingles(docs: DataFrame, n: Int = 3): DataFrame = {
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val sh = transform(
+      sequence(lit(0), size(col("arr")) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(col("arr"), i + k + 1)): _*))
+    docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= n)
+      .select(col("doc_id"), explode(sh).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups: group by content digest, keep the minimum
+    * doc_id as canonical representative.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+      .select("keep_id", "n_copies")
+
+  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index:
+    * |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** One MinHash signature component: min over shingles of md5(seed || ":"
+    * || shingle). Lexicographic-min of a uniform digest is a valid minhash
+    * permutation and is reproducible in any engine with md5().
+    */
+  private def minhashCol(seed: Int): Column =
+    min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"h$seed")
+
+  /** MinHash signatures: one row per doc, `numHashes` digest columns. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("doc_id").agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
+    *
+    * bands × rowsPerBand signature; docs sharing any band hash become
+    * candidates; candidates below `threshold` exact-Jaccard are dropped.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 3,
+                      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val sh = shingles(docs, n).cache()
+    val sig = minhashSignatures(sh, bands * rowsPerBand)
+    val bandRows = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      sig.select(col("doc_id"), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
+    }.reduce(_ unionAll _)
+    val cand = bandRows.as("a").join(bandRows.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // exact-Jaccard verify on the (small) candidate set
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sh.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+    inter
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash per document. Bit j of the hash of token w is bit 3 of
+    * the j-th hex nibble of md5(w) (i.e. nibble >= 8) — a fixed, engine-
+    * portable projection of the digest. Each bit's sign is the tf-weighted
+    * majority vote. Returns (doc_id, simhash BIGINT).
+    */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = Search.tokens(docs).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nib = col("h").substr(col("j") + 1, lit(1))
+    val bitRows = toks
+      .select(col("doc_id"), col("tf"), md5(col("word")).as("h"))
+      .select(col("doc_id"), col("tf"), explode(sequence(lit(0), lit(15))).as("j"),
+        col("h"))
+      .select(col("doc_id"), col("j"),
+        (when(nib.isin("8", "9", "a", "b", "c", "d", "e", "f"), col("tf"))
+          .otherwise(-col("tf"))).as("vote"))
+    bitRows.groupBy("doc_id", "j").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L))
+        .as("simhash"))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Row}
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY payloads
+  * with typed metadata, plus a decode/feature-extract stage.
+  *
+  * The Spark-side mechanics are real — schema, partition-preserving
+  * mapPartitions with batched iteration, typed output schema. The decode
+  * itself is a clearly-marked DETERMINISTIC STUB (this container has no
+  * image/audio codecs): it derives pseudo-features from payload bytes, so
+  * tests are reproducible and the plumbing is exercised end-to-end.
+  *
+  * Scale posture: payloads never pass through a shuffle here — decode is a
+  * narrow mapPartitions directly over the scan; metadata-only queries
+  * (count by modality, size stats) prune the payload column entirely at the
+  * parquet reader.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType, nullable = false),
+    StructField("payload", BinaryType),
+    StructField("meta_source", StringType)))
+
+  /** Synthesize a deterministic media table from `documents`: payload =
+    * UTF-8 bytes of the text (stand-in for real image/audio bytes),
+    * modality round-robins by doc_id.
+    */
+  def fromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("modality"),
+      encode(col("text"), "UTF-8").as("payload"),
+      col("source").as("meta_source"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("modality", StringType),
+    StructField("n_bytes", LongType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("checksum", LongType)))
+
+  /** STUB decoder: a real implementation would parse the codec header and
+    * decode frames/samples here (e.g. via javax.imageio / an FFI codec).
+    * This stub derives width/height/checksum deterministically from the
+    * payload bytes so the batch shape, schema, and partitioning are tested
+    * for real while the codec is faked.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
+    var checksum = 0L
+    var i = 0
+    while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+    val w = 64 + (math.abs(checksum % 1024)).toInt
+    val h = 64 + (math.abs((checksum / 1024) % 1024)).toInt
+    (w, h, checksum)
+  }
+
+  /** Decode/feature-extract over the payload column. Narrow (no shuffle):
+    * runs per input partition, processing rows in a streaming iterator.
+    */
+  def extractFeatures(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val out = media.select("media_id", "modality", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]]("payload")
+        val (w, h, c) = decodeStub(payload)
+        Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, c)
+      }
+    }
+    spark.createDataFrame(out, featureSchema)
+  }
+}

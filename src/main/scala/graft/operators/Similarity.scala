@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Similarity search over an embedding column (ARRAY<FLOAT>).
+  *
+  * Baseline: brute-force cosine top-k — embarrassingly parallel (broadcast
+  * the query set, scan the corpus once, per-partition heaps via
+  * TakeOrderedAndProject / window rank). The scale path is IVF: partition
+  * vectors into coarse cells, route each query to its nearest centroid(s),
+  * and brute-force only inside probed cells — at 100 TB this turns a full
+  * scan per query into a 1/K-th scan, and cells can be written as parquet
+  * partitions so probing becomes partition pruning.
+  *
+  * All arithmetic is promoted FLOAT→DOUBLE before accumulation, folded
+  * left-to-right by `aggregate` (deterministic), and cosine values are
+  * collapsed with Stable.stab so the DuckDB oracle hash-matches.
+  */
+object Similarity {
+
+  /** Element-wise double-promoted copy of an ARRAY<FLOAT> column. */
+  def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Left-fold dot product of two ARRAY<DOUBLE> columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an ARRAY<DOUBLE> column. */
+  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+
+  /** (vec_id, e ARRAY<DOUBLE>, nrm) from an embeddings table. */
+  def prepared(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("vec_id"), toDouble(col("embedding")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Stabilized cosine between prepared sides a/b (columns e, nrm). */
+  def cosine(digits: Int = 6): Column =
+    Stable.stab(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), digits)
+
+  /** Near-duplicate pairs: all (a < b) with cosine >= threshold. */
+  def cosinePairs(embeddings: DataFrame, threshold: Double): DataFrame = {
+    val p = prepared(embeddings)
+    p.as("a").join(p.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        cosine().as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
+    * nearest other vectors by cosine. The tiny query side is broadcast; the
+    * corpus side streams.
+    */
+  def bruteForceTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.filter(col("vec_id") < nQueries)
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q).as("a")
+      .join(p.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("neighbor_id"),
+        cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** IVF centroids: per-label mean vector, element-stabilized. Uses the
+    * `label` column as the coarse partitioner (stand-in for k-means cells —
+    * the routing/probing mechanics are identical).
+    * Returns (label, i (1-based), c).
+    */
+  def ivfCentroids(embeddings: DataFrame): DataFrame =
+    embeddings.select(col("label"), posexplode(toDouble(col("embedding"))))
+      .groupBy(col("label"), (col("pos") + 1).as("i"))
+      .agg(Stable.stab(avg("col"), 6).as("c"))
+
+  /** IVF probe-1 ANN: route each query (vec_id < nQueries) to its best
+    * centroid by dot product, then brute-force cosine top-k inside that
+    * cell only.
+    */
+  def ivfTopK(embeddings: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    val p = prepared(embeddings)
+    val q = p.filter(col("vec_id") < nQueries)
+    val cent = ivfCentroids(embeddings)
+    // query × centroid-element dot products
+    val qd = broadcast(q)
+      .select(col("vec_id").as("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
+      .join(broadcast(cent), (col("pos") + 1) === col("i"))
+      .groupBy("query_id", "label")
+      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
+    val best = qd.withColumn("rn",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
+      .filter(col("rn") === 1).select("query_id", "label")
+    val cell = embeddings.select(col("vec_id"), col("label"))
+      .join(p, "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q.join(embeddings.select("vec_id", "label"), "vec_id")
+        .join(best.withColumnRenamed("label", "probe_label"), col("vec_id") === col("query_id")))
+      .as("a")
+      .join(cell.as("b"),
+        col("b.label") === col("probe_label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("probe_label"), col("b.vec_id").as("neighbor_id"),
+        cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+}

@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.DataFrame
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language-ID heuristics, and document fingerprinting.
+  * All single-pass hash aggregates over the token stream — one shuffle on
+  * doc_id, partials map-side, no driver round-trips.
+  */
+object TextAnalysis {
+
+  /** English stopword list used by the ratio features / lang-ID heuristic. */
+  val Stopwords: Seq[String] = Seq("the", "a", "and", "of", "to", "in", "is")
+
+  /** Per-document token statistics: counts, type-token ratio, lengths. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    Search.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        countDistinct("word").as("n_unique"),
+        (sum(length(col("word"))).cast("double") / count(lit(1))).as("avg_token_len"),
+        (countDistinct("word").cast("double") / count(lit(1))).as("ttr"))
+
+  /** Quality-score features + a composite score in [0,1]:
+    * length saturation × lexical diversity × (1 - digit ratio), with a
+    * stopword-ratio feature alongside. Deterministic arithmetic only.
+    */
+  def qualityScore(docs: DataFrame): DataFrame =
+    Search.tokens(docs)
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        (sum(when(col("word").isin(Stopwords: _*), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("stopword_ratio"),
+        (sum(when(col("word").rlike("[0-9]"), 1L).otherwise(0L)).cast("double") /
+          count(lit(1))).as("digit_ratio"),
+        (countDistinct("word").cast("double") / count(lit(1))).as("ttr"))
+      .withColumn("quality",
+        least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) *
+          col("ttr") * (lit(1.0) - col("digit_ratio")))
+
+  /** Stopword-ratio language-ID heuristic: docs whose English-stopword
+    * ratio clears a threshold are tagged 'en', else 'und'. (A real lang-ID
+    * uses char n-gram profiles per language; over this synthetic 31-word
+    * vocabulary the stopword family is the only available signal. The
+    * Spark-side mechanics — token stream, per-doc ratio aggregate,
+    * threshold classify, confusion against the labeled `lang` column — are
+    * the real pipeline shape.)
+    */
+  def langId(docs: DataFrame, threshold: Double = 0.02): DataFrame =
+    Search.tokens(docs)
+      .groupBy("doc_id")
+      .agg((sum(when(col("word").isin(Stopwords: _*), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("stopword_ratio"))
+      .withColumn("lang_pred",
+        when(col("stopword_ratio") >= threshold, "en").otherwise("und"))
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .withColumn("is_match", (col("lang_pred") === col("lang")).cast("boolean"))
+      .select("doc_id", "lang", "lang_pred", "stopword_ratio", "is_match")
+
+  /** Document fingerprint (winnowing-lite): the minimum shingle digest —
+    * one stable 32-hex-char id per document, robust to shingle reordering.
+    */
+  def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
+    Dedup.shingles(docs, n)
+      .groupBy("doc_id")
+      .agg(min(md5(col("shingle"))).as("fingerprint"))
+
+  /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
+    * subword-like segments (runs of letters / digits / single punctuation),
+    * the standard cheap proxy for LLM token budgeting.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(filter(split(col("text"), "\\s+"), w => length(w) > 0)).cast("long")
+        .as("ws_tokens"),
+      size(filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)).cast("long")
+        .as("alnum_tokens"))
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Dedup
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents`, each with a DuckDB oracle — the
+  * oracle reproduces even the MinHash/LSH bucketing because both engines
+  * compute identical md5 digests.
+  */
+object DedupQueries {
+
+  /** Distinct 3-word shingles per doc (DuckDB twin of Dedup.shingles). */
+  val shingleCte: String =
+    """d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS shingle
+      |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
+      |  WHERE len(arr) >= 3)""".stripMargin
+
+  val jaccardTail: String =
+    """sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2)""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+
+    GraftQuery("dedup_exact",
+      (s, d) => Dedup.exact(Tables.documents(s, d)).orderBy("keep_id"),
+      Some(
+        """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+          |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
+
+    GraftQuery("dedup_ngram_jaccard",
+      (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $shingleCte, $jaccardTail
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    GraftQuery("dedup_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 3, 4, 0.5)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val sigCols = (0 until 12)
+          .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n    ")
+        val bandSel = (0 until 3).map { b =>
+          val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || ")
+          s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
+        }.mkString("\n  UNION ALL ")
+        s"""WITH $shingleCte,
+           |sig AS (SELECT doc_id,
+           |    $sigCols
+           |  FROM sh GROUP BY doc_id),
+           |bands AS (
+           |  $bandSel),
+           |cand AS (
+           |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+           |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |inter AS (
+           |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+           |  FROM cand c
+           |    JOIN sh a ON c.doc_a = a.doc_id
+           |    JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+           |  GROUP BY 1, 2)
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.5
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
+    GraftQuery("dedup_simhash",
+      (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH tf AS (
+          |  SELECT doc_id, w AS word, count(*) AS tf
+          |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')
+          |  GROUP BY 1, 2),
+          |votes AS (
+          |  SELECT doc_id, j,
+          |    sum(CASE WHEN substr(md5(word), CAST(j + 1 AS INT), 1)
+          |               IN ('8','9','a','b','c','d','e','f')
+          |             THEN tf ELSE -tf END) AS v
+          |  FROM tf, unnest(range(0, 16)) u(j)
+          |  GROUP BY 1, 2)
+          |SELECT doc_id,
+          |  sum(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS simhash
+          |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // SimHash near-dup pairs: hamming distance <= 2 on the 16-bit hash.
+    GraftQuery("dedup_simhash_pairs",
+      (s, d) => {
+        val sh = Dedup.simhash(Tables.documents(s, d))
+        sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+            bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 2)
+          .orderBy("doc_a", "doc_b")
+      },
+      Some(
+        """WITH tf AS (
+          |  SELECT doc_id, w AS word, count(*) AS tf
+          |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')
+          |  GROUP BY 1, 2),
+          |votes AS (
+          |  SELECT doc_id, j,
+          |    sum(CASE WHEN substr(md5(word), CAST(j + 1 AS INT), 1)
+          |               IN ('8','9','a','b','c','d','e','f')
+          |             THEN tf ELSE -tf END) AS v
+          |  FROM tf, unnest(range(0, 16)) u(j)
+          |  GROUP BY 1, 2),
+          |simh AS (
+          |  SELECT doc_id,
+          |    CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+          |  FROM votes GROUP BY doc_id)
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin))
+  )
+}

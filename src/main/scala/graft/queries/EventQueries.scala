@@ -1,0 +1,111 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.Stable.{dsum, dsumSql}
+import graft.operators.Sessionize
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Batch queries over the `events` stream table. These are the *batch twins*
+  * of the Structured Streaming pipelines in graft.streaming.EventStreams —
+  * same grouping logic, verifiable against DuckDB; the streaming variants
+  * (watermarks, append mode, stateful sessionization) are exercised in
+  * StreamingSpec where a memory sink replaces the oracle.
+  */
+object EventQueries {
+
+  /** The raw parquet is TIMESTAMP_NS in DuckDB; cast to microsecond
+    * TIMESTAMP to mirror the Spark-side nanos→micros truncation
+    * (Tables.events).
+    */
+  val evCte: String =
+    """ev AS (
+      |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
+      |  FROM events)""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Tumbling 1-hour event-time window aggregate.
+    GraftQuery("events_hourly",
+      (s, d) => Tables.events(s, d)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type"),
+      Some(
+        s"""WITH $evCte
+           |SELECT date_trunc('hour', ts) AS hour, event_type,
+           |  count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM ev GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin)),
+
+    // Gap-based sessionization (30-min inactivity gap): classic
+    // lag → boundary flag → running-sum session id.
+    GraftQuery("events_sessionize",
+      (s, d) => Sessionize.sessions(Tables.events(s, d), gapMinutes = 30)
+        .orderBy("user_id", "session_id"),
+      Some(
+        s"""WITH $evCte,
+          |e AS (
+          |  SELECT user_id, ts, event_id,
+          |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+          |           (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
+          |         THEN 0 ELSE 1 END AS new_s
+          |  FROM ev),
+          |s AS (
+          |  SELECT user_id, ts,
+          |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+          |  FROM e)
+          |SELECT user_id, session_id, count(*) AS n_events,
+          |  min(ts) AS session_start, max(ts) AS session_end
+          |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin)),
+
+    // Per-user behavioral rollup (stream-style keyed state, batch twin).
+    GraftQuery("events_user_stats",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct("event_type").as("n_types"),
+          dsum(col("value"), 2).as("sum_value"),
+          min("ts").as("first_ts"), max("ts").as("last_ts"))
+        .orderBy("user_id"),
+      Some(
+        s"""WITH $evCte
+           |SELECT user_id, count(*) AS n_events, count(DISTINCT event_type) AS n_types,
+           |  ${dsumSql("value")} AS sum_value, min(ts) AS first_ts, max(ts) AS last_ts
+           |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // JSON scalar extraction from the props column.
+    GraftQuery("events_json_props",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id"),
+      Some(
+        """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          |FROM events ORDER BY event_id""".stripMargin)),
+
+    slidingWindow
+  )
+
+  /** Sliding 2h/1h window via explicit window-start enumeration: event at t
+    * belongs to windows starting at trunc(t)-1h and trunc(t). Mirrors
+    * Structured Streaming's `window(ts, "2 hours", "1 hour")` expansion.
+    */
+  lazy val slidingWindow: GraftQuery = GraftQuery("events_sliding",
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"), col("value"),
+        explode(array(
+          date_trunc("hour", col("ts")),
+          date_trunc("hour", col("ts")) - expr("INTERVAL 1 HOUR"))).as("w_start"))
+      .groupBy("w_start", "event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .orderBy("w_start", "event_type"),
+    Some(
+      s"""WITH $evCte
+         |SELECT w_start, event_type, count(*) AS n, ${dsumSql("value")} AS sum_value
+         |FROM (
+         |  SELECT event_type, value, unnest([
+         |    date_trunc('hour', ts),
+         |    date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS w_start
+         |  FROM ev)
+         |GROUP BY 1, 2 ORDER BY w_start, event_type""".stripMargin))
+}

@@ -1,0 +1,282 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.functions.Stable.{dsum, dsumSql}
+import graft.sources.Tables._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator coverage over the TPC-H-ish tables — the category
+  * checklist of SURVEY.md §2.6 (joins, aggregation, window, sort/top-k, set
+  * ops, distinct, string/date/conditional expressions), each with a DuckDB
+  * oracle twin.
+  *
+  * Scale notes: filters/projections ride parquet pushdown; the dimension
+  * side of every join is explicitly `broadcast()` (region/nation/part/
+  * supplier stay small at any SF; customer/orders/lineitem shuffle on their
+  * join keys and AQE handles skew); aggregates are plain hash aggregates
+  * with automatic partials; top-k plans as TakeOrderedAndProject, never a
+  * global sort.
+  */
+object RelationalQueries {
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // TPC-H Q1-style pricing summary: multi-expression hash aggregate.
+    GraftQuery("q1_agg",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity"), 2).as("sum_qty"),
+          dsum(col("l_extendedprice"), 2).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 6).as("sum_charge"),
+          (dsum(col("l_quantity"), 2) / count(lit(1))).as("avg_qty"),
+          (dsum(col("l_extendedprice"), 2) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  ${dsumSql("l_quantity")} AS sum_qty,
+           |  ${dsumSql("l_extendedprice")} AS sum_base_price,
+           |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+           |  ${dsumSql("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
+           |  ${dsumSql("l_quantity")} / count(*) AS avg_qty,
+           |  ${dsumSql("l_extendedprice")} / count(*) AS avg_price,
+           |  count(*) AS count_order
+           |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // Selective filter + narrow projection — parquet pushdown + pruning.
+    GraftQuery("q_filter_project",
+      (s, d) => lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp") &&
+          col("l_returnflag") === "R" && col("l_quantity") > 30)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some(
+        """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+          |FROM lineitem
+          |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+          |  AND l_returnflag = 'R' AND l_quantity > 30
+          |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // Fact ⋈ broadcast(dim) + aggregate.
+    GraftQuery("q_join_broadcast",
+      (s, d) => lineitem(s, d)
+        .join(broadcast(part(s, d)), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(dsum(col("l_extendedprice"), 2).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("p_brand"),
+      Some(
+        s"""SELECT p_brand, ${dsumSql("l_extendedprice")} AS revenue, count(*) AS n_items
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |GROUP BY p_brand ORDER BY p_brand""".stripMargin)),
+
+    // 5-way join down the star: region→nation→customer→orders→lineitem.
+    GraftQuery("q_join_multi",
+      (s, d) => lineitem(s, d)
+        .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name"),
+      Some(
+        s"""SELECT r_name, n_name,
+           |  ${dsumSql("l_extendedprice * (1.0 - l_discount)", 6)} AS revenue,
+           |  count(*) AS n_lines
+           |FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation ON c_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin)),
+
+    // Global top-k — plans as TakeOrderedAndProject (per-partition heaps).
+    GraftQuery("q_topk_orders",
+      (s, d) => orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(desc("o_totalprice"), asc("o_orderkey")).limit(15),
+      Some(
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+          |ORDER BY o_totalprice DESC, o_orderkey LIMIT 15""".stripMargin)),
+
+    // distinct + count-distinct.
+    GraftQuery("q_distinct_agg",
+      (s, d) => customer(s, d)
+        .groupBy("c_mktsegment")
+        .agg(countDistinct("c_nationkey").as("n_nations"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("c_mktsegment"),
+      Some(
+        """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations, count(*) AS n_cust
+          |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // Ranking window: top-3 orders per customer.
+    GraftQuery("q_window_rank",
+      (s, d) => orders(s, d)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey").orderBy(desc("o_totalprice"), asc("o_orderkey"))).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+        .orderBy("o_custkey", "rn"),
+      Some(
+        """WITH r AS (
+          |  SELECT o_custkey, o_orderkey, o_totalprice,
+          |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+          |  FROM orders)
+          |SELECT o_custkey, o_orderkey, o_totalprice, rn FROM r
+          |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // Running-total window (frame-based aggregation; deterministic order
+    // via unique (shipdate, orderkey, linenumber) key → exact decimal sum).
+    GraftQuery("q_window_running",
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        lineitem(s, d)
+          .filter(col("l_suppkey") <= 10)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast("decimal(18,2)")).over(w).cast("double").as("running_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      },
+      Some(
+        """SELECT l_suppkey, l_orderkey, l_linenumber,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_qty
+          |FROM lineitem WHERE l_suppkey <= 10
+          |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin)),
+
+    // Left-semi join (EXISTS).
+    GraftQuery("q_semi_join",
+      (s, d) => customer(s, d)
+        .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_nationkey").agg(count(lit(1)).as("n_with_orders"))
+        .orderBy("c_nationkey"),
+      Some(
+        """SELECT c_nationkey, count(*) AS n_with_orders FROM customer
+          |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Left-anti join (NOT EXISTS): orders with no returned ('R') line.
+    GraftQuery("q_anti_join",
+      (s, d) => orders(s, d)
+        .join(lineitem(s, d).filter(col("l_returnflag") === "R"),
+          col("o_orderkey") === col("l_orderkey"), "left_anti")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("n_unreturned"))
+        .orderBy("o_orderstatus"),
+      Some(
+        """SELECT o_orderstatus, count(*) AS n_unreturned FROM orders
+          |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+          |                  WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+          |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // Set operations: UNION ALL / EXCEPT / INTERSECT.
+    GraftQuery("q_union_all",
+      (s, d) => nation(s, d).select(col("n_name").as("name"), lit("nation").as("kind"))
+        .unionAll(region(s, d).select(col("r_name").as("name"), lit("region").as("kind")))
+        .orderBy("kind", "name"),
+      Some(
+        """SELECT name, kind FROM (
+          |  SELECT n_name AS name, 'nation' AS kind FROM nation
+          |  UNION ALL
+          |  SELECT r_name AS name, 'region' AS kind FROM region)
+          |ORDER BY kind, name""".stripMargin)),
+
+    // Customers who order, but never above 200k.
+    GraftQuery("q_except",
+      (s, d) => orders(s, d).select("o_custkey").distinct()
+        .except(orders(s, d).filter(col("o_totalprice") > 200000.0)
+          .select("o_custkey").distinct())
+        .orderBy("o_custkey"),
+      Some(
+        """SELECT o_custkey FROM (
+          |  SELECT DISTINCT o_custkey FROM orders
+          |  EXCEPT
+          |  SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 200000.0)
+          |ORDER BY o_custkey""".stripMargin)),
+
+    GraftQuery("q_intersect",
+      (s, d) => customer(s, d).select(col("c_nationkey").as("nkey"))
+        .intersect(supplier(s, d).select(col("s_nationkey").as("nkey")))
+        .orderBy("nkey"),
+      Some(
+        """SELECT nkey FROM (
+          |  SELECT c_nationkey AS nkey FROM customer
+          |  INTERSECT
+          |  SELECT s_nationkey AS nkey FROM supplier)
+          |ORDER BY nkey""".stripMargin)),
+
+    // String function battery.
+    GraftQuery("q_string_funcs",
+      (s, d) => part(s, d).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("name_u"),
+        length(col("p_name")).cast("long").as("name_len"),
+        substring(col("p_name"), 1, 8).as("name_pfx"),
+        regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"))
+        .orderBy("p_partkey"),
+      Some(
+        """SELECT p_partkey, upper(p_name) AS name_u, length(p_name) AS name_len,
+          |  substr(p_name, 1, 8) AS name_pfx,
+          |  regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel,
+          |  concat_ws('|', p_brand, p_type) AS brand_type
+          |FROM part ORDER BY p_partkey""".stripMargin)),
+
+    // Date/time function battery.
+    GraftQuery("q_date_funcs",
+      (s, d) => orders(s, d)
+        .groupBy(
+          year(col("o_orderdate")).cast("long").as("yr"),
+          month(col("o_orderdate")).cast("long").as("mon"),
+          date_trunc("month", col("o_orderdate")).as("month_start"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice"), 2).as("sum_total"))
+        .orderBy("yr", "mon"),
+      Some(
+        s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+           |  CAST(month(o_orderdate) AS BIGINT) AS mon,
+           |  date_trunc('month', o_orderdate) AS month_start,
+           |  count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_total
+           |FROM orders GROUP BY 1, 2, 3 ORDER BY yr, mon""".stripMargin)),
+
+    // Conditional aggregation (CASE WHEN inside agg).
+    GraftQuery("q_case_agg",
+      (s, d) => orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_totalprice") > 100000.0, col("o_totalprice").cast("decimal(18,2)"))
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("big_total"))
+        .orderBy("o_orderpriority"),
+      Some(
+        """SELECT o_orderpriority,
+          |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+          |  CAST(sum(CASE WHEN o_totalprice > 100000.0 THEN CAST(o_totalprice AS DECIMAL(18,2))
+          |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total
+          |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+
+    // ROLLUP (grouping sets). NULLS FIRST explicitly: Spark ASC defaults
+    // nulls-first, DuckDB nulls-last.
+    GraftQuery("q_rollup",
+      (s, d) => lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
+           |  ${dsumSql("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+  )
+}

@@ -1,0 +1,102 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Search
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Search-pipeline queries + their DuckDB oracles (SURVEY.md §2.1-2.5). */
+object SearchQueries {
+
+  /** Shared DuckDB CTE bodies — the RE2-safe twin of Search.tokens /
+    * Search.vocabulary / Search.postings.
+    */
+  val tokCte: String =
+    """tok AS (
+      |  SELECT doc_id, w AS word
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+      |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$'))""".stripMargin
+
+  val vocabCte: String =
+    """vocab AS (
+      |  SELECT word, count(DISTINCT doc_id) AS df,
+      |         row_number() OVER (ORDER BY word) - 1 AS word_id
+      |  FROM tok GROUP BY word)""".stripMargin
+
+  val postingsCte: String =
+    """postings AS (
+      |  SELECT t.doc_id, v.word_id, v.word, v.df, count(*) AS tf
+      |  FROM tok t JOIN vocab v USING (word)
+      |  GROUP BY t.doc_id, v.word_id, v.word, v.df)""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+
+    GraftQuery("vocab_build",
+      (s, d) => Search.vocabulary(Tables.documents(s, d)).orderBy("word"),
+      Some(
+        s"""WITH $tokCte
+           |SELECT word, count(DISTINCT doc_id) AS df,
+           |       row_number() OVER (ORDER BY word) - 1 AS word_id
+           |FROM tok GROUP BY word ORDER BY word""".stripMargin)),
+
+    GraftQuery("doc_info",
+      (s, d) => Search.docInfo(Tables.documents(s, d)).orderBy("doc_id"),
+      Some("SELECT doc_id, source, lang, n_chars FROM documents ORDER BY doc_id")),
+
+    GraftQuery("postings_tf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Search.postings(docs, Search.vocabulary(docs))
+          .select("doc_id", "word_id", "tf").orderBy("doc_id", "word_id")
+      },
+      Some(
+        s"""WITH $tokCte, $vocabCte
+           |SELECT t.doc_id, v.word_id, count(*) AS tf
+           |FROM tok t JOIN vocab v USING (word)
+           |GROUP BY t.doc_id, v.word_id ORDER BY t.doc_id, v.word_id""".stripMargin)),
+
+    // Flagship: the reference's entire Query.java path in one plan.
+    // Query "the fast table scan the" → qtf: the=2, fast/table/scan=1.
+    GraftQuery("search_topk",
+      (s, d) => Search.searchTopK(s, d, Search.DefaultQuery, 10),
+      Some(
+        s"""WITH $tokCte, $vocabCte, $postingsCte,
+           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+           |scores AS (
+           |  SELECT p.doc_id,
+           |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
+           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
+           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT t.doc_id, t.score, d.source, d.lang
+           |FROM topk t JOIN documents d USING (doc_id)
+           |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
+
+    // Log-idf variant (the "classical fix" flagged in SURVEY.md quirk Q-b):
+    // score = Σ tf_d · tf_q · ln(N/df). Kept alongside the parity formula.
+    GraftQuery("search_topk_logidf",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val vocab = Search.vocabulary(docs)
+        val post = Search.postings(docs, vocab)
+        val n = docs.count().toDouble
+        val qt = Search.queryTerms(s, Search.DefaultQuery)
+          .join(vocab, "word").select("word_id", "qtf", "df")
+        post.join(broadcast(qt), "word_id")
+          .select(col("doc_id"),
+            (col("tf") * col("qtf") * log(lit(n) / col("df"))).as("part"))
+          .groupBy("doc_id")
+          // stab(6), not 9: ln() is libm, engines may differ in the last ulp
+          .agg(graft.functions.Stable.stab(sum(col("part")), 6).as("score"))
+          .orderBy(desc("score"), asc("doc_id")).limit(10)
+      },
+      Some(
+        s"""WITH $tokCte, $vocabCte, $postingsCte,
+           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |scores AS (
+           |  SELECT p.doc_id,
+           |         floor(sum(p.tf * q.qtf * ln((SELECT n FROM n) / p.df))*1000000.0+0.5)/1000000.0 AS score
+           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id)
+           |SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Similarity search over `embeddings` (ARRAY<FLOAT>), with DuckDB oracles.
+  * Both engines promote float→double element-wise and collapse the folded
+  * sums with the floor-stabilizer, so cosines hash-match.
+  */
+object SimilarityQueries {
+
+  /** Prepared vectors: doubles + L2 norm (twin of Similarity.prepared). */
+  val prepCte: String =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM v)""".stripMargin
+
+  def cosSql(a: String, b: String): String =
+    s"floor(list_sum(list_transform(range(1, len($a.e)+1), i -> $a.e[i]*$b.e[i]))" +
+      s"/($a.nrm*$b.nrm)*1000000.0+0.5)/1000000.0"
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Embedding-cosine near-duplicate pairs. Threshold 0.45: the synthetic
+    // embeddings top out at cos≈0.51, so this is the "near-dup" tail there
+    // (a production corpus would use ~0.9+).
+    GraftQuery("dedup_embedding",
+      (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(
+        s"""WITH $prepCte
+           |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a", "b")} AS cos
+           |FROM n a JOIN n b ON a.vec_id < b.vec_id
+           |WHERE ${cosSql("a", "b")} >= 0.45
+           |ORDER BY vec_a, vec_b""".stripMargin)),
+
+    // Brute-force exact top-5 neighbors for the first 10 vectors.
+    GraftQuery("knn_brute",
+      (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some(
+        s"""WITH $prepCte,
+           |c AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS cos
+           |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |r AS (SELECT query_id, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM c)
+           |SELECT query_id, neighbor_id, cos, rank FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
+
+    // IVF probe-1 ANN: label as coarse cell, nearest centroid by dot, then
+    // exact cosine inside the probed cell.
+    GraftQuery("knn_ivf",
+      (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 5)
+        .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some(
+        s"""WITH $prepCte,
+           |cent AS (
+           |  SELECT label, i, floor(avg(e[i])*1000000.0+0.5)/1000000.0 AS c
+           |  FROM (SELECT em.label, v.e FROM embeddings em JOIN v ON em.vec_id = v.vec_id),
+           |       unnest(range(1, len(e)+1)) t(i)
+           |  GROUP BY label, i),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |    floor(sum(q.e[cent.i] * cent.c)*1000000.0+0.5)/1000000.0 AS qdot
+           |  FROM v q, cent WHERE q.vec_id < 10
+           |  GROUP BY 1, 2),
+           |best AS (
+           |  SELECT query_id, label AS probe_label FROM (
+           |    SELECT query_id, label,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, label) AS rn
+           |    FROM qd) WHERE rn = 1),
+           |cell AS (SELECT em.vec_id, em.label, n.e, n.nrm
+           |         FROM embeddings em JOIN n ON em.vec_id = n.vec_id),
+           |c AS (
+           |  SELECT a.vec_id AS query_id, best.probe_label, b.vec_id AS neighbor_id,
+           |         ${cosSql("a", "b")} AS cos
+           |  FROM n a
+           |    JOIN best ON best.query_id = a.vec_id
+           |    JOIN cell b ON b.label = best.probe_label AND b.vec_id <> a.vec_id),
+           |r AS (SELECT query_id, probe_label, neighbor_id, cos,
+           |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |      FROM c)
+           |SELECT query_id, probe_label, neighbor_id, cos, rank FROM r
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+  )
+}

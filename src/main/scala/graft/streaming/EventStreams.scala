@@ -1,0 +1,87 @@
+package graft.streaming
+
+import graft.functions.Stable.dsum
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming pipelines over the `events` schema. Batch twins of
+  * the aggregations live in graft.queries.EventQueries (DuckDB-verifiable);
+  * these run the same logic under watermarks / incremental state.
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-source stream over a directory of events parquet. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling 1-hour windowed counts/sums with a 10-minute watermark —
+    * late events beyond the watermark are dropped, state is purged as the
+    * watermark passes each window end.
+    */
+  def hourlyWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 2h/1h windowed counts (streaming twin of events_sliding). */
+  def slidingWindow(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"))
+
+  case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                event_type: String, value: Double)
+  case class SessionState(sessionId: Long, nEvents: Long, startMs: Long, lastMs: Long)
+  case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
+                        start_ms: Long, end_ms: Long)
+
+  /** Stateful gap-based sessionization via flatMapGroupsWithState: closes a
+    * session when the next event for the user arrives more than
+    * `gapMinutes` after the previous one, emitting the closed session.
+    * Batch twin: graft.operators.Sessionize (lag + running sum).
+    *
+    * Note: events within a micro-batch are sorted per user here; across
+    * micro-batches the state carries (lastMs). Correct under event-time
+    * ordering per batch — the standard pattern for append-mode session
+    * emission.
+    */
+  def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapMs = gapMinutes * 60000L
+    events.groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
+        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+        var st = state.getOption.orNull
+        val closed = Seq.newBuilder[SessionOut]
+        sorted.foreach { e =>
+          val ms = e.ts.getTime
+          st match {
+            case null =>
+              st = SessionState(1L, 1L, ms, ms)
+            case s if ms - s.lastMs <= gapMs =>
+              st = s.copy(nEvents = s.nEvents + 1, lastMs = ms)
+            case s =>
+              closed += SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs)
+              st = SessionState(s.sessionId + 1, 1L, ms, ms)
+          }
+        }
+        if (st != null) state.update(st)
+        closed.result().iterator
+      })
+  }
+}
