@@ -1,5 +1,6 @@
 package graft.sources
 
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -43,15 +44,21 @@ object Tables {
     * fixed contract, inference would cost an extra pass over 100 TB.
     */
   val corpusSchema: StructType = StructType(Seq(
-    StructField("id", LongType),
+    StructField("id", StringType), // WikiExtractor quotes ids ("id": "12") — read as string, cast below (Vocabulary.java:38's Integer.parseInt)
     StructField("url", StringType),
     StructField("title", StringType),
     StructField("text", StringType)))
 
   /** Reference corpus reader: JSON-lines restricted to the `AA*` shard glob
     * (Vocabulary.java:25,143). One schema'd scan with column pruning replaces
-    * the reference's three full-corpus passes (SURVEY.md §3.1).
+    * the reference's three full-corpus passes (SURVEY.md §3.1). The glob is
+    * applied via `pathGlobFilter` (filename-level pruning at listing time —
+    * the same file-level partition filter the reference hard-codes) rather
+    * than a glob-in-path, which Spark 4's source resolution rejects.
     */
   def corpusJson(spark: SparkSession, dir: String, glob: String = "AA*"): DataFrame =
-    spark.read.schema(corpusSchema).json(s"$dir/$glob")
+    spark.read.schema(corpusSchema).option("pathGlobFilter", glob)
+      .option("mode", "DROPMALFORMED") // reference crashes on bad lines (uncaught JSONException, Vocabulary.java:35); drop instead of emitting all-NULL rows
+      .json(dir)
+      .withColumn("id", col("id").cast(LongType))
 }

@@ -1,0 +1,35 @@
+package graft
+
+import graft.operators.Multimodal
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("fromDocuments: schema, modality round-robin, payload bytes") {
+    val m = Multimodal.fromDocuments(Tables.documents(spark, TestSpark.sf0001))
+    assert(m.columns.toSeq == Seq("media_id", "modality", "payload", "meta_source"))
+    val mods = m.select("media_id", "modality").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    assert(mods.forall { case (id, mod) =>
+      mod == Seq("image", "audio", "video")((id % 3).toInt) })
+  }
+
+  test("extractFeatures: deterministic stub decode, n_bytes = payload size") {
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
+    val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+    assert(feats.schema == Multimodal.featureSchema)
+    val joined = feats.join(docs, col("media_id") === col("doc_id"))
+      .select(col("n_bytes"), octet_length(col("text")).cast("long").as("text_bytes"))
+      .collect()
+    assert(joined.nonEmpty)
+    assert(joined.forall(r => r.getLong(0) == r.getLong(1)))
+    // determinism across runs
+    val a = feats.orderBy("media_id").collect().map(_.toString).toSeq
+    val b = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))
+      .orderBy("media_id").collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+}

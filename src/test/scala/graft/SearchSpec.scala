@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Search
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-computed goldens for the search pipeline on a 4-doc corpus, plus
+  * the reference-contract JSON corpus reader.
+  *
+  * Fixture (after normalize/tokenize):
+  *   doc 1: "the cat sat"          doc 2: "the the dog"
+  *   doc 3: "cat dog cat"          doc 4: "bird"
+  * vocabulary (word → df, word_id by word order):
+  *   bird df=1 id=0, cat df=2 id=1, dog df=2 id=2, sat df=1 id=3, the df=2 id=4
+  */
+class SearchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def fixture = {
+    import spark.implicits._
+    Seq(
+      (1L, "The cat sat!", "en", "s1", 12L),
+      (2L, "the THE dog", "en", "s1", 11L),
+      (3L, "cat dog cat", "en", "s2", 11L),
+      (4L, "bird", "en", "s2", 4L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("vocabulary: df counts and sequential word ids in word order") {
+    val v = Search.vocabulary(fixture).orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(v.toSeq == Seq(
+      ("bird", 1L, 0L), ("cat", 2L, 1L), ("dog", 2L, 2L),
+      ("sat", 1L, 3L), ("the", 2L, 4L)))
+  }
+
+  test("postings: per-doc term frequencies") {
+    val docs = fixture
+    val p = Search.postings(docs, Search.vocabulary(docs))
+      .orderBy("doc_id", "word_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p.toSeq == Seq(
+      (1L, 1L, 1L), (1L, 3L, 1L), (1L, 4L, 1L),   // cat sat the
+      (2L, 2L, 1L), (2L, 4L, 2L),                  // dog the×2
+      (3L, 1L, 2L), (3L, 2L, 1L),                  // cat×2 dog
+      (4L, 0L, 1L)))                               // bird
+  }
+
+  test("score formula tf_d·tf_q/df² and ranking (quirk Q-b semantics)") {
+    // query "the cat" → qtf(the)=1, qtf(cat)=1; df(the)=2, df(cat)=2
+    // doc1: the(1·1/4) + cat(1·1/4) = 0.5   doc2: the(2·1/4) = 0.5
+    // doc3: cat(2·1/4) = 0.5                doc4: 0
+    import spark.implicits._
+    val docs = fixture
+    val vocab = Search.vocabulary(docs)
+    val post = Search.postings(docs, vocab)
+    val qt = Search.queryTerms(spark, "the cat").join(vocab, "word")
+      .select("word_id", "qtf", "df")
+    val scores = post.join(broadcast(qt), "word_id")
+      .select(col("doc_id"),
+        (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
+      .groupBy("doc_id").agg(sum("part").as("score"))
+      .orderBy(desc("score"), asc("doc_id"))
+      .as[(Long, Double)].collect().toSeq
+    assert(scores == Seq((1L, 0.5), (2L, 0.5), (3L, 0.5)))
+    // ties broken by doc_id ascending (quirk Q-d decision)
+    assert(scores.map(_._1) == Seq(1L, 2L, 3L))
+  }
+
+  test("query terms: tokenized with reference filterText, counted") {
+    val qt = Search.queryTerms(spark, "The GOOD good 42 person!!")
+      .orderBy("word").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(qt.toSeq == Seq(("good", 2L), ("person", 1L), ("the", 1L)))
+  }
+
+  test("searchTopK end-to-end on sf0.001 returns k rows, deterministic") {
+    val a = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
+    val b = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
+    assert(a.length == 10)
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+  }
+
+  test("corpusJson reads the reference's JSON-lines contract with AA* glob") {
+    val dir = java.nio.file.Files.createTempDirectory("corpus").toFile
+    val aa = new java.io.PrintWriter(new java.io.File(dir, "AA_wiki_00"))
+    aa.println("""{"id": "12", "url": "http://x/12", "title": "Anarchism", "text": "the cat"}""")
+    aa.println("""{"id": "13", "url": "http://x/13", "title": "Autism", "text": "a dog"}""")
+    aa.close()
+    val zz = new java.io.PrintWriter(new java.io.File(dir, "ZZ_ignored"))
+    zz.println("""{"id": "99", "url": "http://x/99", "title": "Nope", "text": "nope"}""")
+    zz.close()
+    val df = Tables.corpusJson(spark, dir.getAbsolutePath)
+    assert(df.columns.toSeq == Seq("id", "url", "title", "text"))
+    assert(df.count() == 2) // ZZ file excluded by glob
+    assert(df.filter(col("id") === 12L).select("title").head().getString(0) == "Anarchism")
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming behavior: windowed aggregation under a watermark,
+  * stateful sessionization, and file-source streaming — each checked against
+  * its batch twin where one exists.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("hourly window over a file stream matches the batch twin") {
+    import spark.implicits._
+    // stage a small slice of events as a streaming source dir
+    val dir = java.nio.file.Files.createTempDirectory("evstream").toString
+    val batch = graft.sources.Tables.events(spark, TestSpark.sf0001).limit(200)
+    batch.write.mode("overwrite").parquet(dir)
+
+    val stream = EventStreams.hourlyWindow(
+      spark.readStream.schema(EventStreams.eventSchema).parquet(dir))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .orderBy("hour", "event_type")
+        .collect().map(_.toString).toSeq
+      val want = spark.read.parquet(dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"), graft.functions.Stable.dsum(col("value"), 2).as("sum_value"))
+        .orderBy("hour", "event_type")
+        .collect().map(_.toString).toSeq
+      assert(got == want)
+    } finally q.stop()
+  }
+
+  test("watermark drops late events in append mode") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val df = mem.toDF.toDF("ts", "event_type", "value")
+    val agg = EventStreams.hourlyWindow(
+      df.select(lit(0L).as("event_id"), col("ts"), lit(0L).as("user_id"),
+        col("event_type"), col("value"), lit("{}").as("props")))
+    val q = agg.writeStream.outputMode("append")
+      .format("memory").queryName("wm_out").start()
+    try {
+      // batch 1: events at t=0h and t=3h — watermark advances past hour 0
+      mem.addData((ts(5), "a", 1.0), (ts(180), "a", 1.0))
+      q.processAllAvailable()
+      // batch 2: a late event back in hour 0 (beyond 10-min watermark) — dropped
+      mem.addData((ts(6), "a", 100.0))
+      q.processAllAvailable()
+      // batch 3: advance far so all windows close and emit
+      mem.addData((ts(600), "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("wm_out").orderBy("hour")
+        .select("hour", "n", "sum_value").collect()
+      val hour0 = out.head
+      assert(hour0.getLong(1) == 1L)          // late event NOT counted
+      assert(hour0.getDouble(2) == 1.0)
+    } finally q.stop()
+  }
+
+  test("stateful sessionization emits closed sessions across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val sessions = EventStreams.sessions(mem.toDS(), gapMinutes = 30)
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("sess_out").start()
+    try {
+      mem.addData(
+        EventStreams.Ev(1L, ts(0), 7L, "a", 1.0),
+        EventStreams.Ev(2L, ts(10), 7L, "a", 1.0))
+      q.processAllAvailable()
+      // 40-min gap closes session 1
+      mem.addData(EventStreams.Ev(3L, ts(50), 7L, "a", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("sess_out")
+        .as[EventStreams.SessionOut].collect().toSeq
+      assert(out == Seq(EventStreams.SessionOut(7L, 1L, 2L,
+        ts(0).getTime, ts(10).getTime)))
+    } finally q.stop()
+  }
+}

@@ -1,0 +1,68 @@
+package graft
+
+import graft.operators.{Sessionize, TextAnalysis}
+import org.scalatest.funsuite.AnyFunSuite
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def docs = {
+    import spark.implicits._
+    Seq(
+      (1L, "the cat and the hat", "en", "s", 1L),
+      (2L, "42 7 cat", "en", "s", 1L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+  }
+
+  test("tokenStats: counts, uniques, avg length, ttr") {
+    import spark.implicits._
+    val r = TextAnalysis.tokenStats(docs).orderBy("doc_id")
+      .as[(Long, Long, Long, Double, Double)].collect().toSeq
+    // doc1: 5 tokens, 4 unique (the×2), avg len (3+3+3+3+3)/5=3, ttr .8
+    assert(r.head == ((1L, 5L, 4L, 3.0, 0.8)))
+    // doc2: all-digit words dropped → 1 token "cat"
+    assert(r(1) == ((2L, 1L, 1L, 3.0, 1.0)))
+  }
+
+  test("qualityScore: composite in [0,1], stopword ratio correct") {
+    import spark.implicits._
+    val r = TextAnalysis.qualityScore(docs).orderBy("doc_id").collect()
+    val d1 = r.head
+    assert(d1.getAs[Double]("stopword_ratio") == 0.6) // the,and,the of 5
+    val q = d1.getAs[Double]("quality")
+    assert(q > 0 && q <= 1.0)
+  }
+
+  test("langId: stopword-heavy docs tagged en") {
+    import spark.implicits._
+    val r = TextAnalysis.langId(docs).orderBy("doc_id").collect()
+    assert(r.head.getAs[String]("lang_pred") == "en")
+    assert(r(1).getAs[String]("lang_pred") == "und") // "cat" only, no stopwords
+  }
+
+  test("fingerprint: stable across runs, differs across docs") {
+    import spark.implicits._
+    val a = TextAnalysis.fingerprint(docs).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    val b = TextAnalysis.fingerprint(docs).orderBy("doc_id")
+      .as[(Long, String)].collect().toSeq
+    assert(a == b)
+    assert(a.head._2.length == 32)
+  }
+
+  test("sessionize: 30-min gap splits sessions, counts correct") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val events = Seq(
+      (1L, ts(0), 7L, "a", 1.0, "{}"),
+      (2L, ts(10), 7L, "a", 1.0, "{}"),
+      (3L, ts(50), 7L, "a", 1.0, "{}"),   // 40-min gap → new session
+      (4L, ts(55), 7L, "a", 1.0, "{}"),
+      (5L, ts(0), 8L, "b", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val s = Sessionize.sessions(events, 30).orderBy("user_id", "session_id")
+      .select("user_id", "session_id", "n_events")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(s == Seq((7L, 1L, 2L), (7L, 2L, 2L), (8L, 1L, 1L)))
+  }
+}
