@@ -3,7 +3,7 @@ package graft.operators
 import graft.functions.Stable
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{graftglue, Column, DataFrame}
 
 /** Similarity search over an embedding column (ARRAY<FLOAT>).
   *
@@ -24,12 +24,15 @@ object Similarity {
   /** Element-wise double-promoted copy of an ARRAY<FLOAT> column. */
   def toDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
-  /** Left-fold dot product of two ARRAY<DOUBLE> columns. */
+  /** Left-fold dot product of two ARRAY<DOUBLE> columns — the codegen'd
+    * ArrayDot expression, fold-order-identical to the interpreted
+    * `aggregate(zip_with(...))` formulation it replaces (see ArrayDot doc).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graftglue.column(graft.functions.ArrayDot(graftglue.expression(a), graftglue.expression(b)))
 
-  /** L2 norm of an ARRAY<DOUBLE> column. */
-  def norm(a: Column): Column = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
+  /** L2 norm of an ARRAY<DOUBLE> column (same fold order as acc + x*x). */
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** (vec_id, e ARRAY<DOUBLE>, nrm) from an embeddings table. */
   def prepared(embeddings: DataFrame): DataFrame =
