@@ -65,14 +65,19 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** One MinHash signature component: min over shingles of md5(seed || ":"
-    * || shingle). Lexicographic-min of a uniform digest is a valid minhash
-    * permutation and is reproducible in any engine with md5().
+  /** One MinHash signature component: min over shingles of the first 60
+    * bits (15 hex chars) of md5(seed || ":" || shingle), as a BIGINT. The
+    * 60-bit prefix of a uniform digest is a valid minhash permutation key,
+    * reproducible in any engine with md5() + hex parsing — and, unlike a
+    * min over the digest *string*, a BIGINT min aggregates in HashAggregate
+    * (string min forces SortAggregate: Tungsten's mutable aggregation
+    * buffer holds only fixed-width primitives).
     */
   private def minhashCol(seed: Int): Column =
-    min(md5(concat(lit(s"$seed:"), col("shingle")))).as(s"h$seed")
+    min(conv(substring(md5(concat(lit(s"$seed:"), col("shingle"))), 1, 15), 16, 10)
+      .cast("long")).as(s"h$seed")
 
-  /** MinHash signatures: one row per doc, `numHashes` digest columns. */
+  /** MinHash signatures: one row per doc, `numHashes` BIGINT columns. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy("doc_id").agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
 
@@ -85,10 +90,16 @@ object Dedup {
                       rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
     val sh = shingles(docs, n).cache()
     val sig = minhashSignatures(sh, bands * rowsPerBand)
-    val bandRows = (0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
-      sig.select(col("doc_id"), lit(b).as("band"), md5(concat(cols: _*)).as("bh"))
-    }.reduce(_ unionAll _)
+    // All band hashes in ONE projection + explode — a union of per-band
+    // selects would re-run the signature aggregation once per band.
+    val bandStructs = array((0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i").cast("string"))
+      struct(lit(b).as("band"),
+        md5(concat_ws(":", cols: _*)).as("bh"))
+    }: _*)
+    val bandRows = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
     val cand = bandRows.as("a").join(bandRows.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

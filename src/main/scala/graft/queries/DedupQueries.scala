@@ -49,10 +49,14 @@ object DedupQueries {
       (s, d) => Dedup.minhashLshPairs(Tables.documents(s, d), 3, 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
       Some {
+        // Numeric 60-bit minhash twin of Dedup.minhashCol: same md5, same
+        // 15-hex-char prefix, same unsigned value in both engines.
         val sigCols = (0 until 12)
-          .map(i => s"min(md5('$i:' || shingle)) AS h$i").mkString(",\n    ")
+          .map(i => s"min(CAST(CONCAT('0x', substr(md5('$i:' || shingle), 1, 15)) AS BIGINT)) AS h$i")
+          .mkString(",\n    ")
         val bandSel = (0 until 3).map { b =>
-          val hs = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString(" || ")
+          val hs = (b * 4 until (b + 1) * 4)
+            .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
           s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
         }.mkString("\n  UNION ALL ")
         s"""WITH $shingleCte,
