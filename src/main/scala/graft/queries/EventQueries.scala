@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.GraftQuery
 import graft.functions.Stable.{dsum, dsumSql}
-import graft.operators.Sessionize
+import graft.operators.{AsOf, Sessionize}
 import graft.sources.Tables
 import org.apache.spark.sql.functions._
 
@@ -83,7 +83,33 @@ object EventQueries {
         """SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
           |FROM events ORDER BY event_id""".stripMargin)),
 
-    slidingWindow
+    slidingWindow,
+
+    // Backward as-of join (AsOf.joinBackward): attribute each purchase to
+    // the user's most recent view at-or-before it. Oracle uses DuckDB's
+    // native ASOF LEFT JOIN — same backward/left-outer semantics.
+    GraftQuery("events_asof_attrib",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select("event_id", "user_id", "ts", "value")
+        val views = ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("ts"),
+            col("event_id").as("view_event_id"), col("value").as("view_value"))
+        AsOf.joinBackward(purchases, views, "user_id", "ts", "view_event_id")
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("_asof.view_event_id").as("view_event_id"),
+            col("_asof.view_value").as("view_value"))
+          .orderBy("event_id")
+      },
+      Some(
+        s"""WITH $evCte,
+           |p AS (SELECT event_id, user_id, ts, value FROM ev WHERE event_type = 'purchase'),
+           |v AS (SELECT user_id, ts, event_id AS view_event_id, value AS view_value
+           |      FROM ev WHERE event_type = 'view')
+           |SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_value
+           |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+           |ORDER BY p.event_id""".stripMargin))
   )
 
   /** Sliding 2h/1h window via explicit window-start enumeration: event at t

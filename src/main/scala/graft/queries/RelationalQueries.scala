@@ -277,6 +277,122 @@ object RelationalQueries {
         s"""SELECT l_returnflag, l_linestatus, count(*) AS n,
            |  ${dsumSql("l_quantity")} AS sum_qty
            |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin))
+           |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // CUBE with grouping_id disambiguating aggregation level.
+    GraftQuery("q_cube",
+      (s, d) => lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(grouping_id().cast("long").as("g"),
+          count(lit(1)).as("n"), dsum(col("l_quantity"), 2).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "g", "n", "sum_qty")
+        .orderBy(col("g"), asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus")),
+      Some(
+        s"""SELECT l_returnflag, l_linestatus,
+           |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS g,
+           |  count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+           |ORDER BY g, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // GROUPING SETS via the SQL surface (temp view + spark.sql).
+    GraftQuery("q_grouping_sets",
+      (s, d) => {
+        lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+          |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin)),
+
+    // Correlated EXISTS — Catalyst decorrelates to a left-semi join.
+    GraftQuery("q_exists_subquery",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(
+          """SELECT c_custkey, c_name FROM customer c
+            |WHERE EXISTS (SELECT 1 FROM orders o
+            |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+            |ORDER BY c_custkey""".stripMargin)
+      },
+      Some(
+        """SELECT c_custkey, c_name FROM customer c
+          |WHERE EXISTS (SELECT 1 FROM orders o
+          |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000.0)
+          |ORDER BY c_custkey""".stripMargin)),
+
+    // Scalar subquery: parts pricier than the global mean retail price.
+    // The mean is an exact decimal sum / count — deterministic in both
+    // engines, so the > boundary is too.
+    GraftQuery("q_scalar_subquery",
+      (s, d) => {
+        part(s, d).createOrReplaceTempView("part")
+        s.sql(
+          """SELECT p_partkey, p_retailprice FROM part
+            |WHERE p_retailprice >
+            |  (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+            |ORDER BY p_partkey""".stripMargin)
+      },
+      Some(
+        """SELECT p_partkey, p_retailprice FROM part
+          |WHERE p_retailprice >
+          |  (SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+          |ORDER BY p_partkey""".stripMargin)),
+
+    // Exact interpolated percentiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`, both R-7 linear interpolation), ulp-stabilized.
+    GraftQuery("q_percentile",
+      (s, d) => lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          graft.functions.Stable.stab(expr("percentile(l_quantity, 0.25)"), 6).as("p25"),
+          graft.functions.Stable.stab(expr("percentile(l_quantity, 0.5)"), 6).as("p50"),
+          graft.functions.Stable.stab(expr("percentile(l_quantity, 0.9)"), 6).as("p90"))
+        .orderBy("l_returnflag"),
+      Some {
+        import graft.functions.Stable.stabSql
+        s"""SELECT l_returnflag,
+           |  ${stabSql("quantile_cont(l_quantity, 0.25)", 6)} AS p25,
+           |  ${stabSql("quantile_cont(l_quantity, 0.5)", 6)} AS p50,
+           |  ${stabSql("quantile_cont(l_quantity, 0.9)", 6)} AS p90
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+      }),
+
+    // min/max/avg + sample variance from exact decimal power sums —
+    // identical IEEE arithmetic in both engines.
+    GraftQuery("q_stats_agg",
+      (s, d) => {
+        val x = col("o_totalprice")
+        val s1 = sum(x.cast("decimal(18,2)")).cast("double")
+        val s2 = sum((x.cast("decimal(18,2)") * x.cast("decimal(18,2)"))).cast("double")
+        val n = count(lit(1)).cast("double")
+        orders(s, d).groupBy("o_orderpriority")
+          .agg(min(x).as("min_total"), max(x).as("max_total"),
+            (s1 / n).as("avg_total"),
+            // stab(0): the s2 - s1²/n cancellation amplifies last-ulp
+            // decimal→double divergence (~5e-15 relative) to ~1e-4 absolute
+            // at var ≈ 2e10; integer stabilization gives both engines slack.
+            graft.functions.Stable.stab((s2 - s1 * s1 / n) / (n - lit(1.0)), 0).as("var_total"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderpriority")
+      },
+      Some {
+        import graft.functions.Stable.stabSql
+        val s1 = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        val s2 = "CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)"
+        val n = "CAST(count(*) AS DOUBLE)"
+        s"""SELECT o_orderpriority,
+           |  min(o_totalprice) AS min_total, max(o_totalprice) AS max_total,
+           |  $s1 / $n AS avg_total,
+           |  ${stabSql(s"($s2 - $s1 * $s1 / $n) / ($n - 1.0)", 0)} AS var_total,
+           |  count(*) AS n
+           |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+      })
   )
 }
