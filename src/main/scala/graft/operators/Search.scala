@@ -94,6 +94,12 @@ object Search {
     val docs = Tables.documents(spark, dir)
     val vocab = vocabulary(docs)
     val post = postings(docs, vocab)
+    scoreAndRank(spark, post, vocab, docInfo(docs), query, k)
+  }
+
+  /** Shared Q2-Q8 tail over any (postings, vocab, docinfo) triple. */
+  private def scoreAndRank(spark: SparkSession, post: DataFrame, vocab: DataFrame,
+                           docinfo: DataFrame, query: String, k: Int): DataFrame = {
     val qt = queryTerms(spark, query)
       .join(vocab, "word") // keep df + word_id; drops non-vocab terms (I2 semantics)
       .select("word_id", "qtf", "df")
@@ -105,8 +111,51 @@ object Search {
       .agg(Stable.stab(sum(col("part")), 9).as("score"))
     scores
       .orderBy(desc("score"), asc("doc_id")).limit(k)
-      .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
+      .join(broadcast(docinfo.select("doc_id", "source", "lang")), "doc_id")
       .select("doc_id", "score", "source", "lang")
       .orderBy(desc("score"), asc("doc_id"))
+  }
+
+  /** Number of word-id hash buckets the persisted postings are partitioned
+    * into. At 100 TB this is the lever that turns a query into a handful of
+    * directory reads: postings land in `wb=<word_id % buckets>` dirs, and a
+    * q-term query prunes to ≤q of them at file-listing time.
+    */
+  val IndexBuckets = 16
+
+  /** Build-once index: vocabulary, doc-info, and word-bucket-partitioned
+    * postings as parquet under `indexDir`. The reference re-derives its
+    * index inputs per job and re-reads side files per map task
+    * (Indexer.java:42-73); here the corpus is scanned once and every later
+    * query is scan-free.
+    */
+  def buildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
+    val docs = Tables.documents(spark, dir)
+    val vocab = vocabulary(docs).cache()
+    vocab.write.mode("overwrite").parquet(s"$indexDir/vocabulary")
+    postings(docs, vocab)
+      .withColumn("wb", pmod(col("word_id"), lit(IndexBuckets)).cast("int"))
+      .repartition(col("wb"))
+      .write.mode("overwrite").partitionBy("wb").parquet(s"$indexDir/postings")
+    docInfo(docs).write.mode("overwrite").parquet(s"$indexDir/docinfo")
+    vocab.unpersist()
+  }
+
+  /** Query the persisted index. The postings scan carries a `wb IN (...)`
+    * predicate computed from the query's own word ids, so partition pruning
+    * skips every bucket directory the query doesn't touch — the plan reads
+    * O(query terms) buckets regardless of corpus size. Result is identical
+    * to `searchTopK` (same formula, same tie-break).
+    */
+  def searchTopKIndexed(spark: SparkSession, indexDir: String,
+                        query: String = DefaultQuery, k: Int = 10): DataFrame = {
+    val vocab = spark.read.parquet(s"$indexDir/vocabulary")
+    val docinfo = spark.read.parquet(s"$indexDir/docinfo")
+    val qWordIds = queryTerms(spark, query).join(vocab, "word")
+      .select("word_id").collect().map(_.getLong(0)) // ≤ |query terms| rows
+    val qBuckets = qWordIds.map(w => (w % IndexBuckets).toInt).distinct.toSeq
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("wb").isin(qBuckets: _*))
+    scoreAndRank(spark, post, vocab, docinfo, query, k)
   }
 }

@@ -71,6 +71,30 @@ object SearchQueries {
            |FROM topk t JOIN documents d USING (doc_id)
            |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
 
+    // Same answer as search_topk, but from the persisted word-bucketed
+    // index (Search.buildIndex → searchTopKIndexed): build-once-query-many,
+    // with partition pruning to the query's own buckets. The index is
+    // (re)built on first use per SF dir — the build cost shows up here
+    // once; the steady-state query is scan-free.
+    GraftQuery("search_topk_indexed",
+      (s, d) => {
+        val idx = s"/tmp/graft-index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
+          Search.buildIndex(s, d, idx)
+        Search.searchTopKIndexed(s, idx, Search.DefaultQuery, 10)
+      },
+      Some(
+        s"""WITH $tokCte, $vocabCte, $postingsCte,
+           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+           |scores AS (
+           |  SELECT p.doc_id,
+           |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
+           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
+           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT t.doc_id, t.score, d.source, d.lang
+           |FROM topk t JOIN documents d USING (doc_id)
+           |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
+
     // Log-idf variant (the "classical fix" flagged in SURVEY.md quirk Q-b):
     // score = Σ tf_d · tf_q · ln(N/df). Kept alongside the parity formula.
     GraftQuery("search_topk_logidf",
