@@ -393,6 +393,46 @@ object RelationalQueries {
            |  ${stabSql(s"($s2 - $s1 * $s1 / $n) / ($n - 1.0)", 0)} AS var_total,
            |  count(*) AS n
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
-      })
+      }),
+
+    // Two-phase salted aggregation (Skew.twoPhaseSum): same answer as the
+    // plain GROUP BY (the oracle), but the heavy shuffle is split 8 ways —
+    // the rewrite for hot low-cardinality keys. count + exact decimal sum
+    // re-aggregate losslessly (partials are themselves summable).
+    GraftQuery("q_skew_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        graft.operators.Skew.twoPhaseSum(
+            lineitem(s, d), Seq("l_returnflag"), salt = 8,
+            sumCols = Seq(
+              "n" -> count(lit(1)),
+              "sum_qty_dec" -> sum(col("l_quantity").cast("decimal(18,2)"))),
+            idCols = Seq(col("l_orderkey"), col("l_linenumber")))
+          .select(col("l_returnflag"), col("n"),
+            col("sum_qty_dec").cast("double").as("sum_qty"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        s"""SELECT l_returnflag, count(*) AS n, ${dsumSql("l_quantity")} AS sum_qty
+           |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Salted join (Skew.saltedJoin): big side salted by row identity, small
+    // side replicated — row-identical to the plain join the oracle runs.
+    GraftQuery("q_skew_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val cust = customer(s, d)
+          .select(col("c_custkey").as("o_custkey"), col("c_nationkey"))
+        graft.operators.Skew.saltedJoin(
+            orders(s, d), cust, "o_custkey", salt = 8,
+            bigIdCols = Seq(col("o_orderkey")))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_total"))
+          .orderBy("c_nationkey")
+      },
+      Some(
+        s"""SELECT c_nationkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_total
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
   )
 }

@@ -66,6 +66,81 @@ object TextAnalysisQueries {
         """SELECT doc_id,
           |  len(list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0))::BIGINT AS ws_tokens,
           |  len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS alnum_tokens
-          |FROM documents ORDER BY doc_id""".stripMargin))
+          |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic ~1/8 hash sample: md5(doc_id) hex-prefix threshold.
+    // Content-hash sampling (not rand()) is the reproducible way to cut a
+    // training corpus — the same rows survive on any cluster, any run.
+    GraftQuery("text_sample_hash",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        Tables.documents(s, d)
+          .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < "2000")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        """SELECT doc_id, lang, source FROM documents
+          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Stratified quota sample: 20 docs per language, picked by hash order
+    // (deterministic shuffle) — WindowGroupLimit prunes per partition.
+    GraftQuery("text_sample_stratified",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("lang")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        Tables.documents(s, d)
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 20)
+          .select("lang", "rn", "doc_id")
+          .orderBy("lang", "rn")
+      },
+      Some(
+        """SELECT lang, rn, doc_id FROM (
+          |  SELECT lang, doc_id,
+          |    row_number() OVER (PARTITION BY lang
+          |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          |  FROM documents)
+          |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
+
+    // Top-3 tf-idf terms per document (log variant) — window top-k, planned
+    // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
+    // materialization of the ranked set).
+    GraftQuery("text_top_terms",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val vocab = graft.operators.Search.vocabulary(docs)
+        val post = graft.operators.Search.postings(docs, vocab)
+        val n = docs.count().toDouble
+        val scored = post.join(broadcast(vocab.select("word", "word_id", "df")), "word_id")
+          .select(col("doc_id"), col("word"),
+            graft.functions.Stable.stab(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+        val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
+        scored.withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 3)
+          .select("doc_id", "rn", "word", "tfidf")
+          .orderBy("doc_id", "rn")
+      },
+      Some(
+        s"""WITH ${SearchQueries.tokCte}, ${SearchQueries.vocabCte},
+           |p AS (
+           |  SELECT t.doc_id, v.word, v.df, count(*) AS tf
+           |  FROM tok t JOIN vocab v USING (word) GROUP BY 1, 2, 3),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+           |sc AS (
+           |  SELECT doc_id, word,
+           |    floor(tf * ln((SELECT n FROM n) / df)*1000000.0+0.5)/1000000.0 AS tfidf
+           |  FROM p),
+           |r AS (
+           |  SELECT doc_id, word, tfidf,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
+           |  FROM sc)
+           |SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 3
+           |ORDER BY doc_id, rn""".stripMargin))
   )
 }
