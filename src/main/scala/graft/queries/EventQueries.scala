@@ -85,6 +85,32 @@ object EventQueries {
 
     slidingWindow,
 
+    // Spark's built-in session_window in batch mode: same 30-min-gap
+    // islands as events_sessionize, but windows come from the native
+    // operator (w_end = last event + gap). Oracle re-derives the islands.
+    GraftQuery("events_session_window",
+      (s, d) => Tables.events(s, d)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("w_start"),
+          col("w.end").as("w_end"), col("n_events"))
+        .orderBy("user_id", "w_start"),
+      Some(
+        s"""WITH $evCte,
+           |e AS (
+           |  SELECT user_id, ts,
+           |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
+           |         THEN 0 ELSE 1 END AS new_s
+           |  FROM ev),
+           |s AS (
+           |  SELECT user_id, ts,
+           |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts) AS sid
+           |  FROM e)
+           |SELECT user_id, min(ts) AS w_start,
+           |  max(ts) + INTERVAL 30 MINUTE AS w_end, count(*) AS n_events
+           |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin)),
+
     // Backward as-of join (AsOf.joinBackward): attribute each purchase to
     // the user's most recent view at-or-before it. Oracle uses DuckDB's
     // native ASOF LEFT JOIN — same backward/left-outer semantics.

@@ -43,6 +43,17 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Built-in session windows (30-min gap) — the declarative twin of the
+    * stateful `sessions` below; use this unless session semantics outgrow
+    * `session_window` (then flatMapGroupsWithState).
+    */
+  def sessionWindows(events: DataFrame, gapMinutes: Int = 30): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), s"$gapMinutes minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("w_start"), col("w.end").as("w_end"), col("n_events"))
+
   case class Ev(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
                 event_type: String, value: Double)
   case class SessionState(sessionId: Long, nEvents: Long, startMs: Long, lastMs: Long)
