@@ -67,6 +67,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window stream: gap merges within, splits across") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = mem.toDF.toDF("ts", "user_id")
+      .select(lit(0L).as("event_id"), col("ts"), col("user_id"),
+        lit("a").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val q = EventStreams.sessionWindows(df, gapMinutes = 30)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sw_out").start()
+    try {
+      // user 7: events 0 and 10 min (one session); then 60 min (new session)
+      mem.addData((ts(0), 7L), (ts(10), 7L), (ts(60), 7L))
+      q.processAllAvailable()
+      // push watermark far forward so both sessions close and emit
+      mem.addData((ts(600), 8L))
+      q.processAllAvailable()
+      val out = spark.table("sw_out").filter(col("user_id") === 7L)
+        .orderBy("w_start")
+        .select("n_events").as[Long].collect().toSeq
+      assert(out == Seq(2L, 1L))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
