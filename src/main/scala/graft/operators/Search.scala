@@ -141,6 +141,22 @@ object Search {
     vocab.unpersist()
   }
 
+  // ---- typed boundary (Dataset[T] views of the pipeline edges) ----
+
+  import graft.model._
+  import org.apache.spark.sql.{Dataset, Encoders}
+
+  def vocabularyDS(docs: DataFrame): Dataset[VocabEntry] =
+    vocabulary(docs).as(Encoders.product[VocabEntry])
+
+  def postingsDS(docs: DataFrame): Dataset[Posting] =
+    postings(docs, vocabulary(docs)).select("doc_id", "word_id", "tf")
+      .as(Encoders.product[Posting])
+
+  def searchTopKDS(spark: SparkSession, dir: String,
+                   query: String = DefaultQuery, k: Int = 10): Dataset[SearchHit] =
+    searchTopK(spark, dir, query, k).as(Encoders.product[SearchHit])
+
   /** Query the persisted index. The postings scan carries a `wb IN (...)`
     * predicate computed from the query's own word ids, so partition pruning
     * skips every bucket directory the query doesn't touch — the plan reads

@@ -81,6 +81,16 @@ class SearchSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
   }
 
+  test("typed boundary: Dataset[VocabEntry]/[Posting]/[SearchHit] bind") {
+    val v: graft.model.VocabEntry =
+      Search.vocabularyDS(fixture).orderBy("word").head()
+    assert(v == graft.model.VocabEntry("bird", 1L, 0L))
+    val p = Search.postingsDS(fixture).orderBy("doc_id", "word_id").head()
+    assert(p == graft.model.Posting(1L, 1L, 1L))
+    val hits = Search.searchTopKDS(spark, TestSpark.sf0001).collect()
+    assert(hits.length == 10 && hits.head.score >= hits.last.score)
+  }
+
   test("corpusJson reads the reference's JSON-lines contract with AA* glob") {
     val dir = java.nio.file.Files.createTempDirectory("corpus").toFile
     val aa = new java.io.PrintWriter(new java.io.File(dir, "AA_wiki_00"))
