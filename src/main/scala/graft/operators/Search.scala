@@ -141,6 +141,34 @@ object Search {
     vocab.unpersist()
   }
 
+  /** The reference user's exact entry point (Query.java:247-294): free-text
+    * query over a WikiExtractor JSON-lines corpus dir → top-k
+    * (title, url), score-descending. One Catalyst plan replaces the
+    * reference's 5 chained MapReduce jobs; output columns match the
+    * reference's result table (`title \t url`, Query.java:236-240) with the
+    * deterministic doc_id tie-break (quirk Q-d) and exact k (quirk Q-c
+    * documented as a bug, not replicated).
+    */
+  def searchCorpus(spark: SparkSession, corpusDir: String,
+                   query: String = "the good person", k: Int = 10): DataFrame = {
+    val corpus = Tables.corpusJson(spark, corpusDir)
+    val docs = corpus.select(col("id").as("doc_id"), col("text"))
+    val vocab = vocabulary(docs)
+    val post = postings(docs, vocab)
+    val qt = queryTerms(spark, query).join(vocab, "word")
+      .select("word_id", "qtf", "df")
+    post.join(broadcast(qt), "word_id")
+      .select(col("doc_id"),
+        (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 9).as("score"))
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(corpus.select(col("id").as("doc_id"), col("url"), col("title"))),
+        "doc_id")
+      .orderBy(desc("score"), asc("doc_id"))
+      .select("title", "url")
+  }
+
   // ---- typed boundary (Dataset[T] views of the pipeline edges) ----
 
   import graft.model._

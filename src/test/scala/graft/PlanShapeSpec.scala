@@ -1,0 +1,67 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression guards: the perf-critical plan shapes asserted
+  * as explicitly as correctness. A future edit that silently turns a
+  * broadcast join into a shuffle, a top-k into a global sort, or a hash
+  * aggregate into a sort aggregate fails here, not in a 100 TB run.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  val d = TestSpark.sf001
+
+  def plan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, d)
+    // formatted mode prints scan detail (PushedFilters et al.) unelided
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q1_agg: filter pushed to parquet scan, partial+final hash agg") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("q_join_broadcast / q_join_multi: dims broadcast, never shuffled") {
+    assert(plan("q_join_broadcast").contains("BroadcastHashJoin"))
+    val multi = plan("q_join_multi")
+    // formatted explain lists each node in tree + detail → 2 hits per join
+    assert("BroadcastHashJoin".r.findAllIn(multi).size >= 4)
+    assert(!multi.contains("SortMergeJoin"))
+  }
+
+  test("q_topk_orders: TakeOrderedAndProject, no global sort") {
+    val p = plan("q_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("search_topk: top-k via TakeOrderedAndProject, query side broadcast") {
+    val p = plan("search_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
+  test("dedup_minhash_lsh: all aggregates are hash aggregates") {
+    assert(!plan("dedup_minhash_lsh").contains("SortAggregate"))
+  }
+
+  test("knn_brute: window top-k pruned by WindowGroupLimit") {
+    assert(plan("knn_brute").contains("WindowGroupLimit"))
+  }
+
+  test("search_topk_indexed: postings scan partition-pruned to query buckets") {
+    val df = SparkEntry.queries("search_topk_indexed")(spark, d)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [wb"))
+  }
+
+  test("q_filter_project: all predicates reach the parquet reader") {
+    val p = plan("q_filter_project")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
+      p.contains("EqualTo(l_returnflag,R)") && p.contains("GreaterThan(l_quantity"))
+  }
+}

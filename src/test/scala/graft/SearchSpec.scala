@@ -91,6 +91,27 @@ class SearchSpec extends AnyFunSuite {
     assert(hits.length == 10 && hits.head.score >= hits.last.score)
   }
 
+  test("searchCorpus: the reference's Query.java contract end-to-end (title, url)") {
+    // corpus where "good person" scoring is hand-checkable:
+    //   df(good)=2, df(person)=2, df(the)=3 (all docs)
+    //   doc 1: good person        → good 1 + person 1
+    //   doc 2: good good          → good 2
+    //   doc 3: person             → person 1
+    // score = Σ tf_d·tf_q/df²; qtf all 1 → doc1: 2/4=0.5, doc2: 2/4=0.5, doc3: 1/4
+    // tie doc1/doc2 → doc_id order
+    val dir = java.nio.file.Files.createTempDirectory("corpus2").toFile
+    val pw = new java.io.PrintWriter(new java.io.File(dir, "AA_wiki_00"))
+    pw.println("""{"id": "1", "url": "u1", "title": "T1", "text": "the good person"}""")
+    pw.println("""{"id": "2", "url": "u2", "title": "T2", "text": "the good good"}""")
+    pw.println("""{"id": "3", "url": "u3", "title": "T3", "text": "the person"}""")
+    pw.close()
+    val hits = graft.operators.Search
+      .searchCorpus(spark, dir.getAbsolutePath, "the good person", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    // "the" contributes 1·1/9 to every doc; ranking driven by good/person
+    assert(hits == Seq(("T1", "u1"), ("T2", "u2")))
+  }
+
   test("corpusJson reads the reference's JSON-lines contract with AA* glob") {
     val dir = java.nio.file.Files.createTempDirectory("corpus").toFile
     val aa = new java.io.PrintWriter(new java.io.File(dir, "AA_wiki_00"))
