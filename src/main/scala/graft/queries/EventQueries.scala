@@ -111,6 +111,28 @@ object EventQueries {
            |  max(ts) + INTERVAL 30 MINUTE AS w_end, count(*) AS n_events
            |FROM s GROUP BY user_id, sid ORDER BY user_id, w_start""".stripMargin)),
 
+    // Range (non-equi) join: band each event's value against a tiny tier
+    // table — broadcast nested-loop on value >= lo AND value < hi. The
+    // broadcast keeps a theta-join linear; at scale the alternative is
+    // binning both sides to an equi-key first.
+    GraftQuery("events_range_join",
+      (s, d) => {
+        import s.implicits._
+        val tiers = Seq(("low", 0.0, 5.0), ("mid", 5.0, 15.0), ("high", 15.0, 1e9))
+          .toDF("tier", "lo", "hi")
+        Tables.events(s, d)
+          .join(broadcast(tiers), col("value") >= col("lo") && col("value") < col("hi"))
+          .groupBy("tier")
+          .agg(count(lit(1)).as("n"), dsum(col("value"), 2).as("sum_value"))
+          .orderBy("tier")
+      },
+      Some(
+        s"""WITH $evCte,
+           |tiers(tier, lo, hi) AS (VALUES ('low', 0.0, 5.0), ('mid', 5.0, 15.0), ('high', 15.0, 1e9))
+           |SELECT tier, count(*) AS n, ${dsumSql("value")} AS sum_value
+           |FROM ev JOIN tiers ON value >= lo AND value < hi
+           |GROUP BY tier ORDER BY tier""".stripMargin)),
+
     // Backward as-of join (AsOf.joinBackward): attribute each purchase to
     // the user's most recent view at-or-before it. Oracle uses DuckDB's
     // native ASOF LEFT JOIN — same backward/left-outer semantics.
