@@ -395,6 +395,22 @@ object RelationalQueries {
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
       }),
 
+    // Approximate sketches — the 100 TB substitutes for exact distinct /
+    // exact percentile (HLL++ and KLL-style). No DuckDB oracle: sketch
+    // implementations differ across engines by design, so the driver's
+    // rows-only check applies; the error bound vs the exact answer is
+    // asserted in ApproxSpec instead.
+    GraftQuery("q_approx_sketches",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(
+            approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
+            percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"))
+          .orderBy("l_returnflag")
+      },
+      None),
+
     // Two-phase salted aggregation (Skew.twoPhaseSum): same answer as the
     // plain GROUP BY (the oracle), but the heavy shuffle is split 8 ways —
     // the rewrite for hot low-cardinality keys. count + exact decimal sum
