@@ -47,12 +47,34 @@ object Search {
     * partial+final hash aggregate (the reference's hand-written combiner,
     * Vocabulary.java:58-79, for free); word ids are sequential in word order
     * per quirk Q-a.
+    *
+    * Id assignment is the classic distributed dense-rank: a naive
+    * `row_number().over(Window.orderBy("word"))` would funnel the whole
+    * vocabulary through ONE partition. Instead, ranks are computed in
+    * parallel per first-character group (tokens are [a-z0-9]+, so groups
+    * sort-align with the global word order), and each group's starting
+    * offset comes from a ≤36-row count table — metadata-scale driver work.
+    * Ids are identical to the single-partition formulation.
     */
-  def vocabulary(docs: DataFrame): DataFrame =
-    tokens(docs)
+  def vocabulary(docs: DataFrame): DataFrame = {
+    val agg = tokens(docs)
       .groupBy("word").agg(countDistinct("doc_id").as("df"))
+      .withColumn("pfx", substring(col("word"), 1, 1))
+    val offsets = {
+      val counts = agg.groupBy("pfx").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+      val spark = docs.sparkSession
+      import spark.implicits._
+      counts.scanLeft(("", 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
+        .zip(counts).map { case ((_, off), (p, _)) => (p, off) }
+        .toSeq.toDF("pfx", "off")
+    }
+    agg.join(broadcast(offsets), "pfx")
       .withColumn("word_id",
-        (row_number().over(Window.orderBy("word")) - 1).cast("long"))
+        (col("off") + row_number().over(Window.partitionBy("pfx").orderBy("word")) - 1)
+          .cast("long"))
+      .select("word", "df", "word_id")
+  }
 
   /** P1/P2: document metadata table (ParseDocument.java collapses to a
     * projection on the shared corpus scan — no shuffle, no second job).
