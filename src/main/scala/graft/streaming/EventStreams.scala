@@ -43,6 +43,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("w_start"), col("event_type"), col("n"))
 
+  /** Stream-stream interval join: attribute each purchase to view events of
+    * the same user within the preceding hour. Both sides carry watermarks
+    * and the join condition bounds event-time distance, so state for either
+    * side is purged once the watermark passes the interval — the canonical
+    * bounded-state stream-stream join. (Batch as-of twin:
+    * operators.AsOf.joinBackward / events_asof_attrib.)
+    */
+  def attributionJoin(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      """p_user = v_user AND
+        |v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** Built-in session windows (30-min gap) — the declarative twin of the
     * stateful `sessions` below; use this unless session semantics outgrow
     * `session_window` (then flatMapGroupsWithState).

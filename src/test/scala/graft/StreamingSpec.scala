@@ -91,6 +91,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join attributes purchases to in-window views") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def evDF(mem: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      mem.toDF.toDF("event_id", "ts", "user_id")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("x").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val pm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStreams.attributionJoin(evDF(pm), evDF(vm))
+      .writeStream.outputMode("append").format("memory").queryName("attr_out").start()
+    try {
+      // user 7: views at t=0 and t=-90min(out of window); purchase at t=30
+      vm.addData((100L, ts(0), 7L), (101L, ts(-90), 7L))
+      pm.addData((200L, ts(30), 7L))
+      q.processAllAvailable()
+      val out = spark.table("attr_out")
+        .select("p_id", "view_id").as[(Long, Long)].collect().toSeq
+      assert(out == Seq((200L, 100L))) // only the in-window view matches
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
