@@ -83,8 +83,11 @@ object EventStreams {
 
   /** Stateful gap-based sessionization via flatMapGroupsWithState: closes a
     * session when the next event for the user arrives more than
-    * `gapMinutes` after the previous one, emitting the closed session.
-    * Batch twin: graft.operators.Sessionize (lag + running sum).
+    * `gapMinutes` after the previous one — or, for users that go silent,
+    * when the event-time watermark passes last_event + gap (event-time
+    * timeout). Without the timeout, a departed user's final session would
+    * sit in the state store forever: unbounded state AND a never-emitted
+    * result. Batch twin: graft.operators.Sessionize (lag + running sum).
     *
     * Note: events within a micro-batch are sorted per user here; across
     * micro-batches the state carries (lastMs). Correct under event-time
@@ -94,26 +97,38 @@ object EventStreams {
   def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
-    events.groupByKey(_.user_id).flatMapGroupsWithState(
-      OutputMode.Append, GroupStateTimeout.NoTimeout)(
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (userId: Long, evs: Iterator[Ev], state: GroupState[SessionState]) => {
-        val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-        var st = state.getOption.orNull
-        val closed = Seq.newBuilder[SessionOut]
-        sorted.foreach { e =>
-          val ms = e.ts.getTime
-          st match {
-            case null =>
-              st = SessionState(1L, 1L, ms, ms)
-            case s if ms - s.lastMs <= gapMs =>
-              st = s.copy(nEvents = s.nEvents + 1, lastMs = ms)
-            case s =>
-              closed += SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs)
-              st = SessionState(s.sessionId + 1, 1L, ms, ms)
+        if (state.hasTimedOut) {
+          // watermark passed lastMs + gap with no new events: close & purge
+          val s = state.get
+          state.remove()
+          Iterator.single(SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs))
+        } else {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          sorted.foreach { e =>
+            val ms = e.ts.getTime
+            st match {
+              case null =>
+                st = SessionState(1L, 1L, ms, ms)
+              case s if ms - s.lastMs <= gapMs =>
+                st = s.copy(nEvents = s.nEvents + 1, lastMs = ms)
+              case s =>
+                closed += SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs)
+                st = SessionState(s.sessionId + 1, 1L, ms, ms)
+            }
           }
+          if (st != null) {
+            state.update(st)
+            state.setTimeoutTimestamp(st.lastMs + gapMs)
+          }
+          closed.result().iterator
         }
-        if (st != null) state.update(st)
-        closed.result().iterator
       })
   }
 }

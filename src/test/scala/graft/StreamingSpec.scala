@@ -132,6 +132,16 @@ class StreamingSpec extends AnyFunSuite {
         .as[EventStreams.SessionOut].collect().toSeq
       assert(out == Seq(EventStreams.SessionOut(7L, 1L, 2L,
         ts(0).getTime, ts(10).getTime)))
+      // user 7 goes silent; another user's events push the watermark far
+      // past lastMs + gap → event-time timeout closes the open session
+      mem.addData(EventStreams.Ev(4L, ts(1000), 9L, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(5L, ts(2000), 9L, "a", 1.0))
+      q.processAllAvailable()
+      val out2 = spark.table("sess_out")
+        .as[EventStreams.SessionOut].collect().toSeq
+      assert(out2.contains(EventStreams.SessionOut(7L, 2L, 1L,
+        ts(50).getTime, ts(50).getTime)))
     } finally q.stop()
   }
 }
