@@ -78,6 +78,51 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).as("i"))
       .agg(Stable.stab(avg("col"), 6).as("c"))
 
+  /** Persist the IVF layout: embeddings written as parquet partitioned by
+    * cell label, centroids alongside. At scale, probing a cell is then
+    * partition pruning at file-listing time — the ANN twin of
+    * Search.buildIndex.
+    */
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit = {
+    embeddings.write.mode("overwrite").partitionBy("label")
+      .parquet(s"$indexDir/cells")
+    ivfCentroids(embeddings).write.mode("overwrite")
+      .parquet(s"$indexDir/centroids")
+  }
+
+  /** Query the persisted IVF index: route each query vector to its best
+    * centroid (tiny centroid table, driver-side argmax per query), then
+    * scan ONLY the probed cell partitions — `label IN (...)` prunes every
+    * other cell's files. Same cosine/top-k semantics as ivfTopK.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     queries: DataFrame, k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val q = prepared(queries)
+    val qd = broadcast(q)
+      .select(col("vec_id").as("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
+      .join(broadcast(cent), (col("pos") + 1) === col("i"))
+      .groupBy("query_id", "label")
+      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
+    val best = qd.withColumn("rn",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
+      .filter(col("rn") === 1).select("query_id", "label")
+    val probed = best.select("label").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ |queries| cells — metadata-scale
+    val cells = prepared(
+        spark.read.parquet(s"$indexDir/cells").filter(col("label").isin(probed: _*)))
+      .join(spark.read.parquet(s"$indexDir/cells").select("vec_id", "label"), "vec_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(q.join(best.withColumnRenamed("label", "probe_label"),
+        col("vec_id") === col("query_id"))).as("a")
+      .join(cells.as("b"),
+        col("b.label") === col("probe_label") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("probe_label"), col("b.vec_id").as("neighbor_id"),
+        cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF probe-1 ANN: route each query (vec_id < nQueries) to its best
     * centroid by dot product, then brute-force cosine top-k inside that
     * cell only.

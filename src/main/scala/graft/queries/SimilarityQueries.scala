@@ -52,14 +52,34 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, cos, rank FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
+    // Same answer as knn_ivf, from the persisted cell-partitioned IVF
+    // index (Similarity.buildIvfIndex → ivfTopKIndexed): probing = parquet
+    // partition pruning. Index built on first use per SF dir.
+    GraftQuery("knn_ivf_indexed",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        val idx = s"/tmp/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
+          Similarity.buildIvfIndex(emb, idx)
+        Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
+          .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(knnIvfOracle)),
+
     // IVF probe-1 ANN: label as coarse cell, nearest centroid by dot, then
     // exact cosine inside the probed cell.
     GraftQuery("knn_ivf",
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 5)
         .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      Some(
-        s"""WITH $prepCte,
+      Some(knnIvfOracle))
+  )
+
+  /** Shared by knn_ivf and knn_ivf_indexed — identical semantics. */
+  lazy val knnIvfOracle: String =
+    s"""WITH $prepCte,
            |cent AS (
            |  SELECT label, i, floor(avg(e[i])*1000000.0+0.5)/1000000.0 AS c
            |  FROM (SELECT em.label, v.e FROM embeddings em JOIN v ON em.vec_id = v.vec_id),
@@ -87,6 +107,5 @@ object SimilarityQueries {
            |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            |      FROM c)
            |SELECT query_id, probe_label, neighbor_id, cos, rank FROM r
-           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
-  )
+       |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 }
