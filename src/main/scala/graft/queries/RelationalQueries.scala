@@ -395,6 +395,81 @@ object RelationalQueries {
            |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
       }),
 
+    // Explicit sort-merge join (merge hint): the strategy for two big
+    // co-sorted sides where broadcast is impossible — exercised so strategy
+    // control is covered, not just defaults.
+    GraftQuery("q_sort_merge_join",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        lineitem(s, d).hint("merge")
+          .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderstatus")
+          .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice"), 2).as("rev"))
+          .orderBy("o_orderstatus")
+      },
+      Some(
+        s"""SELECT o_orderstatus, count(*) AS n, ${dsumSql("l_extendedprice")} AS rev
+           |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin)),
+
+    // RANGE window frame: running revenue over a value range (all orders
+    // within 1000.0 of the current price), vs the ROWS frames elsewhere.
+    GraftQuery("q_window_range_frame",
+      (s, d) => {
+        // fractional RANGE frames aren't expressible via Window.rangeBetween
+        // (Long offsets only) — the SQL window surface is
+        orders(s, d).selectExpr(
+            "o_orderkey", "o_orderpriority", "o_totalprice",
+            """CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+              |  PARTITION BY o_orderpriority ORDER BY o_totalprice
+              |  RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total""".stripMargin)
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority, o_totalprice,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+          |    PARTITION BY o_orderpriority ORDER BY o_totalprice
+          |    RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE) AS near_total
+          |FROM orders ORDER BY o_orderkey""".stripMargin)),
+
+    // Ordered collect aggregation, surfaced as a join-safe string.
+    GraftQuery("q_collect_agg",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        lineitem(s, d).groupBy("l_returnflag")
+          .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+            countDistinct("l_linestatus").as("n_status"))
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+          |  count(DISTINCT l_linestatus) AS n_status
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // ntile + lead/lag: quartile bucketing and neighbor comparison.
+    GraftQuery("q_ntile_lead",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).cast("long").as("quartile"),
+            lead("o_orderkey", 1).over(w).as("next_key"),
+            lag("o_orderkey", 1).over(w).as("prev_key"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+          |  lead(o_orderkey, 1) OVER w AS next_key,
+          |  lag(o_orderkey, 1) OVER w AS prev_key
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Approximate sketches — the 100 TB substitutes for exact distinct /
     // exact percentile (HLL++ and KLL-style). No DuckDB oracle: sketch
     // implementations differ across engines by design, so the driver's
