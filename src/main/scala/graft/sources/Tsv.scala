@@ -42,4 +42,22 @@ object Tsv {
     write(docInfo,
       concat_ws("\t", col("doc_id"), concat_ws(" ", col("source"), col("lang"))),
       Seq("doc_id"), out, sorted)
+
+  // ---- readers for the same contracts (what Indexer.java:52-66 and
+  // Query.java:64-77 parse back) ----
+
+  /** Read `word \t "wordId df"` back to (word, df, word_id). */
+  def readVocabulary(spark: org.apache.spark.sql.SparkSession, in: String): DataFrame =
+    spark.read.text(in)
+      .select(split(col("value"), "\t").as("p"))
+      .select(col("p").getItem(0).as("word"),
+        split(col("p").getItem(1), " ").as("q"))
+      .select(col("word"),
+        col("q").getItem(1).cast("long").as("df"),
+        col("q").getItem(0).cast("long").as("word_id"))
+
+  /** Read `docId \t wordId \t tf` back to (doc_id, word_id, tf). */
+  def readPostings(spark: org.apache.spark.sql.SparkSession, in: String): DataFrame =
+    spark.read.option("sep", "\t")
+      .schema("doc_id LONG, word_id LONG, tf LONG").csv(in)
 }

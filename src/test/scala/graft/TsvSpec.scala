@@ -37,5 +37,14 @@ class TsvSpec extends AnyFunSuite {
 
     val d = lines("docinfo").head.split("\t")
     assert(d.length == 2)
+
+    // readers round-trip the written contracts exactly
+    val vBack = Tsv.readVocabulary(spark, s"$dir/vocab")
+      .orderBy("word").collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val vOrig = vocab.orderBy("word")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(vBack.toSeq == vOrig.toSeq)
+    val pBack = Tsv.readPostings(spark, s"$dir/post").count()
+    assert(pBack == Search.postings(docs, vocab).count())
   }
 }
