@@ -75,4 +75,58 @@ object Multimodal {
     }
     spark.createDataFrame(out, featureSchema)
   }
+
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("target_w", IntegerType),
+    StructField("target_h", IntegerType),
+    StructField("resized", BinaryType)))
+
+  /** STUB resize: a real implementation decodes, rescales (e.g. Lanczos),
+    * and re-encodes to `targetW × targetH`. The stub emits a deterministic
+    * byte slice/pad of the payload sized targetW·targetH/64 so output size
+    * scales with target dims. Plumbing (binary in → binary out, narrow,
+    * per-partition) is the real shape.
+    */
+  def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
+    val spark = media.sparkSession
+    val n = math.max(1, targetW * targetH / 64)
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]]("payload")
+        val resized = Array.tabulate[Byte](n)(i => if (p.isEmpty) 0 else p(i % p.length))
+        Row(r.getLong(0), targetW, targetH, resized)
+      }
+    }
+    spark.createDataFrame(out, resizedSchema)
+  }
+
+  /** STUB frame sampling: a real implementation seeks the container's
+    * keyframe index and decodes every `stride`-th frame. The stub derives a
+    * deterministic frame count from payload length (1 frame per 16 bytes)
+    * and emits every `stride`-th index with a per-frame checksum — the
+    * explode shape (one input row → N frame rows, no shuffle) is the real
+    * contract a video pipeline needs.
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame_idx", IntegerType),
+      StructField("frame_checksum", LongType)))
+    val out = media.filter(col("modality") === "video")
+      .select("media_id", "payload").rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val p = r.getAs[Array[Byte]]("payload")
+          val nFrames = math.max(1, p.length / 16)
+          (0 until nFrames by stride).iterator.map { i =>
+            var cs = 0L
+            var j = i * 16
+            while (j < math.min(p.length, (i + 1) * 16)) { cs = cs * 31 + (p(j) & 0xff); j += 1 }
+            Row(r.getLong(0), i, cs)
+          }
+        }
+      }
+    spark.createDataFrame(out, schema)
+  }
 }

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 class MultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
+  def docs = Tables.documents(spark, TestSpark.sf0001)
 
   test("fromDocuments: schema, modality round-robin, payload bytes") {
     val m = Multimodal.fromDocuments(Tables.documents(spark, TestSpark.sf0001))
@@ -15,6 +16,26 @@ class MultimodalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getString(1)))
     assert(mods.forall { case (id, mod) =>
       mod == Seq("image", "audio", "video")((id % 3).toInt) })
+  }
+
+  test("resize: output bytes sized by target dims, deterministic") {
+    val media = graft.operators.Multimodal.fromDocuments(docs)
+    val r = graft.operators.Multimodal.resize(media, 64, 64)
+    def snap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(x => (x.getLong(0), x.getAs[Array[Byte]]("resized").toSeq)).sortBy(_._1).toSeq
+    val rows = r.collect()
+    assert(rows.forall(_.getAs[Array[Byte]]("resized").length == 64 * 64 / 64))
+    assert(snap(rows) == snap(graft.operators.Multimodal.resize(media, 64, 64).collect()))
+  }
+
+  test("sampleFrames: only videos, strided indices, deterministic checksums") {
+    val media = graft.operators.Multimodal.fromDocuments(docs)
+    val f = graft.operators.Multimodal.sampleFrames(media, stride = 2).collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getInt(1) % 2 == 0))
+    val videoIds = media.filter(org.apache.spark.sql.functions.col("modality") === "video")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(f.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
 
   test("extractFeatures: deterministic stub decode, n_bytes = payload size") {

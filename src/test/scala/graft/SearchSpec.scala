@@ -74,6 +74,15 @@ class SearchSpec extends AnyFunSuite {
     assert(qt.toSeq == Seq(("good", 2L), ("person", 1L), ("the", 1L)))
   }
 
+  test("out-of-vocabulary query returns empty, both paths") {
+    assert(Search.searchTopK(spark, TestSpark.sf0001, "zzzqx nonexistent 42", 5)
+      .count() == 0)
+    val idx = java.nio.file.Files.createTempDirectory("edgeidx").toString
+    Search.buildIndex(spark, TestSpark.sf0001, idx)
+    assert(Search.searchTopKIndexed(spark, idx, "zzzqx nonexistent 42", 5)
+      .count() == 0)
+  }
+
   test("searchTopK end-to-end on sf0.001 returns k rows, deterministic") {
     val a = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
     val b = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
