@@ -65,17 +65,24 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** One MinHash signature component: min over shingles of the first 60
-    * bits (15 hex chars) of md5(seed || ":" || shingle), as a BIGINT. The
-    * 60-bit prefix of a uniform digest is a valid minhash permutation key,
-    * reproducible in any engine with md5() + hex parsing — and, unlike a
-    * min over the digest *string*, a BIGINT min aggregates in HashAggregate
-    * (string min forces SortAggregate: Tungsten's mutable aggregation
-    * buffer holds only fixed-width primitives).
+  /** One MinHash signature component: min over shingles of a 60-bit slice
+    * (15 hex chars) of md5(seed || ":" || shingle), as a BIGINT.
+    *
+    * Two design points, both bench-driven:
+    *  - BIGINT, not the digest string: a string min forces SortAggregate
+    *    (Tungsten's mutable aggregation buffer holds only fixed-width
+    *    primitives); the numeric min stays in HashAggregate.
+    *  - TWO independent permutation keys per digest (chars 1-15 and
+    *    17-31 — disjoint slices of a uniform hash are independent), so n
+    *    signature components cost n/2 md5 evaluations — md5 is the hot
+    *    expression of the whole LSH plan and is kept only because the
+    *    DuckDB oracle computes the identical digest.
     */
-  private def minhashCol(seed: Int): Column =
-    min(conv(substring(md5(concat(lit(s"$seed:"), col("shingle"))), 1, 15), 16, 10)
-      .cast("long")).as(s"h$seed")
+  private def minhashCol(i: Int): Column = {
+    val digest = md5(concat(lit(s"${i / 2}:"), col("shingle")))
+    val start = if (i % 2 == 0) 1 else 17
+    min(conv(substring(digest, start, 15), 16, 10).cast("long")).as(s"h$i")
+  }
 
   /** MinHash signatures: one row per doc, `numHashes` BIGINT columns. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =

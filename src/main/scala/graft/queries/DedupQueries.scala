@@ -50,9 +50,14 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
       Some {
         // Numeric 60-bit minhash twin of Dedup.minhashCol: same md5, same
-        // 15-hex-char prefix, same unsigned value in both engines.
+        // 15-hex-char slices (two independent keys per digest), same
+        // unsigned values in both engines.
         val sigCols = (0 until 12)
-          .map(i => s"min(CAST(CONCAT('0x', substr(md5('$i:' || shingle), 1, 15)) AS BIGINT)) AS h$i")
+          .map { i =>
+            val seed = i / 2
+            val start = if (i % 2 == 0) 1 else 17
+            s"min(CAST(CONCAT('0x', substr(md5('$seed:' || shingle), $start, 15)) AS BIGINT)) AS h$i"
+          }
           .mkString(",\n    ")
         val bandSel = (0 until 3).map { b =>
           val hs = (b * 4 until (b + 1) * 4)
