@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incrementally maintained search index — streaming ingest, identical
+  * query answers to the batch-built index.
+  *
+  * Layout (append-only; no read-modify-write anywhere, so concurrent
+  * ingest and query are safe):
+  *
+  *   indexDir/vocab_delta/   (word, df_delta) per ingested batch
+  *   indexDir/postings/wb=K/ (doc_id, word, tf), bucketed by word hash
+  *   indexDir/docinfo/       (doc_id, source, lang) appended
+  *
+  * Design notes vs the batch index (Search.buildIndex):
+  *  - Postings are keyed by the word itself, not a word_id: ids would need
+  *    cross-batch coordination (new words arriving change the id space),
+  *    while df(word) is a pure sum of per-batch deltas because document
+  *    sets of batches are disjoint. The df²-scored results are identical —
+  *    the score never sees ids.
+  *  - Bucket = pmod(xxhash64(word), buckets) as a parquet partition column:
+  *    a query computes its own terms' buckets and prunes, exactly like the
+  *    word_id buckets of the batch index.
+  */
+object IncrementalIndex {
+
+  val Buckets = 16
+
+  /** Append one micro-batch of documents to the index. */
+  def ingestBatch(docs: DataFrame, indexDir: String): Unit = {
+    val toks = Search.tokens(docs)
+    toks.groupBy("word").agg(countDistinct("doc_id").as("df_delta"))
+      .write.mode("append").parquet(s"$indexDir/vocab_delta")
+    toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("wb", pmod(xxhash64(col("word")), lit(Buckets.toLong)).cast("int"))
+      .write.mode("append").partitionBy("wb").parquet(s"$indexDir/postings")
+    Search.docInfo(docs).select("doc_id", "source", "lang")
+      .write.mode("append").parquet(s"$indexDir/docinfo")
+  }
+
+  /** Streaming ingest: every arriving documents file is folded into the
+    * index via foreachBatch. AvailableNow drains what exists then stops —
+    * swap the trigger for continuous ingestion.
+    */
+  def streamingIngest(spark: SparkSession, streamDir: String,
+                      indexDir: String, maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(streamDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) => ingestBatch(batch, indexDir) }
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Current vocabulary view: df = sum of per-batch deltas. */
+  def vocabulary(spark: SparkSession, indexDir: String): DataFrame =
+    spark.read.parquet(s"$indexDir/vocab_delta")
+      .groupBy("word").agg(sum("df_delta").as("df"))
+
+  /** Query the live index: same df² semantics and tie-break as
+    * Search.searchTopK; the postings scan prunes to the query's buckets.
+    */
+  def searchTopK(spark: SparkSession, indexDir: String,
+                 query: String, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    val vocab = vocabulary(spark, indexDir)
+    val qt = Search.queryTerms(spark, query).join(vocab, "word")
+      .select("word", "qtf", "df")
+    val qWords = qt.select("word").as[String].collect().toSeq // ≤ |query terms|
+    val qBuckets =
+      if (qWords.isEmpty) Seq.empty[Int]
+      else qWords.toDF("word")
+        .select(pmod(xxhash64(col("word")), lit(Buckets.toLong)).cast("int").as("wb"))
+        .collect().map(_.getInt(0)).distinct.toSeq
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("wb").isin(qBuckets: _*))
+    val scores = post.join(broadcast(qt), "word")
+      .select(col("doc_id"),
+        (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 9).as("score"))
+    scores.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(spark.read.parquet(s"$indexDir/docinfo")), "doc_id")
+      .select("doc_id", "score", "source", "lang")
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+}

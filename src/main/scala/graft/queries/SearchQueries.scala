@@ -29,6 +29,21 @@ object SearchQueries {
       |  FROM tok t JOIN vocab v USING (word)
       |  GROUP BY t.doc_id, v.word_id, v.word, v.df)""".stripMargin
 
+  /** Shared by search_topk / search_topk_indexed / search_topk_incremental:
+    * all three paths must produce this exact answer.
+    */
+  lazy val searchTopKOracle: String =
+    s"""WITH $tokCte, $vocabCte, $postingsCte,
+       |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+       |scores AS (
+       |  SELECT p.doc_id,
+       |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
+       |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
+       |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+       |SELECT t.doc_id, t.score, d.source, d.lang
+       |FROM topk t JOIN documents d USING (doc_id)
+       |ORDER BY t.score DESC, t.doc_id""".stripMargin
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("vocab_build",
@@ -59,17 +74,7 @@ object SearchQueries {
     // Query "the fast table scan the" → qtf: the=2, fast/table/scan=1.
     GraftQuery("search_topk",
       (s, d) => Search.searchTopK(s, d, Search.DefaultQuery, 10),
-      Some(
-        s"""WITH $tokCte, $vocabCte, $postingsCte,
-           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
-           |scores AS (
-           |  SELECT p.doc_id,
-           |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
-           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
-           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
-           |SELECT t.doc_id, t.score, d.source, d.lang
-           |FROM topk t JOIN documents d USING (doc_id)
-           |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
+      Some(searchTopKOracle)),
 
     // Same answer as search_topk, but from the persisted word-bucketed
     // index (Search.buildIndex → searchTopKIndexed): build-once-query-many,
@@ -83,17 +88,24 @@ object SearchQueries {
           Search.buildIndex(s, d, idx)
         Search.searchTopKIndexed(s, idx, Search.DefaultQuery, 10)
       },
-      Some(
-        s"""WITH $tokCte, $vocabCte, $postingsCte,
-           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
-           |scores AS (
-           |  SELECT p.doc_id,
-           |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
-           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
-           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
-           |SELECT t.doc_id, t.score, d.source, d.lang
-           |FROM topk t JOIN documents d USING (doc_id)
-           |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
+      Some(searchTopKOracle)),
+
+    // Same answer again, from the *incrementally* built index
+    // (IncrementalIndex: append-only vocab deltas + word-keyed bucketed
+    // postings; the spec also drives it via streaming foreachBatch). Built
+    // on first use by ingesting the corpus as two disjoint batches.
+    GraftQuery("search_topk_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val idx = s"/tmp/graft-inc/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        if (!new java.io.File(s"$idx/docinfo").exists()) {
+          val docs = Tables.documents(s, d)
+          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx)
+          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 1), idx)
+        }
+        graft.operators.IncrementalIndex.searchTopK(s, idx, Search.DefaultQuery, 10)
+      },
+      Some(searchTopKOracle)),
 
     // Log-idf variant (the "classical fix" flagged in SURVEY.md quirk Q-b):
     // score = Σ tf_d · tf_q · ln(N/df). Kept alongside the parity formula.
