@@ -470,6 +470,41 @@ object RelationalQueries {
           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // Pivot: long→wide on a known small domain (linestatus F/O).
+    GraftQuery("q_pivot",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        lineitem(s, d).groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(dsum(col("l_quantity"), 2))
+          .withColumnRenamed("F", "qty_f").withColumnRenamed("O", "qty_o")
+          .orderBy("l_returnflag")
+      },
+      Some(
+        """SELECT l_returnflag,
+          |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_f,
+          |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_o
+          |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // Unpivot (wide→long): Spark's native unpivot vs DuckDB UNPIVOT.
+    GraftQuery("q_unpivot",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_totalprice"),
+            col("o_custkey").cast("double").as("o_cust"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("o_totalprice"), col("o_cust")), "measure", "val")
+          .orderBy("o_orderkey", "measure")
+      },
+      Some(
+        """SELECT o_orderkey, measure, val FROM (
+          |  SELECT o_orderkey, o_totalprice,
+          |         CAST(o_custkey AS DOUBLE) AS o_cust
+          |  FROM orders)
+          |UNPIVOT (val FOR measure IN (o_totalprice, o_cust))
+          |ORDER BY o_orderkey, measure""".stripMargin)),
+
     // Approximate sketches — the 100 TB substitutes for exact distinct /
     // exact percentile (HLL++ and KLL-style). No DuckDB oracle: sketch
     // implementations differ across engines by design, so the driver's
