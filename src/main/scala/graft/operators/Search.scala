@@ -43,12 +43,23 @@ object Search {
     docs.select(col("doc_id"), w).filter(TextOps.isKeptToken(col("word")))
   }
 
-  /** V4+V5: vocabulary — word → (df, word_id). `distinct` gives Catalyst a
-    * partial+final hash aggregate (the reference's hand-written combiner,
-    * Vocabulary.java:58-79, for free); word ids are sequential in word order
-    * per quirk Q-a.
-    *
-    * Id assignment is the classic distributed dense-rank: a naive
+  /** (doc_id, word, tf) — the shared first aggregation: postings are a
+    * projection of it, and vocabulary df is a count over it. Deriving both
+    * from this one subtree lets Catalyst's ReuseExchange compute the
+    * tokenize + first shuffle ONCE per query instead of once per branch.
+    */
+  def docWordCounts(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+
+  /** V4+V5: vocabulary — word → (df, word_id), ids sequential in word
+    * order per quirk Q-a; df via the partial+final hash aggregate Catalyst
+    * plans (the reference's hand-written combiner, Vocabulary.java:58-79,
+    * for free).
+    */
+  def vocabulary(docs: DataFrame): DataFrame =
+    vocabularyFrom(docWordCounts(docs))
+
+  /** Id assignment is the classic distributed dense-rank: a naive
     * `row_number().over(Window.orderBy("word"))` would funnel the whole
     * vocabulary through ONE partition. Instead, ranks are computed in
     * parallel per first-character group (tokens are [a-z0-9]+, so groups
@@ -56,14 +67,14 @@ object Search {
     * offset comes from a ≤36-row count table — metadata-scale driver work.
     * Ids are identical to the single-partition formulation.
     */
-  def vocabulary(docs: DataFrame): DataFrame = {
-    val agg = tokens(docs)
-      .groupBy("word").agg(countDistinct("doc_id").as("df"))
+  def vocabularyFrom(byDocWord: DataFrame): DataFrame = {
+    val agg = byDocWord
+      .groupBy("word").agg(count(lit(1)).as("df")) // rows are distinct (doc,word)
       .withColumn("pfx", substring(col("word"), 1, 1))
     val offsets = {
       val counts = agg.groupBy("pfx").count()
         .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      val spark = docs.sparkSession
+      val spark = byDocWord.sparkSession
       import spark.implicits._
       counts.scanLeft(("", 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
         .zip(counts).map { case ((_, off), (p, _)) => (p, off) }
@@ -88,9 +99,12 @@ object Search {
     * map-side partial aggregation.
     */
   def postings(docs: DataFrame, vocab: DataFrame): DataFrame =
-    tokens(docs)
+    postingsFrom(docWordCounts(docs), vocab)
+
+  def postingsFrom(byDocWord: DataFrame, vocab: DataFrame): DataFrame =
+    byDocWord
       .join(broadcast(vocab.select("word", "word_id")), "word")
-      .groupBy("doc_id", "word_id").agg(count(lit(1)).as("tf"))
+      .select("doc_id", "word_id", "tf")
 
   /** Q1: driver-side query translation (Query.java:48-58) — tokenize the
     * query string with the same rules, emit (word, qtf). Tiny by
@@ -114,8 +128,9 @@ object Search {
   def searchTopK(spark: SparkSession, dir: String,
                  query: String = DefaultQuery, k: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val vocab = vocabulary(docs)
-    val post = postings(docs, vocab)
+    val byDocWord = docWordCounts(docs)
+    val vocab = vocabularyFrom(byDocWord)
+    val post = postingsFrom(byDocWord, vocab)
     scoreAndRank(spark, post, vocab, docInfo(docs), query, k)
   }
 
