@@ -46,14 +46,24 @@ object Dedup {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
       .select("keep_id", "n_copies")
 
+  /** 60-bit numeric key of a shingle (md5 hex prefix, same slice the
+    * oracle computes). The Jaccard-verify self-joins shuffle and compare
+    * these 8-byte keys instead of ~20-char strings; a 60-bit collision
+    * (≈1e-13 per doc pair at corpus shingle counts) could at worst
+    * overcount one intersection element — identically in both engines.
+    */
+  def shingleKey(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   /** All-pairs n-gram Jaccard >= threshold via shingle inverted index:
     * |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
     */
   def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(docs, n).cache()
+    val sh = shingles(docs, n)
+      .select(col("doc_id"), shingleKey(col("shingle")).as("shk")).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     val j = col("n_common").cast("double") /
@@ -112,11 +122,12 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verify on the (small) candidate set
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand.join(sh.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(sh.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.shingle") === col("b.shingle"))
+    // exact-Jaccard verify on the (small) candidate set — numeric keys
+    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand.join(shk.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(shk.as("b"),
+        col("doc_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     val j = col("n_common").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))

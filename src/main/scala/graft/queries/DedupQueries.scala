@@ -19,11 +19,19 @@ object DedupQueries {
       |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
       |  WHERE len(arr) >= 3)""".stripMargin
 
+  /** Twin of Dedup.shingleKey: the verify joins run on 60-bit md5-prefix
+    * keys in both engines.
+    */
+  val shkCte: String =
+    """shk AS (
+      |  SELECT doc_id, CAST(CONCAT('0x', substr(md5(shingle), 1, 15)) AS BIGINT) AS shk
+      |  FROM sh)""".stripMargin
+
   val jaccardTail: String =
-    """sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    """sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  FROM shk a JOIN shk b ON a.shk = b.shk AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
   def all: Seq[GraftQuery] = Seq(
@@ -38,7 +46,7 @@ object DedupQueries {
       (s, d) => Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6)
         .orderBy("doc_a", "doc_b"),
       Some(
-        s"""WITH $shingleCte, $jaccardTail
+        s"""WITH $shingleCte, $shkCte, $jaccardTail
            |SELECT doc_a, doc_b,
            |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
            |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -73,12 +81,13 @@ object DedupQueries {
            |cand AS (
            |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
            |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-           |sz AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+           |$shkCte,
+           |sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
            |inter AS (
            |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
            |  FROM cand c
-           |    JOIN sh a ON c.doc_a = a.doc_id
-           |    JOIN sh b ON c.doc_b = b.doc_id AND a.shingle = b.shingle
+           |    JOIN shk a ON c.doc_a = a.doc_id
+           |    JOIN shk b ON c.doc_b = b.doc_id AND a.shk = b.shk
            |  GROUP BY 1, 2)
            |SELECT doc_a, doc_b,
            |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
