@@ -505,6 +505,29 @@ object RelationalQueries {
           |UNPIVOT (val FOR measure IN (o_totalprice, o_cust))
           |ORDER BY o_orderkey, measure""".stripMargin)),
 
+    // first_value/last_value over an explicit full-partition frame.
+    GraftQuery("q_first_last_window",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy("o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, d)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            first("o_orderkey").over(w).as("first_key"),
+            last("o_orderkey").over(w).as("last_key"))
+          .orderBy("o_orderkey")
+      },
+      Some(
+        """SELECT o_orderkey, o_orderpriority,
+          |  first_value(o_orderkey) OVER w AS first_key,
+          |  last_value(o_orderkey) OVER w AS last_key
+          |FROM orders
+          |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey
+          |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+          |ORDER BY o_orderkey""".stripMargin)),
+
     // Approximate sketches — the 100 TB substitutes for exact distinct /
     // exact percentile (HLL++ and KLL-style). No DuckDB oracle: sketch
     // implementations differ across engines by design, so the driver's

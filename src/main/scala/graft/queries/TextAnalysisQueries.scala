@@ -106,6 +106,32 @@ object TextAnalysisQueries {
           |  FROM documents)
           |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
 
+    // Corpus bigram frequency table (n-gram LM statistics): top 50 by
+    // count. Reuses the shingle machinery at n=2; counts are over all
+    // occurrences (not per-doc distinct).
+    GraftQuery("text_bigrams",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val arr = graft.functions.TextOps.splitWords(
+          graft.functions.TextOps.normalize(col("text")))
+        val bigram = transform(
+          sequence(lit(0), size(col("arr")) - 2),
+          i => concat_ws(" ", element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))
+        Tables.documents(s, d)
+          .select(arr.as("arr")).filter(size(col("arr")) >= 2)
+          .select(explode(bigram).as("bigram"))
+          .groupBy("bigram").agg(count(lit(1)).as("n"))
+          .orderBy(desc("n"), asc("bigram")).limit(50)
+      },
+      Some(
+        """WITH d AS (SELECT regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |b AS (
+          |  SELECT arr[i] || ' ' || arr[i+1] AS bigram
+          |  FROM d, unnest(range(1, len(arr))) t(i)
+          |  WHERE len(arr) >= 2)
+          |SELECT bigram, count(*) AS n FROM b
+          |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).
