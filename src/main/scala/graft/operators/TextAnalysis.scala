@@ -61,13 +61,16 @@ object TextAnalysis {
       .withColumn("is_match", (col("lang_pred") === col("lang")).cast("boolean"))
       .select("doc_id", "lang", "lang_pred", "stopword_ratio", "is_match")
 
-  /** Document fingerprint (winnowing-lite): the minimum shingle digest —
-    * one stable 32-hex-char id per document, robust to shingle reordering.
+  /** Document fingerprint (winnowing-lite): the minimum 60-bit shingle
+    * key — one stable BIGINT id per document, robust to shingle
+    * reordering. Numeric (not the 32-hex digest string) so the aggregate
+    * stays in HashAggregate — a min over strings falls back to
+    * SortAggregate (Tungsten buffers hold only fixed-width primitives).
     */
   def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
     Dedup.shingles(docs, n)
       .groupBy("doc_id")
-      .agg(min(md5(col("shingle"))).as("fingerprint"))
+      .agg(min(Dedup.shingleKey(col("shingle"))).as("fingerprint"))
 
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
     * subword-like segments (runs of letters / digits / single punctuation),

@@ -56,9 +56,9 @@ object TextAnalysisQueries {
     GraftQuery("text_fingerprint",
       (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
-        s"""WITH ${DedupQueries.shingleCte}
-           |SELECT doc_id, min(md5(shingle)) AS fingerprint
-           |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+        s"""WITH ${DedupQueries.shingleCte}, ${DedupQueries.shkCte}
+           |SELECT doc_id, min(shk) AS fingerprint
+           |FROM shk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     GraftQuery("text_token_counts",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
