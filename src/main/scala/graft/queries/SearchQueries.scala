@@ -61,7 +61,8 @@ object SearchQueries {
     GraftQuery("postings_tf",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        Search.postings(docs, Search.vocabulary(docs))
+        val bdw = Search.docWordCounts(docs)
+        Search.postingsFrom(bdw, Search.vocabularyFrom(bdw))
           .select("doc_id", "word_id", "tf").orderBy("doc_id", "word_id")
       },
       Some(
@@ -117,8 +118,9 @@ object SearchQueries {
     GraftQuery("search_topk_logidf",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val vocab = Search.vocabulary(docs)
-        val post = Search.postings(docs, vocab)
+        val byDocWord = Search.docWordCounts(docs)
+        val vocab = Search.vocabularyFrom(byDocWord)
+        val post = Search.postingsFrom(byDocWord, vocab)
         val n = docs.count().toDouble
         val qt = Search.queryTerms(s, Search.DefaultQuery)
           .join(vocab, "word").select("word_id", "qtf", "df")

@@ -140,8 +140,9 @@ object TextAnalysisQueries {
         import org.apache.spark.sql.functions._
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
-        val vocab = graft.operators.Search.vocabulary(docs)
-        val post = graft.operators.Search.postings(docs, vocab)
+        val byDocWord = graft.operators.Search.docWordCounts(docs)
+        val vocab = graft.operators.Search.vocabularyFrom(byDocWord)
+        val post = graft.operators.Search.postingsFrom(byDocWord, vocab)
         val n = docs.count().toDouble
         val scored = post.join(broadcast(vocab.select("word", "word_id", "df")), "word_id")
           .select(col("doc_id"), col("word"),
