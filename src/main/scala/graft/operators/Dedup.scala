@@ -138,6 +138,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over near-duplicate pairs — the step that turns
+    * pairwise similarity into an actionable dedup decision: every doc in a
+    * component keeps the component's minimum doc_id as its canonical
+    * representative.
+    *
+    * Min-label propagation with a driver convergence loop: each iteration
+    * is one join + one aggregate; iterations = component diameter (near-dup
+    * clusters are shallow — a handful of rounds in practice). This is the
+    * standard large-graph CC shape (what GraphX/Pregel run internally);
+    * each round's state is re-cached and the previous round unpersisted.
+    * Returns (doc_id, keep_id) for every doc that appears in a pair.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      val prop = sym.join(labels, sym("dst") === labels("node"))
+        .select(sym("src").as("node"), col("label"))
+      val next = labels.unionAll(prop)
+        .groupBy("node").agg(min("label").as("label")).cache()
+      changed = next.as("n")
+        .join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    sym.unpersist()
+    labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+  }
+
   /** 16-bit SimHash per document. Bit j of the hash of token w is bit 3 of
     * the j-th hex nibble of md5(w) (i.e. nibble >= 8) — a fixed, engine-
     * portable projection of the digest. Each bit's sign is the tf-weighted

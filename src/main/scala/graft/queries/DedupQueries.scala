@@ -96,6 +96,28 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 
+    // Near-dup clustering: connected components over the >=0.6-Jaccard
+    // pair graph; every member maps to its component's min doc_id. Oracle:
+    // DuckDB recursive CTE doing the same min-label closure.
+    GraftQuery("dedup_clusters",
+      (s, d) => Dedup.clusters(
+          Dedup.ngramJaccardPairs(Tables.documents(s, d), 3, 0.6))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE $shingleCte, $shkCte, $jaccardTail,
+           |p AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |    JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+           |sym(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |nodes(node) AS (SELECT DISTINCT a FROM sym),
+           |lbl(node, label) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT s.b, l.label FROM lbl l JOIN sym s ON l.node = s.a)
+           |SELECT node AS doc_id, min(label) AS keep_id
+           |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     GraftQuery("dedup_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
       Some(

@@ -43,6 +43,15 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(1)._3 - 0.6) < 1e-12)
   }
 
+  test("clusters: chain merges into one component, min id wins") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
+      .toDF("doc_a", "doc_b")
+    val c = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
   test("minhash LSH surfaces the exact-dup pair") {
     import spark.implicits._
     val pairs = Dedup.minhashLshPairs(docs, 3, 3, 4, 0.5)
