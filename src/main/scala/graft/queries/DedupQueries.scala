@@ -118,6 +118,38 @@ object DedupQueries {
            |SELECT node AS doc_id, min(label) AS keep_id
            |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // The actual dedup output: corpus minus every non-representative
+    // cluster member (left-anti join on the clustering) — corpus in,
+    // cleaned corpus out.
+    GraftQuery("dedup_keep",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val drop = Dedup.clusters(
+            Dedup.ngramJaccardPairs(docs, 3, 0.6))
+          .filter(col("doc_id") =!= col("keep_id"))
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $shingleCte, $shkCte, $jaccardTail,
+           |p AS (
+           |  SELECT doc_a, doc_b FROM inter
+           |    JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6),
+           |sym(a, b) AS (SELECT doc_a, doc_b FROM p UNION SELECT doc_b, doc_a FROM p),
+           |nodes(node) AS (SELECT DISTINCT a FROM sym),
+           |lbl(node, label) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT s.b, l.label FROM lbl l JOIN sym s ON l.node = s.a),
+           |drop AS (
+           |  SELECT node AS doc_id FROM lbl GROUP BY node
+           |  HAVING node <> min(label))
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+           |ORDER BY doc_id""".stripMargin)),
+
     GraftQuery("dedup_simhash",
       (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
