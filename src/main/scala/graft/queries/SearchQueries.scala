@@ -113,6 +113,45 @@ object SearchQueries {
       },
       Some(searchTopKOracle)),
 
+    // The reference user's literal entry point (Query.java): free-text
+    // query over a WikiExtractor JSON-lines corpus dir → (title, url).
+    // The corpus is staged once from `documents` (id=doc_id, url=source,
+    // title=lang) as an AA* JSON-lines file, then Search.searchCorpus runs
+    // the whole 5-job pipeline as one plan. Oracle = search_topk's scoring
+    // projected to the reference's output columns.
+    GraftQuery("search_topk_corpus",
+      (s, d) => {
+        val dir = s"/tmp/graft-corpus/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        if (!new java.io.File(s"$dir/_DONE").exists()) {
+          org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+          new java.io.File(dir).mkdirs()
+          import org.apache.spark.sql.functions._
+          Tables.documents(s, d)
+            .select(to_json(struct(
+              col("doc_id").cast("string").as("id"), // WikiExtractor quotes ids
+              col("source").as("url"), col("lang").as("title"),
+              col("text"))).as("value"))
+            .coalesce(1).write.mode("overwrite").text(s"$dir/staging")
+          val part = new java.io.File(s"$dir/staging").listFiles()
+            .filter(_.getName.startsWith("part-")).head
+          java.nio.file.Files.move(part.toPath,
+            java.nio.file.Paths.get(s"$dir/AA_wiki_00"))
+          new java.io.File(s"$dir/_DONE").createNewFile()
+        }
+        graft.operators.Search.searchCorpus(s, dir, Search.DefaultQuery, 10)
+      },
+      Some(
+        s"""WITH $tokCte, $vocabCte, $postingsCte,
+           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+           |scores AS (
+           |  SELECT p.doc_id,
+           |         floor(sum(p.tf * q.qtf / (CAST(p.df AS DOUBLE) * p.df))*1000000000.0+0.5)/1000000000.0 AS score
+           |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id),
+           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT d.lang AS title, d.source AS url
+           |FROM topk t JOIN documents d USING (doc_id)
+           |ORDER BY t.score DESC, t.doc_id""".stripMargin)),
+
     // Log-idf variant (the "classical fix" flagged in SURVEY.md quirk Q-b):
     // score = Σ tf_d · tf_q · ln(N/df). Kept alongside the parity formula.
     GraftQuery("search_topk_logidf",
