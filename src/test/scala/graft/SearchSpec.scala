@@ -74,6 +74,25 @@ class SearchSpec extends AnyFunSuite {
     assert(qt.toSeq == Seq(("good", 2L), ("person", 1L), ("the", 1L)))
   }
 
+  test("limit(k) is a prefix of limit(k+1) (SURVEY §5.4)") {
+    val k5 = Search.searchTopK(spark, TestSpark.sf0001, Search.DefaultQuery, 5)
+      .collect().map(_.toString).toSeq
+    val k6 = Search.searchTopK(spark, TestSpark.sf0001, Search.DefaultQuery, 6)
+      .collect().map(_.toString).toSeq
+    assert(k6.take(5) == k5)
+  }
+
+  test("input row order does not change results (SURVEY §5.4)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val shuffled = docs.orderBy(rand(42)).repartition(7)
+    val a = Search.vocabulary(docs).orderBy("word")
+      .collect().map(_.toString).toSeq
+    val b = Search.vocabulary(shuffled).orderBy("word")
+      .collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
   test("out-of-vocabulary query returns empty, both paths") {
     assert(Search.searchTopK(spark, TestSpark.sf0001, "zzzqx nonexistent 42", 5)
       .count() == 0)
