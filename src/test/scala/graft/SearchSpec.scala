@@ -93,6 +93,32 @@ class SearchSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("score monotonicity: adding a query-term occurrence never lowers a doc's score (SURVEY §5.4)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    def scoreOf(texts: Seq[String], target: Long): Double = {
+      val docs = texts.zipWithIndex
+        .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+      val vocab = Search.vocabulary(docs)
+      val post = Search.postings(docs, vocab)
+      val qt = Search.queryTerms(spark, "the cat").join(vocab, "word")
+        .select("word_id", "qtf", "df")
+      post.join(broadcast(qt), "word_id")
+        .select(col("doc_id"),
+          (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
+        .groupBy("doc_id").agg(sum("part").as("score"))
+        .filter(col("doc_id") === target)
+        .as[(Long, Double)].collect().headOption.map(_._2).getOrElse(0.0)
+    }
+    // corpus where dfs of query terms are unchanged by the extra occurrence
+    val base = Seq("the cat sat", "the dog ran", "cat nap")
+    val boosted = Seq("the cat sat cat", "the dog ran", "cat nap")
+    assert(scoreOf(boosted, 0L) >= scoreOf(base, 0L))
+    val boostedThe = Seq("the the cat sat", "the dog ran", "cat nap")
+    assert(scoreOf(boostedThe, 0L) >= scoreOf(base, 0L))
+  }
+
   test("out-of-vocabulary query returns empty, both paths") {
     assert(Search.searchTopK(spark, TestSpark.sf0001, "zzzqx nonexistent 42", 5)
       .count() == 0)
