@@ -27,7 +27,7 @@ object Bench {
     // (JIT, codegen cache, the search index build, OS page cache); run 2 is
     // the plan's own cost — which is what a resident 1000-executor cluster
     // would see per query.
-    val results = Registry.all.map { q =>
+    val results = Registry.all.filter(_.bench).map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch {

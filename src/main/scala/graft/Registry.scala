@@ -13,7 +13,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class GraftQuery(
     name: String,
     fn: (SparkSession, String) => DataFrame,
-    oracle: Option[String])
+    oracle: Option[String],
+    bench: Boolean = true) // false → correctness-gate only (e.g. a deliberately quadratic exact-verify twin)
 
 object Registry {
   def all: Seq[GraftQuery] =

@@ -15,12 +15,23 @@ import org.apache.spark.sql.{Column, DataFrame}
   * the exact-Jaccard verify runs only on candidate pairs. The all-pairs
   * n-gram Jaccard here is the *oracle/verify* path — quadratic candidate
   * generation via the shingle inverted index, fine at test SF, and exactly
-  * what LSH approximates.
+  * what LSH approximates. The actionable queries (clusters/keep) are fed by
+  * the LSH pairs, never the all-pairs path.
   *
-  * Hash-function choice: MD5 via `functions.md5` — not because MD5 is fast
-  * (xxhash64 is faster) but because the DuckDB oracle computes the identical
-  * digest, making even the LSH bucketing byte-for-byte checkable. Swapping
-  * in xxhash64 is a one-line change flagged for the bench path.
+  * Caching: these operators build lazy plans and do NOT cache — a 100 TB
+  * shingle table doesn't fit in executor memory, and a library-side
+  * `.cache()` leaks CacheManager entries across invocations. Callers that
+  * reuse the shingle table materialize it once (the query layer persists it
+  * per SF dir as parquet, the pipeline-correct "write the intermediate"
+  * move; see DedupQueries.persistedShingles).
+  *
+  * Hash tiers:
+  *  - md5 (default): not because MD5 is fast, but because the DuckDB oracle
+  *    computes the identical digest, making even the LSH bucketing
+  *    byte-for-byte checkable cross-engine.
+  *  - xxhash64 (`*Fast`): the production/bench tier — same LSH shape, ~an
+  *    order of magnitude cheaper per shingle, no cross-engine digest (so
+  *    the driver records a rows-only check for it).
   */
 object Dedup {
 
@@ -55,17 +66,14 @@ object Dedup {
   def shingleKey(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index:
-    * |A∩B| from a self-join on shingle, |A∪B| = |A|+|B|-|A∩B|.
+  /** Fast-tier shingle key: xxhash64, full 64 bits, no oracle twin. */
+  def shingleKeyFast(c: Column): Column = xxhash64(c)
+
+  /** Jaccard from an intersection-count table `inter(doc_a, doc_b,
+    * n_common)` and per-doc shingle counts: |A∪B| = |A|+|B|-|A∩B|.
     */
-  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame = {
-    val sh = shingles(docs, n)
-      .select(col("doc_id"), shingleKey(col("shingle")).as("shk")).cache()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a").join(sh.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+  private def jaccardFromInter(inter: DataFrame, sizes: DataFrame,
+                               threshold: Double): DataFrame = {
     val j = col("n_common").cast("double") /
       (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
     inter
@@ -73,6 +81,23 @@ object Dedup {
       .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
       .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
       .filter(col("jaccard") >= threshold)
+  }
+
+  /** All-pairs n-gram Jaccard >= threshold via shingle inverted index —
+    * the small-SF verify/oracle path (quadratic candidate generation).
+    */
+  def ngramJaccardPairs(docs: DataFrame, n: Int = 3, threshold: Double = 0.6): DataFrame =
+    ngramJaccardPairsFrom(shingles(docs, n), threshold)
+
+  /** Same, from a prebuilt shingle table (doc_id, shingle). */
+  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shk.as("a").join(shk.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    jaccardFromInter(inter, sizes, threshold)
   }
 
   /** One MinHash signature component: min over shingles of a 60-bit slice
@@ -94,48 +119,87 @@ object Dedup {
     min(conv(substring(digest, start, 15), 16, 10).cast("long")).as(s"h$i")
   }
 
+  /** Fast-tier MinHash component: min of xxhash64(seed, shingle). One
+    * 64-bit hash per component (no digest slicing needed — xxhash64 is
+    * cheap enough to run per component).
+    */
+  private def minhashColFast(i: Int): Column =
+    min(xxhash64(lit(i), col("shingle"))).as(s"h$i")
+
   /** MinHash signatures: one row per doc, `numHashes` BIGINT columns. */
   def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
     sh.groupBy("doc_id").agg(minhashCol(0), (1 until numHashes).map(minhashCol): _*)
 
-  /** MinHash-LSH candidate pairs, verified with exact Jaccard.
-    *
-    * bands × rowsPerBand signature; docs sharing any band hash become
-    * candidates; candidates below `threshold` exact-Jaccard are dropped.
+  /** xxhash64 MinHash signatures (bench/production tier). */
+  def minhashSignaturesFast(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.groupBy("doc_id").agg(minhashColFast(0), (1 until numHashes).map(minhashColFast): _*)
+
+  /** Explode a signature table into (doc_id, band, bh) band-bucket rows.
+    * All band hashes in ONE projection + explode — a union of per-band
+    * selects would re-run the signature aggregation once per band.
     */
-  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 3,
-                      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame = {
-    val sh = shingles(docs, n).cache()
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
-    // All band hashes in ONE projection + explode — a union of per-band
-    // selects would re-run the signature aggregation once per band.
+  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                       bandHash: Seq[Column] => Column): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
-      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => col(s"h$i").cast("string"))
-      struct(lit(b).as("band"),
-        md5(concat_ws(":", cols: _*)).as("bh"))
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
+      struct(lit(b).as("band"), bandHash(cols).as("bh"))
     }: _*)
-    val bandRows = sig.select(col("doc_id"), explode(bandStructs).as("bb"))
+    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
-    val cand = bandRows.as("a").join(bandRows.as("b"),
+  }
+
+  /** LSH candidate pairs from band rows: docs sharing any (band, bh). */
+  private def lshCandidates(br: DataFrame): DataFrame =
+    br.as("a").join(br.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // exact-Jaccard verify on the (small) candidate set — numeric keys
-    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
+
+  /** Exact-Jaccard verify restricted to a candidate pair set: shuffles only
+    * candidates' shingle keys, never an all-pairs join.
+    */
+  private def verifyCandidates(cand: DataFrame, shk: DataFrame,
+                               threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = cand.join(shk.as("a"), col("doc_a") === col("a.doc_id"))
       .join(shk.as("b"),
         col("doc_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
-    val j = col("n_common").cast("double") /
-      (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
-    inter
-      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .select(col("doc_a"), col("doc_b"), j.as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+    jaccardFromInter(inter, sizes, threshold)
+  }
+
+  /** MinHash-LSH candidate pairs, verified with exact Jaccard (md5/oracle
+    * tier). bands × rowsPerBand signature; docs sharing any band hash
+    * become candidates; candidates below `threshold` exact-Jaccard drop.
+    */
+  def minhashLshPairs(docs: DataFrame, n: Int = 3, bands: Int = 3,
+                      rowsPerBand: Int = 4, threshold: Double = 0.5): DataFrame =
+    minhashLshPairsFrom(shingles(docs, n), bands, rowsPerBand, threshold)
+
+  /** Same, from a prebuilt shingle table (doc_id, shingle). */
+  def minhashLshPairsFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
+                          threshold: Double): DataFrame = {
+    val sig = minhashSignatures(sh, bands * rowsPerBand)
+    val br = bandRows(sig, bands, rowsPerBand,
+      cols => md5(concat_ws(":", cols.map(_.cast("string")): _*)))
+    val cand = lshCandidates(br)
+    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
+    verifyCandidates(cand, shk, threshold)
+  }
+
+  /** xxhash64 tier of the same LSH shape: signatures, band hashes, and
+    * verify keys all via xxhash64. The scale/production path — no
+    * cross-engine digest, so it carries a rows-only driver check; its
+    * semantics are pinned by DedupSpec against the md5 tier.
+    */
+  def minhashLshPairsFastFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
+                              threshold: Double): DataFrame = {
+    val sig = minhashSignaturesFast(sh, bands * rowsPerBand)
+    val br = bandRows(sig, bands, rowsPerBand, cols => xxhash64(cols: _*))
+    val cand = lshCandidates(br)
+    val shk = sh.select(col("doc_id"), shingleKeyFast(col("shingle")).as("shk"))
+    verifyCandidates(cand, shk, threshold)
   }
 
   /** Connected components over near-duplicate pairs — the step that turns
@@ -146,29 +210,49 @@ object Dedup {
     * Min-label propagation with a driver convergence loop: each iteration
     * is one join + one aggregate; iterations = component diameter (near-dup
     * clusters are shallow — a handful of rounds in practice). This is the
-    * standard large-graph CC shape (what GraphX/Pregel run internally);
-    * each round's state is re-cached and the previous round unpersisted.
+    * standard large-graph CC shape (what GraphX/Pregel run internally).
+    *
+    * Lineage discipline (measured, not theoretical): the edge table and
+    * every iteration's label state are localCheckpoint'ed. Caching alone is
+    * NOT enough — a cached DataFrame reuses the computed blocks but its
+    * logical plan still chains the entire upstream lineage (here the whole
+    * LSH candidate pipeline), so every loop iteration re-analyzes and
+    * re-optimizes a growing tree; profiled at ~2.5 s/iteration of pure
+    * planner time on a 45-node graph. Checkpointing cuts each iteration's
+    * plan to a leaf scan.
+    *
+    * Convergence test: min-label propagation only ever decreases labels, so
+    * the label sum (exact, DECIMAL — no overflow at any corpus size) is
+    * strictly decreasing until the fixed point. Comparing sums needs one
+    * tiny aggregate on the fresh state per round — no join against the
+    * previous state.
+    *
     * Returns (doc_id, keep_id) for every doc that appears in a pair.
     */
   def clusters(pairs: DataFrame): DataFrame = {
     val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .cache()
+      .localCheckpoint()
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (s == null) java.math.BigDecimal.ZERO else s // empty pair set → sum NULL
+    }
     var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).cache()
-    var changed = 1L
-    while (changed > 0) {
+      .withColumn("label", col("node")).localCheckpoint()
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
       val prop = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"))
       val next = labels.unionAll(prop)
-        .groupBy("node").agg(min("label").as("label")).cache()
-      changed = next.as("n")
-        .join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val nextSum = labelSum(next)
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       labels.unpersist()
       labels = next
     }
-    sym.unpersist()
     labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
   }
 
@@ -191,5 +275,32 @@ object Dedup {
       .groupBy("doc_id")
       .agg(sum(when(col("v") > 0, pow(lit(2.0), col("j")).cast("long")).otherwise(0L))
         .as("simhash"))
+  }
+
+  /** SimHash near-dup pairs at hamming distance <= maxHamming, via
+    * pigeonhole banding instead of an all-pairs nested-loop join: split the
+    * 16-bit hash into maxHamming+1 disjoint chunks — any pair within the
+    * distance budget differs in at most maxHamming bits, so at least one
+    * chunk is untouched and the pair collides on an exact (chunk, value)
+    * key. Candidate generation is therefore an equi-join on chunk buckets
+    * (shuffle-hash-joinable at any scale); the exact hamming filter then
+    * drops false candidates. Identical output to the all-pairs formulation.
+    */
+  def simhashPairs(sh: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming == 2, "chunk layout below is specialized to <=2")
+    // 16 bits → 3 chunks: bits 0-5, 6-10, 11-15
+    val chunks = array(
+      struct(lit(0).as("ck"), col("simhash").bitwiseAND(63).as("cv")),
+      struct(lit(1).as("ck"), shiftright(col("simhash"), 6).bitwiseAND(31).as("cv")),
+      struct(lit(2).as("ck"), shiftright(col("simhash"), 11).bitwiseAND(31).as("cv")))
+    val cr = sh.select(col("doc_id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    cr.as("a").join(cr.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair can collide on 2-3 chunks
   }
 }

@@ -160,12 +160,16 @@ object SearchQueries {
         val byDocWord = Search.docWordCounts(docs)
         val vocab = Search.vocabularyFrom(byDocWord)
         val post = Search.postingsFrom(byDocWord, vocab)
-        val n = docs.count().toDouble
+        // Corpus size N stays IN the plan (single-row broadcast joined to
+        // every posting) — an eager docs.count() here would run a separate
+        // full-scan job per invocation, doubling corpus reads at scale.
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val qt = Search.queryTerms(s, Search.DefaultQuery)
           .join(vocab, "word").select("word_id", "qtf", "df")
         post.join(broadcast(qt), "word_id")
+          .crossJoin(broadcast(nDf))
           .select(col("doc_id"),
-            (col("tf") * col("qtf") * log(lit(n) / col("df"))).as("part"))
+            (col("tf") * col("qtf") * log(col("n_docs") / col("df"))).as("part"))
           .groupBy("doc_id")
           // stab(6), not 9: ln() is libm, engines may differ in the last ulp
           .agg(graft.functions.Stable.stab(sum(col("part")), 6).as("score"))

@@ -143,10 +143,13 @@ object TextAnalysisQueries {
         val byDocWord = graft.operators.Search.docWordCounts(docs)
         val vocab = graft.operators.Search.vocabularyFrom(byDocWord)
         val post = graft.operators.Search.postingsFrom(byDocWord, vocab)
-        val n = docs.count().toDouble
+        // In-plan corpus count (single-row broadcast), not an eager
+        // docs.count() driver job — see search_topk_logidf.
+        val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
         val scored = post.join(broadcast(vocab.select("word", "word_id", "df")), "word_id")
+          .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("word"),
-            graft.functions.Stable.stab(col("tf") * log(lit(n) / col("df")), 6).as("tfidf"))
+            graft.functions.Stable.stab(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
         val w = Window.partitionBy("doc_id").orderBy(desc("tfidf"), asc("word"))
         scored.withColumn("rn", row_number().over(w).cast("long"))
           .filter(col("rn") <= 3)
