@@ -38,6 +38,80 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       col("source").as("meta_source"))
 
+  /** Deterministic image dimensions for the synthetic PNG payloads — the
+    * fixture contract the DuckDB oracle re-derives from doc_id.
+    */
+  def imageDims(mediaId: Long): (Int, Int) =
+    ((4 + mediaId % 16).toInt, (4 + (mediaId / 16) % 16).toInt)
+
+  /** Encode a real PNG for a media id: dims from `imageDims`, deterministic
+    * pixel pattern. Runs through javax.imageio — an actual codec, so the
+    * decode side exercises a real header parse, not a stub.
+    */
+  private def encodePng(mediaId: Long): Array[Byte] = {
+    val (w, h) = imageDims(mediaId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = ((x * 31 + y * 7 + mediaId) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media table with REAL image payloads: like fromDocuments, but image-
+    * modality rows carry a valid PNG (encoded per-partition via
+    * javax.imageio; audio/video stay text-byte stand-ins — no audio/video
+    * codecs in this container). Narrow: payloads are generated in place,
+    * never shuffled.
+    */
+  def withRealImages(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val base = fromDocuments(docs)
+    val out = base.rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload =
+          if (r.getString(1) == "image") encodePng(id)
+          else r.getAs[Array[Byte]]("payload")
+        Row(id, r.getString(1), payload, r.getString(3))
+      }
+    }
+    spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Decode image payloads with the real codec (javax.imageio): parses the
+    * PNG header/IDAT for true width × height. Narrow mapPartitions over the
+    * scan; non-decodable payloads surface as NULL dims rather than a crash
+    * (a 100 TB corpus always contains corrupt files).
+    */
+  def decodeImageDims(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        } catch { case _: java.io.IOException => null }
+        if (img == null) Row(r.getLong(0), null, null)
+        else Row(r.getLong(0), img.getWidth, img.getHeight)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType),
@@ -63,13 +137,26 @@ object Multimodal {
 
   /** Decode/feature-extract over the payload column. Narrow (no shuffle):
     * runs per input partition, processing rows in a streaming iterator.
+    * Image payloads go through the REAL codec (javax.imageio — width and
+    * height are parsed from the actual PNG); other modalities fall back to
+    * the deterministic stub (no audio/video codecs in this container).
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "modality", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val (w, h, c) = decodeStub(payload)
+        val img = if (r.getString(1) == "image") {
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: java.io.IOException => null }
+        } else null
+        val (w, h, c) =
+          if (img != null) {
+            var checksum = 0L
+            var i = 0
+            while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+            (img.getWidth, img.getHeight, checksum)
+          } else decodeStub(payload)
         Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, c)
       }
     }

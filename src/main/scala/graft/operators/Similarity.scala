@@ -123,6 +123,132 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // Learned IVF cells: Lloyd k-means as DataFrame ops (replaces the
+  // `label` column stand-in — real coarse quantization, same routing and
+  // pruning mechanics).
+  // ---------------------------------------------------------------------
+
+  /** Assign each vector in `p` (vec_id, e) to its nearest centroid in
+    * `cent` (cell, c) by squared euclidean distance. argmin(|e-c|²) =
+    * argmin(c·c - 2e·c) — the e·e term is constant per vector and dropped.
+    * Two hash aggregates (min distance, then min cell on the tied set)
+    * keep the argmin deterministic and HashAggregate-only; the centroid
+    * side is k rows, always broadcast.
+    */
+  def kmeansAssign(p: DataFrame, cent: DataFrame): DataFrame = {
+    val scored = p.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
+    val best = scored.groupBy("vec_id").agg(min("d").as("dmin"))
+    scored.join(best, "vec_id").filter(col("d") === col("dmin"))
+      .groupBy("vec_id").agg(min("cell").as("cell"))
+  }
+
+  /** Lloyd k-means over the embedding column: k deterministic hash-sampled
+    * seeds, then `iters` rounds of assign + per-dimension mean — every step
+    * a DataFrame op (the corpus is never collected; per-round state is the
+    * k×dim centroid table, localCheckpoint'ed so loop plans stay O(1) —
+    * see Dedup.clusters for why caching alone doesn't cut planner time).
+    * Centroid means are floor-stabilized so results don't wobble with
+    * aggregation order. A cell that loses all members drops out (standard
+    * Lloyd behavior; routing simply never probes it).
+    * Returns (cell INT 0..k-1, c ARRAY<DOUBLE>).
+    */
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val p = prepared(embeddings).select("vec_id", "e")
+    // Seeds: first k vectors in xxhash64 order — a deterministic uniform
+    // sample (TakeOrdered k, no full sort). The window below only ever
+    // sees those k rows.
+    val hashOrd = Seq(xxhash64(col("vec_id")), col("vec_id"))
+    var cent = p.orderBy(hashOrd: _*).limit(k)
+      .withColumn("cell", row_number().over(Window.orderBy(hashOrd: _*)) - 1)
+      .select(col("cell"), col("e").as("c"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val asg = kmeansAssign(p, cent)
+      cent = asg.join(p, "vec_id")
+        .select(col("cell"), posexplode(col("e")))
+        .groupBy("cell", "pos").agg(Stable.stab(avg("col"), 6).as("m"))
+        .groupBy("cell")
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("c"))
+        .localCheckpoint()
+    }
+    cent
+  }
+
+  /** Route queries (query_id, e) to their `nprobe` nearest k-means cells. */
+  private def kmeansProbes(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
+    val scored = q.crossJoin(broadcast(cent))
+      .select(col("query_id"), col("cell"),
+        (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
+    scored.withColumn("rn", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("d"), asc("cell"))))
+      .filter(col("rn") <= nprobe).select("query_id", "cell")
+  }
+
+  /** ANN over learned k-means cells: train centroids, assign the corpus,
+    * route each query (vec_id < nQueries) to its `nprobe` nearest cells,
+    * exact cosine top-k inside probed cells only. Cells partition the
+    * corpus, so each neighbor is scored at most once — no dedup needed.
+    */
+  def knnIvfKmeans(embeddings: DataFrame, nQueries: Int, k: Int,
+                   kCells: Int = 8, iters: Int = 5, nprobe: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    val cent = kmeansCentroids(embeddings, kCells, iters)
+    val cells = p.join(kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
+    val q = p.filter(col("vec_id") < nQueries)
+      .withColumnRenamed("vec_id", "query_id")
+    val qside = q.join(kmeansProbes(q.select("query_id", "e"), cent, nprobe), "query_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(qside).as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("a.cell").as("probe_cell"),
+        col("b.vec_id").as("neighbor_id"), cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Persist the k-means IVF layout: corpus written as parquet partitioned
+    * by learned cell, centroid arrays alongside — probing a cell is then
+    * partition pruning at file-listing time (same mechanics as
+    * buildIvfIndex, with learned cells instead of the label column).
+    */
+  def buildKmeansIvfIndex(embeddings: DataFrame, indexDir: String,
+                          kCells: Int = 8, iters: Int = 5): Unit = {
+    val p = prepared(embeddings)
+    val cent = kmeansCentroids(embeddings, kCells, iters)
+    p.join(kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
+    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+  }
+
+  /** Query the persisted k-means IVF index. The probed cell set (≤
+    * queries × nprobe — metadata-scale) is collected only to drive
+    * `cell IN (...)` partition pruning on the cells scan.
+    */
+  def knnIvfKmeansIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                          queries: DataFrame, k: Int, nprobe: Int = 2): DataFrame = {
+    val cent = spark.read.parquet(s"$indexDir/centroids")
+    val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
+    val probes = kmeansProbes(q.select("query_id", "e"), cent, nprobe)
+    val probed = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ |queries|×nprobe cells — metadata-scale
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isin(probed: _*))
+    val qside = q.join(probes, "query_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(qside).as("a")
+      .join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.query_id") =!= col("b.vec_id"))
+      .select(col("a.query_id"), col("a.cell").as("probe_cell"),
+        col("b.vec_id").as("neighbor_id"), cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF probe-1 ANN: route each query (vec_id < nQueries) to its best
     * centroid by dot product, then brute-force cosine top-k inside that
     * cell only.

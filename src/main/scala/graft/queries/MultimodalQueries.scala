@@ -31,8 +31,24 @@ object MultimodalQueries {
 
     GraftQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(
-        Multimodal.fromDocuments(Tables.documents(s, d)))
+        Multimodal.withRealImages(Tables.documents(s, d)))
         .orderBy("media_id"),
-      None) // stub decoder — rows-only check
+      None), // image rows decode real PNGs; audio/video stay stubbed — rows-only check
+
+    // Real-codec round trip, oracle-checked: image payloads are valid PNGs
+    // (javax.imageio encode at synthesis), and width/height come from
+    // javax.imageio DECODING those bytes. The oracle re-derives the
+    // fixture's dimension contract (Multimodal.imageDims) from doc_id — a
+    // wrong header parse, stride bug, or synthesis drift all hash-fail.
+    GraftQuery("multimodal_image_dims",
+      (s, d) => Multimodal.decodeImageDims(
+        Multimodal.withRealImages(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 0)))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(4 + doc_id % 16 AS INT) AS width,
+          |  CAST(4 + (doc_id // 16) % 16 AS INT) AS height
+          |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin))
   )
 }

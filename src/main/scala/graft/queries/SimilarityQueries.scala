@@ -74,7 +74,32 @@ object SimilarityQueries {
       (s, d) => Similarity.ivfTopK(Tables.embeddings(s, d), 10, 5)
         .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      Some(knnIvfOracle))
+      Some(knnIvfOracle)),
+
+    // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
+    // step a DataFrame op), probe-2 routing, exact cosine inside probed
+    // cells. No SQL twin (the iterative trainer isn't a query) → rows-only
+    // driver check; SimilaritySpec pins recall@5 >= 0.8 vs knn_brute.
+    GraftQuery("knn_ivf_kmeans",
+      (s, d) => Similarity.knnIvfKmeans(Tables.embeddings(s, d), 10, 5)
+        .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      None),
+
+    // Same semantics from the persisted layout: corpus parquet-partitioned
+    // by learned cell, so probing = partition pruning at file-listing time.
+    GraftQuery("knn_ivf_kmeans_indexed",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        val idx = s"/tmp/graft-ivfk/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
+          Similarity.buildKmeansIvfIndex(emb, idx)
+        Similarity.knnIvfKmeansIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
+          .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      None)
   )
 
   /** Shared by knn_ivf and knn_ivf_indexed — identical semantics. */

@@ -62,6 +62,54 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("fast (xxhash64) LSH tier: exact-dup surfaces, verify keeps precision exact") {
+    import spark.implicits._
+    val sh = Dedup.shingles(docs, 3)
+    val fast = Dedup.minhashLshPairsFastFrom(sh, 3, 4, 0.5)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(fast.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 1.0))
+    assert(!fast.exists(p => p._1 == 4L || p._2 == 4L))
+    // the exact-Jaccard verify makes every emitted pair a true >=threshold
+    // pair regardless of hash tier: fast pairs ⊆ all-pairs ground truth
+    val exact = Dedup.ngramJaccardPairs(docs, 3, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(fast.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+  }
+
+  test("banded simhashPairs == all-pairs formulation on the sf0.001 corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val sh = Dedup.simhash(corpus)
+    val banded = Dedup.simhashPairs(sh, 2)
+      .as[(Long, Long, Long)].collect().toSet
+    val allPairs = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hm"))
+      .filter(col("hm") <= 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(banded == allPairs)
+    assert(banded.nonEmpty)
+  }
+
+  test("LSH-fed clusters refine the exact clusters (no false merges)") {
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val sh = Dedup.shingles(corpus, 3)
+    val lsh = Dedup.clusters(Dedup.minhashLshPairsFrom(sh, 6, 2, 0.6))
+      .as[(Long, Long)].collect().toMap
+    val exact = Dedup.clusters(Dedup.ngramJaccardPairsFrom(sh, 0.6))
+      .as[(Long, Long)].collect().toMap
+    // verify keeps precision exact → every LSH merge is a true merge:
+    // two docs the LSH path puts in one component share the exact
+    // component too (LSH components refine the ground-truth partition)
+    assert(lsh.nonEmpty)
+    for ((a, ka) <- lsh; (b, kb) <- lsh if ka == kb)
+      assert(exact(a) == exact(b), s"LSH merged $a,$b but exact did not")
+    // representative is always the component minimum
+    assert(lsh.forall { case (d, k) => k <= d })
+  }
+
   test("simhash: identical docs get identical hashes; 16-bit range") {
     import spark.implicits._
     val h = Dedup.simhash(docs).orderBy("doc_id")

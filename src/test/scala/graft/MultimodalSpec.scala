@@ -38,6 +38,40 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
 
+  test("withRealImages/decodeImageDims: PNG round trip through javax.imageio") {
+    val d = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val media = Multimodal.withRealImages(d)
+    // image payloads are real PNGs: magic bytes present
+    val png = media.filter(col("modality") === "image").collect()
+    assert(png.nonEmpty)
+    assert(png.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p.length > 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' && p(3) == 'G'
+    })
+    // decoded dims equal the synthesis contract
+    val dims = Multimodal.decodeImageDims(
+        media.filter(col("modality") === "image")).collect()
+    assert(dims.nonEmpty)
+    assert(dims.forall { r =>
+      val (w, h) = Multimodal.imageDims(r.getLong(0))
+      r.getInt(1) == w && r.getInt(2) == h
+    })
+    // extractFeatures reports the decoded (not stub) dims for images
+    val feats = Multimodal.extractFeatures(media)
+      .filter(col("modality") === "image").collect()
+    assert(feats.forall { r =>
+      val (w, h) = Multimodal.imageDims(r.getLong(0))
+      r.getInt(3) == w && r.getInt(4) == h
+    })
+  }
+
+  test("decodeImageDims: corrupt payload yields NULL dims, no crash") {
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+    val r = Multimodal.decodeImageDims(bad).collect()
+    assert(r.length == 1 && r.head.isNullAt(1) && r.head.isNullAt(2))
+  }
+
   test("extractFeatures: deterministic stub decode, n_bytes = payload size") {
     val docs = Tables.documents(spark, TestSpark.sf0001).limit(50)
     val feats = Multimodal.extractFeatures(Multimodal.fromDocuments(docs))

@@ -49,6 +49,26 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!plan("dedup_minhash_lsh").contains("SortAggregate"))
   }
 
+  test("LSH pair plans: equi-join candidates only, never a nested loop") {
+    for (name <- Seq("dedup_minhash_lsh", "dedup_minhash_fast")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("dedup_simhash_pairs: pigeonhole banding plans as an equi-join") {
+    val p = plan("dedup_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("knn_ivf_kmeans_indexed: cells scan partition-pruned to probed cells") {
+    val df = SparkEntry.queries("knn_ivf_kmeans_indexed")(spark, d)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [cell"))
+  }
+
   test("knn_brute: window top-k pruned by WindowGroupLimit") {
     assert(plan("knn_brute").contains("WindowGroupLimit"))
   }

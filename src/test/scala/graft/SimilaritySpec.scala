@@ -37,6 +37,64 @@ class SimilaritySpec extends AnyFunSuite {
     assert(r.filter(_._1 == 1L).map(x => (x._2, x._3)) == Seq((12L, 1L), (11L, 2L)))
   }
 
+  test("kmeans centroids: deterministic, k cells, correct dimensionality") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val c1 = Similarity.kmeansCentroids(emb, 8, 3)
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    val c2 = Similarity.kmeansCentroids(emb, 8, 3)
+      .as[(Int, Array[Double])].collect().sortBy(_._1)
+    assert(c1.length == 8 && c1.forall(_._2.length == 64))
+    assert(c1.map(_._1).toSeq == c2.map(_._1).toSeq &&
+      c1.zip(c2).forall { case (a, b) => a._2.sameElements(b._2) })
+  }
+
+  /** 240 vectors in R^16 around 8 well-separated centers, deterministic
+    * perturbations — data where coarse quantization is meaningful. (The
+    * sf0.001 embeddings are near-uniform random: true top-5 neighbors share
+    * the query's label only 4% of the time, so NO cell-probing ANN can
+    * reach high recall there without probing most of the corpus — recall
+    * claims belong on clusterable data.)
+    */
+  def clustered = {
+    import spark.implicits._
+    val dim = 16
+    val rows = for (i <- 0 until 240) yield {
+      val c = i % 8
+      val center = Array.tabulate(dim)(j => if (j == 2 * c) 10.0f else if (j == 2 * c + 1) 4.0f else 0.0f)
+      val v = Array.tabulate(dim)(j => center(j) + ((i * 37 + j * 17) % 13 - 6) * 0.05f)
+      (i.toLong, v, c)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("knnIvfKmeans recall@5 >= 0.8 vs brute force on clustered data") {
+    import spark.implicits._
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exact = topSet(Similarity.bruteForceTopK(clustered, 10, 5))
+    val approx = topSet(Similarity.knnIvfKmeans(clustered, 10, 5, kCells = 8, iters = 5, nprobe = 2))
+    assert(exact.size == 50)
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+  }
+
+  test("knnIvfKmeans mechanics on the sf0.001 corpus: exact cosines, full k") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val brute = Similarity.bruteForceTopK(emb, 10, 500)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val approx = Similarity.knnIvfKmeans(emb, 10, 5)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(approx.length == 50) // 10 queries × full k
+    // every reported cosine is the true cosine for that pair
+    assert(approx.forall { case (q, n, c) => brute((q, n)) == c })
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
