@@ -582,6 +582,41 @@ object RelationalQueries {
       Some(
         s"""SELECT c_nationkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_total
            |FROM orders JOIN customer ON o_custkey = c_custkey
-           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin))
+           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // Bucketed co-located join: orders and customer written CLUSTERED BY
+    // custkey into the same bucket count, so the fact-fact join needs NO
+    // exchange on either side — the scans themselves are hash-partitioned
+    // on the join key — and the same-key aggregate after it reuses that
+    // partitioning too (zero hashpartitioning exchanges in the whole plan;
+    // locked by PlanShapeSpec). This is the pre-shuffled layout a 100 TB
+    // pipeline maintains for its repeatedly-joined fact tables: pay one
+    // clustered write, then every downstream join/agg on that key is
+    // shuffle-free. The merge hint keeps the demo honest at test SF, where
+    // AQE would otherwise broadcast the small side.
+    GraftQuery("q_bucketed_join",
+      (s, d) => {
+        val key = d.replaceAll("[^A-Za-z0-9]", "_")
+        val (ot, ct) = (s"orders_bkt_$key", s"customer_bkt_$key")
+        if (!s.catalog.tableExists(ot)) {
+          orders(s, d).write.mode("overwrite")
+            .bucketBy(8, "o_custkey").sortBy("o_custkey")
+            .option("path", s"/tmp/graft-bucketed/$key/orders").saveAsTable(ot)
+          customer(s, d).write.mode("overwrite")
+            .bucketBy(8, "c_custkey").sortBy("c_custkey")
+            .option("path", s"/tmp/graft-bucketed/$key/customer").saveAsTable(ct)
+        }
+        s.table(ot).join(s.table(ct).hint("merge"),
+            col("o_custkey") === col("c_custkey"))
+          .filter(col("c_mktsegment") === "BUILDING")
+          .groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice"), 2).as("sum_price"))
+          .orderBy("o_custkey")
+      },
+      Some(
+        s"""SELECT o_custkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
+           |FROM orders JOIN customer ON o_custkey = c_custkey
+           |WHERE c_mktsegment = 'BUILDING'
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
   )
 }

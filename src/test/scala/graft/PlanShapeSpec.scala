@@ -63,6 +63,15 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bucketed_join: co-located scans, zero hash-partition exchanges") {
+    val p = plan("q_bucketed_join")
+    assert(p.contains("SortMergeJoin"))
+    assert(p.contains("Bucketed: true"))
+    // join AND same-key aggregate both ride the bucket layout — the only
+    // exchange left is the final presentation sort
+    assert(!p.contains("Exchange hashpartitioning"))
+  }
+
   test("knn_ivf_kmeans_indexed: cells scan partition-pruned to probed cells") {
     val df = SparkEntry.queries("knn_ivf_kmeans_indexed")(spark, d)
     val scans = df.queryExecution.executedPlan.toString

@@ -67,6 +67,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: first arrival kept, in-horizon dups dropped") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val docs = mem.toDF.toDF("doc_id", "ts", "text")
+    val q = graft.streaming.DocStreams.dedupExact(docs, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    try {
+      // batch 1: two distinct texts + an in-batch duplicate
+      mem.addData((1L, ts(0), "aa"), (2L, ts(1), "bb"), (3L, ts(2), "aa"))
+      q.processAllAvailable()
+      // batch 2: cross-batch duplicate within the horizon → dropped;
+      // a new text → kept
+      mem.addData((4L, ts(5), "bb"), (5L, ts(6), "cc"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_out")
+        .select("doc_id").as[Long].collect().toSet
+      assert(kept == Set(1L, 2L, 5L))
+    } finally q.stop()
+  }
+
   test("session_window stream: gap merges within, splits across") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
