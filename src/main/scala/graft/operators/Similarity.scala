@@ -165,7 +165,13 @@ object Similarity {
       .withColumn("cell", row_number().over(Window.orderBy(hashOrd: _*)) - 1)
       .select(col("cell"), col("e").as("c"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    // Early stop: stabilized means make converged centroids bit-identical,
+    // so compare round-to-round snapshots (k×dim doubles — metadata-scale,
+    // the only thing this trainer ever collects) and skip dead iterations.
+    var prev: Seq[(Int, Seq[Double])] = null
+    var i = 0
+    var done = false
+    while (i < iters && !done) {
       val asg = kmeansAssign(p, cent)
       cent = asg.join(p, "vec_id")
         .select(col("cell"), posexplode(col("e")))
@@ -174,6 +180,11 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("c"))
         .localCheckpoint()
+      val cur = cent.orderBy("cell").collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      done = cur == prev
+      prev = cur
+      i += 1
     }
     cent
   }

@@ -229,6 +229,9 @@ object DedupQueries {
     // SimHash near-dup pairs: hamming distance <= 2 on the 16-bit hash.
     // Spark side uses pigeonhole chunk banding (equi-join candidates);
     // the oracle keeps the readable all-pairs formulation — identical rows.
+    // (Measured: pre-materializing the hash table via localCheckpoint is a
+    // wash warm and ~2× worse cold — the duplicated simhash subtree rides
+    // the shared parquet scan, so it stays as one lazy plan.)
     GraftQuery("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d)), 2)
         .orderBy("doc_a", "doc_b"),
