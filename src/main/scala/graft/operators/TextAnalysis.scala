@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.TextOps
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** Text-analysis operators for training-data pipelines: token statistics,
   * quality scoring, language-ID heuristics, and document fingerprinting.
@@ -41,6 +41,42 @@ object TextAnalysis {
       .withColumn("quality",
         least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) *
           col("ttr") * (lit(1.0) - col("digit_ratio")))
+
+  /** One-pass corpus cleaning (the C4-style filter a training pipeline
+    * runs before anything else): minimum length, quality floor, and
+    * language gate — all derived from the SINGLE per-doc aggregate
+    * qualityScore already computes (the stopword ratio doubles as the
+    * lang-ID signal), so the whole pass is one scan + one hash aggregate
+    * regardless of how many filter dimensions are stacked on top.
+    */
+  def cleanCorpus(docs: DataFrame, minTokens: Long = 30, minQuality: Double = 0.32,
+                  langThreshold: Double = 0.02): DataFrame =
+    qualityScore(docs)
+      .withColumn("lang_pred",
+        when(col("stopword_ratio") >= langThreshold, "en").otherwise("und"))
+      .filter(col("n_tokens") >= minTokens && col("quality") >= minQuality &&
+        col("lang_pred") === "en")
+      .select("doc_id", "n_tokens", "quality", "lang_pred")
+
+  /** PII patterns, written to the RE2 ∩ java.util.regex common subset (no
+    * backrefs, no lookaround) so Spark and the DuckDB oracle match the
+    * same spans byte-for-byte.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe = "\\+?[0-9][0-9() -]{6,}[0-9]"
+
+  /** Redact emails, IPv4 addresses, and phone-shaped digit runs with typed
+    * placeholder tokens. Replacement order is fixed (email → ip → phone)
+    * because the later, greedier patterns must never see spans the earlier
+    * ones claim. Pure codegen'd string expressions — no UDF.
+    */
+  def scrubPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
 
   /** Stopword-ratio language-ID heuristic: docs whose English-stopword
     * ratio clears a threshold are tagged 'en', else 'und'. (A real lang-ID

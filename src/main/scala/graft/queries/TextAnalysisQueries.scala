@@ -106,6 +106,72 @@ object TextAnalysisQueries {
           |  FROM documents)
           |WHERE rn <= 20 ORDER BY lang, rn""".stripMargin)),
 
+    // The cleaning pass a training pipeline runs first: length floor +
+    // quality floor + language gate, all from one hash aggregate.
+    GraftQuery("text_clean_corpus",
+      (s, d) => TextAnalysis.cleanCorpus(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN word IN $stopListSql THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS stopword_ratio,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |q AS (
+           |  SELECT doc_id, n_tokens, stopword_ratio,
+           |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
+           |  FROM f)
+           |SELECT doc_id, n_tokens, quality,
+           |  CASE WHEN stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+           |FROM q
+           |WHERE n_tokens >= 30 AND quality >= 0.32 AND stopword_ratio >= 0.02
+           |ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction, oracle-checked end to end: both engines append the
+    // SAME deterministic email/phone/IP to every even doc (the corpus
+    // itself contains no digits), scrub with the identical RE2∩Java-safe
+    // patterns, and must produce byte-identical redacted text and match
+    // counts. Odd docs prove pass-through.
+    GraftQuery("text_pii_scrub",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val pii = concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com or +1 (555) 010-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+          lit(" host 10.0."), (col("doc_id") % 256).cast("string"), lit(".1"))
+        val aug = when(col("doc_id") % 2 === 0, pii).otherwise(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), aug.as("aug"))
+          .select(col("doc_id"),
+            regexp_count(col("aug"), lit(TextAnalysis.EmailRe)).cast("long").as("n_emails"),
+            regexp_count(col("aug"), lit(TextAnalysis.Ipv4Re)).cast("long").as("n_ips"),
+            TextAnalysis.scrubPii(col("aug")).as("scrubbed"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 2 = 0
+          |      THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+          |        || '@example.com or +1 (555) 010-'
+          |        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          |        || ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1'
+          |      ELSE text END AS aug
+          |  FROM documents)
+          |SELECT doc_id,
+          |  CAST(len(regexp_extract_all(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+          |  CAST(len(regexp_extract_all(aug, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+          |  regexp_replace(
+          |    regexp_replace(
+          |      regexp_replace(aug, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+          |    '\+?[0-9][0-9() -]{6,}[0-9]', '<PHONE>', 'g') AS scrubbed
+          |FROM aug ORDER BY doc_id""".stripMargin)),
+
     // Corpus bigram frequency table (n-gram LM statistics): top 50 by
     // count. Reuses the shingle machinery at n=2; counts are over all
     // occurrences (not per-doc distinct).

@@ -52,6 +52,22 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.size > a.size / 2)
   }
 
+  test("scrubPii: typed placeholders, ordering, pass-through") {
+    import spark.implicits._
+    val cases = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org today"),
+      (2L, "server 192.168.001.255 then call +44 (0) 207-946 0958 now"),
+      (3L, "no pii here at all"),
+      (4L, "a@b.io and 10.0.0.1 and 555-010-9999"))
+    val got = graft.operators.TextAnalysis.scrubPii(org.apache.spark.sql.functions.col("t"))
+    val out = cases.toDF("id", "t").select($"id", got.as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "mail me at <EMAIL> today")
+    assert(out(2L) == "server <IP> then call <PHONE> now")
+    assert(out(3L) == "no pii here at all")
+    assert(out(4L) == "<EMAIL> and <IP> and <PHONE>")
+  }
+
   test("sessionize: 30-min gap splits sessions, counts correct") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
