@@ -17,8 +17,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * UDF registration, full codegen.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.arrayDotFunction)
+    // HOF dot-product idiom → codegen'd ArrayDot (see DotProductRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.DotProductRewrite)
+  }
 }
 
 object GraftExtensions {

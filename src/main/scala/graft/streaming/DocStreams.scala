@@ -1,7 +1,9 @@
 package graft.streaming
 
+import graft.operators.IncrementalIndex
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming twins of the document-pipeline operators — the shapes an
   * always-on ingest for a training corpus needs.
@@ -24,4 +26,21 @@ object DocStreams {
     docs.withColumn("text_hash", md5(col("text")))
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
+
+  /** The always-on corpus pipeline in one query: stream in → dedup →
+    * fold into the incremental search index (foreachBatch over
+    * IncrementalIndex.ingestBatch). Duplicates never reach the index, so
+    * df counts stay correct without any read-modify-write; the index is
+    * queryable concurrently (append-only layout). Dedup emits first
+    * arrivals immediately — indexing latency is one micro-batch, not one
+    * watermark horizon.
+    */
+  def dedupIngest(docs: DataFrame, indexDir: String,
+                  horizon: String = "10 minutes"): StreamingQuery =
+    dedupExact(docs, horizon).writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) IncrementalIndex.ingestBatch(batch.drop("text_hash"), indexDir)
+      }
+      .start()
 }

@@ -15,6 +15,32 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == 32.0)
   }
 
+  // The rewrite tests run over `range`-derived columns: a local Seq would
+  // collapse to LocalRelation (fully evaluated) in the optimizer, and
+  // literal arrays would constant-fold, leaving nothing to rewrite.
+  test("optimizer rewrites the HOF dot-product idiom to array_dot") {
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(3)
+      .select(expr("array(CAST(id AS DOUBLE), 2.0d)").as("a"),
+        expr("array(3.0d, CAST(id AS DOUBLE))").as("b"))
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)").as("d"))
+    assert(df.queryExecution.optimizedPlan.toString.contains("array_dot"))
+    // id·3 + 2·id → 0, 5, 10
+    assert(df.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(0.0, 5.0, 10.0))
+  }
+
+  test("HOF rewrite declines when elements are nullable (NULL semantics differ)") {
+    import org.apache.spark.sql.functions.expr
+    val df = spark.range(3)
+      .select(expr("array(IF(id > 100, NULL, CAST(id AS DOUBLE)))").as("a"),
+        expr("array(CAST(id AS DOUBLE))").as("b"))
+      .select(expr(
+        "aggregate(zip_with(a, b, (x, y) -> x * y), 0.0d, (acc, v) -> acc + v)").as("d"))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("array_dot"))
+    assert(df.orderBy("d").collect().map(_.getDouble(0)).toSeq == Seq(0.0, 1.0, 4.0))
+  }
+
   test("array_dot null array -> null; wrong type -> analysis error") {
     val n = spark.sql(
       "SELECT array_dot(CAST(NULL AS ARRAY<DOUBLE>), array(1.0d)) AS d").head()

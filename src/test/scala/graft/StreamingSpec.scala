@@ -89,6 +89,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("deduped streaming ingest builds a searchable incremental index") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String, String, String, Long)]
+    val docs = mem.toDF.toDF("doc_id", "ts", "text", "source", "lang", "n_chars")
+    def doc(id: Long, m: Long, text: String) =
+      (id, ts(m), text, s"s$id", "en", text.length.toLong)
+    val idx = java.nio.file.Files.createTempDirectory("dedupidx").toString
+    val q = graft.streaming.DocStreams.dedupIngest(docs, idx)
+    try {
+      mem.addData(doc(1L, 0, "alpha beta gamma"), doc(2L, 1, "delta epsilon zeta"))
+      q.processAllAvailable()
+      mem.addData(doc(3L, 2, "alpha beta gamma"), // dup of 1 → never indexed
+        doc(4L, 3, "eta theta iota"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val vocab = graft.operators.IncrementalIndex.vocabulary(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(vocab.size == 9) // 3 docs × 3 unique words; the dup added nothing
+    assert(vocab("alpha") == 1L && vocab("eta") == 1L)
+    val hits = graft.operators.IncrementalIndex.searchTopK(spark, idx, "alpha beta", 10)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(hits == Seq(1L))
+  }
+
   test("session_window stream: gap merges within, splits across") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
