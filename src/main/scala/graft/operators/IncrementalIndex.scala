@@ -57,6 +57,46 @@ object IncrementalIndex {
       .start()
   }
 
+  /** Compact the append-only index: fold every vocab delta into a single
+    * consolidated delta, coalesce each postings bucket's accumulated
+    * per-batch files, and coalesce docinfo. Query answers are unchanged
+    * (spec-pinned) — df is associative, postings rows are untouched, only
+    * the file layout shrinks.
+    *
+    * Why this exists at scale: ingest appends one file set per
+    * micro-batch, so after N batches query-time listing and the
+    * vocabulary delta-sum are O(N). Periodic compaction resets them to
+    * O(1) — the same role parquet/table-format maintenance jobs play in
+    * any streaming lakehouse. Run it in a maintenance window: the
+    * directory swap (write aside, two renames) is atomic per table but
+    * not transactional across the three tables, so it must not race a
+    * concurrent ingest.
+    */
+  def compact(spark: SparkSession, indexDir: String): Unit = {
+    def swap(sub: String)(write: String => Unit): Unit = {
+      val live = new java.io.File(s"$indexDir/$sub")
+      val tmp = new java.io.File(s"$indexDir/${sub}_compacting")
+      val old = new java.io.File(s"$indexDir/${sub}_old")
+      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+      write(tmp.toString) // reads the live dir; completes before any rename
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+      require(live.renameTo(old) && tmp.renameTo(live), s"compaction swap failed for $sub")
+      org.apache.commons.io.FileUtils.deleteQuietly(old)
+    }
+    swap("vocab_delta") { out =>
+      vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
+        .coalesce(1).write.parquet(out)
+    }
+    swap("postings") { out =>
+      spark.read.parquet(s"$indexDir/postings")
+        .repartition(col("wb"))
+        .write.partitionBy("wb").parquet(out)
+    }
+    swap("docinfo") { out =>
+      spark.read.parquet(s"$indexDir/docinfo").coalesce(1).write.parquet(out)
+    }
+  }
+
   /** Current vocabulary view: df = sum of per-batch deltas. */
   def vocabulary(spark: SparkSession, indexDir: String): DataFrame =
     spark.read.parquet(s"$indexDir/vocab_delta")

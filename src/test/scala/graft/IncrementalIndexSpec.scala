@@ -41,5 +41,23 @@ class IncrementalIndexSpec extends AnyFunSuite {
 
     // out-of-vocabulary query → empty, no bucket scan issues
     assert(IncrementalIndex.searchTopK(spark, idx, "zzqx 42", 5).count() == 0)
+
+    // compaction: same answers, collapsed file layout
+    def parquetFiles(sub: String) =
+      org.apache.commons.io.FileUtils.listFiles(
+        new java.io.File(s"$idx/$sub"), Array("parquet"), true).size
+    val vocabFilesBefore = parquetFiles("vocab_delta")
+    assert(vocabFilesBefore >= 2) // one delta set per micro-batch
+    IncrementalIndex.compact(spark, idx)
+    assert(parquetFiles("vocab_delta") == 1)
+    val compVocab = IncrementalIndex.vocabulary(spark, idx)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(compVocab == batchVocab)
+    val comp = IncrementalIndex.searchTopK(spark, idx, Search.DefaultQuery, 10)
+      .select("doc_id", "score").collect().map(_.toString).toSeq
+    assert(comp == batch)
+    // index stays appendable after compaction
+    IncrementalIndex.ingestBatch(docs.limit(1), idx)
+    assert(IncrementalIndex.searchTopK(spark, idx, Search.DefaultQuery, 10).count() == 10)
   }
 }
