@@ -179,8 +179,21 @@ object Dedup {
 
   /** Same, from a prebuilt shingle table (doc_id, shingle). */
   def minhashLshPairsFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
-                          threshold: Double): DataFrame = {
-    val sig = minhashSignatures(sh, bands * rowsPerBand)
+                          threshold: Double): DataFrame =
+    minhashLshPairsFromSig(minhashSignatures(sh, bands * rowsPerBand), sh,
+      bands, rowsPerBand, threshold)
+
+  /** Same, from a prebuilt signature table (doc_id, h0..h{b·r-1}) plus the
+    * shingle table for the exact-Jaccard verify. Signatures are a pure
+    * function of the corpus and the hot expression of the whole LSH plan
+    * (bands·rows/2 md5 evaluations per shingle) — a pipeline that runs
+    * several LSH queries materializes them once and every downstream query
+    * reads a narrow fixed-width parquet instead of re-hashing the corpus.
+    * Note the SAME 12-column signature serves both the 3×4 and 6×2 banding:
+    * bandRows only regroups columns.
+    */
+  def minhashLshPairsFromSig(sig: DataFrame, sh: DataFrame, bands: Int,
+                             rowsPerBand: Int, threshold: Double): DataFrame = {
     val br = bandRows(sig, bands, rowsPerBand,
       cols => md5(concat_ws(":", cols.map(_.cast("string")): _*)))
     val cand = lshCandidates(br)

@@ -132,18 +132,18 @@ object Similarity {
   /** Assign each vector in `p` (vec_id, e) to its nearest centroid in
     * `cent` (cell, c) by squared euclidean distance. argmin(|e-c|²) =
     * argmin(c·c - 2e·c) — the e·e term is constant per vector and dropped.
-    * Two hash aggregates (min distance, then min cell on the tied set)
-    * keep the argmin deterministic and HashAggregate-only; the centroid
-    * side is k rows, always broadcast.
+    * Single pass: min over (d, cell) structs orders lexicographically, so
+    * the argmin is deterministic (min distance, then min cell on ties)
+    * while the scored cross join is evaluated exactly once — the previous
+    * two-aggregate formulation re-evaluated it for the join-back. The
+    * centroid side is k rows, always broadcast.
     */
-  def kmeansAssign(p: DataFrame, cent: DataFrame): DataFrame = {
-    val scored = p.crossJoin(broadcast(cent))
+  def kmeansAssign(p: DataFrame, cent: DataFrame): DataFrame =
+    p.crossJoin(broadcast(cent))
       .select(col("vec_id"), col("cell"),
         (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
-    val best = scored.groupBy("vec_id").agg(min("d").as("dmin"))
-    scored.join(best, "vec_id").filter(col("d") === col("dmin"))
-      .groupBy("vec_id").agg(min("cell").as("cell"))
-  }
+      .groupBy("vec_id").agg(min(struct(col("d"), col("cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell").as("cell"))
 
   /** Lloyd k-means over the embedding column: k deterministic hash-sampled
     * seeds, then `iters` rounds of assign + per-dimension mean — every step

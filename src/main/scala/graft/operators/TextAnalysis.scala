@@ -104,8 +104,14 @@ object TextAnalysis {
     * SortAggregate (Tungsten buffers hold only fixed-width primitives).
     */
   def fingerprint(docs: DataFrame, n: Int = 3): DataFrame =
-    Dedup.shingles(docs, n)
-      .groupBy("doc_id")
+    fingerprintFrom(Dedup.shingles(docs, n))
+
+  /** Same, from a prebuilt shingle table (doc_id, shingle) — callers that
+    * already materialized shingles (the dedup suite shares one parquet
+    * intermediate per corpus) skip the tokenize+shingle pass entirely.
+    */
+  def fingerprintFrom(sh: DataFrame): DataFrame =
+    sh.groupBy("doc_id")
       .agg(min(Dedup.shingleKey(col("shingle"))).as("fingerprint"))
 
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus

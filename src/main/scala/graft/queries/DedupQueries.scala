@@ -31,6 +31,27 @@ object DedupQueries {
     s.read.parquet(dir)
   }
 
+  /** MinHash signature columns shared by every md5-tier LSH query: 12
+    * hashes serve both the 3×4 parity banding and the 6×2 keep banding
+    * (banding only regroups columns). */
+  val SigHashes = 12
+
+  /** The md5 MinHash signature table, materialized once per SF dir — like
+    * the shingle table, it's a pure function of the corpus, and it's the
+    * single hottest expression of the LSH plans (6 md5 evaluations per
+    * shingle). Persisting it turns the parity-tier queries into reads of a
+    * 13-column fixed-width parquet: the same "write the intermediate" move
+    * a 100 TB dedup pipeline makes between its signature and banding
+    * stages.
+    */
+  def persistedSignatures(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft-sigs/${d.replaceAll("[^A-Za-z0-9.]", "_")}_n3_h$SigHashes"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Dedup.minhashSignatures(persistedShingles(s, d), SigHashes)
+        .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** Distinct 3-word shingles per doc (DuckDB twin of Dedup.shingles). */
   val shingleCte: String =
     """d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
@@ -115,7 +136,8 @@ object DedupQueries {
   val KeepThreshold = 0.6
 
   private def lshKeepPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairsFrom(persistedShingles(s, d), KeepBands, KeepRows, KeepThreshold)
+    Dedup.minhashLshPairsFromSig(persistedSignatures(s, d), persistedShingles(s, d),
+      KeepBands, KeepRows, KeepThreshold)
 
   def all: Seq[GraftQuery] = Seq(
 
@@ -137,7 +159,8 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GraftQuery("dedup_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairsFrom(persistedShingles(s, d), 3, 4, 0.5)
+      (s, d) => Dedup.minhashLshPairsFromSig(persistedSignatures(s, d),
+          persistedShingles(s, d), 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH ${lshPairCtes(3, 4, 0.5)}

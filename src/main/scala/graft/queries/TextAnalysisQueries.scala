@@ -54,7 +54,8 @@ object TextAnalysisQueries {
            |ORDER BY r.doc_id""".stripMargin)),
 
     GraftQuery("text_fingerprint",
-      (s, d) => TextAnalysis.fingerprint(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => TextAnalysis.fingerprintFrom(DedupQueries.persistedShingles(s, d))
+        .orderBy("doc_id"),
       Some(
         s"""WITH ${DedupQueries.shingleCte}, ${DedupQueries.shkCte}
            |SELECT doc_id, min(shk) AS fingerprint
