@@ -23,10 +23,21 @@ object SimilarityQueries {
 
   def all: Seq[GraftQuery] = Seq(
 
-    // Embedding-cosine near-duplicate pairs. Threshold 0.45: the synthetic
-    // embeddings top out at cos≈0.51, so this is the "near-dup" tail there
-    // (a production corpus would use ~0.9+).
+    // Embedding-cosine near-duplicate pairs, LSH-blocked. Threshold 0.45:
+    // the synthetic embeddings top out at cos≈0.51, so this is the
+    // "near-dup" tail there (a production corpus would use ~0.9+, where
+    // sign-bucket collision probability — and so recall — is far higher).
+    // The oracle replays the identical md5-derived hyperplanes and band
+    // buckets in SQL, so the blocked output hash-matches at any SF.
     GraftQuery("dedup_embedding",
+      (s, d) => Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
+        .orderBy("vec_a", "vec_b"),
+      Some(lshPairSql(1024, 8, 64, 0.45))),
+
+    // The all-pairs exact twin — correctness-gate only (bench-excluded):
+    // deliberately quadratic, it pins what the blocked path's recall is
+    // measured against (identical rows at the sf0.01 gate).
+    GraftQuery("dedup_embedding_exactverify",
       (s, d) => Similarity.cosinePairs(Tables.embeddings(s, d), 0.45)
         .orderBy("vec_a", "vec_b"),
       Some(
@@ -34,7 +45,8 @@ object SimilarityQueries {
            |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, ${cosSql("a", "b")} AS cos
            |FROM n a JOIN n b ON a.vec_id < b.vec_id
            |WHERE ${cosSql("a", "b")} >= 0.45
-           |ORDER BY vec_a, vec_b""".stripMargin)),
+           |ORDER BY vec_a, vec_b""".stripMargin),
+      bench = false),
 
     // Brute-force exact top-5 neighbors for the first 10 vectors.
     GraftQuery("knn_brute",
@@ -101,6 +113,37 @@ object SimilarityQueries {
       },
       None)
   )
+
+  /** DuckDB twin of Similarity.cosinePairsLsh: derive the same ±1
+    * hyperplanes from md5("j:i") parity, left-fold the same projections
+    * (list_sum over index order — bitwise identical to ArrayDot since ±1
+    * products are exact sign flips), pack the same band buckets, then
+    * exact cosine on bucket-collision candidates.
+    */
+  def lshPairSql(nBits: Int, rowsPerBand: Int, dim: Int, threshold: Double): String =
+    s"""WITH $prepCte,
+       |w AS (
+       |  SELECT j, i,
+       |    CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+       |         THEN 1.0 ELSE -1.0 END AS v
+       |  FROM range(0, $nBits) t1(j), range(1, ${dim + 1}) t2(i)),
+       |wl AS (SELECT j, list(v ORDER BY i) AS wv FROM w GROUP BY j),
+       |pj AS (
+       |  SELECT n.vec_id, wl.j,
+       |    list_sum(list_transform(range(1, ${dim + 1}), i -> n.e[i] * wl.wv[i])) AS proj
+       |  FROM n, wl),
+       |bits AS (
+       |  SELECT vec_id, CAST(j // $rowsPerBand AS INT) AS band,
+       |    sum(CASE WHEN proj >= 0 THEN 1 << (j % $rowsPerBand) ELSE 0 END) AS bh
+       |  FROM pj GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
+       |  FROM bits x JOIN bits y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id < y.vec_id)
+       |SELECT c.va AS vec_a, c.vb AS vec_b, ${cosSql("a", "b")} AS cos
+       |FROM cand c JOIN n a ON c.va = a.vec_id JOIN n b ON c.vb = b.vec_id
+       |WHERE ${cosSql("a", "b")} >= $threshold
+       |ORDER BY vec_a, vec_b""".stripMargin
 
   /** Shared by knn_ivf and knn_ivf_indexed — identical semantics. */
   lazy val knnIvfOracle: String =

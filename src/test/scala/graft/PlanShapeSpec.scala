@@ -57,6 +57,12 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup_embedding: hyperplane-LSH blocking plans as an equi-join") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("dedup_simhash_pairs: pigeonhole banding plans as an equi-join") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"))

@@ -26,6 +26,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.forall(_._3 == 1.0))
   }
 
+  test("cosinePairsLsh == cosinePairs on the sf0.001 corpus (full recall)") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf001)
+    val exact = Similarity.cosinePairs(emb, 0.45)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    val blocked = Similarity.cosinePairsLsh(emb, 0.45)
+      .as[(Long, Long, Double)].collect().toSeq.sorted
+    assert(blocked == exact)
+    assert(exact.nonEmpty) // the fixture has near-dup tail pairs to find
+  }
+
+  test("hyperplanes are deterministic ±1 and roughly balanced") {
+    val w = Similarity.hyperplanes(64, 16)
+    assert(w.flatten.forall(x => x == 1.0 || x == -1.0))
+    assert(w.map(_.toSeq).toSeq == Similarity.hyperplanes(64, 16).map(_.toSeq).toSeq)
+    // parity of a uniform hash: half the 1024 weights positive ±5σ (σ=16)
+    val pos = w.flatten.count(_ == 1.0)
+    assert(pos > 432 && pos < 592, s"pos=$pos of 1024")
+  }
+
   test("bruteForceTopK ranks by cosine with deterministic ties") {
     import spark.implicits._
     val r = Similarity.bruteForceTopK(vecs, 2, 2)
