@@ -67,25 +67,86 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media table with REAL image payloads: like fromDocuments, but image-
-    * modality rows carry a valid PNG (encoded per-partition via
-    * javax.imageio; audio/video stay text-byte stand-ins — no audio/video
-    * codecs in this container). Narrow: payloads are generated in place,
-    * never shuffled.
+  /** Deterministic audio parameters for the synthetic WAV payloads — the
+    * fixture contract the DuckDB oracle re-derives from doc_id: sample
+    * rate cycles four standard PCM rates, frame count spans 64..319.
     */
-  def withRealImages(docs: DataFrame): DataFrame = {
+  def audioParams(mediaId: Long): (Int, Int) =
+    (Seq(8000, 11025, 16000, 22050)((mediaId % 4).toInt),
+      (64 + mediaId % 256).toInt)
+
+  /** Encode a real WAV (PCM 16-bit mono) for a media id: rate/frames from
+    * `audioParams`, a deterministic sine payload. Runs through
+    * javax.sound.sampled — an actual audio codec in the JDK, so the decode
+    * side exercises a real RIFF/fmt-chunk parse, not a stub.
+    */
+  private def encodeWav(mediaId: Long): Array[Byte] = {
+    val (rate, nFrames) = audioParams(mediaId)
+    val pcm = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      val s = (math.sin(2 * math.Pi * (220.0 + mediaId % 110) * i / rate) * 12000).toInt
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Media table with REAL image and audio payloads: like fromDocuments,
+    * but image rows carry a valid PNG (javax.imageio) and audio rows a
+    * valid WAV (javax.sound.sampled); video stays a text-byte stand-in —
+    * no video codec ships with the JDK. Narrow: payloads are generated in
+    * place, never shuffled.
+    */
+  def withRealMedia(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     val base = fromDocuments(docs)
     val out = base.rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
-        val payload =
-          if (r.getString(1) == "image") encodePng(id)
-          else r.getAs[Array[Byte]]("payload")
+        val payload = r.getString(1) match {
+          case "image" => encodePng(id)
+          case "audio" => encodeWav(id)
+          case _ => r.getAs[Array[Byte]]("payload")
+        }
         Row(id, r.getString(1), payload, r.getString(3))
       }
     }
     spark.createDataFrame(out, mediaSchema)
+  }
+
+  /** Decode audio payloads with the real codec (javax.sound.sampled):
+    * parses the WAV header for true sample rate / frame count / channels.
+    * Narrow mapPartitions over the scan; non-decodable payloads surface as
+    * NULL fields rather than a crash.
+    */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("sample_rate", IntegerType),
+      StructField("n_frames", LongType),
+      StructField("channels", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val f = ais.getFormat
+          (f.getSampleRate.toInt, ais.getFrameLength, f.getChannels)
+        } catch { case _: Exception => null }
+        if (meta == null) Row(r.getLong(0), null, null, null)
+        else Row(r.getLong(0), meta._1, meta._2, meta._3)
+      }
+    }
+    spark.createDataFrame(out, schema)
   }
 
   /** Decode image payloads with the real codec (javax.imageio): parses the
@@ -118,6 +179,8 @@ object Multimodal {
     StructField("n_bytes", LongType),
     StructField("width", IntegerType),
     StructField("height", IntegerType),
+    StructField("sample_rate", IntegerType),
+    StructField("n_frames", LongType),
     StructField("checksum", LongType)))
 
   /** STUB decoder: a real implementation would parse the codec header and
@@ -137,27 +200,49 @@ object Multimodal {
 
   /** Decode/feature-extract over the payload column. Narrow (no shuffle):
     * runs per input partition, processing rows in a streaming iterator.
-    * Image payloads go through the REAL codec (javax.imageio — width and
-    * height are parsed from the actual PNG); other modalities fall back to
-    * the deterministic stub (no audio/video codecs in this container).
+    * Image payloads go through the REAL image codec (javax.imageio — width
+    * and height parsed from the actual PNG) and audio payloads through the
+    * REAL audio codec (javax.sound.sampled — sample rate and frame count
+    * parsed from the actual WAV header); video falls back to the
+    * deterministic stub (no video codec in the JDK). A payload its codec
+    * can't parse falls back to the stub too — corrupt files are data, not
+    * crashes.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "modality", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val img = if (r.getString(1) == "image") {
-          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-          catch { case _: java.io.IOException => null }
-        } else null
-        val (w, h, c) =
-          if (img != null) {
-            var checksum = 0L
-            var i = 0
-            while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
-            (img.getWidth, img.getHeight, checksum)
-          } else decodeStub(payload)
-        Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, c)
+        def byteChecksum: Long = {
+          var checksum = 0L
+          var i = 0
+          while (i < payload.length) { checksum = checksum * 31 + (payload(i) & 0xff); i += 1 }
+          checksum
+        }
+        val row = r.getString(1) match {
+          case "image" =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+              catch { case _: java.io.IOException => null }
+            if (img == null) null
+            else Row(r.getLong(0), r.getString(1), payload.length.toLong,
+              img.getWidth, img.getHeight, null, null, byteChecksum)
+          case "audio" =>
+            val meta = try {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              (ais.getFormat.getSampleRate.toInt, ais.getFrameLength)
+            } catch { case _: Exception => null }
+            if (meta == null) null
+            else Row(r.getLong(0), r.getString(1), payload.length.toLong,
+              null, null, meta._1, meta._2, byteChecksum)
+          case _ => null
+        }
+        if (row != null) row
+        else {
+          val (w, h, c) = decodeStub(payload)
+          Row(r.getLong(0), r.getString(1), payload.length.toLong, w, h, null, null, c)
+        }
       }
     }
     spark.createDataFrame(out, featureSchema)

@@ -31,9 +31,9 @@ object MultimodalQueries {
 
     GraftQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(
-        Multimodal.withRealImages(Tables.documents(s, d)))
+        Multimodal.withRealMedia(Tables.documents(s, d)))
         .orderBy("media_id"),
-      None), // image rows decode real PNGs; audio/video stay stubbed — rows-only check
+      None), // image/audio rows decode real PNG/WAV; video stays stubbed — rows-only check
 
     // Real-codec round trip, oracle-checked: image payloads are valid PNGs
     // (javax.imageio encode at synthesis), and width/height come from
@@ -42,13 +42,32 @@ object MultimodalQueries {
     // wrong header parse, stride bug, or synthesis drift all hash-fail.
     GraftQuery("multimodal_image_dims",
       (s, d) => Multimodal.decodeImageDims(
-        Multimodal.withRealImages(
+        Multimodal.withRealMedia(
           Tables.documents(s, d).filter(col("doc_id") % 3 === 0)))
         .orderBy("media_id"),
       Some(
         """SELECT doc_id AS media_id,
           |  CAST(4 + doc_id % 16 AS INT) AS width,
           |  CAST(4 + (doc_id // 16) % 16 AS INT) AS height
-          |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin))
+          |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)),
+
+    // Real-codec round trip for the SECOND modality, oracle-checked: audio
+    // payloads are valid WAVs (javax.sound.sampled encode at synthesis),
+    // and sample_rate / n_frames / channels come from DECODING those bytes.
+    // The oracle re-derives the fixture's audio contract
+    // (Multimodal.audioParams) from doc_id — a wrong RIFF parse, a
+    // frame-length bug, or synthesis drift all hash-fail.
+    GraftQuery("multimodal_audio_meta",
+      (s, d) => Multimodal.decodeAudioMeta(
+        Multimodal.withRealMedia(
+          Tables.documents(s, d).filter(col("doc_id") % 3 === 1)))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+          |       WHEN 2 THEN 16000 ELSE 22050 END AS INT) AS sample_rate,
+          |  CAST(64 + doc_id % 256 AS BIGINT) AS n_frames,
+          |  CAST(1 AS INT) AS channels
+          |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin))
   )
 }

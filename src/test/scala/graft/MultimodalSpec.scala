@@ -38,9 +38,9 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
 
-  test("withRealImages/decodeImageDims: PNG round trip through javax.imageio") {
+  test("withRealMedia/decodeImageDims: PNG round trip through javax.imageio") {
     val d = Tables.documents(spark, TestSpark.sf0001).limit(60)
-    val media = Multimodal.withRealImages(d)
+    val media = Multimodal.withRealMedia(d)
     // image payloads are real PNGs: magic bytes present
     val png = media.filter(col("modality") === "image").collect()
     assert(png.nonEmpty)
@@ -63,6 +63,31 @@ class MultimodalSpec extends AnyFunSuite {
       val (w, h) = Multimodal.imageDims(r.getLong(0))
       r.getInt(3) == w && r.getInt(4) == h
     })
+  }
+
+  test("withRealMedia/decodeAudioMeta: WAV round trip through javax.sound.sampled") {
+    val d = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val media = Multimodal.withRealMedia(d)
+    // audio payloads are real WAVs: RIFF magic present
+    val wav = media.filter(col("modality") === "audio").collect()
+    assert(wav.nonEmpty)
+    assert(wav.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p.length > 44 && p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F'
+    })
+    // decoded meta equals the synthesis contract
+    val meta = Multimodal.decodeAudioMeta(
+        media.filter(col("modality") === "audio")).collect()
+    assert(meta.nonEmpty)
+    assert(meta.forall { r =>
+      val (rate, frames) = Multimodal.audioParams(r.getLong(0))
+      r.getInt(1) == rate && r.getLong(2) == frames && r.getInt(3) == 1
+    })
+    // corrupt payload → NULL fields, no crash
+    import spark.implicits._
+    val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
+    val b = Multimodal.decodeAudioMeta(bad).collect()
+    assert(b.length == 1 && b.head.isNullAt(1) && b.head.isNullAt(2))
   }
 
   test("decodeImageDims: corrupt payload yields NULL dims, no crash") {
