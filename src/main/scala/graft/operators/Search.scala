@@ -64,22 +64,22 @@ object Search {
     * vocabulary through ONE partition. Instead, ranks are computed in
     * parallel per first-character group (tokens are [a-z0-9]+, so groups
     * sort-align with the global word order), and each group's starting
-    * offset comes from a ≤36-row count table — metadata-scale driver work.
+    * offset is a running-sum window over the ≤36-row prefix-count
+    * aggregate — computed IN-PLAN (no eager collect, so building a query
+    * that embeds a vocabulary rebuild triggers no Spark job before its
+    * action) and broadcast to the rank join. The single-partition window
+    * only ever sees the ≤36 aggregated prefix rows, never the vocabulary.
     * Ids are identical to the single-partition formulation.
     */
   def vocabularyFrom(byDocWord: DataFrame): DataFrame = {
     val agg = byDocWord
       .groupBy("word").agg(count(lit(1)).as("df")) // rows are distinct (doc,word)
       .withColumn("pfx", substring(col("word"), 1, 1))
-    val offsets = {
-      val counts = agg.groupBy("pfx").count()
-        .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-      val spark = byDocWord.sparkSession
-      import spark.implicits._
-      counts.scanLeft(("", 0L)) { case ((_, acc), (p, n)) => (p, acc + n) }
-        .zip(counts).map { case ((_, off), (p, _)) => (p, off) }
-        .toSeq.toDF("pfx", "off")
-    }
+    val offsets = agg.groupBy("pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.orderBy("pfx")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pfx", "off")
     agg.join(broadcast(offsets), "pfx")
       .withColumn("word_id",
         (col("off") + row_number().over(Window.partitionBy("pfx").orderBy("word")) - 1)

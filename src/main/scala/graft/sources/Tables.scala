@@ -9,9 +9,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Tables {
 
+  /** Parquet schema per path, inferred once: Spark runs a footer-reading
+    * job for every schemaless `read.parquet`, so a session that builds
+    * many plans over the same tables pays one job per PLAN BUILD. The
+    * schemas are a fixed contract per SF dir — cache them so every load
+    * after the first is job-free (and plan construction is fully lazy).
+    */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, StructType]()
+
   /** Load one of the star-schema / text / vector / stream tables. */
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val path = s"$dir/$name.parquet"
+    val sch = schemaCache.computeIfAbsent(path, p => spark.read.parquet(p).schema)
+    spark.read.schema(sch).parquet(path)
+  }
 
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")

@@ -128,6 +128,21 @@ class SearchSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("searchTopK plan construction is fully lazy — zero Spark jobs") {
+    val tracker = spark.sparkContext.statusTracker
+    // first build absorbs one-time source setup (parquet footer/listing
+    // can run a job on first read of a table); the plan itself must then
+    // build job-free. An eager job (e.g. a collect inside plan building)
+    // completes synchronously inside the call, so ids are visible after.
+    Search.searchTopK(spark, TestSpark.sf0001).queryExecution.analyzed
+    val before = tracker.getJobIdsForGroup(null).length
+    val df = Search.searchTopK(spark, TestSpark.sf0001)
+    df.queryExecution.analyzed // force analysis, still no action
+    val after = tracker.getJobIdsForGroup(null).length
+    assert(after == before, s"plan build ran ${after - before} eager job(s)")
+    assert(df.count() == 10) // the action itself still works
+  }
+
   test("searchTopK end-to-end on sf0.001 returns k rows, deterministic") {
     val a = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
     val b = Search.searchTopK(spark, TestSpark.sf0001, "the fast table scan the", 10).collect()
