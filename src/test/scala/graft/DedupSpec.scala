@@ -76,6 +76,30 @@ class DedupSpec extends AnyFunSuite {
     assert(fast.map(p => (p._1, p._2)).toSet.subsetOf(exact))
   }
 
+  test("cross-tier containment on sf0.01: fast pairs ⊇ md5 pairs at jaccard >= 0.7") {
+    // The production (xxhash64) tier must not lose what the oracle-parity
+    // (md5) tier finds. At the actionable-dedup banding (6 bands × 2 rows
+    // — the dedup_keep configuration), a j >= 0.7 pair collides in some
+    // band with prob >= 1-(1-0.49)^6 ≈ 0.98, and every >=0.7 pair in this
+    // corpus is in fact >=0.9 (prob 0.99996) — so above the working
+    // threshold the fast tier's pair set must contain every
+    // confidently-duplicate md5 pair. (At the 3×4 parity banding the
+    // j=0.9 catch prob is only ~0.96/tier — containment genuinely doesn't
+    // hold there, which is why dedup_keep rides the 6×2 banding.) Hashes
+    // are deterministic, so this is a stable regression lock on real data.
+    import spark.implicits._
+    val sh = Dedup.shingles(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.01"), 3)
+    val md5Hi = Dedup.minhashLshPairsFrom(sh, 6, 2, 0.5)
+      .as[(Long, Long, Double)].collect().filter(_._3 >= 0.7)
+      .map(p => (p._1, p._2)).toSet
+    val fast = Dedup.minhashLshPairsFastFrom(sh, 6, 2, 0.5)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    assert(md5Hi.nonEmpty) // the corpus plants near-dup pairs
+    assert(md5Hi.subsetOf(fast),
+      s"fast tier lost ${(md5Hi -- fast).mkString(", ")}")
+  }
+
   test("banded simhashPairs == all-pairs formulation on the sf0.001 corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
