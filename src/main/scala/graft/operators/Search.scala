@@ -117,21 +117,53 @@ object Search {
       .toSeq.toDF("word", "qtf")
   }
 
+  /** Per-query postings in ONE corpus pass: (doc_id, word, tf, df) for
+    * query terms only. Scoring never needs word ids, so the token stream
+    * is filtered to the ≤|q| query words right after explode (narrow —
+    * nothing but matching occurrences ever reaches a shuffle), tf is the
+    * usual two-key count, and df rides a count window partitioned by word
+    * over the already-filtered postings. ONE tokenize of the corpus; the
+    * full vocabulary (global ids, prefix offsets) is only materialized by
+    * queries whose OUTPUT contains ids — vocab_build, postings_tf, the
+    * persisted index. (The previous formulation joined scoring through the
+    * vocabulary on word_id; with the in-plan vocab rebuilt on both the
+    * postings and query sides plus the offsets branch, Catalyst planned
+    * SIX corpus tokenizes per query — column pruning made each subtree
+    * canonically distinct, so no exchange reuse was possible.)
+    */
+  def queryPostings(docs: DataFrame, query: String): DataFrame = {
+    val qwords = TextOps.tokenizeScala(TextOps.filterTextScala(query)).distinct
+    tokens(docs).filter(col("word").isin(qwords: _*))
+      .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+  }
+
+  /** Q2-Q4 core: reference scoring over the single-pass query postings. */
+  private def scoresInPlan(spark: SparkSession, docs: DataFrame,
+                           query: String): DataFrame =
+    queryPostings(docs, query)
+      .join(broadcast(queryTerms(spark, query)), "word")
+      .select(col("doc_id"),
+        (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 9).as("score"))
+
   /** Q2-Q8: score + top-k. Scoring formula is the reference's exactly
     * (quirk Q-b, Query.java:113-115): score(d) = Σ_{w∈q∩d} tf_d·tf_q/df².
-    * No log, no N/df — replicated for parity. Plans as one shuffle (the
-    * per-doc sum) + TakeOrderedAndProject; doc metadata joins the tiny top-k
-    * result via broadcast. Ties break on doc_id (quirk Q-d) and the limit is
-    * exact k (quirk Q-c's k+1 off-by-one is a bug, not replicated —
-    * documented in SearchSpec).
+    * No log, no N/df — replicated for parity. Plans as ONE corpus
+    * tokenize + two query-term-sized shuffles + TakeOrderedAndProject;
+    * doc metadata joins the tiny top-k result via broadcast. Ties break on
+    * doc_id (quirk Q-d) and the limit is exact k (quirk Q-c's k+1
+    * off-by-one is a bug, not replicated — documented in SearchSpec).
     */
   def searchTopK(spark: SparkSession, dir: String,
                  query: String = DefaultQuery, k: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    val byDocWord = docWordCounts(docs)
-    val vocab = vocabularyFrom(byDocWord)
-    val post = postingsFrom(byDocWord, vocab)
-    scoreAndRank(spark, post, vocab, docInfo(docs), query, k)
+    scoresInPlan(spark, docs, query)
+      .orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
+      .select("doc_id", "score", "source", "lang")
+      .orderBy(desc("score"), asc("doc_id"))
   }
 
   /** Shared Q2-Q8 tail over any (postings, vocab, docinfo) triple. */
@@ -190,15 +222,7 @@ object Search {
                    query: String = "the good person", k: Int = 10): DataFrame = {
     val corpus = Tables.corpusJson(spark, corpusDir)
     val docs = corpus.select(col("id").as("doc_id"), col("text"))
-    val vocab = vocabulary(docs)
-    val post = postings(docs, vocab)
-    val qt = queryTerms(spark, query).join(vocab, "word")
-      .select("word_id", "qtf", "df")
-    post.join(broadcast(qt), "word_id")
-      .select(col("doc_id"),
-        (col("tf") * col("qtf") / (col("df").cast("double") * col("df"))).as("part"))
-      .groupBy("doc_id")
-      .agg(Stable.stab(sum(col("part")), 9).as("score"))
+    scoresInPlan(spark, docs, query)
       .orderBy(desc("score"), asc("doc_id")).limit(k)
       .join(broadcast(corpus.select(col("id").as("doc_id"), col("url"), col("title"))),
         "doc_id")

@@ -157,16 +157,12 @@ object SearchQueries {
     GraftQuery("search_topk_logidf",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val byDocWord = Search.docWordCounts(docs)
-        val vocab = Search.vocabularyFrom(byDocWord)
-        val post = Search.postingsFrom(byDocWord, vocab)
         // Corpus size N stays IN the plan (single-row broadcast joined to
         // every posting) — an eager docs.count() here would run a separate
         // full-scan job per invocation, doubling corpus reads at scale.
         val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-        val qt = Search.queryTerms(s, Search.DefaultQuery)
-          .join(vocab, "word").select("word_id", "qtf", "df")
-        post.join(broadcast(qt), "word_id")
+        Search.queryPostings(docs, Search.DefaultQuery)
+          .join(broadcast(Search.queryTerms(s, Search.DefaultQuery)), "word")
           .crossJoin(broadcast(nDf))
           .select(col("doc_id"),
             (col("tf") * col("qtf") * log(col("n_docs") / col("df"))).as("part"))

@@ -43,6 +43,10 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("search_topk")
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("BroadcastHashJoin"))
+    // single-pass scoring: ONE corpus tokenize + the doc-info broadcast —
+    // the word_id-joined formulation re-tokenized the corpus six times
+    // (formatted mode prints each scan node twice: tree + detail section)
+    assert("Scan parquet".r.findAllIn(p).size <= 4, "extra corpus scans")
   }
 
   test("dedup_minhash_lsh: all aggregates are hash aggregates") {
