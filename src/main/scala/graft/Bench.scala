@@ -42,7 +42,11 @@ object Bench {
     // (JIT, codegen cache, the search index build, OS page cache); run 2 is
     // the plan's own cost — which is what a resident 1000-executor cluster
     // would see per query.
-    val results = Registry.all.filter(_.bench).map { q =>
+    // Optional comma-separated query-name filter — builder-side iteration
+    // on a few queries; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val results = Registry.all.filter(_.bench)
+      .filter(q => only.forall(_.contains(q.name))).map { q =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         try { q.fn(spark, sfDir).count() } catch {
