@@ -114,6 +114,49 @@ object TextAnalysis {
     sh.groupBy("doc_id")
       .agg(min(Dedup.shingleKey(col("shingle"))).as("fingerprint"))
 
+  /** Per-document bigram-LM negative log-likelihood — the perplexity-style
+    * quality signal LLM data pipelines filter on (a doc whose word
+    * transitions are improbable under the corpus's own bigram statistics
+    * is boilerplate, gibberish, or another language). Model: add-one-
+    * smoothed bigram probabilities P(w2|w1) = (c(w1,w2)+1)/(c(w1·)+V),
+    * trained on the SAME corpus entirely in-plan; score(d) = mean over
+    * d's bigram occurrences of −ln P.
+    *
+    * Scale posture: bigram/first-word counts are groupBy + equi-join (NOT
+    * count-windows — a window partitioned by "the" would put a measurable
+    * share of a 100 TB corpus in one partition; the join form AQE-splits
+    * skewed keys). The vocabulary size and first-word counts are
+    * vocab-bounded (broadcastable); only the (w1,w2)-keyed join shuffles
+    * corpus-scale data. Each −ln is stab(6)-collapsed, per-doc sums ride
+    * the exact order-independent decimal path, so the DuckDB oracle
+    * hash-matches (ln differs in the last ulp across libm builds).
+    */
+  def bigramNll(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val bigram = transform(
+      sequence(lit(0), size(col("arr")) - 2),
+      i => struct(element_at(col("arr"), i + 1).as("w1"),
+        element_at(col("arr"), i + 2).as("w2")))
+    val b = docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"), explode(bigram).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val cb = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val cf = b.groupBy("w1").agg(count(lit(1)).as("cf"))
+    val v = docs.select(explode(arr).as("w"))
+      .agg(countDistinct("w").cast("double").as("v"))
+    b.join(cb, Seq("w1", "w2"))
+      .join(broadcast(cf), Seq("w1"))
+      .crossJoin(broadcast(v))
+      .select(col("doc_id"),
+        Stable.stab(-log((col("cb") + 1).cast("double") /
+          (col("cf").cast("double") + col("v"))), 6).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Stable.stab(Stable.dsum(col("nll"), 6) / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
     * subword-like segments (runs of letters / digits / single punctuation),
     * the standard cheap proxy for LLM token budgeting.

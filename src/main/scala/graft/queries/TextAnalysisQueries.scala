@@ -199,6 +199,30 @@ object TextAnalysisQueries {
           |SELECT bigram, count(*) AS n FROM b
           |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 50""".stripMargin)),
 
+    // Per-doc bigram-LM negative log-likelihood (add-one smoothing, model
+    // trained on the same corpus in-plan) — the perplexity-style quality
+    // filter signal. ln is stab(6)'d per occurrence, per-doc sums ride the
+    // exact decimal path, so the oracle hash-matches.
+    GraftQuery("text_perplexity",
+      (s, d) => graft.operators.TextAnalysis.bigramNll(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |b AS (
+          |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          |  FROM d, unnest(range(1, len(arr))) t(i)
+          |  WHERE len(arr) >= 2),
+          |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+          |cf AS (SELECT w1, count(*) AS cf FROM b GROUP BY 1),
+          |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM d, unnest(arr) u(w)),
+          |nll AS (
+          |  SELECT b.doc_id,
+          |    floor(-ln((cb.cb + 1) / (cf.cf + (SELECT v FROM v)))*1000000.0+0.5)/1000000.0 AS nll
+          |  FROM b JOIN cb USING (w1, w2) JOIN cf USING (w1))
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  floor((CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*))*1000000.0+0.5)/1000000.0 AS avg_nll
+          |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).

@@ -52,6 +52,20 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(a.map(_._2).distinct.size > a.size / 2)
   }
 
+  test("bigramNll: add-one smoothed LM, hand-computed values") {
+    import spark.implicits._
+    // corpus: "a a a" → (a,a)×2; "a b" → (a,b)×1
+    // cb: (a,a)=2, (a,b)=1; cf: a=3; V = |{a,b}| = 2
+    // P(a|a) = 3/5 → -ln = 0.510826 (stab6); P(b|a) = 2/5 → 0.916291
+    val d = Seq(
+      (1L, "a a a", "en", "s", 5L),
+      (2L, "a b", "en", "s", 3L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val r = graft.operators.TextAnalysis.bigramNll(d)
+      .as[(Long, Long, Double)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, 2L, 0.510826), (2L, 1L, 0.916291)))
+  }
+
   test("scrubPii: typed placeholders, ordering, pass-through") {
     import spark.implicits._
     val cases = Seq(
