@@ -138,8 +138,8 @@ object Dedup {
     * All band hashes in ONE projection + explode — a union of per-band
     * selects would re-run the signature aggregation once per band.
     */
-  private def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                       bandHash: Seq[Column] => Column): DataFrame = {
+  private[graft] def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int,
+                              bandHash: Seq[Column] => Column): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), bandHash(cols).as("bh"))

@@ -27,6 +27,91 @@ object DocStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** One micro-batch of streaming NEAR-dup dedup against an accumulated
+    * signature index. Returns the batch's novel docs; appends their
+    * signatures to `stateDir`.
+    *
+    * Mechanics (the production blocked-dedup shape, incrementalized):
+    * fast-tier MinHash signatures for the batch; LSH band buckets joined
+    * against BOTH the persisted index's band rows and the batch's own
+    * (first-arrival-wins within a batch: doc_a < doc_b); candidates
+    * verify on signature agreement (fraction of equal components >=
+    * `minAgree` — the MinHash estimate of Jaccard, so state holds ONLY
+    * the 12×8-byte signature per doc, never shingles or text). Docs with
+    * a verified prior/earlier match are dropped; survivors' signatures
+    * append to the index.
+    *
+    * Scale posture: every join is a band-bucket equi-join; state grows
+    * 96 B/doc (+ band rows derived on read — at real scale the index
+    * would persist band-partitioned for pruning, as IncrementalIndex does
+    * for words); a transitive chain within one batch collapses to its
+    * minimum doc_id exactly like the batch `dedup_keep` rule.
+    */
+  def dedupNearLshBatch(batch: DataFrame, stateDir: String,
+                        bands: Int = 6, rowsPerBand: Int = 2,
+                        minAgree: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val spark = batch.sparkSession
+    val n = bands * rowsPerBand
+    val sigCols = (0 until n).map(i => s"h$i")
+    val sig = Dedup.minhashSignaturesFast(Dedup.shingles(batch), n)
+      .localCheckpoint() // reused 4×: band rows, both verify sides, append
+    val prior = {
+      val dir = new java.io.File(stateDir)
+      if (dir.exists() && new java.io.File(s"$stateDir/_SUCCESS").exists())
+        Some(spark.read.parquet(stateDir))
+      else None
+    }
+    def bandsOf(s: DataFrame) =
+      Dedup.bandRows(s, bands, rowsPerBand, cols => xxhash64(cols: _*))
+    val newBands = bandsOf(sig)
+    val agree = sigCols.map(c =>
+      when(col(s"a.$c") === col(s"b.$c"), 1).otherwise(0)).reduce(_ + _)
+      .cast("double") / n
+    // candidate (new doc b, earlier doc a) pairs: a from the index, or an
+    // earlier doc of the same batch
+    val priorCand = prior.map { p =>
+      bandsOf(p).as("x").join(newBands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    }
+    val batchCand = newBands.as("x").join(newBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+    val cand = priorCand.map(_.unionAll(batchCand)).getOrElse(batchCand).distinct()
+    val aSide = prior.map(_.unionAll(sig)).getOrElse(sig)
+    val dupIds = cand
+      .join(aSide.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .filter(agree >= minAgree)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val novel = batch.join(dupIds, Seq("doc_id"), "left_anti")
+    val novelSig = sig.join(dupIds, Seq("doc_id"), "left_anti")
+    // append AFTER computing novel (state write is the batch's last step)
+    novelSig.write.mode(if (prior.isDefined) "append" else "overwrite")
+      .parquet(stateDir)
+    novel
+  }
+
+  /** Always-on streaming near-dup dedup: novel docs land in `outDir`,
+    * signatures accumulate in `stateDir`. foreachBatch (not a stateful
+    * operator) because the dedup state is a persistent, queryable,
+    * append-only table shared with batch jobs — the same layout decision
+    * as IncrementalIndex.
+    */
+  def dedupNearIngest(docs: DataFrame, stateDir: String, outDir: String,
+                      bands: Int = 6, rowsPerBand: Int = 2,
+                      minAgree: Double = 0.5): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty)
+          dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
+            .write.mode("append").parquet(outDir)
+      }
+      .start()
+
   /** The always-on corpus pipeline in one query: stream in → dedup →
     * fold into the incremental search index (foreachBatch over
     * IncrementalIndex.ingestBatch). Duplicates never reach the index, so

@@ -89,6 +89,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup dedup: LSH state across batches, novel docs survive") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val docs = mem.toDF.toDF("doc_id", "text")
+    val state = java.nio.file.Files.createTempDirectory("neardupstate").toString + "/sigs"
+    val out = java.nio.file.Files.createTempDirectory("neardupout").toString + "/docs"
+    val q = graft.streaming.DocStreams.dedupNearIngest(docs, state, out)
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    try {
+      // batch 1: base text + an unrelated doc + an in-batch exact dup
+      mem.addData((1L, base), (2L, "one two three four five six seven eight"),
+        (3L, base))
+      q.processAllAvailable()
+      // batch 2: a cross-batch NEAR dup of doc 1 (one word changed), an
+      // exact cross-batch dup of doc 2, and a genuinely novel doc
+      mem.addData((4L, base.replace("theta", "iota")),
+        (5L, "one two three four five six seven eight"),
+        (6L, "red orange yellow green blue indigo violet crimson"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 6L))
+    // state holds signatures ONLY for survivors
+    val stateIds = spark.read.parquet(state).select("doc_id").as[Long].collect().toSet
+    assert(stateIds == Set(1L, 2L, 6L))
+  }
+
   test("deduped streaming ingest builds a searchable incremental index") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
