@@ -142,6 +142,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(hits == Seq(1L))
   }
 
+  test("streaming vector ingest folds into the IVF index; queries still prune") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("vecidx").toString
+    // build the index (and train centroids) on the first half of the corpus
+    graft.operators.Similarity.buildKmeansIvfIndex(
+      emb.filter(col("vec_id") % 2 === 0), idx)
+    val before = spark.read.parquet(s"$idx/cells").count()
+    // stream in the second half as two micro-batches
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val docs = mem.toDF.toDF("vec_id", "embedding", "label")
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float], Int)].collect()
+    val q = graft.streaming.VectorStreams.vectorIngest(docs, idx)
+    try {
+      mem.addData(rest.take(rest.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rest.drop(rest.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val cells = spark.read.parquet(s"$idx/cells")
+    assert(cells.count() == before + rest.length)
+    // ingested assignments agree with a batch assignment vs the SAME centroids
+    val cent = spark.read.parquet(s"$idx/centroids")
+    val p = graft.operators.Similarity.prepared(emb.filter(col("vec_id") % 2 === 1))
+    val want = graft.operators.Similarity.kmeansAssign(p.select("vec_id", "e"), cent)
+      .as[(Long, Int)].collect().toMap
+    val got = cells.select("vec_id", "cell").as[(Long, Int)].collect()
+      .filter(x => x._1 % 2 == 1).toMap
+    assert(got == want)
+    // ANN query over the grown index still partition-prunes
+    val df = graft.operators.Similarity.knnIvfKmeansIndexed(
+      spark, idx, emb.filter(col("vec_id") < 5), 3)
+    assert(df.queryExecution.executedPlan.toString.contains("PartitionFilters: [cell"))
+    assert(df.count() > 0)
+  }
+
   test("session_window stream: gap merges within, splits across") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
