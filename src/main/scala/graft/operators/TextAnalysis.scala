@@ -157,6 +157,25 @@ object TextAnalysis {
         Stable.stab(Stable.dsum(col("nll"), 6) / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** Per-document repeated-n-gram ratio — the repetition quality signal
+    * (boilerplate, keyword stuffing, and degenerate generations repeat
+    * n-grams; curation rules threshold on this). Over ALL n-gram
+    * occurrences (not per-doc distinct): rep = 1 − distinct/total.
+    * Single narrow explode + one hash aggregate; the ratio is one exact
+    * integer division, so no stabilizer is needed.
+    */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val grams = transform(sequence(lit(0), size(col("arr")) - n),
+      i => concat_ws(" ", (0 until n).map(k => element_at(col("arr"), i + k + 1)): _*))
+    docs.select(col("doc_id"), arr.as("arr")).filter(size(col("arr")) >= n)
+      .select(col("doc_id"), explode(grams).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"), countDistinct("g").as("n_distinct"))
+      .withColumn("rep_ratio",
+        lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
     * subword-like segments (runs of letters / digits / single punctuation),
     * the standard cheap proxy for LLM token budgeting.

@@ -223,6 +223,44 @@ object TextAnalysisQueries {
           |  floor((CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*))*1000000.0+0.5)/1000000.0 AS avg_nll
           |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Repeated-3-gram ratio per doc — the repetition quality signal
+    // curation rules threshold on (boilerplate / stuffing / degenerate
+    // text repeats n-grams).
+    GraftQuery("text_repetition",
+      (s, d) => TextAnalysis.repetition(Tables.documents(s, d)).orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |g AS (
+          |  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+          |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
+          |  WHERE len(arr) >= 3)
+          |SELECT doc_id, count(*) AS n_ngrams, count(DISTINCT g) AS n_distinct,
+          |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
+          |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: flag training docs sharing any 3-shingle
+    // with the benchmark set (docs 0-9 stand in for an eval suite — the
+    // real pipeline swaps in its benchmark corpus). The benchmark shingle
+    // set is eval-sized, so it broadcasts; the corpus side is one scan of
+    // the shared persisted shingle table.
+    GraftQuery("text_decontaminate",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val sh = DedupQueries.persistedShingles(s, d)
+        val bench = sh.filter(col("doc_id") < 10).select("shingle").distinct()
+        sh.filter(col("doc_id") >= 10)
+          .join(broadcast(bench), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DedupQueries.shingleCte},
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10)
+           |SELECT doc_id, count(*) AS n_contaminated
+           |FROM sh JOIN bench USING (shingle)
+           |WHERE doc_id >= 10
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).
