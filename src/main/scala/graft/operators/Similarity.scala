@@ -234,37 +234,47 @@ object Similarity {
     * Returns (cell INT 0..k-1, c ARRAY<DOUBLE>).
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
     val p = prepared(embeddings).select("vec_id", "e")
     // Seeds: first k vectors in xxhash64 order — a deterministic uniform
-    // sample (TakeOrdered k, no full sort). The window below only ever
-    // sees those k rows.
+    // sample (TakeOrdered k, no full sort; k×dim doubles is the only
+    // thing this trainer ever collects, and it collects it anyway for the
+    // convergence check).
     val hashOrd = Seq(xxhash64(col("vec_id")), col("vec_id"))
-    var cent = p.orderBy(hashOrd: _*).limit(k)
-      .withColumn("cell", row_number().over(Window.orderBy(hashOrd: _*)) - 1)
-      .select(col("cell"), col("e").as("c"))
-      .localCheckpoint()
-    // Early stop: stabilized means make converged centroids bit-identical,
-    // so compare round-to-round snapshots (k×dim doubles — metadata-scale,
-    // the only thing this trainer ever collects) and skip dead iterations.
+    var cent: Seq[(Int, Seq[Double])] = p.orderBy(hashOrd: _*).limit(k)
+      .select(col("e")).collect().map(_.getSeq[Double](0))
+      .zipWithIndex.map { case (e, i) => (i, e) }.toSeq
+    // Per round, ONE action: the collect that pulls the k×dim means to the
+    // driver both materializes the round (the next round's plan starts
+    // from a LocalRelation — O(1) lineage, no localCheckpoint job) and is
+    // the convergence snapshot (stabilized means make converged centroids
+    // bit-identical, so equality is an exact early stop).
     var prev: Seq[(Int, Seq[Double])] = null
     var i = 0
-    var done = false
-    while (i < iters && !done) {
-      val asg = kmeansAssign(p, cent)
-      cent = asg.join(p, "vec_id")
+    while (i < iters && cent != prev) {
+      prev = cent
+      val centDf = cent.toDF("cell", "c")
+      // assign carries e through the argmin aggregate (any_value — e is
+      // functionally determined by the vec_id key), so the mean stage
+      // needs no join-back to p: one shuffle saved per round
+      val asg = p.crossJoin(broadcast(centDf))
+        .select(col("vec_id"), col("e"), col("cell"),
+          (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
+        .groupBy("vec_id")
+        .agg(min(struct(col("d"), col("cell"))).as("best"), any_value(col("e")).as("e"))
+        .select(col("best.cell").as("cell"), col("e"))
+      cent = asg
         .select(col("cell"), posexplode(col("e")))
         .groupBy("cell", "pos").agg(Stable.stab(avg("col"), 6).as("m"))
         .groupBy("cell")
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
         .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("c"))
-        .localCheckpoint()
-      val cur = cent.orderBy("cell").collect()
-        .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
-      done = cur == prev
-      prev = cur
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+        .sortBy(_._1)
       i += 1
     }
-    cent
+    cent.toDF("cell", "c")
   }
 
   /** Route queries (query_id, e) to their `nprobe` nearest k-means cells. */
