@@ -34,6 +34,7 @@ object Bench {
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()
+      graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed: ${e.getMessage}")
     }

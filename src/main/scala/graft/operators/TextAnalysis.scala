@@ -131,24 +131,43 @@ object TextAnalysis {
     * the exact order-independent decimal path, so the DuckDB oracle
     * hash-matches (ln differs in the last ulp across libm builds).
     */
-  def bigramNll(docs: DataFrame): DataFrame = {
-    import graft.functions.Stable
+  /** The bigram occurrence stream (doc_id, w1, w2) — one narrow explode. */
+  def bigramStream(docs: DataFrame): DataFrame = {
     val arr = TextOps.splitWords(TextOps.normalize(col("text")))
     val bigram = transform(
       sequence(lit(0), size(col("arr")) - 2),
       i => struct(element_at(col("arr"), i + 1).as("w1"),
         element_at(col("arr"), i + 2).as("w2")))
-    val b = docs.select(col("doc_id"), arr.as("arr"))
+    docs.select(col("doc_id"), arr.as("arr"))
       .filter(size(col("arr")) >= 2)
       .select(col("doc_id"), explode(bigram).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+  }
+
+  /** Train the bigram LM: one row per observed bigram with its count, the
+    * first-word continuation count, and the vocabulary size — everything
+    * scoring needs, denormalized so the scorer does ONE model join. A
+    * pipeline trains this once and scores many corpora with it.
+    */
+  def bigramLm(docs: DataFrame): DataFrame = {
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val b = bigramStream(docs)
     val cb = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
     val cf = b.groupBy("w1").agg(count(lit(1)).as("cf"))
     val v = docs.select(explode(arr).as("w"))
       .agg(countDistinct("w").cast("double").as("v"))
-    b.join(cb, Seq("w1", "w2"))
-      .join(broadcast(cf), Seq("w1"))
-      .crossJoin(broadcast(v))
+    cb.join(cf, Seq("w1")).crossJoin(broadcast(v))
+  }
+
+  def bigramNll(docs: DataFrame): DataFrame =
+    bigramNllFrom(bigramStream(docs), bigramLm(docs))
+
+  /** Score docs against a (pre-trained) model: one corpus pass + one
+    * model equi-join.
+    */
+  def bigramNllFrom(b: DataFrame, lm: DataFrame): DataFrame = {
+    import graft.functions.Stable
+    b.join(lm, Seq("w1", "w2"))
       .select(col("doc_id"),
         Stable.stab(-log((col("cb") + 1).cast("double") /
           (col("cf").cast("double") + col("v"))), 6).as("nll"))

