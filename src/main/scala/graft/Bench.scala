@@ -35,6 +35,7 @@ object Bench {
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()
       graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()
+      graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed: ${e.getMessage}")
     }

@@ -116,9 +116,25 @@ object Similarity {
     */
   def cosinePairsLsh(embeddings: DataFrame, threshold: Double,
                      nBits: Int = 1024, rowsPerBand: Int = 8,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = 64): DataFrame =
+    cosinePairsLshFrom(embeddings,
+      embeddingBands(embeddings, nBits, rowsPerBand, dim), threshold)
+
+  /** The (vec_id, band, bh) LSH sketch of an embeddings table — a pure
+    * corpus function a pipeline persists next to the vectors (it's the
+    * expensive stage: nBits projections per vector).
+    */
+  def embeddingBands(embeddings: DataFrame, nBits: Int = 1024,
+                     rowsPerBand: Int = 8, dim: Int = 64): DataFrame =
+    signBandRows(prepared(embeddings).select("vec_id", "e"),
+      hyperplanes(nBits, dim), rowsPerBand)
+
+  /** Candidates from a (pre-built) band-row sketch, exact-cosine verified
+    * against the vectors.
+    */
+  def cosinePairsLshFrom(embeddings: DataFrame, br: DataFrame,
+                         threshold: Double): DataFrame = {
     val p = prepared(embeddings)
-    val br = signBandRows(p.select("vec_id", "e"), hyperplanes(nBits, dim), rowsPerBand)
     val cand = br.as("x").join(br.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.vec_id") < col("y.vec_id"))

