@@ -284,12 +284,14 @@ object TextAnalysisQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
         val byDocWord = graft.operators.Search.docWordCounts(docs)
-        val vocab = graft.operators.Search.vocabularyFrom(byDocWord)
-        val post = graft.operators.Search.postingsFrom(byDocWord, vocab)
+        // df directly from the (doc,word) aggregate — word ids are pure
+        // plumbing here, and routing through the vocabulary dragged its
+        // whole rank/offset subtree (and extra corpus scans) into the plan
+        val df = byDocWord.groupBy("word").agg(count(lit(1)).as("df"))
         // In-plan corpus count (single-row broadcast), not an eager
         // docs.count() driver job — see search_topk_logidf.
         val nDf = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-        val scored = post.join(broadcast(vocab.select("word", "word_id", "df")), "word_id")
+        val scored = byDocWord.join(broadcast(df), "word")
           .crossJoin(broadcast(nDf))
           .select(col("doc_id"), col("word"),
             graft.functions.Stable.stab(col("tf") * log(col("n_docs") / col("df")), 6).as("tfidf"))
