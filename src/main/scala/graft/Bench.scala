@@ -33,6 +33,7 @@ object Bench {
       graft.queries.DedupQueries.persistedShingles(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedSimhash60(spark, sfDir).count()
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()
       graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()
       graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()

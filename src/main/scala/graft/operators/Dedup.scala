@@ -290,6 +290,54 @@ object Dedup {
         .as("simhash"))
   }
 
+  /** 60-bit SimHash — the production-width tier. Bit j (0..59) is bit
+    * (3 − j%4) of hex nibble j/4 of md5(w): 60 bits keeps every power of
+    * two a positive BIGINT in both engines (bit 63 would overflow DuckDB's
+    * checked shift). Same tf-weighted majority vote as the 16-bit tier.
+    * At 16 bits the pigeonhole chunks have 64/32/32 values — every bucket
+    * is corpus-sized at scale; 20-bit chunks give ~10⁶ buckets, so the
+    * candidate join stays selective on a large corpus.
+    */
+  def simhash60(docs: DataFrame): DataFrame = {
+    val toks = Search.tokens(docs).groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val nibble = conv(col("h").substr((col("j") / 4).cast("int") + 1, lit(1)), 16, 10)
+      .cast("int")
+    val bit = nibble.bitwiseAND(expr("shiftleft(1, 3 - j % 4)")) > 0
+    val bitRows = toks
+      .select(col("doc_id"), col("tf"), md5(col("word")).as("h"))
+      .select(col("doc_id"), col("tf"), explode(sequence(lit(0), lit(59))).as("j"),
+        col("h"))
+      .select(col("doc_id"), col("j"),
+        when(bit, col("tf")).otherwise(-col("tf")).as("vote"))
+    bitRows.groupBy("doc_id", "j").agg(sum("vote").as("v"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("v") > 0, expr("shiftleft(CAST(1 AS BIGINT), j)"))
+        .otherwise(0L)).as("simhash"))
+  }
+
+  /** Pigeonhole pairs over the 60-bit hash: 3 disjoint 20-bit chunks for
+    * hamming <= 2 (any such pair leaves one chunk untouched), exact
+    * hamming as the join residual. Identical output to the all-pairs
+    * formulation; candidate buckets are ~2^20 per chunk.
+    */
+  def simhashPairs60(sh: DataFrame, maxHamming: Int = 2): DataFrame = {
+    require(maxHamming == 2, "chunk layout below is specialized to <=2")
+    val mask20 = (1 << 20) - 1
+    val chunks = array((0 until 3).map { k =>
+      struct(lit(k).as("ck"),
+        shiftright(col("simhash"), k * 20).bitwiseAND(lit(mask20.toLong)).as("cv"))
+    }: _*)
+    val cr = sh.select(col("doc_id"), col("simhash"), explode(chunks).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.ck").as("ck"), col("c.cv").as("cv"))
+    cr.as("a").join(cr.as("b"),
+        col("a.ck") === col("b.ck") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
   /** SimHash near-dup pairs at hamming distance <= maxHamming, via
     * pigeonhole banding instead of an all-pairs nested-loop join: split the
     * 16-bit hash into maxHamming+1 disjoint chunks — any pair within the

@@ -65,6 +65,15 @@ object DedupQueries {
     s.read.parquet(dir)
   }
 
+  /** The 60-bit SimHash table (production width), materialized once per
+    * SF dir like the 16-bit tier. */
+  def persistedSimhash60(s: SparkSession, d: String): DataFrame = {
+    val dir = s"/tmp/graft-simhash60/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+      Dedup.simhash60(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
+    s.read.parquet(dir)
+  }
+
   /** Distinct 3-word shingles per doc (DuckDB twin of Dedup.shingles). */
   val shingleCte: String =
     """d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
@@ -291,6 +300,48 @@ object DedupQueries {
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // 60-bit SimHash (production width): at 16 bits the pigeonhole chunk
+    // buckets have 64/32/32 values — corpus-sized at scale; 20-bit chunks
+    // give ~10^6 buckets so candidate joins stay selective. Oracled via
+    // the identical md5-nibble bit derivation in SQL.
+    GraftQuery("dedup_simhash_wide",
+      (s, d) => persistedSimhash60(s, d).orderBy("doc_id"),
+      Some(simhash60Cte +
+        "\nSELECT doc_id, simhash FROM simh ORDER BY doc_id")),
+
+    GraftQuery("dedup_simhash_wide_pairs",
+      (s, d) => Dedup.simhashPairs60(persistedSimhash60(s, d), 2)
+        .orderBy("doc_a", "doc_b"),
+      Some(simhash60Cte +
+        """
+          |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+          |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
+          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
           |ORDER BY doc_a, doc_b""".stripMargin))
   )
+
+  /** DuckDB twin of Dedup.simhash60: bit j = bit (3 − j%4) of md5 hex
+    * nibble j/4, tf-weighted majority vote, 60-bit packing.
+    */
+  val simhash60Cte: String =
+    """WITH tf AS (
+      |  SELECT doc_id, w AS word, count(*) AS tf
+      |  FROM documents, unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+      |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')
+      |  GROUP BY 1, 2),
+      |votes AS (
+      |  SELECT doc_id, j,
+      |    sum(CASE WHEN ((CAST(strpos('0123456789abcdef',
+      |                     substr(md5(word), CAST(j // 4 + 1 AS INT), 1)) - 1 AS INT)
+      |                   >> CAST(3 - j % 4 AS INT)) & 1) = 1
+      |             THEN tf ELSE -tf END) AS v
+      |  FROM tf, unnest(range(0, 60)) u(j)
+      |  GROUP BY 1, 2),
+      |simh AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN v > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY doc_id)""".stripMargin
 }

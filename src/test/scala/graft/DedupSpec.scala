@@ -100,6 +100,21 @@ class DedupSpec extends AnyFunSuite {
       s"fast tier lost ${(md5Hi -- fast).mkString(", ")}")
   }
 
+  test("simhash60: identical docs identical hashes; 60-bit range; pigeonhole pairs") {
+    import spark.implicits._
+    val sh = Dedup.simhash60(docs)
+    val m = sh.as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L))                      // identical docs
+    assert(m.values.forall(v => v >= 0 && v < (1L << 60)))
+    assert(m(1L) != m(4L))                      // unrelated docs differ
+    val pairs = Dedup.simhashPairs60(sh, 2)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 2L && p._3 == 0L))
+    // at 60 bits, hamming<=2 is a REAL near-dup signal: the unrelated doc
+    // never pairs (at 16 bits it frequently would by chance)
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
   test("banded simhashPairs == all-pairs formulation on the sf0.001 corpus") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
