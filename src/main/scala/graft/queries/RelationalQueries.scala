@@ -617,6 +617,27 @@ object RelationalQueries {
         s"""SELECT o_custkey, count(*) AS n_orders, ${dsumSql("o_totalprice")} AS sum_price
            |FROM orders JOIN customer ON o_custkey = c_custkey
            |WHERE c_mktsegment = 'BUILDING'
-           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin))
+           |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin)),
+
+    // Correlated LATERAL top-N — a SQL shape the DataFrame API can't
+    // express directly (per-row dependent subquery with ORDER BY/LIMIT);
+    // Spark decorrelates it into a ranked join. Same text runs in DuckDB.
+    GraftQuery("q_lateral_topn",
+      (s, d) => {
+        customer(s, d).createOrReplaceTempView("customer")
+        orders(s, d).createOrReplaceTempView("orders")
+        s.sql(lateralTopnSql)
+      },
+      Some(lateralTopnSql))
   )
+
+  /** Shared verbatim by the Spark and DuckDB sides of q_lateral_topn. */
+  val lateralTopnSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+      |         WHERE o.o_custkey = c.c_custkey
+      |         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |WHERE c.c_custkey <= 100
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 }
