@@ -117,25 +117,28 @@ object Search {
       .toSeq.toDF("word", "qtf")
   }
 
-  /** Per-query postings in ONE corpus pass: (doc_id, word, tf, df) for
-    * query terms only. Scoring never needs word ids, so the token stream
-    * is filtered to the ≤|q| query words right after explode (narrow —
-    * nothing but matching occurrences ever reaches a shuffle), tf is the
-    * usual two-key count, and df rides a count window partitioned by word
-    * over the already-filtered postings. ONE tokenize of the corpus; the
-    * full vocabulary (global ids, prefix offsets) is only materialized by
-    * queries whose OUTPUT contains ids — vocab_build, postings_tf, the
-    * persisted index. (The previous formulation joined scoring through the
-    * vocabulary on word_id; with the in-plan vocab rebuilt on both the
-    * postings and query sides plus the offsets branch, Catalyst planned
-    * SIX corpus tokenizes per query — column pruning made each subtree
-    * canonically distinct, so no exchange reuse was possible.)
+  /** Per-query postings: (doc_id, word, tf, df) for query terms only.
+    * Scoring never needs word ids, so the token stream is filtered to the
+    * ≤|q| query words right after explode (narrow — nothing but matching
+    * occurrences ever reaches a shuffle), tf is the usual two-key count,
+    * and df is a ≤|q|-row aggregate broadcast back onto the postings.
+    * df via groupBy + broadcast join, NOT a count window partitioned by
+    * word: map-side partials mean the final aggregate for a stopword key
+    * sees one row per task, where a window would materialize every
+    * posting of "the" in a single partition — a straggler at corpus
+    * scale. The df branch re-derives the filtered aggregate (Catalyst
+    * prunes the two consumers differently, so the corpus is tokenized
+    * twice — down from SIX in the word_id-joined formulation, and both
+    * passes carry the query-term filter); the full vocabulary (global
+    * ids, prefix offsets) is only materialized by queries whose OUTPUT
+    * contains ids — vocab_build, postings_tf, the persisted index.
     */
   def queryPostings(docs: DataFrame, query: String): DataFrame = {
     val qwords = TextOps.tokenizeScala(TextOps.filterTextScala(query)).distinct
-    tokens(docs).filter(col("word").isin(qwords: _*))
+    val post = tokens(docs).filter(col("word").isin(qwords: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("word")))
+    val df = post.groupBy("word").agg(count(lit(1)).as("df"))
+    post.join(broadcast(df), "word")
   }
 
   /** Q2-Q4 core: reference scoring over the single-pass query postings. */

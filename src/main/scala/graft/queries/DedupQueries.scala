@@ -24,12 +24,10 @@ object DedupQueries {
     * parquet — the pipeline-correct "write the intermediate" move a 100 TB
     * run would make, and what keeps the library operators cache-free.
     */
-  def persistedShingles(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft-shingles/${d.replaceAll("[^A-Za-z0-9.]", "_")}_n3"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      Dedup.shingles(Tables.documents(s, d), 3).write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+  def persistedShingles(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "shingles", "documents.parquet", "_n3") {
+      Dedup.shingles(Tables.documents(s, d), 3)
+    }
 
   /** MinHash signature columns shared by every md5-tier LSH query: 12
     * hashes serve both the 3×4 parity banding and the 6×2 keep banding
@@ -44,13 +42,10 @@ object DedupQueries {
     * a 100 TB dedup pipeline makes between its signature and banding
     * stages.
     */
-  def persistedSignatures(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft-sigs/${d.replaceAll("[^A-Za-z0-9.]", "_")}_n3_h$SigHashes"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+  def persistedSignatures(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "sigs", "documents.parquet", s"_n3_h$SigHashes") {
       Dedup.minhashSignatures(persistedShingles(s, d), SigHashes)
-        .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+    }
 
   /** The 16-bit SimHash table, materialized once per SF dir — a pure
     * corpus function like shingles/signatures. The pairs query's
@@ -58,21 +53,17 @@ object DedupQueries {
     * (tokenize → tf → 16-way explode → two aggregations) on BOTH join
     * sides; now both sides read a 2-column parquet.
     */
-  def persistedSimhash(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft-simhash/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      Dedup.simhash(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+  def persistedSimhash(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "simhash", "documents.parquet") {
+      Dedup.simhash(Tables.documents(s, d))
+    }
 
   /** The 60-bit SimHash table (production width), materialized once per
     * SF dir like the 16-bit tier. */
-  def persistedSimhash60(s: SparkSession, d: String): DataFrame = {
-    val dir = s"/tmp/graft-simhash60/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      Dedup.simhash60(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+  def persistedSimhash60(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "simhash60", "documents.parquet") {
+      Dedup.simhash60(Tables.documents(s, d))
+    }
 
   /** Distinct 3-word shingles per doc (DuckDB twin of Dedup.shingles). */
   val shingleCte: String =

@@ -19,13 +19,10 @@ object MultimodalQueries {
     * and written once; queries scan the parquet (payload column pruned
     * away entirely for metadata-only queries).
     */
-  def persistedMedia(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = s"/tmp/graft-media/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+  def persistedMedia(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "media", "documents.parquet") {
       Multimodal.withRealMedia(Tables.documents(s, d))
-        .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+    }
 
   def all: Seq[GraftQuery] = Seq(
 

@@ -26,13 +26,10 @@ object SimilarityQueries {
     * expensive part of blocked near-dup, and it's a pure corpus function
     * a pipeline persists next to the vectors.
     */
-  def persistedEmbeddingBands(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = s"/tmp/graft-embands/${d.replaceAll("[^A-Za-z0-9.]", "_")}_b1024r8"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+  def persistedEmbeddingBands(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "embands", "embeddings.parquet", "_b1024r8") {
       Similarity.embeddingBands(Tables.embeddings(s, d))
-        .write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+    }
 
   def all: Seq[GraftQuery] = Seq(
 

@@ -15,12 +15,10 @@ object TextAnalysisQueries {
     * ONE corpus pass + one model join (in-plan training re-scanned the
     * corpus once per pruned model branch).
     */
-  def persistedBigramLm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
-    val dir = s"/tmp/graft-bigramlm/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
-      TextAnalysis.bigramLm(Tables.documents(s, d)).write.mode("overwrite").parquet(dir)
-    s.read.parquet(dir)
-  }
+  def persistedBigramLm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "bigramlm", "documents.parquet") {
+      TextAnalysis.bigramLm(Tables.documents(s, d))
+    }
 
   def all: Seq[GraftQuery] = Seq(
 

@@ -46,10 +46,17 @@ object DocStreams {
     * would persist band-partitioned for pruning, as IncrementalIndex does
     * for words); a transitive chain within one batch collapses to its
     * minimum doc_id exactly like the batch `dedup_keep` rule.
+    *
+    * Returns (novel docs, their signatures) — the CALLER writes them,
+    * output first and state second (see dedupNearIngest). The duplicate-id
+    * set is localCheckpoint'ed before returning, so (a) the candidate +
+    * verify subtree runs once even though both returned frames consume it,
+    * and (b) neither returned plan reads stateDir at write time — the
+    * state append can never race its own batch's reads.
     */
   def dedupNearLshBatch(batch: DataFrame, stateDir: String,
                         bands: Int = 6, rowsPerBand: Int = 2,
-                        minAgree: Double = 0.5): DataFrame = {
+                        minAgree: Double = 0.5): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     val n = bands * rowsPerBand
@@ -86,12 +93,9 @@ object DocStreams {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .filter(agree >= minAgree)
       .select(col("doc_b").as("doc_id")).distinct()
-    val novel = batch.join(dupIds, Seq("doc_id"), "left_anti")
-    val novelSig = sig.join(dupIds, Seq("doc_id"), "left_anti")
-    // append AFTER computing novel (state write is the batch's last step)
-    novelSig.write.mode(if (prior.isDefined) "append" else "overwrite")
-      .parquet(stateDir)
-    novel
+      .localCheckpoint() // batch-bounded id set; see Scaladoc
+    (batch.join(dupIds, Seq("doc_id"), "left_anti"),
+      sig.join(dupIds, Seq("doc_id"), "left_anti"))
   }
 
   /** Always-on streaming near-dup dedup: novel docs land in `outDir`,
@@ -99,6 +103,12 @@ object DocStreams {
     * operator) because the dedup state is a persistent, queryable,
     * append-only table shared with batch jobs — the same layout decision
     * as IncrementalIndex.
+    *
+    * Write order matters: output FIRST, state LAST. A crash between the
+    * two writes re-delivers the batch with its signatures absent from
+    * state, so the docs are re-emitted (at-least-once). The reverse order
+    * would make a re-delivered batch match its own persisted signatures
+    * and be dropped forever.
     */
   def dedupNearIngest(docs: DataFrame, stateDir: String, outDir: String,
                       bands: Int = 6, rowsPerBand: Int = 2,
@@ -106,9 +116,12 @@ object DocStreams {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty)
-          dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
-            .write.mode("append").parquet(outDir)
+        if (!batch.isEmpty) {
+          val (novel, novelSig) =
+            dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
+          novel.write.mode("append").parquet(outDir)
+          novelSig.write.mode("append").parquet(stateDir)
+        }
       }
       .start()
 

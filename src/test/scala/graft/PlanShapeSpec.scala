@@ -43,10 +43,14 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("search_topk")
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("BroadcastHashJoin"))
-    // single-pass scoring: ONE corpus tokenize + the doc-info broadcast —
-    // the word_id-joined formulation re-tokenized the corpus six times
-    // (formatted mode prints each scan node twice: tree + detail section)
-    assert("Scan parquet".r.findAllIn(p).size <= 4, "extra corpus scans")
+    // word-keyed scoring: two filtered corpus tokenizes (postings + df
+    // branch) + the doc-info broadcast — the word_id-joined formulation
+    // re-tokenized the corpus six times (formatted mode prints each scan
+    // node twice: tree + detail section)
+    assert("Scan parquet".r.findAllIn(p).size <= 6, "extra corpus scans")
+    // df comes from an aggregate broadcast, never a word-partitioned
+    // count window (a stopword key would straggle at corpus scale)
+    assert(!p.contains("Window"), "df must not ride a window")
   }
 
   test("dedup_minhash_lsh: all aggregates are hash aggregates") {

@@ -26,15 +26,17 @@ class SimilaritySpec extends AnyFunSuite {
     assert(p.forall(_._3 == 1.0))
   }
 
-  test("cosinePairsLsh == cosinePairs on the sf0.001 corpus (full recall)") {
+  test("cosinePairsLsh == cosinePairs on both test corpora (full recall)") {
     import spark.implicits._
-    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf001)
-    val exact = Similarity.cosinePairs(emb, 0.45)
-      .as[(Long, Long, Double)].collect().toSeq.sorted
-    val blocked = Similarity.cosinePairsLsh(emb, 0.45)
-      .as[(Long, Long, Double)].collect().toSeq.sorted
-    assert(blocked == exact)
-    assert(exact.nonEmpty) // the fixture has near-dup tail pairs to find
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      val exact = Similarity.cosinePairs(emb, 0.45)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      val blocked = Similarity.cosinePairsLsh(emb, 0.45)
+        .as[(Long, Long, Double)].collect().toSeq.sorted
+      assert(blocked == exact, d)
+      assert(exact.nonEmpty, d) // both fixtures have near-dup tail pairs
+    }
   }
 
   test("hyperplanes are deterministic ±1 and roughly balanced") {
