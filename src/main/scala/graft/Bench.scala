@@ -32,6 +32,7 @@ object Bench {
     try {
       graft.queries.DedupQueries.persistedShingles(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedSignaturesFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash60(spark, sfDir).count()
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()

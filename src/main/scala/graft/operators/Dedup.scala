@@ -207,8 +207,16 @@ object Dedup {
     * semantics are pinned by DedupSpec against the md5 tier.
     */
   def minhashLshPairsFastFrom(sh: DataFrame, bands: Int, rowsPerBand: Int,
-                              threshold: Double): DataFrame = {
-    val sig = minhashSignaturesFast(sh, bands * rowsPerBand)
+                              threshold: Double): DataFrame =
+    minhashLshPairsFastFromSig(minhashSignaturesFast(sh, bands * rowsPerBand),
+      sh, bands, rowsPerBand, threshold)
+
+  /** Fast tier from a prebuilt xxhash64 signature table — like the md5
+    * tier's `minhashLshPairsFromSig`, the signature aggregation is the hot
+    * expression and a pipeline materializes it once per corpus.
+    */
+  def minhashLshPairsFastFromSig(sig: DataFrame, sh: DataFrame, bands: Int,
+                                 rowsPerBand: Int, threshold: Double): DataFrame = {
     val br = bandRows(sig, bands, rowsPerBand, cols => xxhash64(cols: _*))
     val cand = lshCandidates(br)
     val shk = sh.select(col("doc_id"), shingleKeyFast(col("shingle")).as("shk"))

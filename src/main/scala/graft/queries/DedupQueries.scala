@@ -47,6 +47,17 @@ object DedupQueries {
       Dedup.minhashSignatures(persistedShingles(s, d), SigHashes)
     }
 
+  /** The xxhash64 (fast-tier) MinHash signature table, materialized once
+    * per SF dir — the production twin of `persistedSignatures`. Without it
+    * `dedup_minhash_fast` re-aggregated 12 xxhash64 mins over the shingle
+    * table on every run (the only LSH query still hashing the corpus
+    * in-plan, and the non-noise part of its round-5 bench regression).
+    */
+  def persistedSignaturesFast(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "sigsfast", "documents.parquet", s"_n3_h$SigHashes") {
+      Dedup.minhashSignaturesFast(persistedShingles(s, d), SigHashes)
+    }
+
   /** The 16-bit SimHash table, materialized once per SF dir — a pure
     * corpus function like shingles/signatures. The pairs query's
     * pigeonhole self-join previously re-derived the whole simhash subtree
@@ -184,7 +195,8 @@ object DedupQueries {
     // No cross-engine digest → rows-only driver check; DedupSpec pins its
     // agreement with the md5 tier on the fixture.
     GraftQuery("dedup_minhash_fast",
-      (s, d) => Dedup.minhashLshPairsFastFrom(persistedShingles(s, d), 3, 4, 0.5)
+      (s, d) => Dedup.minhashLshPairsFastFromSig(persistedSignaturesFast(s, d),
+          persistedShingles(s, d), 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
       None),
 
@@ -267,6 +279,10 @@ object DedupQueries {
     // the persisted simhash parquet (the in-plan formulation re-derived
     // the whole simhash subtree on both self-join sides); the oracle keeps
     // the readable all-pairs formulation — identical rows.
+    // bench = false: at 16 bits the chunk buckets have 64/32/32 values, so
+    // this tier's 15k pairs are mostly chance collisions — it survives as
+    // an oracle-parity demo only; dedup_simhash_wide_pairs (60-bit) is the
+    // benched production path.
     GraftQuery("dedup_simhash_pairs",
       (s, d) => Dedup.simhashPairs(persistedSimhash(s, d), 2)
         .orderBy("doc_a", "doc_b"),
@@ -291,7 +307,8 @@ object DedupQueries {
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-          |ORDER BY doc_a, doc_b""".stripMargin)),
+          |ORDER BY doc_a, doc_b""".stripMargin),
+      bench = false),
 
     // 60-bit SimHash (production width): at 16 bits the pigeonhole chunk
     // buckets have 64/32/32 values — corpus-sized at scale; 20-bit chunks
