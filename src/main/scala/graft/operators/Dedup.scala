@@ -137,15 +137,20 @@ object Dedup {
   /** Explode a signature table into (doc_id, band, bh) band-bucket rows.
     * All band hashes in ONE projection + explode — a union of per-band
     * selects would re-run the signature aggregation once per band.
+    * `carry` keeps extra columns (e.g. the signature itself) on each band
+    * row — the denormalization the streaming near-dup state uses so its
+    * verify step never joins back to a full signature table.
     */
   private[graft] def bandRows(sig: DataFrame, bands: Int, rowsPerBand: Int,
-                              bandHash: Seq[Column] => Column): DataFrame = {
+                              bandHash: Seq[Column] => Column,
+                              carry: Seq[String] = Nil): DataFrame = {
     val bandStructs = array((0 until bands).map { b =>
       val cols = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"h$i"))
       struct(lit(b).as("band"), bandHash(cols).as("bh"))
     }: _*)
-    sig.select(col("doc_id"), explode(bandStructs).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    sig.select(col("doc_id") +: carry.map(col) :+ explode(bandStructs).as("bb"): _*)
+      .select(col("doc_id") +: carry.map(col) :+
+        col("bb.band").as("band") :+ col("bb.bh").as("bh"): _*)
   }
 
   /** LSH candidate pairs from band rows: docs sharing any (band, bh). */

@@ -73,16 +73,8 @@ object IncrementalIndex {
     * concurrent ingest.
     */
   def compact(spark: SparkSession, indexDir: String): Unit = {
-    def swap(sub: String)(write: String => Unit): Unit = {
-      val live = new java.io.File(s"$indexDir/$sub")
-      val tmp = new java.io.File(s"$indexDir/${sub}_compacting")
-      val old = new java.io.File(s"$indexDir/${sub}_old")
-      org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-      write(tmp.toString) // reads the live dir; completes before any rename
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
-      require(live.renameTo(old) && tmp.renameTo(live), s"compaction swap failed for $sub")
-      org.apache.commons.io.FileUtils.deleteQuietly(old)
-    }
+    def swap(sub: String)(write: String => Unit): Unit =
+      swapDir(indexDir, sub)(write)
     swap("vocab_delta") { out =>
       vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
         .coalesce(1).write.parquet(out)
@@ -95,6 +87,23 @@ object IncrementalIndex {
     swap("docinfo") { out =>
       spark.read.parquet(s"$indexDir/docinfo").coalesce(1).write.parquet(out)
     }
+  }
+
+  /** Write-aside + two-rename directory swap — the atomic-per-table move
+    * every compaction here uses (`compact` above, and the streaming
+    * near-dup state's `DocStreams.compactState`). `write` must fully
+    * materialize into the temp dir (it reads the live dir) before any
+    * rename happens.
+    */
+  private[graft] def swapDir(baseDir: String, sub: String)(write: String => Unit): Unit = {
+    val live = new java.io.File(s"$baseDir/$sub")
+    val tmp = new java.io.File(s"$baseDir/${sub}_compacting")
+    val old = new java.io.File(s"$baseDir/${sub}_old")
+    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+    write(tmp.toString) // reads the live dir; completes before any rename
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
+    require(live.renameTo(old) && tmp.renameTo(live), s"compaction swap failed for $sub")
+    org.apache.commons.io.FileUtils.deleteQuietly(old)
   }
 
   /** Current vocabulary view: df = sum of per-batch deltas. */

@@ -27,32 +27,44 @@ object DocStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Partition-bucket count for the streaming near-dup state: band rows
+    * land in `bands × StateBuckets` parquet partitions keyed by
+    * (band, bkt = pmod(bh, StateBuckets)). A micro-batch touches at most
+    * min(batchRows × bands, bands × StateBuckets) of them, so the state
+    * scan is pruned no matter how large the accumulated index grows.
+    */
+  val StateBuckets = 64
+
+  private def stateBkt: org.apache.spark.sql.Column =
+    pmod(col("bh"), lit(StateBuckets.toLong)).cast("int")
+
   /** One micro-batch of streaming NEAR-dup dedup against an accumulated
-    * signature index. Returns the batch's novel docs; appends their
-    * signatures to `stateDir`.
+    * signature index. Returns the batch's novel docs and their state rows;
+    * the CALLER writes them (output first, state last — see
+    * dedupNearIngest).
     *
     * Mechanics (the production blocked-dedup shape, incrementalized):
     * fast-tier MinHash signatures for the batch; LSH band buckets joined
     * against BOTH the persisted index's band rows and the batch's own
     * (first-arrival-wins within a batch: doc_a < doc_b); candidates
     * verify on signature agreement (fraction of equal components >=
-    * `minAgree` — the MinHash estimate of Jaccard, so state holds ONLY
-    * the 12×8-byte signature per doc, never shingles or text). Docs with
-    * a verified prior/earlier match are dropped; survivors' signatures
-    * append to the index.
+    * `minAgree` — the MinHash estimate of Jaccard, so state never holds
+    * shingles or text). Docs with a verified prior/earlier match are
+    * dropped; survivors' band rows append to the index.
     *
-    * Scale posture: every join is a band-bucket equi-join; state grows
-    * 96 B/doc (+ band rows derived on read — at real scale the index
-    * would persist band-partitioned for pruning, as IncrementalIndex does
-    * for words); a transitive chain within one batch collapses to its
-    * minimum doc_id exactly like the batch `dedup_keep` rule.
-    *
-    * Returns (novel docs, their signatures) — the CALLER writes them,
-    * output first and state second (see dedupNearIngest). The duplicate-id
-    * set is localCheckpoint'ed before returning, so (a) the candidate +
-    * verify subtree runs once even though both returned frames consume it,
-    * and (b) neither returned plan reads stateDir at write time — the
-    * state append can never race its own batch's reads.
+    * State layout (the IncrementalIndex move, applied to signatures): the
+    * index persists its band rows directly — (bh, doc_id, h0..h11)
+    * partitioned by (band, bkt) — instead of a flat signature table whose
+    * band rows were re-derived by exploding the ENTIRE index every batch.
+    * The batch computes which (band, bkt) buckets its own band rows hash
+    * into (a driver-side list bounded by bands × StateBuckets, never by
+    * index size) and the state scan prunes to exactly those parquet
+    * partitions: per-batch read cost is O(touched buckets), not O(index).
+    * Each band row carries its doc's full signature, so the verify step
+    * reads the matched state rows themselves — no join back to a full
+    * signature table (which, keyed by doc_id, could never prune).
+    * The denormalization costs bands × ~104 B/doc (~0.6 KB at 6×2) vs
+    * 96 B/doc flat — storage traded for never scanning the index.
     */
   def dedupNearLshBatch(batch: DataFrame, stateDir: String,
                         bands: Int = 6, rowsPerBand: Int = 2,
@@ -62,47 +74,76 @@ object DocStreams {
     val n = bands * rowsPerBand
     val sigCols = (0 until n).map(i => s"h$i")
     val sig = Dedup.minhashSignaturesFast(Dedup.shingles(batch), n)
-      .localCheckpoint() // reused 4×: band rows, both verify sides, append
-    val prior = {
-      val dir = new java.io.File(stateDir)
-      if (dir.exists() && new java.io.File(s"$stateDir/_SUCCESS").exists())
-        Some(spark.read.parquet(stateDir))
-      else None
-    }
-    def bandsOf(s: DataFrame) =
-      Dedup.bandRows(s, bands, rowsPerBand, cols => xxhash64(cols: _*))
-    val newBands = bandsOf(sig)
-    val agree = sigCols.map(c =>
-      when(col(s"a.$c") === col(s"b.$c"), 1).otherwise(0)).reduce(_ + _)
-      .cast("double") / n
-    // candidate (new doc b, earlier doc a) pairs: a from the index, or an
-    // earlier doc of the same batch
-    val priorCand = prior.map { p =>
-      bandsOf(p).as("x").join(newBands.as("y"),
-          col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-    }
+      .localCheckpoint() // reused: band rows, verify b-side, state append
+    // batch band rows carry the signature — both the in-batch a-side and
+    // the appended state rows need it next to the band key
+    val newBands = Dedup.bandRows(sig, bands, rowsPerBand,
+      cols => xxhash64(cols: _*), carry = sigCols)
+    val aSig = sigCols.map(c => col(s"x.$c").as(s"a_$c"))
+    // candidate (earlier doc a + its signature, new doc b): a from the
+    // pruned state partitions, or an earlier doc of the same batch
+    val priorCand = prunedStateBands(spark, stateDir, touchedBuckets(newBands))
+      .map { p =>
+        p.as("x").join(newBands.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("doc_a") +: aSig :+
+            col("y.doc_id").as("doc_b"): _*)
+      }
     val batchCand = newBands.as("x").join(newBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a") +: aSig :+
+        col("y.doc_id").as("doc_b"): _*)
+    // a_h* is a function of doc_a, so this distinct ≡ distinct (doc_a, doc_b)
     val cand = priorCand.map(_.unionAll(batchCand)).getOrElse(batchCand).distinct()
-    val aSide = prior.map(_.unionAll(sig)).getOrElse(sig)
+    val agree = sigCols.map(c =>
+      when(col(s"a_$c") === col(s"b.$c"), 1).otherwise(0)).reduce(_ + _)
+      .cast("double") / n
     val dupIds = cand
-      .join(aSide.as("a"), col("doc_a") === col("a.doc_id"))
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .filter(agree >= minAgree)
       .select(col("doc_b").as("doc_id")).distinct()
-      .localCheckpoint() // batch-bounded id set; see Scaladoc
+      // batch-bounded id set, checkpointed so (a) the candidate + verify
+      // subtree runs once even though both returned frames consume it, and
+      // (b) neither returned plan reads stateDir at write time — the state
+      // append can never race its own batch's reads
+      .localCheckpoint()
     (batch.join(dupIds, Seq("doc_id"), "left_anti"),
-      sig.join(dupIds, Seq("doc_id"), "left_anti"))
+      newBands.join(dupIds, Seq("doc_id"), "left_anti")
+        .withColumn("bkt", stateBkt))
+  }
+
+  /** The (band, bkt) state partitions a batch's band rows can possibly
+    * match — a driver-side collect bounded by bands × StateBuckets
+    * (≤ 384 at the defaults), independent of batch or index size.
+    */
+  private def touchedBuckets(newBands: DataFrame): Seq[(Int, Int)] =
+    newBands.select(col("band"), stateBkt.as("bkt")).distinct()
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+
+  /** The state's band-row table pruned to `touched` (band, bkt) buckets —
+    * an OR-of-conjunctions over the two partition columns, so the parquet
+    * scan's PartitionFilters (spec-locked) skip every untouched bucket.
+    * None until the first batch has committed state.
+    */
+  private[graft] def prunedStateBands(spark: org.apache.spark.sql.SparkSession,
+                                      stateDir: String,
+                                      touched: Seq[(Int, Int)]): Option[DataFrame] = {
+    val live = new java.io.File(s"$stateDir/bands/_SUCCESS")
+    if (!live.exists() || touched.isEmpty) None
+    else {
+      val hit = touched.map { case (b, k) =>
+        col("band") === b && col("bkt") === k
+      }.reduce(_ || _)
+      Some(spark.read.parquet(s"$stateDir/bands").filter(hit))
+    }
   }
 
   /** Always-on streaming near-dup dedup: novel docs land in `outDir`,
-    * signatures accumulate in `stateDir`. foreachBatch (not a stateful
-    * operator) because the dedup state is a persistent, queryable,
-    * append-only table shared with batch jobs — the same layout decision
-    * as IncrementalIndex.
+    * band-partitioned signature state accumulates in `stateDir/bands`.
+    * foreachBatch (not a stateful operator) because the dedup state is a
+    * persistent, queryable, append-only table shared with batch jobs —
+    * the same layout decision as IncrementalIndex.
     *
     * Write order matters: output FIRST, state LAST. A crash between the
     * two writes re-delivers the batch with its signatures absent from
@@ -117,13 +158,31 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val (novel, novelSig) =
+          val (novel, novelState) =
             dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
           novel.write.mode("append").parquet(outDir)
-          novelSig.write.mode("append").parquet(stateDir)
+          novelState.write.mode("append")
+            .partitionBy("band", "bkt").parquet(s"$stateDir/bands")
         }
       }
       .start()
+
+  /** Compact the near-dup signature state: ingest appends one file set
+    * per micro-batch to each touched bucket, so after N batches listing a
+    * bucket costs O(N). Rewrite each (band, bkt) partition to a single
+    * file and swap atomically — same write-aside + two-rename move as
+    * IncrementalIndex.compact, same maintenance-window caveat (must not
+    * race a concurrent ingest). Dedup decisions are unchanged: rows are
+    * untouched, only the file layout shrinks (spec-pinned).
+    */
+  def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String): Unit =
+    IncrementalIndex.swapDir(stateDir, "bands") { out =>
+      spark.read.parquet(s"$stateDir/bands")
+        // hash-repartition on exactly the partition cols → one task, and
+        // therefore one file, per live (band, bkt) bucket
+        .repartition(col("band"), col("bkt"))
+        .write.partitionBy("band", "bkt").parquet(out)
+    }
 
   /** The always-on corpus pipeline in one query: stream in → dedup →
     * fold into the incremental search index (foreachBatch over

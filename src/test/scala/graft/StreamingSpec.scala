@@ -112,9 +112,59 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
     val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 6L))
-    // state holds signatures ONLY for survivors
-    val stateIds = spark.read.parquet(state).select("doc_id").as[Long].collect().toSet
+    // state holds band rows ONLY for survivors
+    val full = spark.read.parquet(state + "/bands")
+    val stateIds = full.select("doc_id").distinct().as[Long].collect().toSet
     assert(stateIds == Set(1L, 2L, 6L))
+    // the state scan a micro-batch issues is partition-PRUNED to the
+    // (band, bkt) buckets the batch's own band rows hash into — the scan
+    // must show PartitionFilters, and the pruned view must agree with a
+    // plain filter over the full table
+    val one = full.select("band", "bkt").distinct().limit(1)
+      .collect().map(r => (r.getInt(0), r.getInt(1))).head
+    val pruned = graft.streaming.DocStreams
+      .prunedStateBands(spark, state, Seq(one)).get
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.matches("(?s).*PartitionFilters: \\[[^\\]]*band[^\\]]*\\].*"), plan)
+    assert(pruned.count() ==
+      full.filter(col("band") === one._1 && col("bkt") === one._2).count())
+    assert(pruned.count() > 0)
+  }
+
+  test("near-dup state compaction: fewer files, identical rows and decisions") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardupcompact").toString
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    def writeBatch(docs: Seq[(Long, String)]): Unit = {
+      val (_, st) = graft.streaming.DocStreams
+        .dedupNearLshBatch(docs.toDF("doc_id", "text"), dir)
+      st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+    }
+    // two batches of distinct docs: enough band rows (40 docs × 6 bands per
+    // batch into 384 buckets) that many buckets get files from BOTH batches
+    writeBatch((1L, base) +:
+      (2L to 40L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    writeBatch((41L to 80L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+    def parquetFiles: Int = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/bands"))
+        .iterator().asScala.count(_.toString.endsWith(".parquet"))
+    }
+    val before = parquetFiles
+    val rowsBefore = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toString).sorted.toSeq
+    graft.streaming.DocStreams.compactState(spark, dir)
+    assert(parquetFiles < before)
+    val rowsAfter = spark.read.parquet(s"$dir/bands")
+      .collect().map(_.toString).sorted.toSeq
+    assert(rowsAfter == rowsBefore)
+    // post-compaction decisions unchanged: a near-dup of doc 1 is dropped,
+    // a novel doc survives
+    val (novel, _) = graft.streaming.DocStreams.dedupNearLshBatch(
+      Seq(81L -> base.replace("theta", "iota"),
+        82L -> "red orange yellow green blue indigo violet crimson")
+        .toDF("doc_id", "text"), dir)
+    assert(novel.select("doc_id").as[Long].collect().toSet == Set(82L))
   }
 
   test("deduped streaming ingest builds a searchable incremental index") {
