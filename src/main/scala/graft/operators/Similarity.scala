@@ -249,10 +249,17 @@ object Similarity {
     * Lloyd behavior; routing simply never probes it).
     * Returns (cell INT 0..k-1, c ARRAY<DOUBLE>).
     */
-  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame = {
-    val spark = embeddings.sparkSession
+  def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
+    kmeansCentroidsPrepared(prepared(embeddings).select("vec_id", "e"), k, iters)
+
+  /** Same trainer over an already-prepared (vec_id, e ARRAY<DOUBLE>) table —
+    * the entry point for retraining from a persisted index layout, whose
+    * cells store `e` directly (no float column to re-promote).
+    */
+  def kmeansCentroidsPrepared(prep: DataFrame, k: Int, iters: Int): DataFrame = {
+    val spark = prep.sparkSession
     import spark.implicits._
-    val p = prepared(embeddings).select("vec_id", "e")
+    val p = prep
     // Seeds: first k vectors in xxhash64 order — a deterministic uniform
     // sample (TakeOrdered k, no full sort; k×dim doubles is the only
     // thing this trainer ever collects, and it collects it anyway for the

@@ -42,4 +42,33 @@ object VectorStreams {
         if (!batch.isEmpty) ingestVectorBatch(batch, indexDir)
       }
       .start()
+
+  /** The periodic batch retrain + swap the fixed-centroid discipline
+    * requires: as the streamed corpus drifts away from the distribution
+    * the original centroids were trained on, cells go unbalanced and
+    * probe-recall decays with no recovery path. This maintenance job
+    * retrains the coarse quantizer on the vectors currently IN the index,
+    * re-assigns the whole corpus, writes the new cell layout aside, and
+    * swaps both tables via the shared write-aside + two-rename move.
+    *
+    * Like IncrementalIndex.compact, the swap is atomic per table but not
+    * transactional across cells/centroids — run in a maintenance window
+    * (a query racing the swap could route by one generation's centroids
+    * into the other's cells). The trainer's actions re-read the live
+    * `cells` dir, which is only renamed after the aside-write completes.
+    */
+  def retrainIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   kCells: Int = 8, iters: Int = 5): Unit = {
+    val cur = spark.read.parquet(s"$indexDir/cells").select("vec_id", "e", "nrm")
+    val cent = Similarity.kmeansCentroidsPrepared(cur.select("vec_id", "e"), kCells, iters)
+    graft.operators.IncrementalIndex.swapDir(indexDir, "cells") { out =>
+      cur.join(Similarity.kmeansAssign(cur.select("vec_id", "e"), cent), "vec_id")
+        .write.partitionBy("cell").parquet(out)
+    }
+    // centroids are a LocalRelation (the trainer collects k×dim means), so
+    // this write reads nothing live
+    graft.operators.IncrementalIndex.swapDir(indexDir, "centroids") { out =>
+      cent.write.parquet(out)
+    }
+  }
 }

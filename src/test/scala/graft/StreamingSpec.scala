@@ -230,6 +230,68 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("IVF centroid retrain + swap recovers recall after drift") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val dim = 16
+    def mk(i: Int, center: Array[Float]) = {
+      val v = Array.tabulate(dim)(j => center(j) + ((i * 37 + j * 17) % 13 - 6) * 0.05f)
+      (i.toLong, v, 0)
+    }
+    val origCenters = Array.tabulate(8)(c => Array.tabulate(dim)(j =>
+      if (j == 2 * c) 10f else if (j == 2 * c + 1) 4f else 0f))
+    // drifted clusters sit midway between adjacent original centers, so the
+    // ORIGINAL centroids split each drifted cluster across two cells —
+    // probe-1 queries then miss the half assigned to the other cell
+    val driftCenters = Array.tabulate(8)(c => Array.tabulate(dim)(j =>
+      (if (j == 2 * c) 5f else 0f) + (if (j == 2 * ((c + 1) % 8)) 5f else 0f)))
+    val orig = (0 until 240).map(i => mk(i, origCenters(i % 8)))
+    val drift = (240 until 480).map(i => mk(i, driftCenters(i % 8)))
+    val idx = java.nio.file.Files.createTempDirectory("retrainidx").toString
+    graft.operators.Similarity.buildKmeansIvfIndex(
+      orig.toDF("vec_id", "embedding", "label"), idx, kCells = 8, iters = 5)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.streaming.VectorStreams.vectorIngest(
+      mem.toDF.toDF("vec_id", "embedding", "label"), idx)
+    try { mem.addData(drift); q.processAllAvailable() } finally q.stop()
+
+    // ground truth: exact cosine top-5 over the full corpus, driver-side
+    val corpus = (orig ++ drift).map { case (id, v, _) => (id, v.map(_.toDouble)) }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val queries = drift.take(16)
+    val exact = queries.map { case (qid, qv, _) =>
+      val qd = qv.map(_.toDouble)
+      qid -> corpus.filter(_._1 != qid)
+        .map { case (id, v) => (id, cos(qd, v)) }
+        .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toSet
+    }.toMap
+    def recallNow(): Double = {
+      val approx = graft.operators.Similarity.knnIvfKmeansIndexed(
+          spark, idx, queries.toDF("vec_id", "embedding", "label"), 5, nprobe = 1)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      queries.map { case (qid, _, _) =>
+        (exact(qid) intersect approx.getOrElse(qid, Set.empty)).size / 5.0
+      }.sum / queries.size
+    }
+    val before = recallNow()
+    graft.streaming.VectorStreams.retrainIndex(spark, idx, kCells = 16, iters = 5)
+    val after = recallNow()
+    // the drifted fixture degrades probe-1 recall under the stale
+    // quantizer; retraining on the index's own contents restores it
+    assert(after >= 0.8, s"recall after retrain = $after (before $before)")
+    assert(after > before, s"before=$before after=$after")
+    // a Lloyd cell may drop out if it loses all members (documented trainer
+    // behavior), so pin "a new, larger generation" not an exact count
+    val nCent = spark.read.parquet(s"$idx/centroids").count()
+    assert(nCent > 8 && nCent <= 16, s"nCent=$nCent")
+    // index contents unchanged by the swap — same vec_ids, re-celled
+    assert(spark.read.parquet(s"$idx/cells").select("vec_id").distinct().count() == 480)
+  }
+
   test("session_window stream: gap merges within, splits across") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
