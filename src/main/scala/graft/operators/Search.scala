@@ -126,18 +126,24 @@ object Search {
     * word: map-side partials mean the final aggregate for a stopword key
     * sees one row per task, where a window would materialize every
     * posting of "the" in a single partition — a straggler at corpus
-    * scale. The df branch re-derives the filtered aggregate (Catalyst
-    * prunes the two consumers differently, so the corpus is tokenized
-    * twice — down from SIX in the word_id-joined formulation, and both
-    * passes carry the query-term filter); the full vocabulary (global
-    * ids, prefix offsets) is only materialized by queries whose OUTPUT
-    * contains ids — vocab_build, postings_tf, the persisted index.
+    * scale. Both consumers fork off the SAME (doc_id, word, tf)
+    * aggregate, and the df branch aggregates `sum(least(tf, 1))` — tf >= 1
+    * by construction, so value-equal to count(*), but written as a real
+    * function of tf because the obvious count(tf) is rewritten to
+    * count(1) (tf is non-null) and the tf column pruned, which
+    * specializes the df branch's copy of the subtree and kills exchange
+    * reuse. With tf genuinely consumed, the two exchange inputs stay
+    * canonically identical and ReuseExchange computes the tokenize +
+    * first shuffle ONCE (plan-shape-locked: one Generate explode). The full
+    * vocabulary (global ids, prefix offsets) is only materialized by
+    * queries whose OUTPUT contains ids — vocab_build, postings_tf, the
+    * persisted index.
     */
   def queryPostings(docs: DataFrame, query: String): DataFrame = {
     val qwords = TextOps.tokenizeScala(TextOps.filterTextScala(query)).distinct
     val post = tokens(docs).filter(col("word").isin(qwords: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = post.groupBy("word").agg(count(lit(1)).as("df"))
+    val df = post.groupBy("word").agg(sum(least(col("tf"), lit(1L))).as("df"))
     post.join(broadcast(df), "word")
   }
 

@@ -43,14 +43,30 @@ class PlanShapeSpec extends AnyFunSuite {
     val p = plan("search_topk")
     assert(p.contains("TakeOrderedAndProject"))
     assert(p.contains("BroadcastHashJoin"))
-    // word-keyed scoring: two filtered corpus tokenizes (postings + df
-    // branch) + the doc-info broadcast — the word_id-joined formulation
-    // re-tokenized the corpus six times (formatted mode prints each scan
-    // node twice: tree + detail section)
-    assert("Scan parquet".r.findAllIn(p).size <= 6, "extra corpus scans")
     // df comes from an aggregate broadcast, never a word-partitioned
     // count window (a stopword key would straggle at corpus scale)
     assert(!p.contains("Window"), "df must not ride a window")
+  }
+
+  test("search_topk runtime plan: corpus tokenized ONCE (df branch reuses the exchange)") {
+    // AQE applies exchange reuse when query stages materialize, so this
+    // lock reads the FINAL adaptive plan after execution, not the static
+    // explain: the df branch is forked off the same (doc_id, word, tf)
+    // aggregate and its sum(least(tf,1)) form keeps the subtree
+    // canonically identical to the postings branch (count(tf) would be
+    // rewritten to count(1) and the fork specialized apart).
+    val df = SparkEntry.queries("search_topk")(spark, d)
+    df.collect()
+    val whole = df.queryExecution.executedPlan.toString
+    assert(whole.contains("isFinalPlan=true"))
+    val fin = whole.indexOf("== Initial Plan ==") match {
+      case -1 => whole
+      case i => whole.substring(0, i)
+    }
+    assert("Generate explode".r.findAllIn(fin).size == 1, "corpus tokenized more than once")
+    assert(fin.contains("ReusedExchange"), "df branch must reuse the postings exchange")
+    // exactly two file scans: the tokenize pass + the doc-info broadcast
+    assert("FileScan parquet".r.findAllIn(fin).size <= 2, "extra corpus scans")
   }
 
   test("dedup_minhash_lsh: all aggregates are hash aggregates") {
