@@ -67,44 +67,25 @@ object IncrementalIndex {
     * micro-batch, so after N batches query-time listing and the
     * vocabulary delta-sum are O(N). Periodic compaction resets them to
     * O(1) — the same role parquet/table-format maintenance jobs play in
-    * any streaming lakehouse. Run it in a maintenance window: the
-    * directory swap (write aside, two renames) is atomic per table but
-    * not transactional across the three tables, so it must not race a
-    * concurrent ingest.
+    * any streaming lakehouse. All three tables swap under ONE
+    * `DirSwap.swap` marker scope, so a crash at any point recovers to a
+    * single consistent generation across them. Run it in a maintenance
+    * window: the swap must not race a concurrent ingest's appends.
     */
-  def compact(spark: SparkSession, indexDir: String): Unit = {
-    def swap(sub: String)(write: String => Unit): Unit =
-      swapDir(indexDir, sub)(write)
-    swap("vocab_delta") { out =>
-      vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
-        .coalesce(1).write.parquet(out)
-    }
-    swap("postings") { out =>
-      spark.read.parquet(s"$indexDir/postings")
-        .repartition(col("wb"))
-        .write.partitionBy("wb").parquet(out)
-    }
-    swap("docinfo") { out =>
-      spark.read.parquet(s"$indexDir/docinfo").coalesce(1).write.parquet(out)
-    }
-  }
-
-  /** Write-aside + two-rename directory swap — the atomic-per-table move
-    * every compaction here uses (`compact` above, and the streaming
-    * near-dup state's `DocStreams.compactState`). `write` must fully
-    * materialize into the temp dir (it reads the live dir) before any
-    * rename happens.
-    */
-  private[graft] def swapDir(baseDir: String, sub: String)(write: String => Unit): Unit = {
-    val live = new java.io.File(s"$baseDir/$sub")
-    val tmp = new java.io.File(s"$baseDir/${sub}_compacting")
-    val old = new java.io.File(s"$baseDir/${sub}_old")
-    org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-    write(tmp.toString) // reads the live dir; completes before any rename
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-    require(live.renameTo(old) && tmp.renameTo(live), s"compaction swap failed for $sub")
-    org.apache.commons.io.FileUtils.deleteQuietly(old)
-  }
+  def compact(spark: SparkSession, indexDir: String): Unit =
+    DirSwap.swap(indexDir, Seq(
+      "vocab_delta" -> { out =>
+        vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
+          .coalesce(1).write.parquet(out)
+      },
+      "postings" -> { out =>
+        spark.read.parquet(s"$indexDir/postings")
+          .repartition(col("wb"))
+          .write.partitionBy("wb").parquet(out)
+      },
+      "docinfo" -> { out =>
+        spark.read.parquet(s"$indexDir/docinfo").coalesce(1).write.parquet(out)
+      }))
 
   /** Current vocabulary view: df = sum of per-batch deltas. */
   def vocabulary(spark: SparkSession, indexDir: String): DataFrame =

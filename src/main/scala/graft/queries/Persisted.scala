@@ -11,15 +11,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (length + mtime — a driver-side stat, no Spark job), so a regenerated
   * corpus invalidates the cache instead of silently serving stale data; a
   * changed derivation must still bump `suffix`. `_SUCCESS` gates reads: a
-  * crashed write leaves no marker and the next call rebuilds.
+  * crashed write leaves no marker and the next call rebuilds. Stats and
+  * the gate go through Hadoop `FileSystem` (not `java.io.File`), so the
+  * gating works against whatever store the paths resolve to.
   */
 object Persisted {
+  import org.apache.hadoop.fs.Path
+
   def apply(s: SparkSession, d: String, kind: String, src: String,
             suffix: String = "")(build: => DataFrame): DataFrame = {
-    val f = new java.io.File(s"$d/$src")
-    val fp = s"${f.length}_${f.lastModified / 1000}"
+    val conf = s.sparkContext.hadoopConfiguration
+    val srcPath = new Path(s"$d/$src")
+    val st = srcPath.getFileSystem(conf).getFileStatus(srcPath)
+    val fp = s"${st.getLen}_${st.getModificationTime / 1000}"
     val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}${suffix}_$fp"
-    if (!new java.io.File(s"$dir/_SUCCESS").exists())
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(conf)
+    if (!fs.exists(new Path(dirPath, "_SUCCESS")))
       build.write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
   }

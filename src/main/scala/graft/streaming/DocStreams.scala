@@ -1,9 +1,12 @@
 package graft.streaming
 
-import graft.operators.IncrementalIndex
-import org.apache.spark.sql.DataFrame
+import graft.operators.{DirSwap, IncrementalIndex}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
+
+import java.nio.charset.StandardCharsets
 
 /** Streaming twins of the document-pipeline operators — the shapes an
   * always-on ingest for a training corpus needs.
@@ -71,6 +74,7 @@ object DocStreams {
                         minAgree: Double = 0.5): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
+    validateState(spark, stateDir, bands, rowsPerBand)
     val n = bands * rowsPerBand
     val sigCols = (0 until n).map(i => s"h$i")
     val sig = Dedup.minhashSignaturesFast(Dedup.shingles(batch), n)
@@ -124,18 +128,93 @@ object DocStreams {
   /** The state's band-row table pruned to `touched` (band, bkt) buckets —
     * an OR-of-conjunctions over the two partition columns, so the parquet
     * scan's PartitionFilters (spec-locked) skip every untouched bucket.
-    * None until the first batch has committed state.
+    * None until the first batch has committed state. A half-completed
+    * compaction swap THROWS (via `DirSwap.requireClean`) instead of being
+    * mistaken for empty state — the round-6 version silently ignored the
+    * entire accumulated index when a crash stranded it in `bands_old`,
+    * re-admitting every duplicate from then on.
     */
-  private[graft] def prunedStateBands(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def prunedStateBands(spark: SparkSession,
                                       stateDir: String,
                                       touched: Seq[(Int, Int)]): Option[DataFrame] = {
-    val live = new java.io.File(s"$stateDir/bands/_SUCCESS")
-    if (!live.exists() || touched.isEmpty) None
+    if (!DirSwap.requireClean(stateDir, "bands") || touched.isEmpty) None
     else {
       val hit = touched.map { case (b, k) =>
         col("band") === b && col("bkt") === k
       }.reduce(_ || _)
       Some(spark.read.parquet(s"$stateDir/bands").filter(hit))
+    }
+  }
+
+  /** Manifest recording the state dir's layout parameters. Band rows only
+    * carry h-columns and a bucket id, so a state dir written with
+    * DIFFERENT bands/rowsPerBand is structurally plausible and would
+    * either fail late at analysis time (missing h columns) or — worse —
+    * silently band-hash over a different column grouping. The manifest
+    * pins (layout version, bands, rowsPerBand, buckets) at first ingest
+    * and every later open validates against it.
+    */
+  private val ManifestFile = "MANIFEST"
+  private val LayoutVersion = "bands-v1"
+
+  private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
+  }
+
+  private[graft] def writeManifestIfAbsent(spark: SparkSession, stateDir: String,
+                                           bands: Int, rowsPerBand: Int): Unit = {
+    val (fs, base) = fsOf(spark, stateDir)
+    val manifest = new Path(base, ManifestFile)
+    if (!fs.exists(manifest)) {
+      val tmp = new Path(base, s"$ManifestFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(
+        s"layout=$LayoutVersion\nbands=$bands\nrowsPerBand=$rowsPerBand\nbuckets=$StateBuckets\n"
+          .getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+      require(fs.rename(tmp, manifest), s"manifest rename failed under $stateDir")
+    }
+  }
+
+  /** Fail loudly on a state dir this ingest cannot safely append to:
+    * manifest parameters that disagree with the caller's, a legacy
+    * (round-5 flat-signature) layout whose `_SUCCESS` sits at the root, or
+    * a pre-manifest bands layout whose h-column count contradicts
+    * bands×rowsPerBand (adopted and back-filled by the next manifest write
+    * when it agrees).
+    */
+  private[graft] def validateState(spark: SparkSession, stateDir: String,
+                                   bands: Int, rowsPerBand: Int): Unit = {
+    val (fs, base) = fsOf(spark, stateDir)
+    if (!fs.exists(base)) return
+    val manifest = new Path(base, ManifestFile)
+    if (fs.exists(manifest)) {
+      val in = fs.open(manifest)
+      val kv = try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .flatMap { l => l.split("=", 2) match {
+          case Array(k, v) => Some(k -> v); case _ => None } }.toMap
+      finally in.close()
+      val want = Map("layout" -> LayoutVersion, "bands" -> bands.toString,
+        "rowsPerBand" -> rowsPerBand.toString, "buckets" -> StateBuckets.toString)
+      val bad = want.filter { case (k, v) => !kv.get(k).contains(v) }
+      if (bad.nonEmpty)
+        throw new IllegalStateException(
+          s"near-dup state $stateDir was written with ${kv.toSeq.sorted.mkString(", ")} " +
+            s"but this ingest expects ${want.toSeq.sorted.mkString(", ")} — " +
+            "refusing to mix layouts")
+    } else if (fs.exists(new Path(base, "_SUCCESS")) && !fs.exists(new Path(base, "bands"))) {
+      throw new IllegalStateException(
+        s"$stateDir holds a legacy flat-signature near-dup state (pre band-partitioned " +
+          "layout); rebuild the state dir — appending band rows next to it would " +
+          "silently ignore the accumulated index")
+    } else if (DirSwap.requireClean(stateDir, "bands")) {
+      val n = bands * rowsPerBand
+      val fields = spark.read.parquet(s"$stateDir/bands").schema.fieldNames.toSet
+      if (!fields.contains(s"h${n - 1}") || fields.contains(s"h$n"))
+        throw new IllegalStateException(
+          s"near-dup state $stateDir has a signature width incompatible with " +
+            s"bands=$bands rowsPerBand=$rowsPerBand")
     }
   }
 
@@ -150,19 +229,28 @@ object DocStreams {
     * state, so the docs are re-emitted (at-least-once). The reverse order
     * would make a re-delivered batch match its own persisted signatures
     * and be dropped forever.
+    *
+    * `compactEvery` > 0 folds state maintenance into the ingest itself:
+    * every Nth committed batch rewrites each (band, bkt) partition to one
+    * file inside the same foreachBatch callback. foreachBatch invocations
+    * are serialized per query, so the compaction swap can never race this
+    * query's own appends — the cadence IS the maintenance window.
     */
   def dedupNearIngest(docs: DataFrame, stateDir: String, outDir: String,
                       bands: Int = 6, rowsPerBand: Int = 2,
-                      minAgree: Double = 0.5): StreamingQuery =
+                      minAgree: Double = 0.5, compactEvery: Int = 0): StreamingQuery =
     docs.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val (novel, novelState) =
             dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
           novel.write.mode("append").parquet(outDir)
           novelState.write.mode("append")
             .partitionBy("band", "bkt").parquet(s"$stateDir/bands")
+          writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+            compactState(batch.sparkSession, stateDir)
         }
       }
       .start()
@@ -170,13 +258,14 @@ object DocStreams {
   /** Compact the near-dup signature state: ingest appends one file set
     * per micro-batch to each touched bucket, so after N batches listing a
     * bucket costs O(N). Rewrite each (band, bkt) partition to a single
-    * file and swap atomically — same write-aside + two-rename move as
-    * IncrementalIndex.compact, same maintenance-window caveat (must not
-    * race a concurrent ingest). Dedup decisions are unchanged: rows are
-    * untouched, only the file layout shrinks (spec-pinned).
+    * file and swap via `DirSwap` — crash-recoverable (marker + roll
+    * forward), same maintenance-window caveat (must not race a concurrent
+    * ingest outside `dedupNearIngest`'s own compactEvery cadence). Dedup
+    * decisions are unchanged: rows are untouched, only the file layout
+    * shrinks (spec-pinned).
     */
-  def compactState(spark: org.apache.spark.sql.SparkSession, stateDir: String): Unit =
-    IncrementalIndex.swapDir(stateDir, "bands") { out =>
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    DirSwap.swapOne(stateDir, "bands") { out =>
       spark.read.parquet(s"$stateDir/bands")
         // hash-repartition on exactly the partition cols → one task, and
         // therefore one file, per live (band, bkt) bucket

@@ -22,6 +22,10 @@ object VectorStreams {
     */
   def ingestVectorBatch(batch: DataFrame, indexDir: String): Unit = {
     val spark = batch.sparkSession
+    // fail loudly mid-retrain-swap: between the swap's renames `cells` and
+    // `centroids` can belong to DIFFERENT generations, and appending rows
+    // celled by one generation's centroids would silently degrade recall
+    graft.operators.DirSwap.requireClean(indexDir, "centroids")
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val p = Similarity.prepared(batch)
     p.join(Similarity.kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
@@ -48,27 +52,29 @@ object VectorStreams {
     * the original centroids were trained on, cells go unbalanced and
     * probe-recall decays with no recovery path. This maintenance job
     * retrains the coarse quantizer on the vectors currently IN the index,
-    * re-assigns the whole corpus, writes the new cell layout aside, and
-    * swaps both tables via the shared write-aside + two-rename move.
+    * re-assigns the whole corpus, and swaps cells+centroids under ONE
+    * `DirSwap.swap` marker scope: both new generations are fully
+    * materialized aside before either rename, and a crash anywhere in the
+    * window rolls FORWARD to the complete new generation on the next
+    * `DirSwap.recover` (no more persisted mixed-generation index — the
+    * round-6 version swapped the two tables independently). Readers and
+    * the ingest guard on `requireClean`, so a query can no longer route by
+    * one generation's centroids into the other's cells.
     *
-    * Like IncrementalIndex.compact, the swap is atomic per table but not
-    * transactional across cells/centroids — run in a maintenance window
-    * (a query racing the swap could route by one generation's centroids
-    * into the other's cells). The trainer's actions re-read the live
-    * `cells` dir, which is only renamed after the aside-write completes.
+    * The trainer's actions re-read the live `cells` dir, which is only
+    * renamed after both aside-writes complete.
     */
   def retrainIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    kCells: Int = 8, iters: Int = 5): Unit = {
     val cur = spark.read.parquet(s"$indexDir/cells").select("vec_id", "e", "nrm")
     val cent = Similarity.kmeansCentroidsPrepared(cur.select("vec_id", "e"), kCells, iters)
-    graft.operators.IncrementalIndex.swapDir(indexDir, "cells") { out =>
-      cur.join(Similarity.kmeansAssign(cur.select("vec_id", "e"), cent), "vec_id")
-        .write.partitionBy("cell").parquet(out)
-    }
-    // centroids are a LocalRelation (the trainer collects k×dim means), so
-    // this write reads nothing live
-    graft.operators.IncrementalIndex.swapDir(indexDir, "centroids") { out =>
-      cent.write.parquet(out)
-    }
+    graft.operators.DirSwap.swap(indexDir, Seq(
+      "cells" -> { out =>
+        cur.join(Similarity.kmeansAssign(cur.select("vec_id", "e"), cent), "vec_id")
+          .write.partitionBy("cell").parquet(out)
+      },
+      // centroids are a LocalRelation (the trainer collects k×dim means),
+      // so this write reads nothing live
+      "centroids" -> { out => cent.write.parquet(out) }))
   }
 }

@@ -1,0 +1,199 @@
+package graft
+
+import graft.operators.DirSwap
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+/** Crash-safety of the maintenance primitive (`DirSwap`) and the state
+  * hygiene around it: every crash window of the marker swap is constructed
+  * on disk by hand and must recover to exactly one complete generation;
+  * readers fail loudly mid-window; the near-dup state manifest refuses
+  * incompatible layouts.
+  */
+class MaintenanceSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  /** One-column parquet table whose rows identify a generation. */
+  private def writeGen(dir: String, gen: String, n: Int = 3): Unit =
+    spark.range(n).select(concat(lit(gen + "_"), col("id")).as("v"))
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  private def readGen(dir: String): Set[String] = {
+    import spark.implicits._
+    spark.read.parquet(dir).select("v").as[String].collect().toSet
+  }
+
+  private def gen(g: String, n: Int = 3): Set[String] =
+    (0 until n).map(i => s"${g}_$i").toSet
+
+  private def marker(base: String, subs: String*): Unit =
+    Files.write(Paths.get(base, "_SWAP_PENDING"),
+      subs.mkString("\n").getBytes(StandardCharsets.UTF_8))
+
+  private def mv(from: String, to: String): Unit =
+    assert(new java.io.File(from).renameTo(new java.io.File(to)))
+
+  test("swapOne replaces the live generation and leaves no debris") {
+    val base = tmp("dirswap")
+    writeGen(s"$base/t", "old")
+    DirSwap.swapOne(base, "t")(out => writeGen(out, "new"))
+    assert(readGen(s"$base/t") == gen("new"))
+    assert(new java.io.File(base).list().toSet == Set("t"))
+    assert(DirSwap.requireClean(base, "t"))
+  }
+
+  test("recover without marker rolls back: aside deleted, live wins") {
+    val base = tmp("dirswap")
+    writeGen(s"$base/t", "live")
+    writeGen(s"$base/t_next", "aside") // crash before the marker was written
+    DirSwap.recover(base)
+    assert(readGen(s"$base/t") == gen("live"))
+    assert(!new java.io.File(s"$base/t_next").exists())
+  }
+
+  test("recover without marker restores a live dir stranded in *_old") {
+    val base = tmp("dirswap")
+    writeGen(s"$base/t_old", "stranded") // pre-marker-era crash shape
+    DirSwap.recover(base)
+    assert(readGen(s"$base/t") == gen("stranded"))
+    assert(!new java.io.File(s"$base/t_old").exists())
+  }
+
+  test("recover with marker rolls forward from every rename crash window") {
+    // window 1: marker written, no rename yet
+    val b1 = tmp("dirswap")
+    writeGen(s"$b1/t", "old"); writeGen(s"$b1/t_next", "new"); marker(b1, "t")
+    DirSwap.recover(b1)
+    assert(readGen(s"$b1/t") == gen("new"))
+
+    // window 2: live renamed to old, next not yet promoted
+    val b2 = tmp("dirswap")
+    writeGen(s"$b2/t_old", "old"); writeGen(s"$b2/t_next", "new"); marker(b2, "t")
+    DirSwap.recover(b2)
+    assert(readGen(s"$b2/t") == gen("new"))
+
+    // window 3: next promoted, old and marker not yet cleaned up
+    val b3 = tmp("dirswap")
+    writeGen(s"$b3/t", "new"); writeGen(s"$b3/t_old", "old"); marker(b3, "t")
+    DirSwap.recover(b3)
+    assert(readGen(s"$b3/t") == gen("new"))
+
+    for (b <- Seq(b1, b2, b3)) {
+      assert(new java.io.File(b).list().toSet == Set("t"), b)
+      assert(DirSwap.requireClean(b, "t"))
+    }
+  }
+
+  test("multi-table swap crash between tables recovers BOTH to the new generation") {
+    // the retrainIndex shape: cells promoted, crash before centroids —
+    // the exact window that used to persist a mixed-generation index
+    val base = tmp("dirswap")
+    writeGen(s"$base/cells", "cellsOld"); writeGen(s"$base/centroids", "centOld")
+    writeGen(s"$base/cells_next", "cellsNew"); writeGen(s"$base/centroids_next", "centNew")
+    marker(base, "cells", "centroids")
+    mv(s"$base/cells", s"$base/cells_old")
+    mv(s"$base/cells_next", s"$base/cells")
+    // mid-window, readers must refuse rather than mix generations
+    intercept[IllegalStateException] { DirSwap.requireClean(base, "centroids") }
+    DirSwap.recover(base)
+    assert(readGen(s"$base/cells") == gen("cellsNew"))
+    assert(readGen(s"$base/centroids") == gen("centNew"))
+    assert(new java.io.File(base).list().toSet == Set("cells", "centroids"))
+  }
+
+  test("requireClean: false on absent state, throws on half-swap debris") {
+    val empty = tmp("dirswap")
+    assert(!DirSwap.requireClean(empty, "t"))
+    assert(!DirSwap.requireClean(s"$empty/nonexistent", "t"))
+    val base = tmp("dirswap")
+    writeGen(s"$base/t_old", "stranded") // live gone, old present, no marker
+    intercept[IllegalStateException] { DirSwap.requireClean(base, "t") }
+    DirSwap.recover(base)
+    assert(DirSwap.requireClean(base, "t"))
+  }
+
+  test("prunedStateBands fails loudly on a half-swapped state dir") {
+    import spark.implicits._
+    val dir = tmp("neardup")
+    val (_, st) = graft.streaming.DocStreams.dedupNearLshBatch(
+      Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+        .toDF("doc_id", "text"), dir)
+    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+    mv(s"$dir/bands", s"$dir/bands_old") // compaction crash shape
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.prunedStateBands(spark, dir, Seq((0, 0)))
+    }
+    // recovery restores the stranded index; reads resume
+    DirSwap.recover(dir)
+    assert(graft.streaming.DocStreams.prunedStateBands(spark, dir, Seq((0, 0))).isDefined)
+  }
+
+  test("state manifest: incompatible parameters and legacy layouts refuse to open") {
+    import spark.implicits._
+    val dir = tmp("neardup")
+    val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("doc_id", "text")
+    val (_, st) = graft.streaming.DocStreams.dedupNearLshBatch(docs, dir)
+    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+    graft.streaming.DocStreams.writeManifestIfAbsent(spark, dir, 6, 2)
+    // same parameters: fine
+    graft.streaming.DocStreams.validateState(spark, dir, 6, 2)
+    // different banding: refuse (would band-hash a different column grouping)
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.validateState(spark, dir, 3, 4)
+    }
+    // pre-manifest band layout with the wrong signature width: refuse
+    val dir2 = tmp("neardup")
+    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir2/bands")
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.validateState(spark, dir2, 8, 2)
+    }
+    graft.streaming.DocStreams.validateState(spark, dir2, 6, 2) // width agrees
+    // legacy flat-signature layout (round-5 shape: _SUCCESS at the root)
+    val dir3 = tmp("neardup")
+    spark.range(1).write.parquet(dir3 + "/flat")
+    mv(s"$dir3/flat/_SUCCESS", s"$dir3/_SUCCESS")
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.validateState(spark, dir3, 6, 2)
+    }
+  }
+
+  test("ingest with compactEvery: same decisions, manifest written, state compacted") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val mem = MemoryStream[(Long, String)]
+    val state = tmp("neardup") + "/sigs"
+    val out = tmp("neardup") + "/docs"
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    val q = graft.streaming.DocStreams.dedupNearIngest(
+      mem.toDF.toDF("doc_id", "text"), state, out, compactEvery = 1)
+    try {
+      mem.addData((1L, base), (2L, "one two three four five six seven eight"))
+      q.processAllAvailable()
+      mem.addData((3L, base.replace("theta", "iota")), // near-dup of 1 → dropped
+        (4L, "red orange yellow green blue indigo violet crimson"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 2L, 4L))
+    // manifest pinned the layout; validate agrees, a different one refuses
+    graft.streaming.DocStreams.validateState(spark, state, 6, 2)
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.validateState(spark, state, 3, 4)
+    }
+    // cadence=1 compaction ran after the final batch: one file per bucket
+    import scala.jdk.CollectionConverters._
+    val files = Files.walk(Paths.get(s"$state/bands")).iterator().asScala
+      .map(_.toString).filter(_.endsWith(".parquet")).toSeq
+    val buckets = spark.read.parquet(s"$state/bands")
+      .select("band", "bkt").distinct().count()
+    assert(files.size == buckets.toInt, s"${files.size} files for $buckets buckets")
+  }
+}
