@@ -31,6 +31,8 @@ object Bench {
     val s0 = System.nanoTime()
     try {
       graft.queries.DedupQueries.persistedShingles(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedShingleKeys(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedShingleKeysFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignaturesFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()

@@ -90,8 +90,18 @@ object Dedup {
     ngramJaccardPairsFrom(shingles(docs, n), threshold)
 
   /** Same, from a prebuilt shingle table (doc_id, shingle). */
-  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame = {
-    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
+  def ngramJaccardPairsFrom(sh: DataFrame, threshold: Double): DataFrame =
+    ngramJaccardPairsFromKeys(
+      sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk")), threshold)
+
+  /** Same, from a prebuilt shingle-KEY table (doc_id, shk BIGINT). The
+    * md5-derived 60-bit key is the hot expression of every Jaccard-verify
+    * plan (one digest + base conversion per shingle row, on BOTH sides of
+    * the intersection self-join) — a pipeline materializes the key table
+    * once per corpus next to the shingle table and the verify plans become
+    * joins over a 2-column fixed-width parquet.
+    */
+  def ngramJaccardPairsFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val inter = shk.as("a").join(shk.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
@@ -198,11 +208,20 @@ object Dedup {
     * bandRows only regroups columns.
     */
   def minhashLshPairsFromSig(sig: DataFrame, sh: DataFrame, bands: Int,
-                             rowsPerBand: Int, threshold: Double): DataFrame = {
+                             rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashLshPairsFromSigKeys(sig,
+      sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk")),
+      bands, rowsPerBand, threshold)
+
+  /** Same, with the verify side reading a prebuilt shingle-key table —
+    * zero md5 anywhere in the resulting plan (band hashes ride the
+    * persisted signature columns, the verify rides the persisted keys).
+    */
+  def minhashLshPairsFromSigKeys(sig: DataFrame, shk: DataFrame, bands: Int,
+                                 rowsPerBand: Int, threshold: Double): DataFrame = {
     val br = bandRows(sig, bands, rowsPerBand,
       cols => md5(concat_ws(":", cols.map(_.cast("string")): _*)))
     val cand = lshCandidates(br)
-    val shk = sh.select(col("doc_id"), shingleKey(col("shingle")).as("shk"))
     verifyCandidates(cand, shk, threshold)
   }
 
@@ -221,10 +240,19 @@ object Dedup {
     * expression and a pipeline materializes it once per corpus.
     */
   def minhashLshPairsFastFromSig(sig: DataFrame, sh: DataFrame, bands: Int,
-                                 rowsPerBand: Int, threshold: Double): DataFrame = {
+                                 rowsPerBand: Int, threshold: Double): DataFrame =
+    minhashLshPairsFastFromSigKeys(sig,
+      sh.select(col("doc_id"), shingleKeyFast(col("shingle")).as("shk")),
+      bands, rowsPerBand, threshold)
+
+  /** Fast tier over prebuilt signature AND shingle-key tables — the fully
+    * materialized production layout (no hashing of corpus text anywhere in
+    * the plan).
+    */
+  def minhashLshPairsFastFromSigKeys(sig: DataFrame, shk: DataFrame, bands: Int,
+                                     rowsPerBand: Int, threshold: Double): DataFrame = {
     val br = bandRows(sig, bands, rowsPerBand, cols => xxhash64(cols: _*))
     val cand = lshCandidates(br)
-    val shk = sh.select(col("doc_id"), shingleKeyFast(col("shingle")).as("shk"))
     verifyCandidates(cand, shk, threshold)
   }
 

@@ -29,6 +29,27 @@ object DedupQueries {
       Dedup.shingles(Tables.documents(s, d), 3)
     }
 
+  /** The 60-bit md5-prefix shingle-KEY table, materialized once per SF dir
+    * next to the shingle table. Every Jaccard verify (the all-pairs oracle
+    * path and the candidate-restricted LSH verifies) self-joins on these
+    * keys; deriving them in-plan put one md5 + base conversion per shingle
+    * row on BOTH join sides — the dominant cost of `dedup_ngram_jaccard`
+    * (2.9 s of the round-6 bench). Persisted, the verify plans read a
+    * 2-column fixed-width parquet and hash nothing.
+    */
+  def persistedShingleKeys(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "shk", "documents.parquet", "_n3") {
+      persistedShingles(s, d)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    }
+
+  /** xxhash64 (fast-tier) shingle keys, persisted like the md5 tier. */
+  def persistedShingleKeysFast(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "shkfast", "documents.parquet", "_n3") {
+      persistedShingles(s, d)
+        .select(col("doc_id"), Dedup.shingleKeyFast(col("shingle")).as("shk"))
+    }
+
   /** MinHash signature columns shared by every md5-tier LSH query: 12
     * hashes serve both the 3×4 parity banding and the 6×2 keep banding
     * (banding only regroups columns). */
@@ -160,7 +181,7 @@ object DedupQueries {
   val KeepThreshold = 0.6
 
   private def lshKeepPairs(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairsFromSig(persistedSignatures(s, d), persistedShingles(s, d),
+    Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
       KeepBands, KeepRows, KeepThreshold)
 
   def all: Seq[GraftQuery] = Seq(
@@ -172,7 +193,7 @@ object DedupQueries {
           |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin)),
 
     GraftQuery("dedup_ngram_jaccard",
-      (s, d) => Dedup.ngramJaccardPairsFrom(persistedShingles(s, d), 0.6)
+      (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedShingleKeys(s, d), 0.6)
         .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH $shingleCte, $shkCte, $jaccardTail
@@ -183,8 +204,8 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GraftQuery("dedup_minhash_lsh",
-      (s, d) => Dedup.minhashLshPairsFromSig(persistedSignatures(s, d),
-          persistedShingles(s, d), 3, 4, 0.5)
+      (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d),
+          persistedShingleKeys(s, d), 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH ${lshPairCtes(3, 4, 0.5)}
@@ -195,8 +216,8 @@ object DedupQueries {
     // No cross-engine digest → rows-only driver check; DedupSpec pins its
     // agreement with the md5 tier on the fixture.
     GraftQuery("dedup_minhash_fast",
-      (s, d) => Dedup.minhashLshPairsFastFromSig(persistedSignaturesFast(s, d),
-          persistedShingles(s, d), 3, 4, 0.5)
+      (s, d) => Dedup.minhashLshPairsFastFromSigKeys(persistedSignaturesFast(s, d),
+          persistedShingleKeysFast(s, d), 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
       None),
 
@@ -242,7 +263,7 @@ object DedupQueries {
     // construction.
     GraftQuery("dedup_clusters_exactverify",
       (s, d) => Dedup.clusters(
-          Dedup.ngramJaccardPairsFrom(persistedShingles(s, d), 0.6))
+          Dedup.ngramJaccardPairsFromKeys(persistedShingleKeys(s, d), 0.6))
         .orderBy("doc_id"),
       Some(
         s"""WITH RECURSIVE $shingleCte, $shkCte, $jaccardTail,
