@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.Stable
+import graft.functions.{ArrayMeanAgg, Stable}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{graftglue, Column, DataFrame}
@@ -33,6 +33,12 @@ object Similarity {
 
   /** L2 norm of an ARRAY<DOUBLE> column (same fold order as acc + x*x). */
   def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** stab(6)-stabilized element-wise mean of ARRAY<DOUBLE> groups — the
+    * k-means centroid update (see ArrayMeanAgg).
+    */
+  private val arrayMean = udaf(new ArrayMeanAgg(6),
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
 
   /** (vec_id, e ARRAY<DOUBLE>, nrm) from an embeddings table. */
   def prepared(embeddings: DataFrame): DataFrame =
@@ -287,12 +293,13 @@ object Similarity {
         .groupBy("vec_id")
         .agg(min(struct(col("d"), col("cell"))).as("best"), any_value(col("e")).as("e"))
         .select(col("best.cell").as("cell"), col("e"))
-      cent = asg
-        .select(col("cell"), posexplode(col("e")))
-        .groupBy("cell", "pos").agg(Stable.stab(avg("col"), 6).as("m"))
-        .groupBy("cell")
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cell"), transform(col("pm"), x => x.getField("m")).as("c"))
+      // centroid update: one typed array-sum aggregate per cell. The
+      // DataFrame formulation (posexplode → per-(cell,pos) avg →
+      // collect_list/array_sort reassembly) blew each vector into dim rows
+      // and paid two extra shuffles per round; ArrayMeanAgg carries the
+      // whole mean in one buffer and applies the same stab(·,6) in finish,
+      // so the exact-equality convergence stop is unchanged.
+      cent = asg.groupBy("cell").agg(arrayMean(col("e")).as("c"))
         .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
         .sortBy(_._1)
       i += 1
