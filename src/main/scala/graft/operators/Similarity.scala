@@ -152,6 +152,38 @@ object Similarity {
       .filter(col("cos") >= threshold)
   }
 
+  /** LSH-bucketed ANN top-k — the sign-bit scale path beside IVF: a corpus
+    * vector is a candidate iff it shares at least one (band, bh) sign-bucket
+    * with the query in the pre-built sketch `br`; exact cosine then ranks
+    * candidates and row_number keeps k. The query-side band rows (nQueries ×
+    * bands — metadata-scale) broadcast into an equi-join against the corpus
+    * sketch, so the plan is broadcast-join + distinct + two vec_id
+    * equi-joins: linear in the corpus at any size, no nested loop anywhere,
+    * and only candidate vectors ever reach the ArrayDot cosine. Unlike IVF
+    * there is no routing step to keep consistent with the layout — the
+    * sketch is a pure corpus function, so streamed appends need no
+    * centroid-generation discipline. Deterministic end-to-end (md5-parity
+    * planes), hence SQL-oracle-able, unlike the kmeans tier.
+    */
+  def knnLshFrom(embeddings: DataFrame, br: DataFrame, nQueries: Int,
+                 k: Int): DataFrame = {
+    val p = prepared(embeddings)
+    val cand = broadcast(br.filter(col("vec_id") < nQueries)).as("x")
+      .join(br.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.vec_id") =!= col("y.vec_id"))
+      .select(col("x.vec_id").as("query_id"), col("y.vec_id").as("neighbor_id"))
+      .distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    cand
+      .join(broadcast(p.filter(col("vec_id") < nQueries)).as("a"),
+        col("query_id") === col("a.vec_id"))
+      .join(p.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Brute-force top-k: for each query vector (vec_id < nQueries), the k
     * nearest other vectors by cosine. The tiny query side is broadcast; the
     * corpus side streams.

@@ -99,6 +99,18 @@ object SimilarityQueries {
         .orderBy("query_id", "rank"),
       Some(knnIvfOracle)),
 
+    // LSH-bucketed ANN top-5: candidates share >= 1 sign-bucket with the
+    // query in the persisted sketch, exact cosine ranks them. Deterministic
+    // end-to-end (md5-parity planes), so unlike the kmeans tier the whole
+    // approximation has a SQL twin and hash-matches; SimilaritySpec pins
+    // recall vs knn_brute on both corpora.
+    GraftQuery("knn_lsh",
+      (s, d) => Similarity.knnLshFrom(Tables.embeddings(s, d),
+          persistedEmbeddingBands(s, d), 10, 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      Some(knnLshOracle(1024, 8, 64, 10, 5))),
+
     // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
     // step a DataFrame op), probe-2 routing, exact cosine inside probed
     // cells. No SQL twin (the iterative trainer isn't a query) → rows-only
@@ -131,9 +143,11 @@ object SimilarityQueries {
     * products are exact sign flips), pack the same band buckets, then
     * exact cosine on bucket-collision candidates.
     */
-  def lshPairSql(nBits: Int, rowsPerBand: Int, dim: Int, threshold: Double): String =
-    s"""WITH $prepCte,
-       |w AS (
+  /** The w → wl → pj → bits CTE chain deriving the sign-bit sketch —
+    * shared by every LSH oracle (near-dup pairs and ANN top-k).
+    */
+  private def bitsCtes(nBits: Int, rowsPerBand: Int, dim: Int): String =
+    s"""w AS (
        |  SELECT j, i,
        |    CASE WHEN CAST(CONCAT('0x', substring(md5(CAST(j AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
        |         THEN 1.0 ELSE -1.0 END AS v
@@ -146,7 +160,11 @@ object SimilarityQueries {
        |bits AS (
        |  SELECT vec_id, CAST(j // $rowsPerBand AS INT) AS band,
        |    sum(CASE WHEN proj >= 0 THEN 1 << (j % $rowsPerBand) ELSE 0 END) AS bh
-       |  FROM pj GROUP BY 1, 2),
+       |  FROM pj GROUP BY 1, 2)""".stripMargin
+
+  def lshPairSql(nBits: Int, rowsPerBand: Int, dim: Int, threshold: Double): String =
+    s"""WITH $prepCte,
+       |${bitsCtes(nBits, rowsPerBand, dim)},
        |cand AS (
        |  SELECT DISTINCT x.vec_id AS va, y.vec_id AS vb
        |  FROM bits x JOIN bits y
@@ -155,6 +173,29 @@ object SimilarityQueries {
        |FROM cand c JOIN n a ON c.va = a.vec_id JOIN n b ON c.vb = b.vec_id
        |WHERE ${cosSql("a", "b")} >= $threshold
        |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** DuckDB twin of Similarity.knnLshFrom: same sketch derivation as
+    * lshPairSql, candidates = sign-bucket collisions with a query vector,
+    * exact cosine + row_number top-k.
+    */
+  def knnLshOracle(nBits: Int, rowsPerBand: Int, dim: Int,
+                   nQueries: Int, k: Int): String =
+    s"""WITH $prepCte,
+       |${bitsCtes(nBits, rowsPerBand, dim)},
+       |cand AS (
+       |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+       |  FROM bits x JOIN bits y
+       |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id <> y.vec_id
+       |  WHERE x.vec_id < $nQueries),
+       |c AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("a", "b")} AS cos
+       |  FROM cand JOIN n a ON cand.query_id = a.vec_id
+       |            JOIN n b ON cand.neighbor_id = b.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM c)
+       |SELECT query_id, neighbor_id, cos, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
   /** Shared by knn_ivf and knn_ivf_indexed — identical semantics. */
   lazy val knnIvfOracle: String =

@@ -87,6 +87,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("knn_lsh: bucket candidates via broadcast equi-join, no nested loop, window top-k pruned") {
+    val p = plan("knn_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastHashJoin")) // query band rows broadcast into the sketch
+    assert(p.contains("WindowGroupLimit"))  // per-query top-k prunes before the rank filter
+  }
+
   test("dedup_simhash_pairs: pigeonhole banding plans as an equi-join") {
     val p = plan("dedup_simhash_pairs")
     assert(!p.contains("BroadcastNestedLoopJoin"))

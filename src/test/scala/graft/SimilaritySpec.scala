@@ -117,6 +117,31 @@ class SimilaritySpec extends AnyFunSuite {
     assert(approx.forall { case (q, n, c) => brute((q, n)) == c })
   }
 
+  test("knnLshFrom: true cosines, full k, recall@5 >= 0.8 on both corpora") {
+    import spark.implicits._
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      val br = Similarity.embeddingBands(emb)
+      val approx = Similarity.knnLshFrom(emb, br, 10, 5)
+        .select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect()
+      assert(approx.length == 50, d) // 10 queries × full k (candidates ⊇ k)
+      // every reported cosine is the true cosine for that pair
+      val brute = Similarity.bruteForceTopK(emb, 10, 2000)
+        .select("query_id", "neighbor_id", "cos")
+        .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+      assert(approx.forall { case (q, n, c) => brute((q, n)) == c }, d)
+      // recall@5 vs the true top-5 (1024 sign bits keep near neighbors in
+      // some shared bucket with high probability even on this near-uniform
+      // corpus — the hard regime; see cosinePairsLsh's banding analysis)
+      val exactTop = Similarity.bruteForceTopK(emb, 10, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val recall = (exactTop intersect approx.map(x => (x._1, x._2)).toSet)
+        .size.toDouble / exactTop.size
+      assert(recall >= 0.8, s"recall@5 = $recall at $d")
+    }
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
