@@ -241,9 +241,12 @@ object Similarity {
       .filter(col("rn") === 1).select("query_id", "label")
     val probed = best.select("label").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ |queries| cells — metadata-scale
-    val cells = prepared(
-        spark.read.parquet(s"$indexDir/cells").filter(col("label").isin(probed: _*)))
-      .join(spark.read.parquet(s"$indexDir/cells").select("vec_id", "label"), "vec_id")
+    // carry `label` through preparation instead of joining back a second
+    // (unpruned!) cells scan to recover it — one pruned scan, no join
+    val cells = spark.read.parquet(s"$indexDir/cells")
+      .filter(col("label").isin(probed: _*))
+      .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
+      .withColumn("nrm", norm(col("e")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
     broadcast(q.join(best.withColumnRenamed("label", "probe_label"),
         col("vec_id") === col("query_id"))).as("a")

@@ -116,6 +116,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.contains("PartitionFilters: [cell"))
   }
 
+  test("knn_ivf_indexed: single label-pruned cells scan, no unpruned join-back") {
+    val df = SparkEntry.queries("knn_ivf_indexed")(spark, d)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [label"))
+    // the regression shape was a SECOND, unpruned cells scan reading just
+    // (vec_id, label) joined back to recover the partition column; its
+    // scan signature must not reappear (all other scans read embeddings
+    // or centroid columns)
+    assert("FileScan parquet \\[vec_id#\\d+,\\s*label#\\d+\\]".r
+      .findFirstIn(scans).isEmpty, "unpruned (vec_id,label) cells scan")
+  }
+
   test("knn_brute: window top-k pruned by WindowGroupLimit") {
     assert(plan("knn_brute").contains("WindowGroupLimit"))
   }
