@@ -180,7 +180,8 @@ object DedupQueries {
   val KeepRows = 2
   val KeepThreshold = 0.6
 
-  private def lshKeepPairs(s: SparkSession, d: String): DataFrame =
+  /** The actionable LSH-verified pair graph (shared with text_curate). */
+  def lshKeepPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
       KeepBands, KeepRows, KeepThreshold)
 

@@ -273,6 +273,20 @@ object TextAnalysisQueries {
            |WHERE doc_id >= 10
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // The flagship composite: the end-to-end curation keep list — clean
+    // gates + repetition + perplexity + decontamination + near-dup dedup
+    // in ONE declarative plan (graft.operators.Curation). The oracle
+    // composes the same CTEs the per-signal oracles already pin, so the
+    // whole pipeline decision is hash-gated, not just its parts.
+    GraftQuery("text_curate",
+      (s, d) => graft.operators.Curation.curate(
+          Tables.documents(s, d),
+          DedupQueries.persistedShingles(s, d),
+          persistedBigramLm(s, d),
+          DedupQueries.lshKeepPairs(s, d))
+        .orderBy("doc_id"),
+      Some(curateOracle)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).
@@ -316,4 +330,65 @@ object TextAnalysisQueries {
            |SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 3
            |ORDER BY doc_id, rn""".stripMargin))
   )
+
+  /** DuckDB twin of Curation.curate: the per-signal oracles' CTEs composed
+    * into one statement. lshPairCtes supplies d/sh (the shingle CTEs) plus
+    * the LSH pair graph `p`; rep/nll reuse the same `d`.
+    */
+  lazy val curateOracle: String =
+    s"""WITH RECURSIVE ${DedupQueries.lshPairCtes(
+          DedupQueries.KeepBands, DedupQueries.KeepRows, DedupQueries.KeepThreshold)},
+       |${DedupQueries.ccCtes},
+       |dup_drop AS (
+       |  SELECT node AS doc_id FROM lbl GROUP BY node
+       |  HAVING node <> min(label)),
+       |${SearchQueries.tokCte},
+       |f AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN word IN $stopListSql THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS stopword_ratio,
+       |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS digit_ratio,
+       |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+       |  FROM tok GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id, n_tokens, stopword_ratio,
+       |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
+       |  FROM f),
+       |g AS (
+       |  SELECT doc_id, arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] AS g
+       |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
+       |  WHERE len(arr) >= 3),
+       |rep AS (
+       |  SELECT doc_id,
+       |    1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
+       |  FROM g GROUP BY doc_id),
+       |b AS (
+       |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+       |  FROM d, unnest(range(1, len(arr))) t(i)
+       |  WHERE len(arr) >= 2),
+       |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+       |cf AS (SELECT w1, count(*) AS cf FROM b GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v FROM d, unnest(arr) u(w)),
+       |nllrow AS (
+       |  SELECT b.doc_id,
+       |    floor(-ln((cb.cb + 1) / (cf.cf + (SELECT v FROM v)))*1000000.0+0.5)/1000000.0 AS nll
+       |  FROM b JOIN cb USING (w1, w2) JOIN cf USING (w1)),
+       |nll AS (
+       |  SELECT doc_id,
+       |    floor((CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*))*1000000.0+0.5)/1000000.0 AS avg_nll
+       |  FROM nllrow GROUP BY doc_id),
+       |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < 10),
+       |contam AS (
+       |  SELECT sh.doc_id FROM sh JOIN bench USING (shingle)
+       |  WHERE sh.doc_id >= 10
+       |  GROUP BY sh.doc_id HAVING count(*) > 4)
+       |SELECT q.doc_id, q.n_tokens, q.quality, rep.rep_ratio, nll.avg_nll
+       |FROM q JOIN rep USING (doc_id) JOIN nll USING (doc_id)
+       |WHERE q.doc_id >= 10
+       |  AND q.n_tokens >= 30 AND q.quality >= 0.32 AND q.stopword_ratio >= 0.02
+       |  AND rep.rep_ratio <= 0.05 AND nll.avg_nll <= 3.45
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM contam)
+       |  AND q.doc_id NOT IN (SELECT doc_id FROM dup_drop)
+       |ORDER BY q.doc_id""".stripMargin
 }

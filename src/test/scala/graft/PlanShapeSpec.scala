@@ -138,6 +138,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.contains("PartitionFilters: [wb"))
   }
 
+  test("text_curate: the composite stays equi-join + hash-agg end to end") {
+    val p = plan("text_curate")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("q_filter_project: all predicates reach the parquet reader") {
     val p = plan("q_filter_project")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
