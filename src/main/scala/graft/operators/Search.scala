@@ -210,12 +210,19 @@ object Search {
   def buildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
     val docs = Tables.documents(spark, dir)
     val vocab = vocabulary(docs).cache()
-    vocab.write.mode("overwrite").parquet(s"$indexDir/vocabulary")
-    postings(docs, vocab)
-      .withColumn("wb", pmod(col("word_id"), lit(IndexBuckets)).cast("int"))
-      .repartition(col("wb"))
-      .write.mode("overwrite").partitionBy("wb").parquet(s"$indexDir/postings")
-    docInfo(docs).write.mode("overwrite").parquet(s"$indexDir/docinfo")
+    // all three tables land under ONE DirSwap marker scope: a crashed
+    // (re)build can never leave postings complete but docinfo missing (the
+    // previous sequential overwrite-writes could, and the gate only
+    // checked postings)
+    DirSwap.swap(indexDir, Seq(
+      "vocabulary" -> { out => vocab.write.parquet(out) },
+      "postings" -> { out =>
+        postings(docs, vocab)
+          .withColumn("wb", pmod(col("word_id"), lit(IndexBuckets)).cast("int"))
+          .repartition(col("wb"))
+          .write.partitionBy("wb").parquet(out)
+      },
+      "docinfo" -> { out => docInfo(docs).write.parquet(out) }))
     vocab.unpersist()
   }
 

@@ -213,14 +213,16 @@ object Similarity {
   /** Persist the IVF layout: embeddings written as parquet partitioned by
     * cell label, centroids alongside. At scale, probing a cell is then
     * partition pruning at file-listing time — the ANN twin of
-    * Search.buildIndex.
+    * Search.buildIndex. Both tables materialize under one DirSwap marker
+    * scope, so a crashed (re)build can never leave a mixed or partial
+    * generation (same discipline as VectorStreams.retrainIndex).
     */
-  def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit = {
-    embeddings.write.mode("overwrite").partitionBy("label")
-      .parquet(s"$indexDir/cells")
-    ivfCentroids(embeddings).write.mode("overwrite")
-      .parquet(s"$indexDir/centroids")
-  }
+  def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit =
+    DirSwap.swap(indexDir, Seq(
+      "cells" -> { out =>
+        embeddings.write.partitionBy("label").parquet(out)
+      },
+      "centroids" -> { out => ivfCentroids(embeddings).write.parquet(out) }))
 
   /** Query the persisted IVF index: route each query vector to its best
     * centroid (tiny centroid table, driver-side argmax per query), then
@@ -384,9 +386,13 @@ object Similarity {
                           kCells: Int = 8, iters: Int = 5): Unit = {
     val p = prepared(embeddings)
     val cent = kmeansCentroids(embeddings, kCells, iters)
-    p.join(kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$indexDir/cells")
-    cent.write.mode("overwrite").parquet(s"$indexDir/centroids")
+    DirSwap.swap(indexDir, Seq(
+      "cells" -> { out =>
+        p.join(kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
+          .write.partitionBy("cell").parquet(out)
+      },
+      // the trainer already collected cent as a LocalRelation
+      "centroids" -> { out => cent.write.parquet(out) }))
   }
 
   /** Query the persisted k-means IVF index. The probed cell set (≤

@@ -20,15 +20,34 @@ object Persisted {
 
   def apply(s: SparkSession, d: String, kind: String, src: String,
             suffix: String = "")(build: => DataFrame): DataFrame = {
-    val conf = s.sparkContext.hadoopConfiguration
-    val srcPath = new Path(s"$d/$src")
-    val st = srcPath.getFileSystem(conf).getFileStatus(srcPath)
-    val fp = s"${st.getLen}_${st.getModificationTime / 1000}"
-    val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}${suffix}_$fp"
+    val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}$suffix" +
+      s"_${fingerprint(s, d, src)}"
     val dirPath = new Path(dir)
-    val fs = dirPath.getFileSystem(conf)
+    val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(dirPath, "_SUCCESS")))
       build.write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
+  }
+
+  /** Source-parquet fingerprint (length + mtime — a driver-side stat). */
+  def fingerprint(s: SparkSession, d: String, src: String): String = {
+    val srcPath = new Path(s"$d/$src")
+    val st = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .getFileStatus(srcPath)
+    s"${st.getLen}_${st.getModificationTime / 1000}"
+  }
+
+  /** Same discipline for MULTI-TABLE index layouts (built via
+    * DirSwap.swap, not a single parquet write): resolve the
+    * source-fingerprinted location, build on first use, and gate reads
+    * with DirSwap.requireClean on `gateSub` — a crashed build is detected
+    * and re-run, never read through.
+    */
+  def indexDir(s: SparkSession, d: String, kind: String, src: String,
+               gateSub: String)(build: String => Unit): String = {
+    val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
+      s"_${fingerprint(s, d, src)}"
+    if (!graft.operators.DirSwap.requireClean(dir, gateSub)) build(dir)
+    dir
   }
 }

@@ -84,9 +84,8 @@ object SearchQueries {
     // once; the steady-state query is scan-free.
     GraftQuery("search_topk_indexed",
       (s, d) => {
-        val idx = s"/tmp/graft-index/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        if (!new java.io.File(s"$idx/postings/_SUCCESS").exists())
-          Search.buildIndex(s, d, idx)
+        val idx = Persisted.indexDir(s, d, "index", "documents.parquet",
+          "postings")(Search.buildIndex(s, d, _))
         Search.searchTopKIndexed(s, idx, Search.DefaultQuery, 10)
       },
       Some(searchTopKOracle)),

@@ -31,6 +31,10 @@ object SimilarityQueries {
       Similarity.embeddingBands(Tables.embeddings(s, d))
     }
 
+  private def ivfIndexDir(s: org.apache.spark.sql.SparkSession, d: String,
+                          kind: String)(build: String => Unit): String =
+    Persisted.indexDir(s, d, kind, "embeddings.parquet", "centroids")(build)
+
   def all: Seq[GraftQuery] = Seq(
 
     // Embedding-cosine near-duplicate pairs, LSH-blocked. Threshold 0.45:
@@ -82,9 +86,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
-        val idx = s"/tmp/graft-ivf/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
-          Similarity.buildIvfIndex(emb, idx)
+        val idx = ivfIndexDir(s, d, "ivf")(Similarity.buildIvfIndex(emb, _))
         Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
           .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
@@ -127,9 +129,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
-        val idx = s"/tmp/graft-ivfk/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
-        if (!new java.io.File(s"$idx/centroids/_SUCCESS").exists())
-          Similarity.buildKmeansIvfIndex(emb, idx)
+        val idx = ivfIndexDir(s, d, "ivfk")(Similarity.buildKmeansIvfIndex(emb, _))
         Similarity.knnIvfKmeansIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
           .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
