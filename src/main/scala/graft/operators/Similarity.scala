@@ -266,21 +266,37 @@ object Similarity {
   // pruning mechanics).
   // ---------------------------------------------------------------------
 
-  /** Assign each vector in `p` (vec_id, e) to its nearest centroid in
-    * `cent` (cell, c) by squared euclidean distance. argmin(|e-c|²) =
-    * argmin(c·c - 2e·c) — the e·e term is constant per vector and dropped.
-    * Single pass: min over (d, cell) structs orders lexicographically, so
-    * the argmin is deterministic (min distance, then min cell on ties)
-    * while the scored cross join is evaluated exactly once — the previous
-    * two-aggregate formulation re-evaluated it for the join-back. The
-    * centroid side is k rows, always broadcast.
+  /** Row-local argmin over the k centroids, inlined as literal-array
+    * expressions: for each centroid, d = c·c − 2e·c (the e·e term is
+    * constant per vector and dropped; c·c is folded driver-side in the
+    * same left-to-right order ArrayDot uses, so the value is
+    * bit-identical to the in-plan form), then array_min over (d, cell)
+    * structs — lexicographic, so the argmin is deterministic (min
+    * distance, then min cell on ties). k×dim doubles of literals is
+    * metadata-scale (nothing like the 1024-plane case where literal
+    * embedding made the optimizer the bottleneck); in exchange the
+    * assignment is a NARROW projection — the previous crossJoin-by-k +
+    * groupBy(vec_id) formulation shuffled the whole k×-exploded corpus
+    * once per call (and once per Lloyd round).
     */
-  def kmeansAssign(p: DataFrame, cent: DataFrame): DataFrame =
-    p.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cell"),
-        (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
-      .groupBy("vec_id").agg(min(struct(col("d"), col("cell"))).as("best"))
-      .select(col("vec_id"), col("best.cell").as("cell"))
+  private def argminCell(e: Column, cent: Seq[(Int, Seq[Double])]): Column =
+    array_min(array(cent.map { case (cell, c) =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      struct((lit(cc) - lit(2.0) * dot(e, typedLit(c))).as("d"),
+        lit(cell).as("cell"))
+    }: _*))
+
+  /** Assign each vector in `p` (vec_id, e) to its nearest centroid in
+    * `cent` (cell, c) by squared euclidean distance. The centroid table
+    * is k rows — collected here (metadata-bounded, the same k×dim the
+    * trainer itself collects every round) and inlined, so the assignment
+    * plan is one narrow projection with zero joins and zero shuffles.
+    */
+  def kmeansAssign(p: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = cent.select("cell", "c").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    p.select(col("vec_id"), argminCell(col("e"), cs).getField("cell").as("cell"))
+  }
 
   /** Lloyd k-means over the embedding column: k deterministic hash-sampled
     * seeds, then `iters` rounds of assign + per-dimension mean — every step
@@ -320,16 +336,12 @@ object Similarity {
     var i = 0
     while (i < iters && cent != prev) {
       prev = cent
-      val centDf = cent.toDF("cell", "c")
-      // assign carries e through the argmin aggregate (any_value — e is
-      // functionally determined by the vec_id key), so the mean stage
-      // needs no join-back to p: one shuffle saved per round
-      val asg = p.crossJoin(broadcast(centDf))
-        .select(col("vec_id"), col("e"), col("cell"),
-          (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
-        .groupBy("vec_id")
-        .agg(min(struct(col("d"), col("cell"))).as("best"), any_value(col("e")).as("e"))
-        .select(col("best.cell").as("cell"), col("e"))
+      // assignment is the inlined row-local argmin (argminCell): the
+      // previous crossJoin-by-k + groupBy(vec_id) form shuffled the
+      // k×-exploded corpus every round; this is a narrow projection, so
+      // the ONLY per-round shuffle is the k-row mean aggregate below
+      val asg = p.select(
+        argminCell(col("e"), cent).getField("cell").as("cell"), col("e"))
       // centroid update: one typed array-sum aggregate per cell. The
       // DataFrame formulation (posexplode → per-(cell,pos) avg →
       // collect_list/array_sort reassembly) blew each vector into dim rows
