@@ -254,11 +254,13 @@ object Multimodal {
     StructField("target_h", IntegerType),
     StructField("resized", BinaryType)))
 
-  /** STUB resize: a real implementation decodes, rescales (e.g. Lanczos),
-    * and re-encodes to `targetW × targetH`. The stub emits a deterministic
-    * byte slice/pad of the payload sized targetW·targetH/64 so output size
-    * scales with target dims. Plumbing (binary in → binary out, narrow,
-    * per-partition) is the real shape.
+  /** Resize. Image payloads go through the REAL codec path: javax.imageio
+    * decode → Graphics2D nearest-neighbor rescale (deterministic — no
+    * filter kernels whose rounding could differ) → PNG re-encode, binary
+    * in → binary out, narrow, per-partition. Payloads no image codec can
+    * parse (video/audio/corrupt) keep the deterministic STUB bytes (a
+    * slice/pad sized targetW·targetH/64) — for video a real pipeline
+    * resizes per decoded frame, and no video codec ships with the JDK.
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession
@@ -266,7 +268,22 @@ object Multimodal {
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        val resized = Array.tabulate[Byte](n)(i => if (p.isEmpty) 0 else p(i % p.length))
+        val img =
+          try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
+          catch { case _: java.io.IOException => null }
+        val resized = if (img != null) {
+          val dst = new java.awt.image.BufferedImage(targetW, targetH,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = dst.createGraphics()
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, targetW, targetH, null)
+          g.dispose()
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(dst, "png", bos)
+          bos.toByteArray
+        } else
+          Array.tabulate[Byte](n)(i => if (p.isEmpty) 0 else p(i % p.length))
         Row(r.getLong(0), targetW, targetH, resized)
       }
     }

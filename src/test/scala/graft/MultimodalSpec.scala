@@ -28,6 +28,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(snap(rows) == snap(graft.operators.Multimodal.resize(media, 64, 64).collect()))
   }
 
+  test("resize on real PNGs: re-decoded output has exactly the target dims") {
+    val media = Multimodal.withRealMedia(docs.limit(60))
+      .filter(col("modality") === "image")
+    val r = Multimodal.resize(media, 24, 16).collect()
+    assert(r.nonEmpty)
+    assert(r.forall { row =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(row.getAs[Array[Byte]]("resized")))
+      img != null && img.getWidth == 24 && img.getHeight == 16
+    })
+    // deterministic re-encode (nearest-neighbor, fixed PNG writer)
+    val again = Multimodal.resize(media, 24, 16).collect()
+    def snap(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(x => (x.getLong(0), x.getAs[Array[Byte]]("resized").toSeq)).sortBy(_._1).toSeq
+    assert(snap(r) == snap(again))
+  }
+
   test("sampleFrames: only videos, strided indices, deterministic checksums") {
     val media = graft.operators.Multimodal.fromDocuments(docs)
     val f = graft.operators.Multimodal.sampleFrames(media, stride = 2).collect()
