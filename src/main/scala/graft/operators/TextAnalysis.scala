@@ -58,6 +58,28 @@ object TextAnalysis {
         col("lang_pred") === "en")
       .select("doc_id", "n_tokens", "quality", "lang_pred")
 
+  /** The clean gates of `cleanCorpus` as a ROW-LOCAL predicate: the same
+    * length floor, quality floor and language gate computed with array
+    * functions over one row's token array — no explode, no aggregate, no
+    * shuffle — so a streaming ingest can filter each micro-batch
+    * statelessly. The counts are the same integers and the ratios the
+    * same single divisions as the aggregate form, so the keep set is
+    * value-identical (TextAnalysisSpec pins equality on the fixtures).
+    * A doc with zero kept tokens yields null ratios and fails the gate,
+    * matching its absence from the aggregate's output.
+    */
+  def cleanGate(minTokens: Long = 30, minQuality: Double = 0.32,
+                langThreshold: Double = 0.02): Column = {
+    val arr = filter(TextOps.splitWords(TextOps.normalize(col("text"))),
+      w => TextOps.isKeptToken(w))
+    val n = size(arr).cast("double")
+    val stopwordRatio = size(filter(arr, w => w.isin(Stopwords: _*))).cast("double") / n
+    val digitRatio = size(filter(arr, w => w.rlike("[0-9]"))).cast("double") / n
+    val ttr = size(array_distinct(arr)).cast("double") / n
+    val quality = least(lit(1.0), n / lit(50.0)) * ttr * (lit(1.0) - digitRatio)
+    size(arr) >= minTokens && quality >= minQuality && stopwordRatio >= langThreshold
+  }
+
   /** PII patterns, written to the RE2 ∩ java.util.regex common subset (no
     * backrefs, no lookaround) so Spark and the DuckDB oracle match the
     * same spans byte-for-byte.

@@ -273,6 +273,69 @@ object DocStreams {
         .write.partitionBy("band", "bkt").parquet(out)
     }
 
+  /** One micro-batch of streaming CURATION — the streaming twin of the
+    * batch `text_curate` composite. Stage order mirrors cost: the
+    * row-local clean gates (TextAnalysis.cleanGate — no shuffle) drop the
+    * bulk first, then the per-doc aggregates (repetition, bigram-LM NLL
+    * against the PRE-TRAINED `lm` — a stream never retrains its scoring
+    * model mid-flight), decontamination against the broadcast eval
+    * shingle set, and finally stateful near-dup against the accumulated
+    * signature index (dedupNearLshBatch, same state layout/ordering
+    * contract). Unseen bigrams have no row in the denormalized LM table,
+    * so they don't contribute to a doc's score, and a doc with NO known
+    * bigram fails the scoring join and is dropped — unknown-language text
+    * reads as reject, the conservative curation default.
+    *
+    * Returns (curated novel docs, their state rows); the caller writes
+    * output first, state last (see dedupNearIngest).
+    */
+  def curateBatch(batch: DataFrame, lm: DataFrame, benchShingles: DataFrame,
+                  stateDir: String, bands: Int = 6, rowsPerBand: Int = 2,
+                  minAgree: Double = 0.5, maxRep: Double = 0.05,
+                  maxNll: Double = 3.45, maxContam: Long = 4): (DataFrame, DataFrame) = {
+    import graft.operators.{Dedup, TextAnalysis}
+    val gated = batch.filter(TextAnalysis.cleanGate())
+    val repOk = TextAnalysis.repetition(gated)
+      .filter(col("rep_ratio") <= maxRep).select("doc_id")
+    val nllOk = TextAnalysis.bigramNllFrom(TextAnalysis.bigramStream(gated), lm)
+      .filter(col("avg_nll") <= maxNll).select("doc_id")
+    val contam = Dedup.shingles(gated)
+      .join(broadcast(benchShingles.select("shingle").distinct()), "shingle")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+      .filter(col("n_contaminated") > maxContam).select("doc_id")
+    val kept = gated.join(repOk, "doc_id").join(nllOk, "doc_id")
+      .join(contam, Seq("doc_id"), "left_anti")
+    dedupNearLshBatch(kept, stateDir, bands, rowsPerBand, minAgree)
+  }
+
+  /** Always-on streaming curation: quality-gate + score + decontaminate +
+    * near-dup each micro-batch, land curated docs in `outDir`, accumulate
+    * signature state in `stateDir/bands`. Same foreachBatch rationale and
+    * output-first/state-last crash ordering as dedupNearIngest; the LM
+    * and eval shingle set are fixed side inputs a pipeline versions with
+    * the model, not per-batch state.
+    */
+  def curateIngest(docs: DataFrame, lm: DataFrame, benchShingles: DataFrame,
+                   stateDir: String, outDir: String,
+                   bands: Int = 6, rowsPerBand: Int = 2, minAgree: Double = 0.5,
+                   maxRep: Double = 0.05, maxNll: Double = 3.45,
+                   maxContam: Long = 4, compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val (novel, novelState) = curateBatch(batch, lm, benchShingles,
+            stateDir, bands, rowsPerBand, minAgree, maxRep, maxNll, maxContam)
+          novel.write.mode("append").parquet(outDir)
+          novelState.write.mode("append")
+            .partitionBy("band", "bkt").parquet(s"$stateDir/bands")
+          writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+            compactState(batch.sparkSession, stateDir)
+        }
+      }
+      .start()
+
   /** The always-on corpus pipeline in one query: stream in → dedup →
     * fold into the incremental search index (foreachBatch over
     * IncrementalIndex.ingestBatch). Duplicates never reach the index, so

@@ -13,6 +13,18 @@ class CurationSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   val d = TestSpark.sf0001
 
+  test("cleanGate (row-local) keeps exactly cleanCorpus's (aggregate) doc set") {
+    import spark.implicits._
+    for (dd <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val docs = graft.sources.Tables.documents(spark, dd)
+      val agg = TextAnalysis.cleanCorpus(docs).select("doc_id").as[Long].collect().toSet
+      val rowLocal = docs.filter(TextAnalysis.cleanGate())
+        .select("doc_id").as[Long].collect().toSet
+      assert(rowLocal == agg, dd)
+      assert(rowLocal.nonEmpty, dd)
+    }
+  }
+
   test("curate == clean ∩ low-rep ∩ low-nll − contaminated − dup-drop, train split only") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, d)

@@ -131,6 +131,52 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("streaming curation: gates, scoring, decontam, and near-dup state compose") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // letter-only words (a digit-bearing word counts into digit_ratio and
+    // would sink the quality score)
+    def ws(prefix: String, n: Int) = (0 until n)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val stop = Seq("the", "and", "of")
+    val span = ws("s", 6)
+    val evalSpan = ws("ev", 12)
+    val a = (stop ++ ws("w", 32)).mkString(" ")              // clean, novel
+    val aDup = a.split(" ").dropRight(1).mkString(" ") + " zzz" // near-dup of a
+    val b = "short text only"                               // fails length gate
+    val c = (stop ++ ws("c", 20) ++ evalSpan).mkString(" ") // contaminated
+    val d = (stop ++ ws("d", 32)).mkString(" ")              // clean, novel
+    val e = (stop ++ ws("e", 21) ++ span ++ ws("m", 3) ++ span).mkString(" ") // repetitive
+    val f = (Seq("and", "the", "of") ++ ws("f", 32)).mkString(" ") // no LM bigram known
+    // the pre-trained scoring model and the eval shingle set — fixed side
+    // inputs (f's text is deliberately NOT in the training corpus)
+    val lm = graft.operators.TextAnalysis.bigramLm(
+      Seq((100L, a), (101L, c), (102L, d), (103L, e)).toDF("doc_id", "text"))
+      .localCheckpoint()
+    val bench = graft.operators.Dedup.shingles(
+      Seq((0L, evalSpan.mkString(" "))).toDF("doc_id", "text")).localCheckpoint()
+    val mem = MemoryStream[(Long, String)]
+    val state = java.nio.file.Files.createTempDirectory("curatestate").toString + "/sigs"
+    val out = java.nio.file.Files.createTempDirectory("curateout").toString + "/docs"
+    val q = graft.streaming.DocStreams.curateIngest(
+      mem.toDF.toDF("doc_id", "text"), lm, bench, state, out, maxNll = 10.0)
+    try {
+      mem.addData((1L, a), (2L, b), (3L, c))
+      q.processAllAvailable()
+      mem.addData((4L, aDup), (5L, d), (6L, e), (7L, f))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    // 1 survives; 2 fails the length gate; 3 shares 10 eval shingles (> 4);
+    // 4 is a cross-batch near-dup of 1; 6 repeats a 6-gram (rep > 0.05);
+    // 7's bigrams are all unknown to the LM (unknown-language → reject)
+    assert(kept == Set(1L, 5L))
+    // state holds band rows only for curated survivors
+    val stateIds = spark.read.parquet(state + "/bands")
+      .select("doc_id").distinct().as[Long].collect().toSet
+    assert(stateIds == Set(1L, 5L))
+  }
+
   test("near-dup state compaction: fewer files, identical rows and decisions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("neardupcompact").toString
