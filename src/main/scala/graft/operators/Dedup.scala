@@ -110,6 +110,59 @@ object Dedup {
     jaccardFromInter(inter, sizes, threshold)
   }
 
+  /** EXACT Jaccard pairs with PREFIX FILTERING (AllPairs/PPJoin): identical
+    * output to ngramJaccardPairsFromKeys, but candidate generation joins
+    * only each doc's PREFIX — its |d| − ceil(t·|d|) + 1 rarest shingles
+    * under a global (df asc, key asc) order — instead of every shingle.
+    *
+    * Why this is exact: J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥
+    * max(ceil(t·|A|), ceil(t·|B|)); the FIRST common shingle in the global
+    * order has at least that many common shingles at-or-after it in both
+    * docs, so its rank is ≤ |A| − ceil(t·|A|) + 1 in A and ≤ |B| −
+    * ceil(t·|B|) + 1 in B — the SAME shingle sits in both prefixes, and
+    * the prefix equi-join emits the pair. Verification then computes the
+    * true intersection for candidates only.
+    *
+    * Why it matters at scale: the plain self-join's cost is Σ df² over
+    * shingles — corpus-stopword 3-grams ("one of the") each contribute
+    * df² pairs, a quadratic hot-key blowup no shuffle layout fixes. The
+    * rare-first order pushes exactly those shingles out of every prefix,
+    * so they never generate candidates; they are only ever counted inside
+    * the per-candidate-pair intersection. The df table is one extra
+    * aggregate over the key table, and the per-doc rank window partitions
+    * by doc_id (bounded rows — never a corpus-wide straggler key).
+    *
+    * Measured caveat: on THIS repo's synthetic corpus (31-word vocabulary
+    * → every 3-shingle is corpus-common, df is uniformly high) there are
+    * no rare shingles for prefixes to exploit, so candidates degenerate
+    * to the plain join's and the extra df/rank/verify stages make it
+    * ~4× slower at sf0.1. The benched query therefore keeps the plain
+    * inverted-index form; this operator is the exact-tier shape for a
+    * REAL (Zipf-vocabulary) corpus, correctness-gated against the same
+    * oracle (DedupSpec pins output equality at three thresholds).
+    */
+  def ngramJaccardPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
+    val pref = shk.join(dfreq, "shk")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      .select("doc_id", "shk")
+    val cand = pref.as("a").join(pref.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val inter = cand
+      .join(shk.as("x"), col("doc_a") === col("x.doc_id"))
+      .join(shk.as("y"),
+        col("doc_b") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    jaccardFromInter(inter, sizes, threshold)
+  }
+
   /** One MinHash signature component: min over shingles of a 60-bit slice
     * (15 hex chars) of md5(seed || ":" || shingle), as a BIGINT.
     *

@@ -180,6 +180,17 @@ object DedupQueries {
   val KeepRows = 2
   val KeepThreshold = 0.6
 
+  /** Shared by the plain and prefix-filtered exact-Jaccard queries —
+    * identical semantics by the prefix-filter theorem.
+    */
+  lazy val ngramJaccardOracle: String =
+    s"""WITH $shingleCte, $shkCte, $jaccardTail
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The actionable LSH-verified pair graph (shared with text_curate). */
   def lshKeepPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
@@ -196,13 +207,21 @@ object DedupQueries {
     GraftQuery("dedup_ngram_jaccard",
       (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedShingleKeys(s, d), 0.6)
         .orderBy("doc_a", "doc_b"),
-      Some(
-        s"""WITH $shingleCte, $shkCte, $jaccardTail
-           |SELECT doc_a, doc_b,
-           |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
-           |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
-           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
-           |ORDER BY doc_a, doc_b""".stripMargin)),
+      Some(ngramJaccardOracle)),
+
+    // Exact Jaccard with PREFIX FILTERING (AllPairs/PPJoin): identical
+    // output from a candidate join over each doc's rarest shingles only —
+    // the exact-tier shape for a real Zipf-vocabulary corpus, where it
+    // removes the stopword-shingle df² blowup. On THIS synthetic corpus
+    // (31-word vocab, every shingle common) prefixes aren't selective and
+    // the extra stages cost ~4× at sf0.1, so it is correctness-gated
+    // (same oracle — semantics identical) but bench-excluded; see
+    // Dedup.ngramJaccardPairsPrefixFromKeys's measured caveat.
+    GraftQuery("dedup_ngram_jaccard_prefix",
+      (s, d) => Dedup.ngramJaccardPairsPrefixFromKeys(persistedShingleKeys(s, d), 0.6)
+        .orderBy("doc_a", "doc_b"),
+      Some(ngramJaccardOracle),
+      bench = false),
 
     GraftQuery("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d),

@@ -43,6 +43,21 @@ class DedupSpec extends AnyFunSuite {
     assert(math.abs(pairs(1)._3 - 0.6) < 1e-12)
   }
 
+  test("prefix-filtered Jaccard == plain inverted-index Jaccard on both corpora") {
+    import spark.implicits._
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001); t <- Seq(0.5, 0.6, 0.8)) {
+      val shk = Dedup.shingles(graft.sources.Tables.documents(spark, d))
+        .select(org.apache.spark.sql.functions.col("doc_id"),
+          Dedup.shingleKey(org.apache.spark.sql.functions.col("shingle")).as("shk"))
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSeq.sorted
+      val plain = rows(Dedup.ngramJaccardPairsFromKeys(shk, t))
+      val prefix = rows(Dedup.ngramJaccardPairsPrefixFromKeys(shk, t))
+      assert(prefix == plain, s"$d t=$t")
+      assert(plain.nonEmpty, s"$d t=$t") // fixtures carry near-dup pairs
+    }
+  }
+
   test("clusters: chain merges into one component, min id wins") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
