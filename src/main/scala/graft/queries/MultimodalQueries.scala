@@ -46,6 +46,29 @@ object MultimodalQueries {
         .orderBy("media_id"),
       None), // image/audio rows decode real PNG/WAV; video stays stubbed — rows-only check
 
+    // The feature EXTRACTOR's routing, hash-gated for the two real
+    // modalities: extractFeatures must send image payloads through
+    // javax.imageio and audio payloads through javax.sound.sampled and
+    // land each modality's fields in the right columns (dims vs
+    // rate/frames, NULLs crosswise). The oracle re-derives both synthesis
+    // contracts from doc_id; video rows (stub checksum path, no SQL twin)
+    // stay under multimodal_features' rows-only check.
+    GraftQuery("multimodal_decode_meta",
+      (s, d) => Multimodal.extractFeatures(persistedMedia(s, d))
+        .filter(col("modality") =!= "video")
+        .select("media_id", "modality", "width", "height", "sample_rate", "n_frames")
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS modality,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 16 END AS INT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id // 16) % 16 END AS INT) AS height,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+          |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+          |         WHEN 2 THEN 16000 ELSE 22050 END END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 256 END AS BIGINT) AS n_frames
+          |FROM documents WHERE doc_id % 3 IN (0, 1) ORDER BY media_id""".stripMargin)),
+
     // Real-codec round trip, oracle-checked: image payloads are valid PNGs
     // (javax.imageio encode at synthesis), and width/height come from
     // javax.imageio DECODING those bytes. The oracle re-derives the
