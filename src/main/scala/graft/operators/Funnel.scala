@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Strict-order funnel analysis — the sequential-pattern operator event
+  * pipelines run on clickstreams: how many users performed step 1, then
+  * step 2 strictly after it, then step 3 after that, …
+  *
+  * Semantics: per user, step k's timestamp is the EARLIEST event of step
+  * k's type strictly after the user's step k−1 timestamp (first-touch
+  * attribution). A user reaches stage k iff that chain is non-empty
+  * through k.
+  *
+  * Scale shape: each step is one filtered scan equi-joined to the prior
+  * stage's (user_id, t) table — aggregate-sized and strictly shrinking,
+  * so later joins broadcast — followed by a user-keyed min aggregate
+  * (partials map-side). No window over the event stream (a ts-ordered
+  * window per user would sort the whole corpus); no driver round-trips;
+  * the result is one tiny union of per-stage counts.
+  */
+object Funnel {
+
+  /** Per-stage conversion counts for `steps` (event_type values, in funnel
+    * order). Returns (stage INT 1-based, step STRING, n_users BIGINT).
+    */
+  def conversion(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    val stageTables = Vector.newBuilder[(Int, String, DataFrame)]
+    stageTables += ((1, steps.head, cur))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val nxt = events.filter(col("event_type") === st).as("e")
+        .join(cur.as("c"),
+          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t"))
+      stageTables += ((i + 2, st, nxt))
+      cur = nxt
+    }
+    stageTables.result().map { case (i, name, df) =>
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(i).as("stage"), lit(name).as("step"), col("n_users"))
+    }.reduce(_.unionAll(_)).orderBy("stage")
+  }
+
+  /** The users who completed the whole funnel, with each stage's
+    * first-touch timestamp of the FINAL step — the cohort extraction twin
+    * of `conversion`. Returns (user_id, t_last).
+    */
+  def completedUsers(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    steps.tail.foreach { st =>
+      cur = events.filter(col("event_type") === st).as("e")
+        .join(cur.as("c"),
+          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t"))
+        .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t"))
+    }
+    cur.select(col("user_id"), col("t").as("t_last"))
+  }
+}

@@ -157,7 +157,53 @@ object EventQueries {
            |      FROM ev WHERE event_type = 'view')
            |SELECT p.event_id, p.user_id, p.ts, v.view_event_id, v.view_value
            |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
-           |ORDER BY p.event_id""".stripMargin))
+           |ORDER BY p.event_id""".stripMargin)),
+
+    // Strict-order funnel (signup → view → click → purchase): per-stage
+    // user counts where each stage's first touch is strictly after the
+    // previous stage's. Each step is a filtered-scan equi-join to the
+    // shrinking prior stage + a user-keyed min — no ts-ordered window
+    // over the corpus (graft.operators.Funnel).
+    GraftQuery("events_funnel",
+      (s, d) => graft.operators.Funnel.conversion(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase")),
+      Some(
+        s"""WITH $evCte,
+           |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           |       WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+           |UNION ALL SELECT 2, 'view', count(*) FROM s2
+           |UNION ALL SELECT 3, 'click', count(*) FROM s3
+           |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+           |ORDER BY stage""".stripMargin)),
+
+    // The completed-funnel cohort (users + their final-step first-touch
+    // ts) — the extraction twin of events_funnel.
+    GraftQuery("events_funnel_users",
+      (s, d) => graft.operators.Funnel.completedUsers(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"))
+        .orderBy("user_id"),
+      Some(
+        s"""WITH $evCte,
+           |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           |       WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT user_id, t AS t_last FROM s4 ORDER BY user_id""".stripMargin))
   )
 
   /** Sliding 2h/1h window via explicit window-start enumeration: event at t
