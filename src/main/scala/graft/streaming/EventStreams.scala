@@ -81,6 +81,60 @@ object EventStreams {
   case class SessionOut(user_id: Long, session_id: Long, n_events: Long,
                         start_ms: Long, end_ms: Long)
 
+  case class FunnelState(stage: Int, lastMs: Long)
+  case class FunnelOut(user_id: Long, completed_ms: Long)
+
+  /** Streaming twin of operators.Funnel.completedUsers: emit each user the
+    * moment they finish the strict-order funnel. Per-user state is one
+    * (stage, lastMs) pair — bounded regardless of event volume — advanced
+    * greedily over event-time-sorted events: the first event of the next
+    * step strictly after the previous step's timestamp is that step's
+    * first touch, which reproduces the batch per-stage-min semantics as
+    * long as events arrive no later than the watermark (the same in-order
+    * caveat as `sessions`). Completed users emit once and their state is
+    * removed; users who stall longer than `abandonMinutes` past their last
+    * accepted step are purged by event-time timeout — without it every
+    * never-converting visitor would hold state forever. (After removal a
+    * user who runs the WHOLE funnel again emits a second cohort row;
+    * batch extraction collapses to the first chain — dedupe downstream if
+    * once-ever semantics matter.)
+    */
+  def funnelCompletions(events: Dataset[Ev], steps: Seq[String],
+                        abandonMinutes: Int = 60): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val abandonMs = abandonMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelState]) => {
+        if (state.hasTimedOut) {
+          state.remove() // abandoned mid-funnel: purge, emit nothing
+          Iterator.empty
+        } else {
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(0, Long.MinValue))
+          var done: FunnelOut = null
+          sorted.foreach { e =>
+            if (done == null && e.event_type == steps(st.stage) &&
+                e.ts.getTime > st.lastMs) {
+              st = FunnelState(st.stage + 1, e.ts.getTime)
+              if (st.stage == steps.length) done = FunnelOut(userId, st.lastMs)
+            }
+          }
+          if (done != null) {
+            state.remove() // completes once; the cohort row is emitted now
+            Iterator.single(done)
+          } else {
+            state.update(st)
+            state.setTimeoutTimestamp(math.max(st.lastMs, sorted.last.ts.getTime) + abandonMs)
+            Iterator.empty
+          }
+        }
+      })
+  }
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState: closes a
     * session when the next event for the user arrives more than
     * `gapMinutes` after the previous one — or, for users that go silent,

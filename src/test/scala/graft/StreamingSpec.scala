@@ -384,6 +384,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel: strict order across batches, one emission per completer") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val steps = Seq("signup", "view", "click", "purchase")
+    val q = EventStreams.funnelCompletions(mem.toDS(), steps)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_out").start()
+    try {
+      // user 7 starts in order; user 9's view precedes signup (stalls at
+      // stage 'view' forever — its click can never satisfy the view step)
+      mem.addData(
+        EventStreams.Ev(1L, ts(1), 7L, "signup", 1.0),
+        EventStreams.Ev(2L, ts(2), 7L, "view", 1.0),
+        EventStreams.Ev(3L, ts(1), 9L, "view", 1.0),
+        EventStreams.Ev(4L, ts(2), 9L, "signup", 1.0))
+      q.processAllAvailable()
+      assert(spark.table("funnel_out").isEmpty) // nobody has completed yet
+      // user 7 completes ACROSS the batch boundary; user 9 stalls
+      mem.addData(
+        EventStreams.Ev(5L, ts(3), 7L, "click", 1.0),
+        EventStreams.Ev(6L, ts(4), 7L, "purchase", 1.0),
+        EventStreams.Ev(7L, ts(3), 9L, "click", 1.0),
+        EventStreams.Ev(8L, ts(4), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      // a second purchase must NOT re-emit user 7 (state was removed)
+      mem.addData(EventStreams.Ev(9L, ts(5), 7L, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_out")
+        .as[EventStreams.FunnelOut].collect().toSeq
+      assert(out == Seq(EventStreams.FunnelOut(7L, ts(4).getTime)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
