@@ -149,7 +149,13 @@ object Dedup {
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
       .join(sizes, "doc_id")
-      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh")) + 1)
+      // ceil over an epsilon-nudged product: t·n computed in doubles can
+      // land an ulp ABOVE an exact integer (e.g. t=0.55, n=20), and a bare
+      // ceil then shortens the prefix by one — enough to drop a qualifying
+      // pair. The nudge only ever LENGTHENS the prefix (more candidates,
+      // never fewer), so exactness vs the plain join is preserved at every
+      // threshold, not just the spec-pinned ones.
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select("doc_id", "shk")
     val cand = pref.as("a").join(pref.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))

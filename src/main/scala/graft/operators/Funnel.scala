@@ -26,8 +26,15 @@ object Funnel {
     */
   def conversion(events: DataFrame, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
+    // Each stage table feeds TWO consumers — the next stage's join and its
+    // own count — so without a cut the count of stage k re-executes the
+    // whole filter+join+agg chain for stages 1..k: O(s²) scans of the
+    // events table for an s-step funnel. localCheckpoint materializes each
+    // stage (aggregate-sized: one row per surviving user) so every stage's
+    // scan+join runs exactly once; semantics unchanged.
     var cur = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t"))
+      .localCheckpoint()
     val stageTables = Vector.newBuilder[(Int, String, DataFrame)]
     stageTables += ((1, steps.head, cur))
     steps.tail.zipWithIndex.foreach { case (st, i) =>
@@ -35,6 +42,7 @@ object Funnel {
         .join(cur.as("c"),
           col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t"))
         .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t"))
+        .localCheckpoint()
       stageTables += ((i + 2, st, nxt))
       cur = nxt
     }

@@ -162,10 +162,14 @@ object Multimodal {
       StructField("height", IntegerType)))
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
+        // NonFatal, not just IOException: ImageIO readers throw runtime
+        // exceptions (IllegalArgument, ArrayIndexOutOfBounds, NegativeArray
+        // Size) on payloads with a valid magic number but malformed body —
+        // those are corrupt DATA, not crashes.
         val img = try {
           javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-        } catch { case _: java.io.IOException => null }
+        } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.getLong(0), null, null)
         else Row(r.getLong(0), img.getWidth, img.getHeight)
       }
@@ -221,9 +225,9 @@ object Multimodal {
         }
         val row = r.getString(1) match {
           case "image" =>
-            val img =
+            val img = // NonFatal: malformed-body payloads throw runtime exceptions
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              catch { case _: java.io.IOException => null }
+              catch { case scala.util.control.NonFatal(_) => null }
             if (img == null) null
             else Row(r.getLong(0), r.getString(1), payload.length.toLong,
               img.getWidth, img.getHeight, null, null, byteChecksum)
@@ -268,9 +272,9 @@ object Multimodal {
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val p = r.getAs[Array[Byte]]("payload")
-        val img =
+        val img = // NonFatal: malformed-body payloads throw runtime exceptions
           try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(p))
-          catch { case _: java.io.IOException => null }
+          catch { case scala.util.control.NonFatal(_) => null }
         val resized = if (img != null) {
           val dst = new java.awt.image.BufferedImage(targetW, targetH,
             java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -41,12 +41,16 @@ object Persisted {
     * DirSwap.swap, not a single parquet write): resolve the
     * source-fingerprinted location, build on first use, and gate reads
     * with DirSwap.requireClean on `gateSub` — a crashed build is detected
-    * and re-run, never read through.
+    * and re-run, never read through. `DirSwap.recover` (idempotent) runs
+    * first, so debris from a crashed build/compaction resolves to a clean
+    * state here instead of making every later read throw until someone
+    * recovers by hand — the gate is genuinely self-healing.
     */
   def indexDir(s: SparkSession, d: String, kind: String, src: String,
                gateSub: String)(build: String => Unit): String = {
     val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
       s"_${fingerprint(s, d, src)}"
+    graft.operators.DirSwap.recover(dir)
     if (!graft.operators.DirSwap.requireClean(dir, gateSub)) build(dir)
     dir
   }

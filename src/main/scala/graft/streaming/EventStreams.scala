@@ -89,9 +89,15 @@ object EventStreams {
     * (stage, lastMs) pair — bounded regardless of event volume — advanced
     * greedily over event-time-sorted events: the first event of the next
     * step strictly after the previous step's timestamp is that step's
-    * first touch, which reproduces the batch per-stage-min semantics as
-    * long as events arrive no later than the watermark (the same in-order
-    * caveat as `sessions`). Completed users emit once and their state is
+    * first touch, which reproduces the batch per-stage-min semantics ONLY
+    * under in-order arrival ACROSS micro-batches: a step event reordered
+    * across batches (click in batch N, its preceding view in batch N+1)
+    * stalls the user at the earlier stage even though both events are
+    * within the watermark — the watermark bounds lateness, not cross-batch
+    * ordering. (True event-time semantics would buffer out-of-order step
+    * events in state until the watermark passes; this operator trades that
+    * buffer for one-pair-per-user state, the same in-order caveat as
+    * `sessions`.) Completed users emit once and their state is
     * removed; users who stall longer than `abandonMinutes` past their last
     * accepted step are purged by event-time timeout — without it every
     * never-converting visitor would hold state forever. (After removal a
