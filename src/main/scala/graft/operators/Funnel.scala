@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Strict-order funnel analysis — the sequential-pattern operator event
@@ -21,10 +21,25 @@ import org.apache.spark.sql.functions._
   */
 object Funnel {
 
+  /** Step-k join condition: strictly after step k−1's first touch, and —
+    * when a conversion horizon is set — no later than `within` after it.
+    * Unbounded funnels admit a step-k event years after step k−1; real
+    * funnel queries bound each transition (an INTERVAL Column, e.g.
+    * `expr("INTERVAL 24 HOURS")`). The bound composes per step, so the
+    * whole funnel is implicitly bounded by (s−1)·within.
+    */
+  private def stepCond(within: Option[Column]): Column = {
+    val after = col("e.ts") > col("c.t")
+    within.fold(after)(w => after && col("e.ts") <= col("c.t") + w)
+  }
+
   /** Per-stage conversion counts for `steps` (event_type values, in funnel
     * order). Returns (stage INT 1-based, step STRING, n_users BIGINT).
+    * `within` bounds each step transition (None = unbounded, the classic
+    * form).
     */
-  def conversion(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def conversion(events: DataFrame, steps: Seq[String],
+                 within: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // Each stage table feeds TWO consumers — the next stage's join and its
     // own count — so without a cut the count of stage k re-executes the
@@ -40,7 +55,7 @@ object Funnel {
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       val nxt = events.filter(col("event_type") === st).as("e")
         .join(cur.as("c"),
-          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t"))
+          col("e.user_id") === col("c.user_id") && stepCond(within))
         .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t"))
         .localCheckpoint()
       stageTables += ((i + 2, st, nxt))
@@ -56,14 +71,15 @@ object Funnel {
     * first-touch timestamp of the FINAL step — the cohort extraction twin
     * of `conversion`. Returns (user_id, t_last).
     */
-  def completedUsers(events: DataFrame, steps: Seq[String]): DataFrame = {
+  def completedUsers(events: DataFrame, steps: Seq[String],
+                     within: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     var cur = events.filter(col("event_type") === steps.head)
       .groupBy("user_id").agg(min("ts").as("t"))
     steps.tail.foreach { st =>
       cur = events.filter(col("event_type") === st).as("e")
         .join(cur.as("c"),
-          col("e.user_id") === col("c.user_id") && col("e.ts") > col("c.t"))
+          col("e.user_id") === col("c.user_id") && stepCond(within))
         .groupBy(col("e.user_id").as("user_id")).agg(min(col("e.ts")).as("t"))
     }
     cur.select(col("user_id"), col("t").as("t_last"))

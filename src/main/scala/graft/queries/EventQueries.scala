@@ -185,6 +185,33 @@ object EventQueries {
            |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
            |ORDER BY stage""".stripMargin)),
 
+    // Time-bounded funnel: each step transition must land within 24 h of
+    // the previous stage's first touch — the conversion-horizon form real
+    // funnel queries use (an unbounded funnel admits a purchase years
+    // after the click). Same shrinking-equi-join shape, one extra join
+    // predicate per step.
+    GraftQuery("events_funnel_windowed",
+      (s, d) => graft.operators.Funnel.conversion(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase"),
+        within = Some(expr("INTERVAL 24 HOURS"))),
+      Some(
+        s"""WITH $evCte,
+           |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t AND e.ts <= s1.t + INTERVAL '24 HOURS'
+           |       WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t AND e.ts <= s2.t + INTERVAL '24 HOURS'
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t AND e.ts <= s3.t + INTERVAL '24 HOURS'
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT 1 AS stage, 'signup' AS step, count(*) AS n_users FROM s1
+           |UNION ALL SELECT 2, 'view', count(*) FROM s2
+           |UNION ALL SELECT 3, 'click', count(*) FROM s3
+           |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
+           |ORDER BY stage""".stripMargin)),
+
     // The completed-funnel cohort (users + their final-step first-touch
     // ts) — the extraction twin of events_funnel.
     GraftQuery("events_funnel_users",

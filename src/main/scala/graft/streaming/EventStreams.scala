@@ -106,10 +106,16 @@ object EventStreams {
     * once-ever semantics matter.)
     */
   def funnelCompletions(events: Dataset[Ev], steps: Seq[String],
-                        abandonMinutes: Int = 60): Dataset[FunnelOut] = {
+                        abandonMinutes: Int = 60,
+                        withinMinutes: Option[Int] = None): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
     val abandonMs = abandonMinutes * 60000L
+    // conversion horizon (batch twin: Funnel's `within`): a step event more
+    // than withinMs after the previous stage's first touch doesn't advance
+    // the funnel. Long.MaxValue = unbounded; stage 0 is never bounded
+    // (lastMs = MinValue).
+    val withinMs = withinMinutes.map(_ * 60000L).getOrElse(Long.MaxValue)
     events
       .withWatermark("ts", "10 minutes")
       .groupByKey(_.user_id).flatMapGroupsWithState(
@@ -124,7 +130,8 @@ object EventStreams {
           var done: FunnelOut = null
           sorted.foreach { e =>
             if (done == null && e.event_type == steps(st.stage) &&
-                e.ts.getTime > st.lastMs) {
+                e.ts.getTime > st.lastMs &&
+                (st.stage == 0 || e.ts.getTime - st.lastMs <= withinMs)) {
               st = FunnelState(st.stage + 1, e.ts.getTime)
               if (st.stage == steps.length) done = FunnelOut(userId, st.lastMs)
             }

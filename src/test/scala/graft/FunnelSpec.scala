@@ -39,4 +39,35 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, java.sql.Timestamp)].collect().toSeq
     assert(r == Seq((1L, ts(4))))
   }
+
+  def slowEvents = {
+    import spark.implicits._
+    Seq(
+      // user 1: every transition within 2 s — completes under a 2 s bound
+      (1L, "signup", ts(1)), (1L, "view", ts(2)), (1L, "click", ts(4)), (1L, "purchase", ts(6)),
+      // user 2: click comes 10 s after view — bounded funnel stalls at 2;
+      // the unbounded funnel still counts it (and the later purchase)
+      (2L, "signup", ts(1)), (2L, "view", ts(2)), (2L, "click", ts(12)), (2L, "purchase", ts(13)),
+      // user 3: a too-late view (ts 9) then nothing — horizon kills stage 2
+      (3L, "signup", ts(1)), (3L, "view", ts(9))
+    ).toDF("user_id", "event_type", "ts")
+  }
+
+  test("conversion with `within`: a transition past the horizon stops the chain") {
+    import spark.implicits._
+    val bounded = Funnel.conversion(slowEvents, steps,
+      within = Some(org.apache.spark.sql.functions.expr("INTERVAL 2 SECONDS")))
+      .as[(Int, String, Long)].collect().toSeq
+    assert(bounded == Seq((1, "signup", 3L), (2, "view", 2L), (3, "click", 1L), (4, "purchase", 1L)))
+    val unbounded = Funnel.conversion(slowEvents, steps)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(unbounded == Seq((1, "signup", 3L), (2, "view", 3L), (3, "click", 2L), (4, "purchase", 2L)))
+    // horizon bounds the NEXT transition from the previous stage's first
+    // touch — user 2's purchase is 1 s after its click, but the click
+    // itself was out of horizon, so neither counts
+    val cu = Funnel.completedUsers(slowEvents, steps,
+      within = Some(org.apache.spark.sql.functions.expr("INTERVAL 2 SECONDS")))
+      .as[(Long, java.sql.Timestamp)].collect().toSeq
+    assert(cu == Seq((1L, ts(6))))
+  }
 }

@@ -418,6 +418,33 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming funnel with conversion horizon: late transitions stall the user") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val steps = Seq("signup", "view", "purchase")
+    val q = EventStreams.funnelCompletions(mem.toDS(), steps,
+      abandonMinutes = 600, withinMinutes = Some(5))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_win_out").start()
+    try {
+      // user 7: every transition within 5 min — completes.
+      // user 9: view arrives 30 min after signup — horizon stalls stage 2,
+      // so the (in-horizon-from-view) purchase can't complete the funnel.
+      mem.addData(
+        EventStreams.Ev(1L, ts(0), 7L, "signup", 1.0),
+        EventStreams.Ev(2L, ts(3), 7L, "view", 1.0),
+        EventStreams.Ev(3L, ts(6), 7L, "purchase", 1.0),
+        EventStreams.Ev(4L, ts(0), 9L, "signup", 1.0),
+        EventStreams.Ev(5L, ts(30), 9L, "view", 1.0),
+        EventStreams.Ev(6L, ts(33), 9L, "purchase", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_win_out")
+        .as[EventStreams.FunnelOut].collect().toSeq
+      assert(out == Seq(EventStreams.FunnelOut(7L, ts(6).getTime)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
