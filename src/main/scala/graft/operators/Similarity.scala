@@ -224,13 +224,17 @@ object Similarity {
       },
       "centroids" -> { out => ivfCentroids(embeddings).write.parquet(out) }))
 
-  /** Query the persisted IVF index: route each query vector to its best
-    * centroid (tiny centroid table, driver-side argmax per query), then
-    * scan ONLY the probed cell partitions — `label IN (...)` prunes every
-    * other cell's files. Same cosine/top-k semantics as ivfTopK.
+  /** Query the persisted IVF index: route each query vector to its
+    * `nprobe` nearest centroids (tiny centroid table, driver-side per
+    * query), then scan ONLY the probed cell partitions — `label IN (...)`
+    * prunes every other cell's files. Same cosine/top-k semantics as
+    * ivfTopK at nprobe=1; larger nprobe trades a proportionally larger
+    * pruned scan for recall near cell boundaries (cells partition the
+    * corpus, so each neighbor is still scored at most once — its label
+    * matches at most one of a query's probe rows, no dedup needed).
     */
   def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                     queries: DataFrame, k: Int): DataFrame = {
+                     queries: DataFrame, k: Int, nprobe: Int = 1): DataFrame = {
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val q = prepared(queries)
     val qd = broadcast(q)
@@ -238,11 +242,11 @@ object Similarity {
       .join(broadcast(cent), (col("pos") + 1) === col("i"))
       .groupBy("query_id", "label")
       .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
-    val best = qd.withColumn("rn",
+    val probes = qd.withColumn("rn",
         row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
-      .filter(col("rn") === 1).select("query_id", "label")
-    val probed = best.select("label").distinct()
-      .collect().map(_.getInt(0)).toSeq // ≤ |queries| cells — metadata-scale
+      .filter(col("rn") <= nprobe).select("query_id", "label")
+    val probed = probes.select("label").distinct()
+      .collect().map(_.getInt(0)).toSeq // ≤ |queries|×nprobe cells — metadata-scale
     // carry `label` through preparation instead of joining back a second
     // (unpruned!) cells scan to recover it — one pruned scan, no join
     val cells = spark.read.parquet(s"$indexDir/cells")
@@ -250,7 +254,7 @@ object Similarity {
       .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
       .withColumn("nrm", norm(col("e")))
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
-    broadcast(q.join(best.withColumnRenamed("label", "probe_label"),
+    broadcast(q.join(probes.withColumnRenamed("label", "probe_label"),
         col("vec_id") === col("query_id"))).as("a")
       .join(cells.as("b"),
         col("b.label") === col("probe_label") && col("a.vec_id") =!= col("b.vec_id"))

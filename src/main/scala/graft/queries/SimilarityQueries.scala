@@ -79,19 +79,23 @@ object SimilarityQueries {
            |SELECT query_id, neighbor_id, cos, rank FROM r
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)),
 
-    // Same answer as knn_ivf, from the persisted cell-partitioned IVF
-    // index (Similarity.buildIvfIndex → ivfTopKIndexed): probing = parquet
-    // partition pruning. Index built on first use per SF dir.
+    // Persisted cell-partitioned IVF index (Similarity.buildIvfIndex →
+    // ivfTopKIndexed): probing = parquet partition pruning, here with
+    // nprobe=2 — the second-nearest cell recovers neighbors that fall
+    // across the boundary of the best cell (the kmeans tier already
+    // probes 2; probe-1 was a structural recall gap). Index built on
+    // first use per SF dir; the oracle derives the same 2-cell probe set
+    // in SQL, so the widened path stays hash-gated.
     GraftQuery("knn_ivf_indexed",
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
         val idx = ivfIndexDir(s, d, "ivf")(Similarity.buildIvfIndex(emb, _))
-        Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
+        Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5, nprobe = 2)
           .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
       },
-      Some(knnIvfOracle)),
+      Some(knnIvfOracleN(2))),
 
     // IVF probe-1 ANN: label as coarse cell, nearest centroid by dot, then
     // exact cosine inside the probed cell.
@@ -197,8 +201,13 @@ object SimilarityQueries {
        |SELECT query_id, neighbor_id, cos, rank FROM r
        |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
 
-  /** Shared by knn_ivf and knn_ivf_indexed — identical semantics. */
-  lazy val knnIvfOracle: String =
+  /** IVF ANN oracle, parameterized by probe width: rn <= nprobe routes
+    * each query to its nprobe best cells (nprobe=1 ≡ the probe-1 form —
+    * shared by knn_ivf; knn_ivf_indexed uses nprobe=2). Cells partition
+    * the corpus, so a neighbor joins at most one probe row per query —
+    * no dedup needed, mirroring the Spark plan.
+    */
+  def knnIvfOracleN(nprobe: Int): String =
     s"""WITH $prepCte,
            |cent AS (
            |  SELECT label, i, floor(avg(e[i])*1000000.0+0.5)/1000000.0 AS c
@@ -210,22 +219,24 @@ object SimilarityQueries {
            |    floor(sum(q.e[cent.i] * cent.c)*1000000.0+0.5)/1000000.0 AS qdot
            |  FROM v q, cent WHERE q.vec_id < 10
            |  GROUP BY 1, 2),
-           |best AS (
+           |probes AS (
            |  SELECT query_id, label AS probe_label FROM (
            |    SELECT query_id, label,
            |      row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, label) AS rn
-           |    FROM qd) WHERE rn = 1),
+           |    FROM qd) WHERE rn <= $nprobe),
            |cell AS (SELECT em.vec_id, em.label, n.e, n.nrm
            |         FROM embeddings em JOIN n ON em.vec_id = n.vec_id),
            |c AS (
-           |  SELECT a.vec_id AS query_id, best.probe_label, b.vec_id AS neighbor_id,
+           |  SELECT a.vec_id AS query_id, probes.probe_label, b.vec_id AS neighbor_id,
            |         ${cosSql("a", "b")} AS cos
            |  FROM n a
-           |    JOIN best ON best.query_id = a.vec_id
-           |    JOIN cell b ON b.label = best.probe_label AND b.vec_id <> a.vec_id),
+           |    JOIN probes ON probes.query_id = a.vec_id
+           |    JOIN cell b ON b.label = probes.probe_label AND b.vec_id <> a.vec_id),
            |r AS (SELECT query_id, probe_label, neighbor_id, cos,
            |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
            |      FROM c)
            |SELECT query_id, probe_label, neighbor_id, cos, rank FROM r
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  lazy val knnIvfOracle: String = knnIvfOracleN(1)
 }

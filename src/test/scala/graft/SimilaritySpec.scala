@@ -142,6 +142,30 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivfTopKIndexed nprobe=2: superset candidates, recall@5 >= probe-1 on both corpora") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val emb = graft.sources.Tables.embeddings(spark, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_np").toString
+      Similarity.buildIvfIndex(emb, dir)
+      val q = emb.filter(col("vec_id") < 10)
+      def top(n: Int) = Similarity.ivfTopKIndexed(spark, dir, q, 5, nprobe = n)
+        .select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      val p1 = top(1)
+      val p2 = top(2)
+      val exact = Similarity.bruteForceTopK(emb, 10, 5)
+        .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      val r1 = (exact intersect p1).size.toDouble / exact.size
+      val r2 = (exact intersect p2).size.toDouble / exact.size
+      // the probe-2 candidate pool strictly contains probe-1's, so recall
+      // can only improve — the structural claim the widened path makes
+      assert(r2 >= r1, s"recall@5 probe2=$r2 < probe1=$r1 at $d")
+      assert(p2.size == 50, d) // full k for every query
+    }
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
