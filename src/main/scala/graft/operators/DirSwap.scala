@@ -148,6 +148,16 @@ object DirSwap {
     liveOk
   }
 
+  /** Stamp `dir` complete (`_SUCCESS`) by hand — for aside writes whose
+    * content lands in a SUBDIRECTORY of the aside path (batch-keyed
+    * layouts put the parquet commit marker inside `batch=.../`), so the
+    * swap's completeness gate still has a root marker to check.
+    */
+  def markComplete(dir: String): Unit = {
+    val p = new Path(dir, "_SUCCESS")
+    fsOf(p).create(p, true).close()
+  }
+
   private def writeMarker(fs: FileSystem, base: Path, subs: Seq[String]): Unit = {
     val tmp = new Path(base, s"$Marker.tmp")
     val out = fs.create(tmp, true)

@@ -97,15 +97,17 @@ object SearchQueries {
     GraftQuery("search_topk_incremental",
       (s, d) => {
         import org.apache.spark.sql.functions.col
-        val idx = s"/tmp/graft-inc/${d.replaceAll("[^A-Za-z0-9.]", "_")}"
+        // _v2: the batch-keyed IncrementalIndex layout — a pre-round-8
+        // flat-append cache dir under the old name must not be read through
+        val idx = s"/tmp/graft-inc/${d.replaceAll("[^A-Za-z0-9.]", "_")}_v2"
         // _DONE marker written only after the LAST batch: a crash mid-ingest
         // leaves no marker, so the next run rebuilds instead of querying a
         // half-ingested index
         if (!new java.io.File(s"$idx/_DONE").exists()) {
           org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idx))
           val docs = Tables.documents(s, d)
-          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx)
-          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 1), idx)
+          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 0), idx, 0L)
+          graft.operators.IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 2 === 1), idx, 1L)
           new java.io.File(s"$idx/_DONE").createNewFile()
         }
         graft.operators.IncrementalIndex.searchTopK(s, idx, Search.DefaultQuery, 10)

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.operators.{DirSwap, IncrementalIndex}
+import graft.operators.{BatchCommit, DirSwap, IncrementalIndex}
 import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -41,10 +41,11 @@ object DocStreams {
   private def stateBkt: org.apache.spark.sql.Column =
     pmod(col("bh"), lit(StateBuckets.toLong)).cast("int")
 
+  private def bandsRoot(stateDir: String): String = s"$stateDir/bands"
+
   /** One micro-batch of streaming NEAR-dup dedup against an accumulated
     * signature index. Returns the batch's novel docs and their state rows;
-    * the CALLER writes them (output first, state last — see
-    * dedupNearIngest).
+    * the CALLER writes them batch-keyed (see dedupNearIngest).
     *
     * Mechanics (the production blocked-dedup shape, incrementalized):
     * fast-tier MinHash signatures for the batch; LSH band buckets joined
@@ -53,40 +54,49 @@ object DocStreams {
     * verify on signature agreement (fraction of equal components >=
     * `minAgree` — the MinHash estimate of Jaccard, so state never holds
     * shingles or text). Docs with a verified prior/earlier match are
-    * dropped; survivors' band rows append to the index.
+    * dropped; survivors' band rows become the batch's state rows.
     *
     * State layout (the IncrementalIndex move, applied to signatures): the
     * index persists its band rows directly — (bh, doc_id, h0..h11)
-    * partitioned by (band, bkt) — instead of a flat signature table whose
-    * band rows were re-derived by exploding the ENTIRE index every batch.
-    * The batch computes which (band, bkt) buckets its own band rows hash
-    * into (a driver-side list bounded by bands × StateBuckets, never by
-    * index size) and the state scan prunes to exactly those parquet
-    * partitions: per-batch read cost is O(touched buckets), not O(index).
-    * Each band row carries its doc's full signature, so the verify step
-    * reads the matched state rows themselves — no join back to a full
-    * signature table (which, keyed by doc_id, could never prune).
-    * The denormalization costs bands × ~104 B/doc (~0.6 KB at 6×2) vs
-    * 96 B/doc flat — storage traded for never scanning the index.
+    * partitioned by (band, bkt) inside each committed `batch=<id>` dir —
+    * instead of a flat signature table whose band rows were re-derived by
+    * exploding the ENTIRE index every batch. The batch computes which
+    * (band, bkt) buckets its own band rows hash into (a driver-side list
+    * bounded by bands × StateBuckets, never by index size) and the state
+    * scan prunes to exactly those parquet partitions: per-batch read cost
+    * is O(touched buckets), not O(index). Each band row carries its doc's
+    * full signature, so the verify step reads the matched state rows
+    * themselves — no join back to a full signature table (which, keyed by
+    * doc_id, could never prune). The denormalization costs
+    * bands × ~104 B/doc (~0.6 KB at 6×2) vs 96 B/doc flat — storage
+    * traded for never scanning the index.
+    *
+    * Replay determinism: `batchId` excludes the batch's OWN `batch=<id>`
+    * state dir from the scan, so a crash-replay that runs AFTER this
+    * batch's state was persisted still computes against exactly the
+    * strictly-prior state — same novel set, same state rows, and the
+    * batch-keyed overwrite (BatchCommit) makes the re-write a no-op.
     */
   def dedupNearLshBatch(batch: DataFrame, stateDir: String,
                         bands: Int = 6, rowsPerBand: Int = 2,
-                        minAgree: Double = 0.5): (DataFrame, DataFrame) = {
+                        minAgree: Double = 0.5,
+                        batchId: Long = Long.MinValue): (DataFrame, DataFrame) = {
     import graft.operators.Dedup
     val spark = batch.sparkSession
     validateState(spark, stateDir, bands, rowsPerBand)
     val n = bands * rowsPerBand
     val sigCols = (0 until n).map(i => s"h$i")
     val sig = Dedup.minhashSignaturesFast(Dedup.shingles(batch), n)
-      .localCheckpoint() // reused: band rows, verify b-side, state append
+      .localCheckpoint() // reused: band rows, verify b-side, state rows
     // batch band rows carry the signature — both the in-batch a-side and
-    // the appended state rows need it next to the band key
+    // the persisted state rows need it next to the band key
     val newBands = Dedup.bandRows(sig, bands, rowsPerBand,
       cols => xxhash64(cols: _*), carry = sigCols)
     val aSig = sigCols.map(c => col(s"x.$c").as(s"a_$c"))
     // candidate (earlier doc a + its signature, new doc b): a from the
     // pruned state partitions, or an earlier doc of the same batch
-    val priorCand = prunedStateBands(spark, stateDir, touchedBuckets(newBands))
+    val priorCand = prunedStateBands(spark, stateDir, touchedBuckets(newBands),
+        exclude = Some(batchId))
       .map { p =>
         p.as("x").join(newBands.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
@@ -110,7 +120,7 @@ object DocStreams {
       // batch-bounded id set, checkpointed so (a) the candidate + verify
       // subtree runs once even though both returned frames consume it, and
       // (b) neither returned plan reads stateDir at write time — the state
-      // append can never race its own batch's reads
+      // write can never race its own batch's reads
       .localCheckpoint()
     (batch.join(dupIds, Seq("doc_id"), "left_anti"),
       newBands.join(dupIds, Seq("doc_id"), "left_anti")
@@ -125,25 +135,61 @@ object DocStreams {
     newBands.select(col("band"), stateBkt.as("bkt")).distinct()
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
 
-  /** The state's band-row table pruned to `touched` (band, bkt) buckets —
-    * an OR-of-conjunctions over the two partition columns, so the parquet
-    * scan's PartitionFilters (spec-locked) skip every untouched bucket.
-    * None until the first batch has committed state. A half-completed
-    * compaction swap THROWS (via `DirSwap.requireClean`) instead of being
-    * mistaken for empty state — the round-6 version silently ignored the
-    * entire accumulated index when a crash stranded it in `bands_old`,
+  /** The state's committed band rows pruned to `touched` (band, bkt)
+    * buckets — an OR-of-conjunctions over the two partition columns, so
+    * each batch dir's parquet scan PartitionFilters (spec-locked) skip
+    * every untouched bucket. Reads ONLY committed `batch=*` dirs
+    * (BatchCommit), minus `exclude` (a replaying batch must not see its
+    * own previous attempt). None until a first batch has committed state.
+    * A half-completed compaction swap THROWS (`stateSwapGuard`) instead of
+    * being mistaken for empty state — the round-6 version silently ignored
+    * the entire accumulated index when a crash stranded it in `bands_old`,
     * re-admitting every duplicate from then on.
     */
   private[graft] def prunedStateBands(spark: SparkSession,
                                       stateDir: String,
-                                      touched: Seq[(Int, Int)]): Option[DataFrame] = {
-    if (!DirSwap.requireClean(stateDir, "bands") || touched.isEmpty) None
+                                      touched: Seq[(Int, Int)],
+                                      exclude: Option[Long] = None): Option[DataFrame] = {
+    stateSwapGuard(spark, stateDir)
+    val dirs = BatchCommit.committedBatchDirs(spark, bandsRoot(stateDir), exclude)
+    if (dirs.isEmpty || touched.isEmpty) None
     else {
       val hit = touched.map { case (b, k) =>
         col("band") === b && col("bkt") === k
       }.reduce(_ || _)
-      Some(spark.read.parquet(s"$stateDir/bands").filter(hit))
+      // basePath (see BatchCommit.readCommitted): batch is a partition
+      // column here, dropped after the (band, bkt)-pruning filter
+      Some(spark.read.option("basePath", bandsRoot(stateDir)).parquet(dirs: _*)
+        .filter(hit).drop("batch"))
     }
+  }
+
+  /** All committed state band rows — the maintenance/inspection view
+    * (tests, compaction, operational queries). Empty-schema-free: None
+    * until a first batch commits.
+    */
+  def stateBands(spark: SparkSession, stateDir: String): Option[DataFrame] = {
+    stateSwapGuard(spark, stateDir)
+    BatchCommit.readCommitted(spark, bandsRoot(stateDir))
+  }
+
+  /** Reader-side swap guard for the state dir: a pending compaction marker
+    * or a stranded `bands_old`/`bands_next` generation throws instead of
+    * reading through (the OWNING ingest self-heals via `DirSwap.recover`
+    * before each batch; foreign readers must not guess mid-swap).
+    */
+  private def stateSwapGuard(spark: SparkSession, stateDir: String): Unit = {
+    val (fs, base) = fsOf(spark, stateDir)
+    if (!fs.exists(base)) return
+    if (fs.exists(new Path(base, "_SWAP_PENDING")))
+      throw new IllegalStateException(
+        s"$stateDir has a pending directory swap (crashed maintenance job?) — " +
+          "run DirSwap.recover before reading")
+    if (!fs.exists(new Path(base, "bands")) &&
+        (fs.exists(new Path(base, "bands_old")) || fs.exists(new Path(base, "bands_next"))))
+      throw new IllegalStateException(
+        s"$stateDir/bands is mid-swap (crashed maintenance job?) — " +
+          "run DirSwap.recover before reading")
   }
 
   /** Manifest recording the state dir's layout parameters. Band rows only
@@ -152,10 +198,12 @@ object DocStreams {
     * either fail late at analysis time (missing h columns) or — worse —
     * silently band-hash over a different column grouping. The manifest
     * pins (layout version, bands, rowsPerBand, buckets) at first ingest
-    * and every later open validates against it.
+    * and every later open validates against it. Layout `bands-v2` is the
+    * batch-keyed idempotent layout; a `bands-v1` (flat-append) manifest
+    * refuses to open rather than mixing commit protocols.
     */
   private val ManifestFile = "MANIFEST"
-  private val LayoutVersion = "bands-v1"
+  private val LayoutVersion = "bands-v2"
 
   private def fsOf(spark: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
@@ -177,12 +225,12 @@ object DocStreams {
     }
   }
 
-  /** Fail loudly on a state dir this ingest cannot safely append to:
-    * manifest parameters that disagree with the caller's, a legacy
-    * (round-5 flat-signature) layout whose `_SUCCESS` sits at the root, or
-    * a pre-manifest bands layout whose h-column count contradicts
-    * bands×rowsPerBand (adopted and back-filled by the next manifest write
-    * when it agrees).
+  /** Fail loudly on a state dir this ingest cannot safely write to:
+    * manifest parameters that disagree with the caller's (including a
+    * flat-append `bands-v1` manifest), a legacy (round-5 flat-signature)
+    * layout whose `_SUCCESS` sits at the root, a pre-manifest v1 bands
+    * layout (`band=*` dirs directly under `bands/`), or a signature width
+    * that contradicts bands×rowsPerBand.
     */
   private[graft] def validateState(spark: SparkSession, stateDir: String,
                                    bands: Int, rowsPerBand: Int): Unit = {
@@ -206,35 +254,55 @@ object DocStreams {
     } else if (fs.exists(new Path(base, "_SUCCESS")) && !fs.exists(new Path(base, "bands"))) {
       throw new IllegalStateException(
         s"$stateDir holds a legacy flat-signature near-dup state (pre band-partitioned " +
-          "layout); rebuild the state dir — appending band rows next to it would " +
+          "layout); rebuild the state dir — writing band rows next to it would " +
           "silently ignore the accumulated index")
-    } else if (DirSwap.requireClean(stateDir, "bands")) {
-      val n = bands * rowsPerBand
-      val fields = spark.read.parquet(s"$stateDir/bands").schema.fieldNames.toSet
-      if (!fields.contains(s"h${n - 1}") || fields.contains(s"h$n"))
+    } else {
+      val bandsPath = new Path(base, "bands")
+      if (fs.exists(bandsPath) &&
+          fs.listStatus(bandsPath).exists(_.getPath.getName.startsWith("band=")))
         throw new IllegalStateException(
-          s"near-dup state $stateDir has a signature width incompatible with " +
-            s"bands=$bands rowsPerBand=$rowsPerBand")
+          s"$stateDir/bands holds a flat-append (bands-v1) layout; rebuild the state " +
+            "dir — batch-keyed writes next to v1 appends would split the index across " +
+            "two commit protocols and readers would see only one of them")
+      val dirs = BatchCommit.committedBatchDirs(spark, bandsRoot(stateDir))
+      if (dirs.nonEmpty) {
+        val n = bands * rowsPerBand
+        // all committed dirs (basePath): a single empty batch dir — a
+        // replayed batch whose rows were absorbed by compaction — has no
+        // footer to infer a schema from on its own
+        val fields = spark.read.option("basePath", bandsRoot(stateDir))
+          .parquet(dirs: _*).schema.fieldNames.toSet
+        if (!fields.contains(s"h${n - 1}") || fields.contains(s"h$n"))
+          throw new IllegalStateException(
+            s"near-dup state $stateDir has a signature width incompatible with " +
+              s"bands=$bands rowsPerBand=$rowsPerBand")
+      }
     }
   }
 
   /** Always-on streaming near-dup dedup: novel docs land in `outDir`,
-    * band-partitioned signature state accumulates in `stateDir/bands`.
-    * foreachBatch (not a stateful operator) because the dedup state is a
-    * persistent, queryable, append-only table shared with batch jobs —
-    * the same layout decision as IncrementalIndex.
+    * band-partitioned signature state accumulates under
+    * `stateDir/bands/batch=<id>`. foreachBatch (not a stateful operator)
+    * because the dedup state is a persistent, queryable table shared with
+    * batch jobs — the same layout decision as IncrementalIndex.
     *
-    * Write order matters: output FIRST, state LAST. A crash between the
-    * two writes re-delivers the batch with its signatures absent from
-    * state, so the docs are re-emitted (at-least-once). The reverse order
-    * would make a re-delivered batch match its own persisted signatures
-    * and be dropped forever.
+    * Replay safety (at-least-once foreachBatch made idempotent): both
+    * writes are batch-id-keyed overwrites gated by BatchCommit — a
+    * re-delivered batch recomputes against the same strictly-prior state
+    * (its own `batch=<id>` state dir is excluded from the scan) and
+    * overwrites its own previous attempt with identical content, so crash
+    * anywhere between the writes and the checkpoint commit re-emits
+    * NOTHING: no duplicate docs in the curated output, no duplicate state
+    * rows. Readers (`readOutput`/`stateBands`) see only committed batch
+    * dirs, so a half-written attempt is invisible until its replay.
     *
     * `compactEvery` > 0 folds state maintenance into the ingest itself:
-    * every Nth committed batch rewrites each (band, bkt) partition to one
-    * file inside the same foreachBatch callback. foreachBatch invocations
-    * are serialized per query, so the compaction swap can never race this
-    * query's own appends — the cadence IS the maintenance window.
+    * every Nth committed batch rewrites the state to one file per
+    * (band, bkt) bucket inside the same foreachBatch callback.
+    * foreachBatch invocations are serialized per query, so the compaction
+    * swap can never race this query's own appends — the cadence IS the
+    * maintenance window; a crash mid-swap self-heals via the
+    * `DirSwap.recover` call at the top of the next invocation.
     */
   def dedupNearIngest(docs: DataFrame, stateDir: String, outDir: String,
                       bands: Int = 6, rowsPerBand: Int = 2,
@@ -243,11 +311,12 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          DirSwap.recover(stateDir) // self-heal a compaction crashed mid-swap
           val (novel, novelState) =
-            dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree)
-          novel.write.mode("append").parquet(outDir)
-          novelState.write.mode("append")
-            .partitionBy("band", "bkt").parquet(s"$stateDir/bands")
+            dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree, batchId)
+          BatchCommit.writeBatch(novel, outDir, batchId)
+          BatchCommit.writeBatch(novelState, bandsRoot(stateDir), batchId,
+            partitionCols = Seq("band", "bkt"))
           writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
           if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
             compactState(batch.sparkSession, stateDir)
@@ -255,23 +324,39 @@ object DocStreams {
       }
       .start()
 
-  /** Compact the near-dup signature state: ingest appends one file set
-    * per micro-batch to each touched bucket, so after N batches listing a
-    * bucket costs O(N). Rewrite each (band, bkt) partition to a single
-    * file and swap via `DirSwap` — crash-recoverable (marker + roll
-    * forward), same maintenance-window caveat (must not race a concurrent
-    * ingest outside `dedupNearIngest`'s own compactEvery cadence). Dedup
-    * decisions are unchanged: rows are untouched, only the file layout
-    * shrinks (spec-pinned).
+  /** Committed-batches view of a batch-keyed output dir — what a
+    * downstream consumer of the curated/deduped corpus reads. None until
+    * the first batch commits.
     */
-  def compactState(spark: SparkSession, stateDir: String): Unit =
-    DirSwap.swapOne(stateDir, "bands") { out =>
-      spark.read.parquet(s"$stateDir/bands")
+  def readOutput(spark: SparkSession, outDir: String): Option[DataFrame] =
+    BatchCommit.readCommitted(spark, outDir)
+
+  /** Compact the near-dup signature state: ingest commits one batch dir
+    * per micro-batch, so after N batches listing the state costs O(N).
+    * Fold every committed batch dir into a single `batch=compact` dir with
+    * one file per live (band, bkt) bucket and swap via `DirSwap` —
+    * crash-recoverable (marker + roll forward), same maintenance-window
+    * caveat (must not race a concurrent ingest outside `dedupNearIngest`'s
+    * own compactEvery cadence). Dedup decisions are unchanged: rows are
+    * untouched, only the dir layout shrinks (spec-pinned). A batch whose
+    * rows were folded here and is then crash-replayed recomputes an empty
+    * novel set — BatchCommit's committed-output guard keeps its original
+    * output, and its (empty) state re-write is harmless.
+    */
+  def compactState(spark: SparkSession, stateDir: String): Unit = {
+    val live = BatchCommit.committedBatchDirs(spark, bandsRoot(stateDir))
+    if (live.nonEmpty) DirSwap.swapOne(stateDir, "bands") { out =>
+      spark.read.option("basePath", bandsRoot(stateDir)).parquet(live: _*)
+        .drop("batch")
         // hash-repartition on exactly the partition cols → one task, and
         // therefore one file, per live (band, bkt) bucket
         .repartition(col("band"), col("bkt"))
-        .write.partitionBy("band", "bkt").parquet(out)
+        .write.partitionBy("band", "bkt").parquet(s"$out/batch=compact")
+      // content sits in batch=compact (with its own parquet _SUCCESS);
+      // stamp the aside root so the swap's completeness gate holds
+      DirSwap.markComplete(out)
     }
+  }
 
   /** One micro-batch of streaming CURATION — the streaming twin of the
     * batch `text_curate` composite. Stage order mirrors cost: the
@@ -280,19 +365,20 @@ object DocStreams {
     * against the PRE-TRAINED `lm` — a stream never retrains its scoring
     * model mid-flight), decontamination against the broadcast eval
     * shingle set, and finally stateful near-dup against the accumulated
-    * signature index (dedupNearLshBatch, same state layout/ordering
+    * signature index (dedupNearLshBatch, same state layout/replay
     * contract). Unseen bigrams have no row in the denormalized LM table,
     * so they don't contribute to a doc's score, and a doc with NO known
     * bigram fails the scoring join and is dropped — unknown-language text
     * reads as reject, the conservative curation default.
     *
     * Returns (curated novel docs, their state rows); the caller writes
-    * output first, state last (see dedupNearIngest).
+    * them batch-keyed (see curateIngest).
     */
   def curateBatch(batch: DataFrame, lm: DataFrame, benchShingles: DataFrame,
                   stateDir: String, bands: Int = 6, rowsPerBand: Int = 2,
                   minAgree: Double = 0.5, maxRep: Double = 0.05,
-                  maxNll: Double = 3.45, maxContam: Long = 4): (DataFrame, DataFrame) = {
+                  maxNll: Double = 3.45, maxContam: Long = 4,
+                  batchId: Long = Long.MinValue): (DataFrame, DataFrame) = {
     import graft.operators.{Dedup, TextAnalysis}
     val gated = batch.filter(TextAnalysis.cleanGate())
     val repOk = TextAnalysis.repetition(gated)
@@ -305,15 +391,15 @@ object DocStreams {
       .filter(col("n_contaminated") > maxContam).select("doc_id")
     val kept = gated.join(repOk, "doc_id").join(nllOk, "doc_id")
       .join(contam, Seq("doc_id"), "left_anti")
-    dedupNearLshBatch(kept, stateDir, bands, rowsPerBand, minAgree)
+    dedupNearLshBatch(kept, stateDir, bands, rowsPerBand, minAgree, batchId)
   }
 
   /** Always-on streaming curation: quality-gate + score + decontaminate +
     * near-dup each micro-batch, land curated docs in `outDir`, accumulate
-    * signature state in `stateDir/bands`. Same foreachBatch rationale and
-    * output-first/state-last crash ordering as dedupNearIngest; the LM
-    * and eval shingle set are fixed side inputs a pipeline versions with
-    * the model, not per-batch state.
+    * signature state under `stateDir/bands/batch=<id>`. Same batch-keyed
+    * idempotent replay contract as dedupNearIngest; the LM and eval
+    * shingle set are fixed side inputs a pipeline versions with the
+    * model, not per-batch state.
     */
   def curateIngest(docs: DataFrame, lm: DataFrame, benchShingles: DataFrame,
                    stateDir: String, outDir: String,
@@ -324,11 +410,12 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          DirSwap.recover(stateDir) // self-heal a compaction crashed mid-swap
           val (novel, novelState) = curateBatch(batch, lm, benchShingles,
-            stateDir, bands, rowsPerBand, minAgree, maxRep, maxNll, maxContam)
-          novel.write.mode("append").parquet(outDir)
-          novelState.write.mode("append")
-            .partitionBy("band", "bkt").parquet(s"$stateDir/bands")
+            stateDir, bands, rowsPerBand, minAgree, maxRep, maxNll, maxContam, batchId)
+          BatchCommit.writeBatch(novel, outDir, batchId)
+          BatchCommit.writeBatch(novelState, bandsRoot(stateDir), batchId,
+            partitionCols = Seq("band", "bkt"))
           writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
           if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
             compactState(batch.sparkSession, stateDir)
@@ -338,18 +425,20 @@ object DocStreams {
 
   /** The always-on corpus pipeline in one query: stream in → dedup →
     * fold into the incremental search index (foreachBatch over
-    * IncrementalIndex.ingestBatch). Duplicates never reach the index, so
-    * df counts stay correct without any read-modify-write; the index is
-    * queryable concurrently (append-only layout). Dedup emits first
-    * arrivals immediately — indexing latency is one micro-batch, not one
-    * watermark horizon.
+    * IncrementalIndex.ingestBatch, batch-id-keyed so a crash-replay
+    * overwrites its own previous attempt instead of double-indexing the
+    * batch). Duplicates never reach the index, so df counts stay correct
+    * without any read-modify-write; the index is queryable concurrently
+    * (committed batch dirs only). Dedup emits first arrivals immediately —
+    * indexing latency is one micro-batch, not one watermark horizon.
     */
   def dedupIngest(docs: DataFrame, indexDir: String,
                   horizon: String = "10 minutes"): StreamingQuery =
     dedupExact(docs, horizon).writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) IncrementalIndex.ingestBatch(batch.drop("text_hash"), indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty)
+          IncrementalIndex.ingestBatch(batch.drop("text_hash"), indexDir, batchId)
       }
       .start()
 }

@@ -38,12 +38,32 @@ object VectorStreams {
     * operator) because the index is a persistent queryable table shared
     * with batch queries — same layout decision as IncrementalIndex and
     * the near-dup signature store.
+    *
+    * Replay discipline: the cells layout is a plain `cell=K` append (every
+    * reader — ANN queries, retrain — scans it flat), so idempotence comes
+    * from a per-batch ledger marker written AFTER the append: a batch
+    * re-delivered once its marker exists is skipped outright. The residual
+    * window — a crash between the append's job commit and the marker
+    * create — can duplicate one batch's vectors; it is the one narrow gap
+    * left open here (vs the batch-keyed DocStreams/IncrementalIndex
+    * layouts, where the reader aggregates committed batch dirs and no
+    * window exists), and the periodic `retrainIndex` rewrite is the
+    * natural place a deployment folds in a dedup if it matters.
     */
   def vectorIngest(vectors: DataFrame, indexDir: String): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) ingestVectorBatch(batch, indexDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/ingested/b$batchId")
+          val fs = marker.getFileSystem(
+            batch.sparkSession.sparkContext.hadoopConfiguration)
+          if (!fs.exists(marker)) {
+            ingestVectorBatch(batch, indexDir)
+            fs.mkdirs(marker.getParent)
+            fs.create(marker, true).close()
+          }
+        }
       }
       .start()
 

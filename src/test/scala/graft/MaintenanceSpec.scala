@@ -124,7 +124,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val (_, st) = graft.streaming.DocStreams.dedupNearLshBatch(
       Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
         .toDF("doc_id", "text"), dir)
-    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+    graft.operators.BatchCommit.writeBatch(st, s"$dir/bands", 0L, Seq("band", "bkt"))
     mv(s"$dir/bands", s"$dir/bands_old") // compaction crash shape
     intercept[IllegalStateException] {
       graft.streaming.DocStreams.prunedStateBands(spark, dir, Seq((0, 0)))
@@ -140,7 +140,7 @@ class MaintenanceSpec extends AnyFunSuite {
     val docs = Seq(1L -> "alpha beta gamma delta epsilon zeta eta theta")
       .toDF("doc_id", "text")
     val (_, st) = graft.streaming.DocStreams.dedupNearLshBatch(docs, dir)
-    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+    graft.operators.BatchCommit.writeBatch(st, s"$dir/bands", 0L, Seq("band", "bkt"))
     graft.streaming.DocStreams.writeManifestIfAbsent(spark, dir, 6, 2)
     // same parameters: fine
     graft.streaming.DocStreams.validateState(spark, dir, 6, 2)
@@ -148,9 +148,9 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalStateException] {
       graft.streaming.DocStreams.validateState(spark, dir, 3, 4)
     }
-    // pre-manifest band layout with the wrong signature width: refuse
+    // pre-manifest batch layout with the wrong signature width: refuse
     val dir2 = tmp("neardup")
-    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir2/bands")
+    graft.operators.BatchCommit.writeBatch(st, s"$dir2/bands", 0L, Seq("band", "bkt"))
     intercept[IllegalStateException] {
       graft.streaming.DocStreams.validateState(spark, dir2, 8, 2)
     }
@@ -161,6 +161,14 @@ class MaintenanceSpec extends AnyFunSuite {
     mv(s"$dir3/flat/_SUCCESS", s"$dir3/_SUCCESS")
     intercept[IllegalStateException] {
       graft.streaming.DocStreams.validateState(spark, dir3, 6, 2)
+    }
+    // flat-append bands-v1 layout (band=* directly under bands/): refuse —
+    // batch-keyed writes next to v1 appends would split the index across
+    // two commit protocols
+    val dir4 = tmp("neardup")
+    st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir4/bands")
+    intercept[IllegalStateException] {
+      graft.streaming.DocStreams.validateState(spark, dir4, 6, 2)
     }
   }
 
@@ -181,7 +189,8 @@ class MaintenanceSpec extends AnyFunSuite {
         (4L, "red orange yellow green blue indigo violet crimson"))
       q.processAllAvailable()
     } finally q.stop()
-    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val kept = graft.streaming.DocStreams.readOutput(spark, out).get
+      .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 4L))
     // manifest pinned the layout; validate agrees, a different one refuses
     graft.streaming.DocStreams.validateState(spark, state, 6, 2)
@@ -192,7 +201,7 @@ class MaintenanceSpec extends AnyFunSuite {
     import scala.jdk.CollectionConverters._
     val files = Files.walk(Paths.get(s"$state/bands")).iterator().asScala
       .map(_.toString).filter(_.endsWith(".parquet")).toSeq
-    val buckets = spark.read.parquet(s"$state/bands")
+    val buckets = graft.streaming.DocStreams.stateBands(spark, state).get
       .select("band", "bkt").distinct().count()
     assert(files.size == buckets.toInt, s"${files.size} files for $buckets buckets")
   }

@@ -110,10 +110,11 @@ class StreamingSpec extends AnyFunSuite {
         (6L, "red orange yellow green blue indigo violet crimson"))
       q.processAllAvailable()
     } finally q.stop()
-    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val kept = graft.streaming.DocStreams.readOutput(spark, out).get
+      .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(1L, 2L, 6L))
     // state holds band rows ONLY for survivors
-    val full = spark.read.parquet(state + "/bands")
+    val full = graft.streaming.DocStreams.stateBands(spark, state).get
     val stateIds = full.select("doc_id").distinct().as[Long].collect().toSet
     assert(stateIds == Set(1L, 2L, 6L))
     // the state scan a micro-batch issues is partition-PRUNED to the
@@ -166,43 +167,91 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData((4L, aDup), (5L, d), (6L, e), (7L, f))
       q.processAllAvailable()
     } finally q.stop()
-    val kept = spark.read.parquet(out).select("doc_id").as[Long].collect().toSet
+    val kept = graft.streaming.DocStreams.readOutput(spark, out).get
+      .select("doc_id").as[Long].collect().toSet
     // 1 survives; 2 fails the length gate; 3 shares 10 eval shingles (> 4);
     // 4 is a cross-batch near-dup of 1; 6 repeats a 6-gram (rep > 0.05);
     // 7's bigrams are all unknown to the LM (unknown-language → reject)
     assert(kept == Set(1L, 5L))
     // state holds band rows only for curated survivors
-    val stateIds = spark.read.parquet(state + "/bands")
+    val stateIds = graft.streaming.DocStreams.stateBands(spark, state).get
       .select("doc_id").distinct().as[Long].collect().toSet
     assert(stateIds == Set(1L, 5L))
+  }
+
+  test("crash-replay of a batch re-emits nothing: output and state idempotent") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("neardupreplay").toString
+    val out = java.nio.file.Files.createTempDirectory("neardupreplayout").toString + "/docs"
+    val base = "alpha beta gamma delta epsilon zeta eta theta"
+    // the ingest body, exactly as dedupNearIngest runs it per micro-batch
+    def run(b: org.apache.spark.sql.DataFrame, id: Long): Unit = {
+      val (novel, st) = graft.streaming.DocStreams.dedupNearLshBatch(b, dir, batchId = id)
+      graft.operators.BatchCommit.writeBatch(novel, out, id)
+      graft.operators.BatchCommit.writeBatch(st, s"$dir/bands", id, Seq("band", "bkt"))
+    }
+    val b0 = Seq(1L -> base, 2L -> "one two three four five six seven eight")
+      .toDF("doc_id", "text")
+    run(b0, 0L)
+    // crash between the writes and the checkpoint commit → the SAME batch
+    // is re-delivered with its output and state already on disk: the
+    // replay must recompute against strictly-prior state (its own batch
+    // dir excluded) and re-emit nothing new
+    run(b0, 0L)
+    val b1 = Seq(3L -> base.replace("theta", "iota"), // near-dup of doc 1
+        4L -> "red orange yellow green blue indigo violet crimson")
+      .toDF("doc_id", "text")
+    run(b1, 1L)
+    run(b1, 1L) // replayed too
+    def keptDocs = graft.streaming.DocStreams.readOutput(spark, out).get
+      .select("doc_id").as[Long].collect().toSeq
+    val kept = keptDocs
+    assert(kept.size == kept.distinct.size, s"duplicate doc_ids in output: $kept")
+    assert(kept.toSet == Set(1L, 2L, 4L)) // decisions unchanged by replay
+    assert(graft.streaming.DocStreams.stateBands(spark, dir).get
+      .select("doc_id").distinct().as[Long].collect().toSet == Set(1L, 2L, 4L))
+    // the harder window: batch 1's state rows get folded into a compacted
+    // dir, THEN the batch replays (own-dir exclusion can no longer hide
+    // its rows, the novel set recomputes empty) — the committed-output
+    // guard must keep the original batch output rather than clobber it
+    graft.streaming.DocStreams.compactState(spark, dir)
+    run(b1, 1L)
+    val kept2 = keptDocs
+    assert(kept2.sorted == kept.sorted, "post-compaction replay changed the output")
+    // and the state still rejects near-dups / admits novel docs
+    val (novel2, _) = graft.streaming.DocStreams.dedupNearLshBatch(
+      Seq(5L -> base.replace("theta", "kappa"),
+        6L -> "lorem ipsum dolor sit amet consectetur adipiscing elitx")
+        .toDF("doc_id", "text"), dir, batchId = 2L)
+    assert(novel2.select("doc_id").as[Long].collect().toSet == Set(6L))
   }
 
   test("near-dup state compaction: fewer files, identical rows and decisions") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("neardupcompact").toString
     val base = "alpha beta gamma delta epsilon zeta eta theta"
-    def writeBatch(docs: Seq[(Long, String)]): Unit = {
+    def writeBatch(docs: Seq[(Long, String)], id: Long): Unit = {
       val (_, st) = graft.streaming.DocStreams
-        .dedupNearLshBatch(docs.toDF("doc_id", "text"), dir)
-      st.write.mode("append").partitionBy("band", "bkt").parquet(s"$dir/bands")
+        .dedupNearLshBatch(docs.toDF("doc_id", "text"), dir, batchId = id)
+      graft.operators.BatchCommit.writeBatch(st, s"$dir/bands", id, Seq("band", "bkt"))
     }
     // two batches of distinct docs: enough band rows (40 docs × 6 bands per
     // batch into 384 buckets) that many buckets get files from BOTH batches
     writeBatch((1L, base) +:
-      (2L to 40L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
-    writeBatch((41L to 80L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"))
+      (2L to 40L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"), 0L)
+    writeBatch((41L to 80L).map(i => i -> s"w${i}a w${i}b w${i}c w${i}d w${i}e w${i}f"), 1L)
     def parquetFiles: Int = {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/bands"))
         .iterator().asScala.count(_.toString.endsWith(".parquet"))
     }
     val before = parquetFiles
-    val rowsBefore = spark.read.parquet(s"$dir/bands")
+    def stateRows = graft.streaming.DocStreams.stateBands(spark, dir).get
       .collect().map(_.toString).sorted.toSeq
+    val rowsBefore = stateRows
     graft.streaming.DocStreams.compactState(spark, dir)
     assert(parquetFiles < before)
-    val rowsAfter = spark.read.parquet(s"$dir/bands")
-      .collect().map(_.toString).sorted.toSeq
+    val rowsAfter = stateRows
     assert(rowsAfter == rowsBefore)
     // post-compaction decisions unchanged: a near-dup of doc 1 is dropped,
     // a novel doc survives
