@@ -172,6 +172,30 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index: 20-batch ingest with compaction cadence, identical top-k throughout") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{IncrementalIndex, Search}
+    // 20 micro-batches (doc_id mod 20) folded into one live index with
+    // compaction every 4th batch; after EVERY batch the live index must
+    // answer the flagship query identically to a fresh single-batch index
+    // over the same ingested prefix — compaction and batch-splitting are
+    // pure layout, never answers (df is associative, scores word-keyed)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+      .localCheckpoint()
+    val idx = tmp("incmaint")
+    for (b <- 0 until 20) {
+      IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 20 === b), idx, b.toLong)
+      if (b % 4 == 3) IncrementalIndex.compact(spark, idx)
+      val live = IncrementalIndex.searchTopK(spark, idx, Search.DefaultQuery, 10)
+        .select("doc_id", "score").collect().map(_.toString).toSeq
+      val refDir = tmp("incmaintref")
+      IncrementalIndex.ingestBatch(docs.filter(col("doc_id") % 20 <= b), refDir, 0L)
+      val ref = IncrementalIndex.searchTopK(spark, refDir, Search.DefaultQuery, 10)
+        .select("doc_id", "score").collect().map(_.toString).toSeq
+      assert(live == ref, s"top-k diverged after batch $b (compacted=${b % 4 == 3})")
+    }
+  }
+
   test("ingest with compactEvery: same decisions, manifest written, state compacted") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
