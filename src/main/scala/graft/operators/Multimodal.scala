@@ -7,11 +7,13 @@ import org.apache.spark.sql.{DataFrame, Row}
 /** Multimodal column plumbing: image/audio/video as opaque BINARY payloads
   * with typed metadata, plus a decode/feature-extract stage.
   *
-  * The Spark-side mechanics are real — schema, partition-preserving
-  * mapPartitions with batched iteration, typed output schema. The decode
-  * itself is a clearly-marked DETERMINISTIC STUB (this container has no
-  * image/audio codecs): it derives pseudo-features from payload bytes, so
-  * tests are reproducible and the plumbing is exercised end-to-end.
+  * All three modalities decode through REAL JDK codecs: PNG via
+  * javax.imageio, WAV via javax.sound.sampled, and video via the
+  * javax.imageio multi-frame GIF reader (the one multi-frame container
+  * the JDK can both write and read — it stands in for the video container
+  * a production pipeline would decode via FFI). The deterministic
+  * byte-derived STUB survives only as the corrupt-payload fallback, so a
+  * payload no codec can parse is data, not a crash.
   *
   * Scale posture: payloads never pass through a shuffle here — decode is a
   * narrow mapPartitions directly over the scan; metadata-only queries
@@ -99,10 +101,55 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media table with REAL image and audio payloads: like fromDocuments,
-    * but image rows carry a valid PNG (javax.imageio) and audio rows a
-    * valid WAV (javax.sound.sampled); video stays a text-byte stand-in —
-    * no video codec ships with the JDK. Narrow: payloads are generated in
+  /** Deterministic video parameters for the synthetic multi-frame GIF
+    * payloads — the fixture contract the DuckDB oracle re-derives from
+    * doc_id: (n_frames 2..8, width 6..15, height 6..15).
+    */
+  def videoParams(mediaId: Long): (Int, Int, Int) =
+    ((2 + mediaId % 7).toInt, (6 + mediaId % 10).toInt, (6 + (mediaId / 10) % 10).toInt)
+
+  /** Encode a real multi-frame (animated) GIF for a media id: frame count
+    * and dims from `videoParams`, deterministic per-frame pixel pattern.
+    * Runs through javax.imageio's GIF sequence writer — an actual
+    * multi-frame container codec in the JDK, so the decode side exercises
+    * a real header + frame enumeration, not a stub. (GIF is the one
+    * multi-frame format the JDK can both write and read; it stands in for
+    * the video container a production pipeline would decode via FFI.)
+    */
+  private def encodeGif(mediaId: Long): Array[Byte] = {
+    val (nFrames, w, h) = videoParams(mediaId)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val g = ((x * 31 + y * 7 + f * 53 + mediaId) % 256).toInt
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Media table with REAL payloads for all three modalities: image rows
+    * carry a valid PNG (javax.imageio), audio rows a valid WAV
+    * (javax.sound.sampled), video rows a valid multi-frame GIF
+    * (javax.imageio sequence writer). Narrow: payloads are generated in
     * place, never shuffled.
     */
   def withRealMedia(docs: DataFrame): DataFrame = {
@@ -114,13 +161,53 @@ object Multimodal {
         val payload = r.getString(1) match {
           case "image" => encodePng(id)
           case "audio" => encodeWav(id)
-          case _ => r.getAs[Array[Byte]]("payload")
+          case _ => encodeGif(id)
         }
         Row(id, r.getString(1), payload, r.getString(3))
       }
     }
     spark.createDataFrame(out, mediaSchema)
   }
+
+  /** Decode video (multi-frame GIF) payloads with the real codec: frame
+    * count from the reader's frame enumeration, dims from frame 0. Narrow
+    * mapPartitions over the scan; non-decodable payloads surface as NULL
+    * fields rather than a crash.
+    */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val meta = decodeGifMeta(r.getAs[Array[Byte]]("payload"))
+        if (meta == null) Row(r.getLong(0), null, null, null)
+        else Row(r.getLong(0), meta._1, meta._2, meta._3)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** (n_frames, width, height) of a GIF payload, or null if no reader can
+    * parse it (NonFatal: corrupt files are data, not crashes).
+    */
+  private def decodeGifMeta(payload: Array[Byte]): (Int, Int, Int) =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) null
+      else {
+        val reader = readers.next()
+        try {
+          reader.setInput(iis)
+          (reader.getNumImages(true), reader.getWidth(0), reader.getHeight(0))
+        } finally reader.dispose()
+      }
+    } catch { case scala.util.control.NonFatal(_) => null }
 
   /** Decode audio payloads with the real codec (javax.sound.sampled):
     * parses the WAV header for true sample rate / frame count / channels.
@@ -204,13 +291,13 @@ object Multimodal {
 
   /** Decode/feature-extract over the payload column. Narrow (no shuffle):
     * runs per input partition, processing rows in a streaming iterator.
-    * Image payloads go through the REAL image codec (javax.imageio — width
-    * and height parsed from the actual PNG) and audio payloads through the
-    * REAL audio codec (javax.sound.sampled — sample rate and frame count
-    * parsed from the actual WAV header); video falls back to the
-    * deterministic stub (no video codec in the JDK). A payload its codec
-    * can't parse falls back to the stub too — corrupt files are data, not
-    * crashes.
+    * ALL THREE modalities route through real JDK codecs: image via
+    * javax.imageio (width/height from the actual PNG), audio via
+    * javax.sound.sampled (sample rate / frame count from the actual WAV
+    * header), video via the javax.imageio multi-frame reader (frame count
+    * + frame-0 dims from the actual GIF container). A payload its codec
+    * can't parse falls back to the deterministic stub — corrupt files are
+    * data, not crashes.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -240,6 +327,12 @@ object Multimodal {
             if (meta == null) null
             else Row(r.getLong(0), r.getString(1), payload.length.toLong,
               null, null, meta._1, meta._2, byteChecksum)
+          case "video" =>
+            val meta = decodeGifMeta(payload)
+            if (meta == null) null
+            // n_frames rides the frame-count column; width/height = frame dims
+            else Row(r.getLong(0), r.getString(1), payload.length.toLong,
+              meta._2, meta._3, null, meta._1.toLong, byteChecksum)
           case _ => null
         }
         if (row != null) row
@@ -294,12 +387,14 @@ object Multimodal {
     spark.createDataFrame(out, resizedSchema)
   }
 
-  /** STUB frame sampling: a real implementation seeks the container's
-    * keyframe index and decodes every `stride`-th frame. The stub derives a
-    * deterministic frame count from payload length (1 frame per 16 bytes)
-    * and emits every `stride`-th index with a per-frame checksum — the
-    * explode shape (one input row → N frame rows, no shuffle) is the real
-    * contract a video pipeline needs.
+  /** Frame sampling: decode every `stride`-th frame of each video payload
+    * through the REAL multi-frame reader (javax.imageio over the GIF
+    * container) and emit a checksum over the frame's decoded pixels — the
+    * explode shape (one input row → N frame rows, no shuffle) a video
+    * pipeline needs, with an actual per-frame decode behind it. A payload
+    * no reader can parse falls back to the deterministic byte-window stub
+    * (1 pseudo-frame per 16 payload bytes) — corrupt files are data, not
+    * crashes.
     */
   def sampleFrames(media: DataFrame, stride: Int = 2): DataFrame = {
     val spark = media.sparkSession
@@ -311,12 +406,42 @@ object Multimodal {
       .select("media_id", "payload").rdd.mapPartitions { rows =>
         rows.flatMap { r =>
           val p = r.getAs[Array[Byte]]("payload")
-          val nFrames = math.max(1, p.length / 16)
-          (0 until nFrames by stride).iterator.map { i =>
-            var cs = 0L
-            var j = i * 16
-            while (j < math.min(p.length, (i + 1) * 16)) { cs = cs * 31 + (p(j) & 0xff); j += 1 }
-            Row(r.getLong(0), i, cs)
+          val real = try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(p))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) null
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n by stride).map { i =>
+                  val img = reader.read(i)
+                  var cs = 0L
+                  var y = 0
+                  while (y < img.getHeight) {
+                    var x = 0
+                    while (x < img.getWidth) {
+                      cs = cs * 31 + (img.getRGB(x, y) & 0xffffff)
+                      x += 1
+                    }
+                    y += 1
+                  }
+                  Row(r.getLong(0), i, cs)
+                }
+              } finally reader.dispose()
+            }
+          } catch { case scala.util.control.NonFatal(_) => null }
+          if (real != null) real.iterator
+          else {
+            val nFrames = math.max(1, p.length / 16)
+            (0 until nFrames by stride).iterator.map { i =>
+              var cs = 0L
+              var j = i * 16
+              while (j < math.min(p.length, (i + 1) * 16)) { cs = cs * 31 + (p(j) & 0xff); j += 1 }
+              Row(r.getLong(0), i, cs)
+            }
           }
         }
       }

@@ -20,7 +20,7 @@ object MultimodalQueries {
     * away entirely for metadata-only queries).
     */
   def persistedMedia(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "media", "documents.parquet") {
+    Persisted(s, d, "media", "documents.parquet", "_gif") { // _gif: video rows became real multi-frame GIFs
       Multimodal.withRealMedia(Tables.documents(s, d))
     }
 
@@ -44,30 +44,50 @@ object MultimodalQueries {
     GraftQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(persistedMedia(s, d))
         .orderBy("media_id"),
-      None), // image/audio rows decode real PNG/WAV; video stays stubbed — rows-only check
+      None), // all three modalities decode real codecs; checksum column has no SQL twin — rows-only
 
-    // The feature EXTRACTOR's routing, hash-gated for the two real
+    // The feature EXTRACTOR's routing, hash-gated for ALL THREE real
     // modalities: extractFeatures must send image payloads through
-    // javax.imageio and audio payloads through javax.sound.sampled and
-    // land each modality's fields in the right columns (dims vs
-    // rate/frames, NULLs crosswise). The oracle re-derives both synthesis
-    // contracts from doc_id; video rows (stub checksum path, no SQL twin)
-    // stay under multimodal_features' rows-only check.
+    // javax.imageio, audio payloads through javax.sound.sampled, and
+    // video payloads through the multi-frame GIF reader — landing each
+    // modality's fields in the right columns (image dims / audio
+    // rate+frames / video dims+frame-count, NULLs crosswise). The oracle
+    // re-derives all three synthesis contracts from doc_id.
     GraftQuery("multimodal_decode_meta",
       (s, d) => Multimodal.extractFeatures(persistedMedia(s, d))
-        .filter(col("modality") =!= "video")
         .select("media_id", "modality", "width", "height", "sample_rate", "n_frames")
         .orderBy("media_id"),
       Some(
         """SELECT doc_id AS media_id,
-          |  CASE WHEN doc_id % 3 = 0 THEN 'image' ELSE 'audio' END AS modality,
-          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 16 END AS INT) AS width,
-          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id // 16) % 16 END AS INT) AS height,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 16
+          |            WHEN doc_id % 3 = 2 THEN 6 + doc_id % 10 END AS INT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id // 16) % 16
+          |            WHEN doc_id % 3 = 2 THEN 6 + (doc_id // 10) % 10 END AS INT) AS height,
           |  CAST(CASE WHEN doc_id % 3 = 1 THEN
           |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
           |         WHEN 2 THEN 16000 ELSE 22050 END END AS INT) AS sample_rate,
-          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 256 END AS BIGINT) AS n_frames
-          |FROM documents WHERE doc_id % 3 IN (0, 1) ORDER BY media_id""".stripMargin)),
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 256
+          |            WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7 END AS BIGINT) AS n_frames
+          |FROM documents ORDER BY media_id""".stripMargin)),
+
+    // Real-codec round trip for the THIRD modality, oracle-checked: video
+    // payloads are valid multi-frame GIFs (javax.imageio sequence writer
+    // at synthesis), and n_frames / width / height come from DECODING
+    // those bytes via the frame-enumerating reader. The oracle re-derives
+    // the fixture's video contract (Multimodal.videoParams) from doc_id —
+    // a wrong frame count, header parse, or synthesis drift all hash-fail.
+    GraftQuery("multimodal_video_meta",
+      (s, d) => Multimodal.decodeVideoMeta(
+        persistedMedia(s, d).filter(col("modality") === "video"))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(2 + doc_id % 7 AS INT) AS n_frames,
+          |  CAST(6 + doc_id % 10 AS INT) AS width,
+          |  CAST(6 + (doc_id // 10) % 10 AS INT) AS height
+          |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
 
     // Real-codec round trip, oracle-checked: image payloads are valid PNGs
     // (javax.imageio encode at synthesis), and width/height come from

@@ -55,6 +55,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.map(_.getLong(0)).toSet.subsetOf(videoIds))
   }
 
+  test("withRealMedia/decodeVideoMeta: multi-frame GIF round trip through javax.imageio") {
+    val d = Tables.documents(spark, TestSpark.sf0001).limit(60)
+    val media = Multimodal.withRealMedia(d).filter(col("modality") === "video")
+    // video payloads are real GIFs: magic bytes present
+    val gifs = media.collect()
+    assert(gifs.nonEmpty)
+    assert(gifs.forall { r =>
+      val p = r.getAs[Array[Byte]]("payload")
+      p.length > 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F'
+    })
+    // decoded frame count + dims equal the synthesis contract
+    val meta = Multimodal.decodeVideoMeta(media).collect()
+    assert(meta.nonEmpty)
+    assert(meta.forall { r =>
+      val (n, w, h) = Multimodal.videoParams(r.getLong(0))
+      r.getInt(1) == n && r.getInt(2) == w && r.getInt(3) == h
+    })
+    // sampleFrames decodes REAL frames: strided indices bounded by the
+    // true frame count, deterministic pixel checksums
+    val f1 = Multimodal.sampleFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(f1.nonEmpty)
+    assert(f1.forall { case (id, idx, _) =>
+      idx % 2 == 0 && idx < Multimodal.videoParams(id)._1 })
+    val byId = f1.groupBy(_._1)
+    assert(byId.forall { case (id, rows) =>
+      rows.size == (Multimodal.videoParams(id)._1 + 1) / 2 })
+    val f2 = Multimodal.sampleFrames(media, stride = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+    assert(f1 == f2)
+  }
+
   test("withRealMedia/decodeImageDims: PNG round trip through javax.imageio") {
     val d = Tables.documents(spark, TestSpark.sf0001).limit(60)
     val media = Multimodal.withRealMedia(d)
