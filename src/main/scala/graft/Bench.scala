@@ -33,6 +33,7 @@ object Bench {
       graft.queries.DedupQueries.persistedShingles(spark, sfDir).count()
       graft.queries.DedupQueries.persistedShingleKeys(spark, sfDir).count()
       graft.queries.DedupQueries.persistedShingleKeysFast(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedZipfShingleKeys(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignaturesFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()

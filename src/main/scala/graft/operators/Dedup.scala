@@ -132,14 +132,17 @@ object Dedup {
     * aggregate over the key table, and the per-doc rank window partitions
     * by doc_id (bounded rows — never a corpus-wide straggler key).
     *
-    * Measured caveat: on THIS repo's synthetic corpus (31-word vocabulary
-    * → every 3-shingle is corpus-common, df is uniformly high) there are
-    * no rare shingles for prefixes to exploit, so candidates degenerate
-    * to the plain join's and the extra df/rank/verify stages make it
-    * ~4× slower at sf0.1. The benched query therefore keeps the plain
-    * inverted-index form; this operator is the exact-tier shape for a
-    * REAL (Zipf-vocabulary) corpus, correctness-gated against the same
-    * oracle (DedupSpec pins output equality at three thresholds).
+    * Measured (round 8, ZipfCorpus — a realistic skewed-df fixture with
+    * boilerplate headers): candidates drop 51 646 → 10 at 500 docs and
+    * 5 158 445 → 95 at 5 000 docs (sf0.1) — the plain join's candidate
+    * set grows ≈ N²/16 on the header shingles while the prefix join's
+    * grows ≈ N — and the benched `dedup_zipf_jaccard_prefix` beats the
+    * plain twin in wall-clock at sf0.1 (BASELINE.md round-8 section).
+    * On the driver's own 31-word-vocabulary corpus every shingle is
+    * corpus-common, prefixes have nothing to exploit, and the extra
+    * df/rank stages cost ~4× — so `dedup_ngram_jaccard` keeps the plain
+    * form THERE and the prefix twin is correctness-gated (DedupSpec pins
+    * output equality at three thresholds on both fixture families).
     */
   def ngramJaccardPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -50,6 +50,19 @@ object DedupQueries {
         .select(col("doc_id"), Dedup.shingleKeyFast(col("shingle")).as("shk"))
     }
 
+  /** Shingle keys of the Zipf-vocabulary corpus (graft.sources.ZipfCorpus
+    * over this SF dir's doc_id range), persisted like the main tier — the
+    * fixture where prefix filtering and bucket selectivity are MEASURED
+    * rather than argued (the primary corpus's 31-word vocabulary makes
+    * every shingle common).
+    */
+  def persistedZipfShingleKeys(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfshk", "documents.parquet", "_n3") {
+      Dedup.shingles(
+          graft.sources.ZipfCorpus.synth(Tables.documents(s, d).select("doc_id")), 3)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    }
+
   /** MinHash signature columns shared by every md5-tier LSH query: 12
     * hashes serve both the 3×4 parity banding and the 6×2 keep banding
     * (banding only regroups columns). */
@@ -191,6 +204,18 @@ object DedupQueries {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.6
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Same Jaccard tail over the Zipf corpus's shingles (threshold 0.8 —
+    * the planted near-dup pairs sit at ≈0.97). Shared by the plain and
+    * prefix-filtered queries: identical output is the whole point.
+    */
+  lazy val zipfJaccardOracle: String =
+    s"""WITH ${graft.sources.ZipfCorpus.shingleCte}, $shkCte, $jaccardTail
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The actionable LSH-verified pair graph (shared with text_curate). */
   def lshKeepPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
@@ -222,6 +247,24 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
       Some(ngramJaccardOracle),
       bench = false),
+
+    // The SAME pair of exact-Jaccard formulations over the Zipf-vocabulary
+    // corpus — both benched, so the driver's own numbers carry the
+    // crossover the prefix tier exists for: on a realistic df
+    // distribution the plain inverted-index join pays Σ df² over hot
+    // stopword shingles while the prefix join touches only each doc's
+    // rarest shingles (tail words, df ≈ 1). Hash-gated end to end: the
+    // oracle re-derives the synthetic corpus itself (md5-slice token
+    // draws), its shingles, and the same 0.8-threshold pairs.
+    GraftQuery("dedup_zipf_jaccard",
+      (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedZipfShingleKeys(s, d), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(zipfJaccardOracle)),
+
+    GraftQuery("dedup_zipf_jaccard_prefix",
+      (s, d) => Dedup.ngramJaccardPairsPrefixFromKeys(persistedZipfShingleKeys(s, d), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(zipfJaccardOracle)),
 
     GraftQuery("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d),

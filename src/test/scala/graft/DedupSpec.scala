@@ -58,6 +58,72 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf corpus: prefix == plain, and the filter is MEASURABLY selective") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val docs = graft.sources.ZipfCorpus.synth(
+        graft.sources.Tables.documents(spark, d).select("doc_id")).localCheckpoint()
+      val shk = Dedup.shingles(docs)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+        .localCheckpoint()
+      // exactness on the realistic corpus (the equality DedupSpec already
+      // pins on the 31-word fixtures, re-proven where prefixes matter)
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Double)].collect().toSeq.sorted
+      for (t <- Seq(0.5, 0.8)) {
+        val plain = rows(Dedup.ngramJaccardPairsFromKeys(shk, t))
+        assert(rows(Dedup.ngramJaccardPairsPrefixFromKeys(shk, t)) == plain, s"$d t=$t")
+        assert(plain.nonEmpty, s"$d t=$t")
+      }
+      // measured selectivity at t=0.8 — the numbers, not the argument:
+      // plain candidate pairs = Σ df·(df−1)/2 (what the inverted-index
+      // join feeds the verify); prefix candidates from the same
+      // rare-first prefix construction the operator uses
+      val t = 0.8
+      val plainCands = shk.groupBy("shk").count()
+        .agg(sum(col("count") * (col("count") - 1) / 2)).as[Double].head.toLong
+      val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
+      val pref = shk.join(dfreq, "shk")
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+            .orderBy(asc("df"), asc("shk"))))
+        .join(sizes, "doc_id")
+        .filter(col("rnk") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
+        .select("doc_id", "shk")
+      val prefixCands = pref.as("a").join(pref.as("b"),
+          col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      info(s"$d: plain candidates = $plainCands, prefix candidates = $prefixCands " +
+        f"(${plainCands.toDouble / math.max(1, prefixCands)}%.0f× fewer)")
+      assert(prefixCands * 5 <= plainCands,
+        s"prefix filter not selective on zipf corpus at $d: $prefixCands vs $plainCands")
+
+      // 60-bit simhash pigeonhole buckets stay selective here: no
+      // (chunk, value) bucket collects a corpus-sized fraction
+      val nDocs = docs.count()
+      val sh60 = Dedup.simhash60(docs)
+      val chunks = (0 until 3).map { k =>
+        struct(lit(k).as("c"),
+          pmod(shiftright(col("simhash"), k * 20), lit(1L << 20)).as("v"))
+      }
+      val maxBucket = sh60.select(explode(array(chunks: _*)).as("cv"))
+        .groupBy("cv").count().agg(max("count")).as[Long].head
+      info(s"$d: simhash60 max chunk-bucket = $maxBucket of $nDocs docs")
+      assert(maxBucket <= math.max(4, nDocs / 10),
+        s"simhash60 buckets degenerate on zipf corpus at $d: $maxBucket of $nDocs")
+
+      // MinHash-LSH band buckets behave: max (band, bh) bucket bounded
+      val sig = Dedup.minhashSignaturesFast(Dedup.shingles(docs), 12)
+      val maxBand = Dedup.bandRows(sig, 6, 2, cols => xxhash64(cols: _*))
+        .groupBy("band", "bh").count().agg(max("count")).as[Long].head
+      info(s"$d: LSH max band-bucket = $maxBand of $nDocs docs")
+      assert(maxBand <= math.max(4, nDocs / 10),
+        s"LSH band buckets degenerate on zipf corpus at $d: $maxBand of $nDocs")
+    }
+  }
+
   test("clusters: chain merges into one component, min id wins") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
