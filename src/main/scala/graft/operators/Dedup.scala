@@ -110,6 +110,32 @@ object Dedup {
     jaccardFromInter(inter, sizes, threshold)
   }
 
+  /** CONTAINMENT pairs: C(A→B) = |A∩B| / |A| ≥ threshold — the
+    * asymmetric near-dup test that catches a document embedded inside a
+    * larger one (quoted articles, concatenated corpora), which symmetric
+    * Jaccard misses when |B| ≫ |A| (J ≤ |A|/|B| no matter how complete
+    * the inclusion). Emits one DIRECTED row per passing direction:
+    * (doc_contained, doc_container, containment). Same intersection
+    * shape as the Jaccard tier — shingle-key equi-join + count — so the
+    * cost profile and the prefix/LSH scale paths carry over unchanged.
+    */
+  def containmentPairsFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = shk.as("a").join(shk.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("doc_b") === col("sb.doc_id"))
+    val aInB = inter.select(col("doc_a").as("doc_contained"),
+      col("doc_b").as("doc_container"),
+      (col("n_common").cast("double") / col("sa.n_sh")).as("containment"))
+    val bInA = inter.select(col("doc_b").as("doc_contained"),
+      col("doc_a").as("doc_container"),
+      (col("n_common").cast("double") / col("sb.n_sh")).as("containment"))
+    aInB.unionAll(bInA).filter(col("containment") >= threshold)
+  }
+
   /** EXACT Jaccard pairs with PREFIX FILTERING (AllPairs/PPJoin): identical
     * output to ngramJaccardPairsFromKeys, but candidate generation joins
     * only each doc's PREFIX — its |d| − ceil(t·|d|) + 1 rarest shingles

@@ -354,10 +354,12 @@ object Multimodal {
   /** Resize. Image payloads go through the REAL codec path: javax.imageio
     * decode → Graphics2D nearest-neighbor rescale (deterministic — no
     * filter kernels whose rounding could differ) → PNG re-encode, binary
-    * in → binary out, narrow, per-partition. Payloads no image codec can
-    * parse (video/audio/corrupt) keep the deterministic STUB bytes (a
-    * slice/pad sized targetW·targetH/64) — for video a real pipeline
-    * resizes per decoded frame, and no video codec ships with the JDK.
+    * in → binary out, narrow, per-partition. Video payloads (multi-frame
+    * GIF) decode the same way — ImageIO.read returns frame 0, so a video
+    * row resizes its POSTER FRAME (per-frame resize composes
+    * sampleFrames with this same rescale). Payloads no codec can parse
+    * (audio/corrupt) keep the deterministic STUB bytes (a slice/pad
+    * sized targetW·targetH/64).
     */
   def resize(media: DataFrame, targetW: Int, targetH: Int): DataFrame = {
     val spark = media.sparkSession

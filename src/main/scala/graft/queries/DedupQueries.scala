@@ -256,6 +256,25 @@ object DedupQueries {
     // rarest shingles (tail words, df ≈ 1). Hash-gated end to end: the
     // oracle re-derives the synthetic corpus itself (md5-slice token
     // draws), its shingles, and the same 0.8-threshold pairs.
+    // Asymmetric CONTAINMENT near-dup (C(A→B) = |A∩B|/|A|): catches a doc
+    // embedded in a larger one, which symmetric Jaccard structurally
+    // misses when sizes differ. Directed output, threshold 0.9; same
+    // persisted shingle-key intersection as the Jaccard tier.
+    GraftQuery("dedup_containment",
+      (s, d) => Dedup.containmentPairsFromKeys(persistedShingleKeys(s, d), 0.9)
+        .orderBy("doc_contained", "doc_container"),
+      Some(
+        s"""WITH $shingleCte, $shkCte, $jaccardTail,
+           |dir AS (
+           |  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+           |         CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+           |  FROM inter JOIN sz sa ON doc_a = sa.doc_id
+           |  UNION ALL
+           |  SELECT doc_b, doc_a, CAST(n_common AS DOUBLE) / sb.n_sh
+           |  FROM inter JOIN sz sb ON doc_b = sb.doc_id)
+           |SELECT doc_contained, doc_container, containment FROM dir
+           |WHERE containment >= 0.9 ORDER BY doc_contained, doc_container""".stripMargin)),
+
     GraftQuery("dedup_zipf_jaccard",
       (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedZipfShingleKeys(s, d), 0.8)
         .orderBy("doc_a", "doc_b"),

@@ -185,6 +185,24 @@ object EventQueries {
            |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
            |ORDER BY stage""".stripMargin)),
 
+    // Cohort retention matrix: users bucketed by first-event day, distinct
+    // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
+    // + distinct + count — no window over the event corpus
+    // (graft.operators.Retention).
+    GraftQuery("events_retention",
+      (s, d) => graft.operators.Retention.matrix(Tables.events(s, d), 7)
+        .orderBy("cohort_day", "day_offset"),
+      Some(
+        s"""WITH $evCte,
+           |f AS (SELECT user_id, CAST(date_trunc('day', min(ts)) AS DATE) AS cohort_day
+           |      FROM ev GROUP BY 1),
+           |act AS (SELECT DISTINCT e.user_id, f.cohort_day,
+           |          CAST(datediff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS DATE)) AS INT) AS day_offset
+           |        FROM ev e JOIN f ON e.user_id = f.user_id)
+           |SELECT cohort_day, day_offset, count(*) AS n_users
+           |FROM act WHERE day_offset <= 7
+           |GROUP BY 1, 2 ORDER BY cohort_day, day_offset""".stripMargin)),
+
     // Time-bounded funnel: each step transition must land within 24 h of
     // the previous stage's first touch — the conversion-horizon form real
     // funnel queries use (an unbounded funnel admits a purchase years

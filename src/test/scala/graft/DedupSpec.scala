@@ -58,6 +58,24 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("containment catches a doc embedded in a larger one; Jaccard misses it") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // doc 1 = 12 tokens; doc 2 = doc 1 verbatim inside ~5× more text
+    val small = (0 until 12).map(i => s"s$i").mkString(" ")
+    val big = ((100 until 130).map(i => s"x$i") ++ (0 until 12).map(i => s"s$i") ++
+      (200 until 230).map(i => s"y$i")).mkString(" ")
+    val docs = Seq(1L -> small, 2L -> big).toDF("doc_id", "text")
+    val shk = Dedup.shingles(docs)
+      .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    // symmetric Jaccard: inclusion is invisible (J = 10/70 ≈ 0.14)
+    assert(Dedup.ngramJaccardPairsFromKeys(shk, 0.5).count() == 0)
+    // directed containment: doc 1's shingles are ALL in doc 2
+    val c = Dedup.containmentPairsFromKeys(shk, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(c == Seq((1L, 2L, 1.0))) // contained → container, full inclusion
+  }
+
   test("zipf corpus: prefix == plain, and the filter is MEASURABLY selective") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
