@@ -84,6 +84,9 @@ object EventStreams {
   case class FunnelState(stage: Int, lastMs: Long)
   case class FunnelOut(user_id: Long, completed_ms: Long)
 
+  case class BufEv(ms: Long, id: Long, tpe: String)
+  case class FunnelBufState(stage: Int, lastMs: Long, buf: Seq[BufEv])
+
   /** Streaming twin of operators.Funnel.completedUsers: emit each user the
     * moment they finish the strict-order funnel. Per-user state is one
     * (stage, lastMs) pair — bounded regardless of event volume — advanced
@@ -94,10 +97,10 @@ object EventStreams {
     * across batches (click in batch N, its preceding view in batch N+1)
     * stalls the user at the earlier stage even though both events are
     * within the watermark — the watermark bounds lateness, not cross-batch
-    * ordering. (True event-time semantics would buffer out-of-order step
-    * events in state until the watermark passes; this operator trades that
-    * buffer for one-pair-per-user state, the same in-order caveat as
-    * `sessions`.) Completed users emit once and their state is
+    * ordering. (`funnelCompletionsEventTime` below buffers out-of-order
+    * step events until the watermark passes and has no such caveat; this
+    * operator trades that buffer for one-pair-per-user state, the same
+    * in-order caveat as `sessions`.) Completed users emit once and their state is
     * removed; users who stall longer than `abandonMinutes` past their last
     * accepted step are purged by event-time timeout — without it every
     * never-converting visitor would hold state forever. (After removal a
@@ -142,6 +145,77 @@ object EventStreams {
           } else {
             state.update(st)
             state.setTimeoutTimestamp(math.max(st.lastMs, sorted.last.ts.getTime) + abandonMs)
+            Iterator.empty
+          }
+        }
+      })
+  }
+
+  /** TRUE event-time streaming funnel: the `funnelCompletions` twin that
+    * buffers step events in state until the watermark passes them, then
+    * advances the greedy chain in EVENT-TIME order — so events reordered
+    * ACROSS micro-batches (click in batch N, its preceding view in batch
+    * N+1) are sequenced correctly as long as they arrive within the
+    * watermark. This closes the plain twin's in-order-arrival caveat at
+    * the standard price: per-user state grows with the user's un-finalized
+    * step events inside one watermark horizon (bounded by event rate ×
+    * horizon — the same bound every event-time stateful operator carries),
+    * vs the plain twin's constant one-pair state. Pick per stream: strict
+    * ordering guarantees → plain; out-of-order transport → this.
+    *
+    * Only events whose type appears in `steps` are buffered (filter
+    * pushed before the shuffle); finalized events are dropped from state
+    * immediately. Completed users emit once and purge; stalled users
+    * purge via event-time timeout `abandonMinutes` past their last
+    * buffered/accepted event.
+    */
+  def funnelCompletionsEventTime(events: Dataset[Ev], steps: Seq[String],
+                                 abandonMinutes: Int = 60,
+                                 withinMinutes: Option[Int] = None): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val abandonMs = abandonMinutes * 60000L
+    val withinMs = withinMinutes.map(_ * 60000L).getOrElse(Long.MaxValue)
+    val stepSet = steps.toSet
+    events
+      .filter(e => stepSet.contains(e.event_type))
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelBufState]) => {
+        val prev = state.getOption.getOrElse(FunnelBufState(0, Long.MinValue, Nil))
+        if (state.hasTimedOut && prev.buf.isEmpty) {
+          state.remove() // abandoned mid-funnel, nothing buffered: purge
+          Iterator.empty
+        } else {
+          // the group function only runs on new data or a timeout — so a
+          // non-empty buffer always arms a timeout just past its earliest
+          // event, making the WATERMARK the finalization trigger even for
+          // users whose stream has gone quiet
+          val buf = prev.buf ++ evs.map(e => BufEv(e.ts.getTime, e.event_id, e.event_type))
+          val wm = state.getCurrentWatermarkMs()
+          // finalize: events the watermark has passed can no longer be
+          // preceded by anything — run them through the chain in
+          // event-time order; keep the rest buffered
+          val (ready, pending) = buf.partition(_.ms <= wm)
+          var st = (prev.stage, prev.lastMs)
+          var done: FunnelOut = null
+          ready.sortBy(e => (e.ms, e.id)).foreach { e =>
+            if (done == null && e.tpe == steps(st._1) && e.ms > st._2 &&
+                (st._1 == 0 || e.ms - st._2 <= withinMs)) {
+              st = (st._1 + 1, e.ms)
+              if (st._1 == steps.length) done = FunnelOut(userId, e.ms)
+            }
+          }
+          if (done != null) {
+            state.remove() // completes once; buffered later events discarded
+            Iterator.single(done)
+          } else {
+            state.update(FunnelBufState(st._1, st._2, pending))
+            val t =
+              if (pending.nonEmpty) pending.map(_.ms).min + 1 // re-finalize when wm passes it
+              else math.max(st._2, wm) + abandonMs // nothing buffered: abandonment purge
+            state.setTimeoutTimestamp(math.max(t, wm + 1))
             Iterator.empty
           }
         }

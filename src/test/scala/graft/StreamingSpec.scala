@@ -494,6 +494,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time funnel: steps reordered ACROSS batches still complete") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val steps = Seq("signup", "view", "click")
+    val q = EventStreams.funnelCompletionsEventTime(mem.toDS(), steps,
+      abandonMinutes = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_et_out").start()
+    try {
+      // the exact caveat scenario of the plain twin: user 7's click
+      // arrives in an EARLIER batch than its preceding view — both within
+      // the 10-min watermark. The plain operator stalls this user forever;
+      // the buffering operator must sequence by event time and complete.
+      mem.addData(
+        EventStreams.Ev(1L, ts(0), 7L, "signup", 1.0),
+        EventStreams.Ev(2L, ts(4), 7L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(3L, ts(2), 7L, "view", 1.0)) // out of order
+      q.processAllAvailable()
+      assert(spark.table("funnel_et_out").isEmpty) // watermark hasn't passed yet
+      // advance the watermark beyond the click (wm = max ts - 10 min):
+      // two dummy-user batches, because batch N's watermark uses data
+      // through batch N-1
+      mem.addData(EventStreams.Ev(90L, ts(30), 99L, "signup", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(91L, ts(31), 99L, "signup", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_et_out")
+        .as[EventStreams.FunnelOut].collect().toSeq
+      assert(out == Seq(EventStreams.FunnelOut(7L, ts(4).getTime)))
+      // sanity: the PLAIN twin stalls on the same sequence (documented
+      // caveat — this is why the buffering twin exists)
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
