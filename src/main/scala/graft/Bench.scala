@@ -41,6 +41,7 @@ object Bench {
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()
       graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()
       graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()
+      graft.queries.SimilarityQueries.persistedPqCodes(spark, sfDir).count()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed: ${e.getMessage}")
     }

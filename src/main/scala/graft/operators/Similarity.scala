@@ -435,6 +435,137 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the memory-compression ANN tier. A 100 TB
+  // embedding corpus at 64 float32 dims is 25 TB of vectors; PQ codes at
+  // m=8 subspaces × 16 codes are 8 NIBBLES' worth of information (stored
+  // as 8 small ints — 16-64× less than the floats), and approximate
+  // scoring reads ONLY the code table. The classic two-stage query:
+  // asymmetric-distance (ADC) shortlist over codes, exact re-rank of the
+  // shortlist against the full vectors — so reported cosines are EXACT
+  // and approximation affects recall only, never the scores.
+  // ---------------------------------------------------------------------
+
+  /** Per-subspace PQ codebooks: the j-th codebook is a k-means over the
+    * corpus's j-th dim/m-dimensional subvector slice (the same
+    * DataFrame-native trainer as the IVF tier, run m times). Returned
+    * driver-side: m × kCodes × dim/m doubles — metadata-scale, the same
+    * class of collect as every centroid table here (the trainer collects
+    * it anyway for its convergence check).
+    */
+  def pqCodebooks(prep: DataFrame, m: Int, kCodes: Int,
+                  iters: Int): Seq[Seq[(Int, Seq[Double])]] = {
+    // dim from one row — a LIMIT-1 job at train/index-build time
+    val dim = prep.select(size(col("e")).as("d")).limit(1).collect()(0).getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    (0 until m).map { j =>
+      kmeansCentroidsPrepared(
+          prep.select(col("vec_id"), slice(col("e"), j * sub + 1, sub).as("e")),
+          kCodes, iters)
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq.sortBy(_._1)
+    }
+  }
+
+  /** Encode each vector as its m per-subspace nearest-code ids — a NARROW
+    * projection (the inlined argmin per subspace; no join, no shuffle),
+    * exactly the assignment shape of the k-means tier.
+    */
+  def pqEncode(prep: DataFrame, cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val m = cbs.length
+    val sub = cbs.head.head._2.length
+    val codes = array((0 until m).map { j =>
+      argminCell(slice(col("e"), j * sub + 1, sub), cbs(j)).getField("cell")
+    }: _*)
+    prep.select(col("vec_id"), codes.as("codes"))
+  }
+
+  /** PQ ANN top-k with exact re-rank. Stage 1 scores every corpus CODE row
+    * against each query's ADC lookup table (lut[j·kCodes + code] =
+    * q_subⱼ · c_{j,code}, built driver-side per query — nQueries × m ×
+    * kCodes doubles, metadata-bounded) with one codegen'd `aggregate`
+    * over the m codes, normalizes by the stored vector norm, and keeps
+    * the top `shortlist`·k per query; stage 2 re-ranks the shortlist with
+    * EXACT cosines against the full vectors (broadcast-joined — the
+    * shortlist is query-count-sized). Scan cost of stage 1 is the code
+    * table, not the vectors — the whole point at corpus scale.
+    */
+  def knnPq(embeddings: DataFrame, nQueries: Int, k: Int,
+            m: Int = 8, kCodes: Int = 16, iters: Int = 5,
+            shortlist: Int = 10): DataFrame = {
+    val p = prepared(embeddings)
+    val prepCut = p.select("vec_id", "e")
+    val cbs = pqCodebooks(prepCut, m, kCodes, iters)
+    val codes = pqEncode(prepCut, cbs)
+      .join(p.select("vec_id", "nrm"), "vec_id")
+    knnPqFromCodes(embeddings, codes, cbs, nQueries, k, shortlist)
+  }
+
+  /** Codebooks ⇄ rows (j, code, c) — the persistence format. Training is
+    * deterministic (hash-seeded, stab'd means), so codebook and code
+    * tables rebuilt independently from the same corpus always agree.
+    */
+  def pqCodebooksToDf(spark: org.apache.spark.sql.SparkSession,
+                      cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    import spark.implicits._
+    cbs.zipWithIndex.flatMap { case (cb, j) =>
+      cb.map { case (code, c) => (j, code, c) }
+    }.toDF("j", "code", "c")
+  }
+
+  def pqCodebooksFromDf(df: DataFrame): Seq[Seq[(Int, Seq[Double])]] =
+    df.select("j", "code", "c").collect() // m × kCodes rows — metadata-scale
+      .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
+      .map(_._2.map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq.sortBy(_._1))
+
+  /** The PQ query against prebuilt (codes, codebooks) — what a deployment
+    * runs against the persisted index (training amortized per corpus).
+    */
+  def knnPqFromCodes(embeddings: DataFrame, codes: DataFrame,
+                     cbs: Seq[Seq[(Int, Seq[Double])]],
+                     nQueries: Int, k: Int, shortlist: Int = 10): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val m = cbs.length
+    val kCodes = cbs.map(_.map(_._1).max).max + 1
+    val sub = cbs.head.head._2.length
+    val p = prepared(embeddings)
+    // query vectors to the driver: nQueries rows — the same metadata-bounded
+    // collect the probe-routing tiers make; LUTs are pure driver arithmetic
+    val qvecs = p.filter(col("vec_id") < nQueries)
+      .select("vec_id", "e").as[(Long, Seq[Double])].collect()
+    val luts = qvecs.map { case (qid, qe) =>
+      val lut = new Array[Double](m * kCodes)
+      for (j <- 0 until m; (code, c) <- cbs(j)) {
+        var d = 0.0
+        var i = 0
+        while (i < sub) { d += qe(j * sub + i) * c(i); i += 1 }
+        lut(j * kCodes + code) = d
+      }
+      (qid, lut.toSeq)
+    }.toSeq
+    val lutDf = luts.toDF("query_id", "lut")
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy("query_id").orderBy(desc("adc_cos"), asc("neighbor_id"))
+    val short = codes.crossJoin(broadcast(lutDf))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adc / col("nrm")).as("adc_cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist * k)
+      .select("query_id", "neighbor_id")
+    // exact re-rank: true cosines for shortlist rows only
+    val wx = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    broadcast(short.join(p.withColumnRenamed("vec_id", "query_id"), "query_id")).as("a")
+      .join(p.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Stable.stab(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** IVF probe-1 ANN: route each query (vec_id < nQueries) to its best
     * centroid by dot product, then brute-force cosine top-k inside that
     * cell only.

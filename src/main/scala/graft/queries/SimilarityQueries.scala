@@ -35,6 +35,26 @@ object SimilarityQueries {
                           kind: String)(build: String => Unit): String =
     Persisted.indexDir(s, d, kind, "embeddings.parquet", "centroids")(build)
 
+  /** Persisted PQ layout — codebooks (j, code, c) and the code table
+    * (vec_id, codes, nrm), each a pure corpus function materialized once
+    * per SF dir. Training is deterministic, so the two tables agree even
+    * if rebuilt independently (Similarity.pqCodebooksToDf doc).
+    */
+  def persistedPqCodebooks(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "pqcb", "embeddings.parquet", "_m8k16") {
+      Similarity.pqCodebooksToDf(s,
+        Similarity.pqCodebooks(
+          Similarity.prepared(Tables.embeddings(s, d)).select("vec_id", "e"), 8, 16, 5))
+    }
+
+  def persistedPqCodes(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "pqcodes", "embeddings.parquet", "_m8k16") {
+      val p = Similarity.prepared(Tables.embeddings(s, d))
+      Similarity.pqEncode(p.select("vec_id", "e"),
+          Similarity.pqCodebooksFromDf(persistedPqCodebooks(s, d)))
+        .join(p.select("vec_id", "nrm"), "vec_id")
+    }
+
   def all: Seq[GraftQuery] = Seq(
 
     // Embedding-cosine near-duplicate pairs, LSH-blocked. Threshold 0.45:
@@ -116,6 +136,22 @@ object SimilarityQueries {
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
       Some(knnLshOracle(1024, 8, 64, 10, 5))),
+
+    // Product-quantization ANN: ADC shortlist over 8-subspace × 16-code
+    // PQ codes (the 16-64× memory-compression tier — stage-1 scan cost is
+    // the CODE table, never the vectors), exact-cosine re-rank of the
+    // shortlist. Runs against the persisted codebook/code tables (the m
+    // per-subspace trainers are a per-corpus index build, like every
+    // other tier here). No SQL twin (iterative trainers) → rows-only
+    // check; SimilaritySpec pins recall@5 ≥ 0.8 on clustered data and
+    // that every reported cosine is the true cosine.
+    GraftQuery("knn_pq",
+      (s, d) => Similarity.knnPqFromCodes(Tables.embeddings(s, d),
+          persistedPqCodes(s, d), Similarity.pqCodebooksFromDf(persistedPqCodebooks(s, d)),
+          10, 5)
+        .select("query_id", "neighbor_id", "cos", "rank")
+        .orderBy("query_id", "rank"),
+      None),
 
     // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
     // step a DataFrame op), probe-2 routing, exact cosine inside probed

@@ -142,6 +142,28 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("knnPq: exact reported cosines, full k, recall@5 >= 0.8 on clustered data") {
+    import spark.implicits._
+    def topSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // recall on data where quantization is meaningful (dim 16 → m=4)
+    val exact = topSet(Similarity.bruteForceTopK(clustered, 10, 5))
+    val approx = topSet(Similarity.knnPq(clustered, 10, 5, m = 4, kCodes = 16))
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall@5 = $recall")
+    // mechanics on the sf0.001 corpus: full k everywhere, and the re-rank
+    // means every reported cosine is the TRUE cosine for that pair
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val pq = Similarity.knnPq(emb, 10, 5)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(pq.length == 50)
+    val brute = Similarity.bruteForceTopK(emb, 10, 2000)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pq.forall { case (q, n, c) => brute((q, n)) == c })
+  }
+
   test("ivfTopKIndexed nprobe=2: superset candidates, recall@5 >= probe-1 on both corpora") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
