@@ -136,6 +136,43 @@ object Dedup {
     aInB.unionAll(bInA).filter(col("containment") >= threshold)
   }
 
+  /** Containment with PREFIX FILTERING — identical output to
+    * containmentPairsFromKeys from an ASYMMETRIC candidate join:
+    * C(A→B) ≥ t implies |A∩B| ≥ ceil(t·|A|), so (same argument as the
+    * Jaccard prefix) the globally-first common shingle ranks ≤
+    * |A| − ceil(t·|A|) + 1 in A — candidates join A's prefix against
+    * B's FULL shingle list (containment puts no lower bound on B's side).
+    * Hot corpus-common shingles still appear on the B side, but the A
+    * side's prefix excludes them, so the join cost is Σ_s df_prefix(s)·df(s)
+    * instead of Σ_s df(s)² — the boilerplate blowup dies with df_prefix ≈ 0.
+    */
+  def containmentPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
+    val pref = shk.join(dfreq, "shk")
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
+      .join(sizes, "doc_id")
+      // same epsilon-nudged ceil as the Jaccard prefix (fp rounding may
+      // only lengthen the prefix, never shorten it)
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
+      .select("doc_id", "shk")
+    val cand = pref.as("a").join(shk.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_contained"), col("b.doc_id").as("doc_container"))
+      .distinct()
+    cand
+      .join(shk.as("x"), col("doc_contained") === col("x.doc_id"))
+      .join(shk.as("y"),
+        col("doc_container") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+      .groupBy("doc_contained", "doc_container").agg(count(lit(1)).as("n_common"))
+      .join(sizes.as("sa"), col("doc_contained") === col("sa.doc_id"))
+      .select(col("doc_contained"), col("doc_container"),
+        (col("n_common").cast("double") / col("sa.n_sh")).as("containment"))
+      .filter(col("containment") >= threshold)
+  }
+
   /** EXACT Jaccard pairs with PREFIX FILTERING (AllPairs/PPJoin): identical
     * output to ngramJaccardPairsFromKeys, but candidate generation joins
     * only each doc's PREFIX — its |d| − ceil(t·|d|) + 1 rarest shingles

@@ -275,6 +275,28 @@ object DedupQueries {
            |SELECT doc_contained, doc_container, containment FROM dir
            |WHERE containment >= 0.9 ORDER BY doc_contained, doc_container""".stripMargin)),
 
+    // The prefix-filtered containment twin — identical output from an
+    // asymmetric candidate join (contained-side prefix × container-side
+    // full list; see the operator doc for why only one side has a
+    // prefix). Bench-excluded on this 31-word corpus for the same reason
+    // as the Jaccard prefix; the zipf fixtures carry the selectivity
+    // measurement (DedupSpec).
+    GraftQuery("dedup_containment_prefix",
+      (s, d) => Dedup.containmentPairsPrefixFromKeys(persistedShingleKeys(s, d), 0.9)
+        .orderBy("doc_contained", "doc_container"),
+      Some(
+        s"""WITH $shingleCte, $shkCte, $jaccardTail,
+           |dir AS (
+           |  SELECT doc_a AS doc_contained, doc_b AS doc_container,
+           |         CAST(n_common AS DOUBLE) / sa.n_sh AS containment
+           |  FROM inter JOIN sz sa ON doc_a = sa.doc_id
+           |  UNION ALL
+           |  SELECT doc_b, doc_a, CAST(n_common AS DOUBLE) / sb.n_sh
+           |  FROM inter JOIN sz sb ON doc_b = sb.doc_id)
+           |SELECT doc_contained, doc_container, containment FROM dir
+           |WHERE containment >= 0.9 ORDER BY doc_contained, doc_container""".stripMargin),
+      bench = false),
+
     GraftQuery("dedup_zipf_jaccard",
       (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedZipfShingleKeys(s, d), 0.8)
         .orderBy("doc_a", "doc_b"),

@@ -74,6 +74,24 @@ class DedupSpec extends AnyFunSuite {
     val c = Dedup.containmentPairsFromKeys(shk, 0.9)
       .as[(Long, Long, Double)].collect().toSeq
     assert(c == Seq((1L, 2L, 1.0))) // contained → container, full inclusion
+    // the prefix-filtered twin is exact — here and on both fixture corpora
+    // (incl. the zipf one, where prefixes are actually selective)
+    assert(Dedup.containmentPairsPrefixFromKeys(shk, 0.9)
+      .as[(Long, Long, Double)].collect().toSeq == c)
+    for (d <- Seq(TestSpark.sf001); t <- Seq(0.7, 0.9)) {
+      def keys(docs: org.apache.spark.sql.DataFrame) = Dedup.shingles(docs)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+      for (corpus <- Seq(
+          keys(graft.sources.Tables.documents(spark, d)),
+          keys(graft.sources.ZipfCorpus.synth(
+            graft.sources.Tables.documents(spark, d).select("doc_id"))))) {
+        val ck = corpus.localCheckpoint()
+        def rows(df: org.apache.spark.sql.DataFrame) =
+          df.as[(Long, Long, Double)].collect().toSeq.sorted
+        assert(rows(Dedup.containmentPairsPrefixFromKeys(ck, t)) ==
+          rows(Dedup.containmentPairsFromKeys(ck, t)), s"$d t=$t")
+      }
+    }
   }
 
   test("zipf corpus: prefix == plain, and the filter is MEASURABLY selective") {
