@@ -71,6 +71,40 @@ object Funnel {
     * first-touch timestamp of the FINAL step — the cohort extraction twin
     * of `conversion`. Returns (user_id, t_last).
     */
+  /** Per-transition conversion timing: for each stage k ≥ 2, how long the
+    * users who reached it took from their stage-(k−1) first touch. All
+    * integer milliseconds (sum/avg/max of BIGINTs — exact, hash-stable
+    * cross-engine; avg is floor(sum/n)). Returns (stage, step, n_users,
+    * avg_ms, max_ms). Same shrinking-equi-join shape as `conversion`,
+    * one extra epoch-diff column per stage.
+    */
+  def conversionTiming(events: DataFrame, steps: Seq[String],
+                       within: Option[Column] = None): DataFrame = {
+    require(steps.length >= 2, "timing needs at least two steps")
+    var cur = events.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+      .localCheckpoint() // one scan per stage (see conversion)
+    val stages = Vector.newBuilder[DataFrame]
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      val nxt = events.filter(col("event_type") === st).as("e")
+        .join(cur.as("c"),
+          col("e.user_id") === col("c.user_id") && stepCond(within))
+        .groupBy(col("e.user_id").as("user_id"))
+        // carry the previous stage's first touch alongside this stage's:
+        // c.t is unique per user (grouped), so min() just passes it through
+        .agg(min(col("e.ts")).as("t"), min(col("c.t")).as("t_prev"))
+        .localCheckpoint()
+      val delta = unix_millis(col("t")) - unix_millis(col("t_prev"))
+      stages += nxt.agg(count(lit(1)).as("n_users"),
+          floor(sum(delta) / count(lit(1))).cast("long").as("avg_ms"),
+          max(delta).as("max_ms"))
+        .select(lit(i + 2).as("stage"), lit(st).as("step"),
+          col("n_users"), col("avg_ms"), col("max_ms"))
+      cur = nxt.select("user_id", "t")
+    }
+    stages.result().reduce(_.unionAll(_)).orderBy("stage")
+  }
+
   def completedUsers(events: DataFrame, steps: Seq[String],
                      within: Option[Column] = None): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")

@@ -230,6 +230,36 @@ object EventQueries {
            |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
            |ORDER BY stage""".stripMargin)),
 
+    // Funnel conversion timing: avg/max milliseconds each transition took
+    // among the users who made it — integer-ms arithmetic end to end, so
+    // the aggregate hashes exactly cross-engine (floor(sum/n), no float
+    // accumulation order anywhere).
+    GraftQuery("events_funnel_timing",
+      (s, d) => graft.operators.Funnel.conversionTiming(Tables.events(s, d),
+        Seq("signup", "view", "click", "purchase")),
+      Some(
+        s"""WITH $evCte,
+           |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t, min(s1.t) AS t_prev FROM ev e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           |       WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t, min(s2.t) AS t_prev FROM ev e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.user_id, min(e.ts) AS t, min(s3.t) AS t_prev FROM ev e
+           |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           |       WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT 2 AS stage, 'view' AS step, count(*) AS n_users,
+           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT) AS avg_ms,
+           |  max(epoch_ms(t) - epoch_ms(t_prev)) AS max_ms FROM s2
+           |UNION ALL SELECT 3, 'click', count(*),
+           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT),
+           |  max(epoch_ms(t) - epoch_ms(t_prev)) FROM s3
+           |UNION ALL SELECT 4, 'purchase', count(*),
+           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT),
+           |  max(epoch_ms(t) - epoch_ms(t_prev)) FROM s4
+           |ORDER BY stage""".stripMargin)),
+
     // The completed-funnel cohort (users + their final-step first-touch
     // ts) — the extraction twin of events_funnel.
     GraftQuery("events_funnel_users",

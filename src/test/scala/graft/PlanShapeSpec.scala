@@ -128,6 +128,20 @@ class PlanShapeSpec extends AnyFunSuite {
       .findFirstIn(scans).isEmpty, "unpruned (vec_id,label) cells scan")
   }
 
+  test("knn_pq: ADC stage scans the code table, vectors only in the re-rank") {
+    val p = plan("knn_pq")
+    // the shortlist (ADC) scan reads codes+nrm — the embedding column must
+    // appear ONLY in the re-rank/query-side scans, never in the stage-1
+    // corpus scan (scanning vectors there would defeat PQ's purpose)
+    val codeScan = p.split("\\(\\d+\\) Scan parquet").find(_.contains("codes:array"))
+    assert(codeScan.isDefined, "no code-table scan in the plan")
+    assert(!codeScan.get.split("\n").exists(l =>
+      l.contains("ReadSchema") && l.contains("embedding")),
+      "stage-1 code scan reads the embedding column")
+    // shortlist selection is a pruned window top-k, not a global sort
+    assert(p.contains("WindowGroupLimit"))
+  }
+
   test("knn_brute: window top-k pruned by WindowGroupLimit") {
     assert(plan("knn_brute").contains("WindowGroupLimit"))
   }
