@@ -34,6 +34,7 @@ object Bench {
       graft.queries.DedupQueries.persistedShingleKeys(spark, sfDir).count()
       graft.queries.DedupQueries.persistedShingleKeysFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedZipfShingleKeys(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedZipfSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignaturesFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()

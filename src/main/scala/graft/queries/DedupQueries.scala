@@ -63,6 +63,18 @@ object DedupQueries {
         .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
     }
 
+  /** md5-tier MinHash signatures of the zipf corpus, persisted like the
+    * main tier — the LSH production path exercised (and hash-gated) on a
+    * realistic df distribution.
+    */
+  def persistedZipfSignatures(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfsig", "documents.parquet", "_n3") {
+      Dedup.minhashSignatures(
+        Dedup.shingles(
+          graft.sources.ZipfCorpus.synth(Tables.documents(s, d).select("doc_id")), 3),
+        SigHashes)
+    }
+
   /** MinHash signature columns shared by every md5-tier LSH query: 12
     * hashes serve both the 3×4 parity banding and the 6×2 keep banding
     * (banding only regroups columns). */
@@ -138,7 +150,8 @@ object DedupQueries {
     * Jaccard >= threshold on candidates only. Same signature layout as
     * Dedup.minhashCol (two 60-bit slices per digest).
     */
-  def lshPairCtes(bands: Int, rows: Int, threshold: Double): String = {
+  def lshPairCtes(bands: Int, rows: Int, threshold: Double,
+                  shingles: String = shingleCte): String = {
     val sigCols = (0 until bands * rows).map { i =>
       val seed = i / 2
       val start = if (i % 2 == 0) 1 else 17
@@ -149,7 +162,7 @@ object DedupQueries {
         .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
       s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
     }.mkString("\n  UNION ALL ")
-    s"""$shingleCte,
+    s"""$shingles,
        |sig AS (SELECT doc_id,
        |    $sigCols
        |  FROM sh GROUP BY doc_id),
@@ -306,6 +319,22 @@ object DedupQueries {
       (s, d) => Dedup.ngramJaccardPairsPrefixFromKeys(persistedZipfShingleKeys(s, d), 0.8)
         .orderBy("doc_a", "doc_b"),
       Some(zipfJaccardOracle)),
+
+    // The LSH production path on the realistic corpus, fully hash-gated:
+    // 6×2-banded md5 MinHash candidates + exact verify at 0.8 — at the
+    // planted pairs' s≈0.97, band collision probability is 1−(1−s²)⁶ ≈
+    // 0.999998, and the oracle replays the identical signatures, banding,
+    // and verify in SQL over the re-derived corpus. With the zipf
+    // Jaccard twins this pins all three exact/approximate tiers on the
+    // same realistic fixture.
+    GraftQuery("dedup_zipf_minhash_lsh",
+      (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedZipfSignatures(s, d),
+          persistedZipfShingleKeys(s, d), 6, 2, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${lshPairCtes(6, 2, 0.8, graft.sources.ZipfCorpus.shingleCte)}
+           |SELECT doc_a, doc_b, jaccard FROM p
+           |ORDER BY doc_a, doc_b""".stripMargin)),
 
     GraftQuery("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d),
