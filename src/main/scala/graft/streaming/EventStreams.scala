@@ -64,6 +64,29 @@ object EventStreams {
         col("view_id"), col("v_ts"))
   }
 
+  /** LEFT OUTER variant of the attribution join: purchases with NO view in
+    * the preceding hour still emit, null-padded — but only once the
+    * watermark proves no matching view can still arrive (Spark holds the
+    * unmatched left row in state until then; emitting earlier would be
+    * wrong, retracting is impossible in append mode). Same bounded-state
+    * discipline as the inner form: both sides watermarked, the join
+    * condition bounds event-time distance, state purges as the watermark
+    * passes. The batch twin is the as-of LEFT join (events_asof_attrib).
+    */
+  def attributionJoinLeftOuter(purchases: DataFrame, views: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("v_ts"))
+    p.join(v, expr(
+      """p_user = v_user AND
+        |v_ts <= p_ts AND v_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin), "leftOuter")
+      .select(col("p_id"), col("p_user").as("user_id"), col("p_ts"),
+        col("view_id"), col("v_ts"))
+  }
+
   /** Built-in session windows (30-min gap) — the declarative twin of the
     * stateful `sessions` below; use this unless session semantics outgrow
     * `session_window` (then flatMapGroupsWithState).

@@ -433,6 +433,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: unmatched purchase emits null-padded AFTER watermark expiry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def evDF(mem: MemoryStream[(Long, java.sql.Timestamp, Long)]) =
+      mem.toDF.toDF("event_id", "ts", "user_id")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          lit("x").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+    val pm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val vm = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = EventStreams.attributionJoinLeftOuter(evDF(pm), evDF(vm))
+      .writeStream.outputMode("append").format("memory").queryName("attr_lo_out").start()
+    try {
+      // user 7's purchase has an in-window view → emits matched promptly;
+      // user 9's purchase has NO view — it must NOT emit null-padded yet
+      // (a matching view could still arrive within the watermark)
+      vm.addData((100L, ts(0), 7L))
+      pm.addData((200L, ts(30), 7L), (201L, ts(30), 9L))
+      q.processAllAvailable()
+      val early = spark.table("attr_lo_out")
+        .select("p_id", "view_id").as[(Long, Option[Long])].collect().toSet
+      assert(early == Set((200L, Some(100L)))) // no premature null row
+      // advance both sides' watermarks past purchase-ts + interval: the
+      // unmatched row's fate is now provable → null-padded emission
+      vm.addData((101L, ts(200), 50L))
+      pm.addData((202L, ts(200), 50L))
+      q.processAllAvailable()
+      vm.addData((102L, ts(201), 50L))
+      pm.addData((203L, ts(201), 50L))
+      q.processAllAvailable()
+      val rows = spark.table("attr_lo_out")
+        .select("p_id", "view_id").as[(Long, Option[Long])].collect().toSet
+      assert(rows.contains((201L, None)), s"unmatched purchase never emitted: $rows")
+    } finally q.stop()
+  }
+
   test("streaming funnel: strict order across batches, one emission per completer") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
