@@ -220,9 +220,22 @@ object Similarity {
   def buildIvfIndex(embeddings: DataFrame, indexDir: String): Unit =
     DirSwap.swap(indexDir, Seq(
       "cells" -> { out =>
-        embeddings.write.partitionBy("label").parquet(out)
+        // batch=base: the cells table is batch-keyed (BatchCommit) so the
+        // streaming ingest's writes are replay-idempotent; the build is the
+        // base generation (named, so no stream's numeric id collides)
+        embeddings.write.partitionBy("label").parquet(s"$out/batch=base")
+        DirSwap.markComplete(out)
       },
       "centroids" -> { out => ivfCentroids(embeddings).write.parquet(out) }))
+
+  /** Committed-batches view of a batch-keyed cells table (build writes
+    * batch=base, each streaming micro-batch its own numeric id — see
+    * VectorStreams.vectorIngest). Partition pruning on the cell/label
+    * column still applies per batch dir.
+    */
+  def cellsTable(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    BatchCommit.readCommitted(spark, s"$indexDir/cells").getOrElse(
+      throw new IllegalStateException(s"$indexDir/cells has no committed batches"))
 
   /** Query the persisted IVF index: route each query vector to its
     * `nprobe` nearest centroids (tiny centroid table, driver-side per
@@ -249,7 +262,7 @@ object Similarity {
       .collect().map(_.getInt(0)).toSeq // ≤ |queries|×nprobe cells — metadata-scale
     // carry `label` through preparation instead of joining back a second
     // (unpruned!) cells scan to recover it — one pruned scan, no join
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = cellsTable(spark, indexDir)
       .filter(col("label").isin(probed: _*))
       .select(col("vec_id"), toDouble(col("embedding")).as("e"), col("label"))
       .withColumn("nrm", norm(col("e")))
@@ -405,7 +418,8 @@ object Similarity {
     DirSwap.swap(indexDir, Seq(
       "cells" -> { out =>
         p.join(kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
-          .write.partitionBy("cell").parquet(out)
+          .write.partitionBy("cell").parquet(s"$out/batch=base")
+        DirSwap.markComplete(out) // content in batch=base (see buildIvfIndex)
       },
       // the trainer already collected cent as a LocalRelation
       "centroids" -> { out => cent.write.parquet(out) }))
@@ -422,7 +436,7 @@ object Similarity {
     val probes = kmeansProbes(q.select("query_id", "e"), cent, nprobe)
     val probed = probes.select("cell").distinct()
       .collect().map(_.getInt(0)).toSeq // ≤ |queries|×nprobe cells — metadata-scale
-    val cells = spark.read.parquet(s"$indexDir/cells")
+    val cells = cellsTable(spark, indexDir)
       .filter(col("cell").isin(probed: _*))
     val qside = q.join(probes, "query_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))

@@ -110,7 +110,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
-        val idx = ivfIndexDir(s, d, "ivf")(Similarity.buildIvfIndex(emb, _))
+        val idx = ivfIndexDir(s, d, "ivf-b1")(Similarity.buildIvfIndex(emb, _))
         Similarity.ivfTopKIndexed(s, idx, emb.filter(col("vec_id") < 10), 5, nprobe = 2)
           .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
@@ -169,7 +169,7 @@ object SimilarityQueries {
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
-        val idx = ivfIndexDir(s, d, "ivfk")(Similarity.buildKmeansIvfIndex(emb, _))
+        val idx = ivfIndexDir(s, d, "ivfk-b1")(Similarity.buildKmeansIvfIndex(emb, _))
         Similarity.knnIvfKmeansIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
           .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")

@@ -17,10 +17,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object VectorStreams {
 
-  /** Assign one micro-batch to the index's centroids and append to the
-    * cell-partitioned layout. Pure batch function (testable directly).
+  /** Assign one micro-batch to the index's centroids and write it as its
+    * own committed `cells/batch=<id>` dir (BatchCommit — overwrite
+    * semantics, so a crash-replayed batch rewrites identical content
+    * instead of appending the vectors a second time). Pure batch function
+    * (testable directly); distinct batches MUST use distinct ids.
     */
-  def ingestVectorBatch(batch: DataFrame, indexDir: String): Unit = {
+  def ingestVectorBatch(batch: DataFrame, indexDir: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
     // fail loudly mid-retrain-swap: between the swap's renames `cells` and
     // `centroids` can belong to DIFFERENT generations, and appending rows
@@ -28,42 +31,25 @@ object VectorStreams {
     graft.operators.DirSwap.requireClean(indexDir, "centroids")
     val cent = spark.read.parquet(s"$indexDir/centroids")
     val p = Similarity.prepared(batch)
-    p.join(Similarity.kmeansAssign(p.select("vec_id", "e"), cent), "vec_id")
-      .write.mode("append").partitionBy("cell").parquet(s"$indexDir/cells")
+    graft.operators.BatchCommit.writeBatch(
+      p.join(Similarity.kmeansAssign(p.select("vec_id", "e"), cent), "vec_id"),
+      s"$indexDir/cells", batchId, partitionCols = Seq("cell"))
   }
 
   /** Always-on embedding ingest: readStream of (vec_id, embedding) →
-    * foreachBatch append into the IVF index built by
+    * foreachBatch into the IVF index built by
     * `Similarity.buildKmeansIvfIndex`. foreachBatch (not a stateful
     * operator) because the index is a persistent queryable table shared
     * with batch queries — same layout decision as IncrementalIndex and
-    * the near-dup signature store.
-    *
-    * Replay discipline: the cells layout is a plain `cell=K` append (every
-    * reader — ANN queries, retrain — scans it flat), so idempotence comes
-    * from a per-batch ledger marker written AFTER the append: a batch
-    * re-delivered once its marker exists is skipped outright. The residual
-    * window — a crash between the append's job commit and the marker
-    * create — can duplicate one batch's vectors; it is the one narrow gap
-    * left open here (vs the batch-keyed DocStreams/IncrementalIndex
-    * layouts, where the reader aggregates committed batch dirs and no
-    * window exists), and the periodic `retrainIndex` rewrite is the
-    * natural place a deployment folds in a dedup if it matters.
+    * the near-dup signature store; same batch-keyed replay idempotence
+    * (readers — ANN queries, retrain — see only committed batch dirs via
+    * `Similarity.cellsTable`, and cell-partition pruning applies per dir).
     */
   def vectorIngest(vectors: DataFrame, indexDir: String): StreamingQuery =
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) {
-          val marker = new org.apache.hadoop.fs.Path(s"$indexDir/ingested/b$batchId")
-          val fs = marker.getFileSystem(
-            batch.sparkSession.sparkContext.hadoopConfiguration)
-          if (!fs.exists(marker)) {
-            ingestVectorBatch(batch, indexDir)
-            fs.mkdirs(marker.getParent)
-            fs.create(marker, true).close()
-          }
-        }
+        if (!batch.isEmpty) ingestVectorBatch(batch, indexDir, batchId)
       }
       .start()
 
@@ -86,12 +72,19 @@ object VectorStreams {
     */
   def retrainIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                    kCells: Int = 8, iters: Int = 5): Unit = {
-    val cur = spark.read.parquet(s"$indexDir/cells").select("vec_id", "e", "nrm")
+    val cur = Similarity.cellsTable(spark, indexDir).select("vec_id", "e", "nrm")
     val cent = Similarity.kmeansCentroidsPrepared(cur.select("vec_id", "e"), kCells, iters)
     graft.operators.DirSwap.swap(indexDir, Seq(
       "cells" -> { out =>
+        // the retrained generation folds every committed batch into a new
+        // batch=base (the same consolidation compaction does for the
+        // near-dup state). The maintenance-window contract is load-bearing
+        // here: the ingest's checkpoint must have COMMITTED its last batch
+        // before the retrain — a batch crash-replayed across the fold
+        // would re-enter under the new centroids next to its folded copy.
         cur.join(Similarity.kmeansAssign(cur.select("vec_id", "e"), cent), "vec_id")
-          .write.partitionBy("cell").parquet(out)
+          .write.partitionBy("cell").parquet(s"$out/batch=base")
+        graft.operators.DirSwap.markComplete(out)
       },
       // centroids are a LocalRelation (the trainer collects k×dim means),
       // so this write reads nothing live

@@ -295,7 +295,8 @@ class StreamingSpec extends AnyFunSuite {
     // build the index (and train centroids) on the first half of the corpus
     graft.operators.Similarity.buildKmeansIvfIndex(
       emb.filter(col("vec_id") % 2 === 0), idx)
-    val before = spark.read.parquet(s"$idx/cells").count()
+    def cellsNow = graft.operators.Similarity.cellsTable(spark, idx)
+    val before = cellsNow.count()
     // stream in the second half as two micro-batches
     val mem = MemoryStream[(Long, Array[Float], Int)]
     val docs = mem.toDF.toDF("vec_id", "embedding", "label")
@@ -308,8 +309,14 @@ class StreamingSpec extends AnyFunSuite {
       mem.addData(rest.drop(rest.length / 2).toIndexedSeq)
       q.processAllAvailable()
     } finally q.stop()
-    val cells = spark.read.parquet(s"$idx/cells")
-    assert(cells.count() == before + rest.length)
+    assert(cellsNow.count() == before + rest.length)
+    // crash-replay of micro-batch 1 (same id, same rows): the batch-keyed
+    // overwrite must leave the index byte-identical — no duplicate vectors
+    graft.streaming.VectorStreams.ingestVectorBatch(
+      rest.drop(rest.length / 2).toIndexedSeq.toDF("vec_id", "embedding", "label"),
+      idx, batchId = 1L)
+    assert(cellsNow.count() == before + rest.length)
+    val cells = cellsNow
     // ingested assignments agree with a batch assignment vs the SAME centroids
     val cent = spark.read.parquet(s"$idx/centroids")
     val p = graft.operators.Similarity.prepared(emb.filter(col("vec_id") % 2 === 1))
@@ -384,7 +391,8 @@ class StreamingSpec extends AnyFunSuite {
     val nCent = spark.read.parquet(s"$idx/centroids").count()
     assert(nCent > 8 && nCent <= 16, s"nCent=$nCent")
     // index contents unchanged by the swap — same vec_ids, re-celled
-    assert(spark.read.parquet(s"$idx/cells").select("vec_id").distinct().count() == 480)
+    assert(graft.operators.Similarity.cellsTable(spark, idx)
+      .select("vec_id").distinct().count() == 480)
   }
 
   test("session_window stream: gap merges within, splits across") {
