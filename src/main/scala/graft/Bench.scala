@@ -42,7 +42,7 @@ object Bench {
       graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()
       graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()
       graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()
-      graft.queries.SimilarityQueries.persistedPqCodes(spark, sfDir).count()
+      graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)
     } catch { case e: Throwable =>
       System.err.println(s"[bench] setup failed: ${e.getMessage}")
     }

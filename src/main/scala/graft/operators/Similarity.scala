@@ -532,6 +532,46 @@ object Similarity {
       .groupBy(_.getInt(0)).toSeq.sortBy(_._1)
       .map(_._2.map(r => (r.getInt(1), r.getSeq[Double](2))).toSeq.sortBy(_._1))
 
+  /** Persist the PQ layout as an index dir under one DirSwap marker scope:
+    * `codebooks` (j, code, c) and the batch-keyed `codes` table (vec_id,
+    * codes, nrm — batch=base; streaming ingest adds its own committed
+    * batch dirs, see VectorStreams.pqIngest). Same crash-recoverable
+    * build/maintenance discipline as the IVF layouts.
+    */
+  def buildPqIndex(embeddings: DataFrame, indexDir: String,
+                   m: Int = 8, kCodes: Int = 16, iters: Int = 5): Unit = {
+    val p = prepared(embeddings)
+    val cbs = pqCodebooks(p.select("vec_id", "e"), m, kCodes, iters)
+    DirSwap.swap(indexDir, Seq(
+      "codes" -> { out =>
+        pqEncode(p.select("vec_id", "e"), cbs)
+          .join(p.select("vec_id", "nrm"), "vec_id")
+          .write.parquet(s"$out/batch=base")
+        DirSwap.markComplete(out)
+      },
+      // the trainer collected cbs driver-side; this write reads nothing live
+      "codebooks" -> { out =>
+        pqCodebooksToDf(embeddings.sparkSession, cbs).write.parquet(out)
+      }))
+  }
+
+  /** Committed-batches view of the PQ code table. */
+  def pqCodesTable(spark: org.apache.spark.sql.SparkSession, indexDir: String): DataFrame =
+    BatchCommit.readCommitted(spark, s"$indexDir/codes").getOrElse(
+      throw new IllegalStateException(s"$indexDir/codes has no committed batches"))
+
+  /** The PQ query against the persisted index. `embeddings` supplies the
+    * query vectors and the exact re-rank side only — at corpus scale the
+    * shortlist's full-vector reads are a pruned point-lookup against the
+    * source table, never a second full scan; stage 1 reads codes alone.
+    */
+  def knnPqIndexed(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                   embeddings: DataFrame, nQueries: Int, k: Int,
+                   shortlist: Int = 10): DataFrame =
+    knnPqFromCodes(embeddings, pqCodesTable(spark, indexDir),
+      pqCodebooksFromDf(spark.read.parquet(s"$indexDir/codebooks")),
+      nQueries, k, shortlist)
+
   /** The PQ query against prebuilt (codes, codebooks) — what a deployment
     * runs against the persisted index (training amortized per corpus).
     */

@@ -35,24 +35,14 @@ object SimilarityQueries {
                           kind: String)(build: String => Unit): String =
     Persisted.indexDir(s, d, kind, "embeddings.parquet", "centroids")(build)
 
-  /** Persisted PQ layout — codebooks (j, code, c) and the code table
-    * (vec_id, codes, nrm), each a pure corpus function materialized once
-    * per SF dir. Training is deterministic, so the two tables agree even
-    * if rebuilt independently (Similarity.pqCodebooksToDf doc).
+  /** Persisted PQ index (codebooks + batch-keyed code table), built once
+    * per SF dir under the usual source-fingerprinted, self-healing gate —
+    * the same index-dir lifecycle as the IVF layouts (build → streaming
+    * ingest via VectorStreams.pqIngest → retrain/swap).
     */
-  def persistedPqCodebooks(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "pqcb", "embeddings.parquet", "_m8k16") {
-      Similarity.pqCodebooksToDf(s,
-        Similarity.pqCodebooks(
-          Similarity.prepared(Tables.embeddings(s, d)).select("vec_id", "e"), 8, 16, 5))
-    }
-
-  def persistedPqCodes(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "pqcodes", "embeddings.parquet", "_m8k16") {
-      val p = Similarity.prepared(Tables.embeddings(s, d))
-      Similarity.pqEncode(p.select("vec_id", "e"),
-          Similarity.pqCodebooksFromDf(persistedPqCodebooks(s, d)))
-        .join(p.select("vec_id", "nrm"), "vec_id")
+  def pqIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
+    Persisted.indexDir(s, d, "pq-b1", "embeddings.parquet", "codebooks") { dir =>
+      Similarity.buildPqIndex(Tables.embeddings(s, d), dir)
     }
 
   def all: Seq[GraftQuery] = Seq(
@@ -146,9 +136,7 @@ object SimilarityQueries {
     // check; SimilaritySpec pins recall@5 ≥ 0.8 on clustered data and
     // that every reported cosine is the true cosine.
     GraftQuery("knn_pq",
-      (s, d) => Similarity.knnPqFromCodes(Tables.embeddings(s, d),
-          persistedPqCodes(s, d), Similarity.pqCodebooksFromDf(persistedPqCodebooks(s, d)),
-          10, 5)
+      (s, d) => Similarity.knnPqIndexed(s, pqIndexDir(s, d), Tables.embeddings(s, d), 10, 5)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
       None),

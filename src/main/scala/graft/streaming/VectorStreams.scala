@@ -53,6 +53,61 @@ object VectorStreams {
       }
       .start()
 
+  /** Encode one micro-batch against the PQ index's FIXED codebooks and
+    * write it as its own committed `codes/batch=<id>` dir — the PQ twin of
+    * `ingestVectorBatch`, same fixed-quantizer discipline (codebooks only
+    * change in a batch retrain, never mid-stream: codes must agree with
+    * what queries' LUTs are built from) and same batch-keyed replay
+    * idempotence.
+    */
+  def pqIngestBatch(batch: DataFrame, indexDir: String, batchId: Long = 0L): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.DirSwap.requireClean(indexDir, "codebooks")
+    val cbs = Similarity.pqCodebooksFromDf(
+      spark.read.parquet(s"$indexDir/codebooks"))
+    val p = Similarity.prepared(batch)
+    graft.operators.BatchCommit.writeBatch(
+      Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+        .join(p.select("vec_id", "nrm"), "vec_id"),
+      s"$indexDir/codes", batchId)
+  }
+
+  /** Always-on PQ ingest: arriving embeddings are encoded and folded into
+    * the persisted code table; ANN queries (`Similarity.knnPqIndexed`)
+    * keep scanning codes-only while the corpus grows.
+    */
+  def pqIngest(vectors: DataFrame, indexDir: String): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) pqIngestBatch(batch, indexDir, batchId)
+      }
+      .start()
+
+  /** Retrain the PQ codebooks on the CURRENT corpus and re-encode — the
+    * PQ twin of `retrainIndex` (as streamed vectors drift from the
+    * distribution the codebooks were trained on, quantization error grows
+    * and ADC shortlists lose recall). Same one-marker-scope swap and the
+    * same load-bearing maintenance-window contract; the corpus comes from
+    * the caller (the code table stores codes, not vectors).
+    */
+  def retrainPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                     embeddings: DataFrame,
+                     m: Int = 8, kCodes: Int = 16, iters: Int = 5): Unit = {
+    val p = Similarity.prepared(embeddings)
+    val cbs = Similarity.pqCodebooks(p.select("vec_id", "e"), m, kCodes, iters)
+    graft.operators.DirSwap.swap(indexDir, Seq(
+      "codes" -> { out =>
+        Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+          .join(p.select("vec_id", "nrm"), "vec_id")
+          .write.parquet(s"$out/batch=base")
+        graft.operators.DirSwap.markComplete(out)
+      },
+      "codebooks" -> { out =>
+        Similarity.pqCodebooksToDf(spark, cbs).write.parquet(out)
+      }))
+  }
+
   /** The periodic batch retrain + swap the fixed-centroid discipline
     * requires: as the streamed corpus drifts away from the distribution
     * the original centroids were trained on, cells go unbalanced and

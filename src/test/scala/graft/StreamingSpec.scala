@@ -332,6 +332,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("streaming PQ ingest folds codes into the index; queries stay codes-only and exact") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val idx = java.nio.file.Files.createTempDirectory("pqidx").toString
+    // codebooks trained on the first half; second half arrives as a stream
+    graft.operators.Similarity.buildPqIndex(emb.filter(col("vec_id") % 2 === 0), idx)
+    def codesNow = graft.operators.Similarity.pqCodesTable(spark, idx)
+    val before = codesNow.count()
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float], Int)].collect()
+    val q = graft.streaming.VectorStreams.pqIngest(
+      mem.toDF.toDF("vec_id", "embedding", "label"), idx)
+    try {
+      mem.addData(rest.take(rest.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+      mem.addData(rest.drop(rest.length / 2).toIndexedSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(codesNow.count() == before + rest.length)
+    // crash-replay of micro-batch 1: batch-keyed write → index unchanged
+    graft.streaming.VectorStreams.pqIngestBatch(
+      rest.drop(rest.length / 2).toIndexedSeq.toDF("vec_id", "embedding", "label"),
+      idx, batchId = 1L)
+    assert(codesNow.count() == before + rest.length)
+    // streamed-in codes agree with a batch encode vs the SAME codebooks
+    val cbs = graft.operators.Similarity.pqCodebooksFromDf(
+      spark.read.parquet(s"$idx/codebooks"))
+    val p = graft.operators.Similarity.prepared(emb.filter(col("vec_id") % 2 === 1))
+    val want = graft.operators.Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+      .as[(Long, Seq[Int])].collect().toMap
+    val got = codesNow.filter(col("vec_id") % 2 === 1)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    assert(got == want)
+    // the grown index answers with full k and TRUE cosines (exact re-rank)
+    val pq = graft.operators.Similarity.knnPqIndexed(spark, idx, emb, 10, 5)
+      .select("query_id", "neighbor_id", "cos").as[(Long, Long, Double)].collect()
+    assert(pq.length == 50)
+    val brute = graft.operators.Similarity.bruteForceTopK(emb, 10, 2000)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(pq.forall { case (qq, n, c) => brute((qq, n)) == c })
+  }
+
   test("IVF centroid retrain + swap recovers recall after drift") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
