@@ -58,6 +58,30 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("ZipfCorpus: deterministic, planted near-dups, tiered df, boilerplate") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ids = graft.sources.Tables.documents(spark, TestSpark.sf0001).select("doc_id")
+    val a = graft.sources.ZipfCorpus.synth(ids).orderBy("doc_id").collect().map(_.toString).toSeq
+    val b = graft.sources.ZipfCorpus.synth(ids).orderBy("doc_id").collect().map(_.toString).toSeq
+    assert(a == b) // bit-deterministic: the oracle depends on it
+    val docs = graft.sources.ZipfCorpus.synth(ids).localCheckpoint()
+    val byId = docs.as[(Long, String)].collect().toMap
+    // near-dup pairs: doc 51 re-uses doc 50's token stream (one token longer)
+    assert(byId(51L).startsWith(byId(50L)))
+    // boilerplate keys on the SEED: doc 4 opens with the header, doc 1
+    // (near-dup of doc 0, whose seed is boilerplated) inherits it
+    assert(byId(4L).startsWith("h0 h1 h2 h3 h4 h5 h6 h7 "))
+    assert(byId(1L).startsWith("h0 h1 h2 h3 h4 h5 h6 h7 "))
+    assert(!byId(2L).startsWith("h0"))
+    // tiered df: the 10 stopwords (w0..w9) dominate token mass
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val nTok = toks.count().toDouble
+    val stopMass = toks.filter(col("tok").isin((0 until 10).map(i => s"w$i"): _*))
+      .count() / nTok
+    assert(stopMass > 0.3 && stopMass < 0.5, s"stopword mass $stopMass") // ≈ 0.4 by construction
+  }
+
   test("containment catches a doc embedded in a larger one; Jaccard misses it") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -53,6 +53,25 @@ class FunnelSpec extends AnyFunSuite {
     ).toDF("user_id", "event_type", "ts")
   }
 
+  test("conversionTiming: integer-ms avg/max per transition, horizon composes") {
+    import spark.implicits._
+    // user 1: view +1s, click +2s, purchase +2s; user 2 stalls after view
+    // (from slowEvents: u1 deltas 1s/2s/2s, u2 view +1s then click +10s)
+    val t = Funnel.conversionTiming(slowEvents, steps)
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    // stage 2 (view): u1 +1000ms, u2 +1000ms, u3 +8000ms → avg 3333, max 8000
+    assert(t.head == ((2, "view", 3L, 3333L, 8000L)))
+    // stage 3 (click): u1 +2000, u2 +10000 → avg 6000, max 10000
+    assert(t(1) == ((3, "click", 2L, 6000L, 10000L)))
+    // stage 4 (purchase): u1 +2000, u2 +1000 → avg 1500, max 2000
+    assert(t(2) == ((4, "purchase", 2L, 1500L, 2000L)))
+    // with a 2s horizon the late transitions drop out of the timing too
+    val tw = Funnel.conversionTiming(slowEvents, steps,
+      within = Some(org.apache.spark.sql.functions.expr("INTERVAL 2 SECONDS")))
+      .as[(Int, String, Long, Long, Long)].collect().toSeq
+    assert(tw.head._3 == 2L && tw.head._5 <= 2000L) // only in-horizon views
+  }
+
   test("conversion with `within`: a transition past the horizon stops the chain") {
     import spark.implicits._
     val bounded = Funnel.conversion(slowEvents, steps,

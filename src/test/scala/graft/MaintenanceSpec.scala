@@ -172,6 +172,32 @@ class MaintenanceSpec extends AnyFunSuite {
     }
   }
 
+  test("BatchCommit: committed-only reads, skip-if-committed, partial-attempt overwrite") {
+    import graft.operators.BatchCommit
+    import spark.implicits._
+    val root = tmp("batchcommit") + "/t"
+    // nothing committed yet
+    assert(BatchCommit.readCommitted(spark, root).isEmpty)
+    BatchCommit.writeBatch(Seq((1L, "a")).toDF("id", "v"), root, 0L)
+    BatchCommit.writeBatch(Seq((2L, "b")).toDF("id", "v"), root, 1L)
+    // a half-written attempt (no _SUCCESS) is invisible to readers
+    val partial = new java.io.File(s"$root/batch=2"); partial.mkdirs()
+    Files.write(Paths.get(s"$root/batch=2/part-junk.parquet"), Array[Byte](1, 2, 3))
+    def ids = BatchCommit.readCommitted(spark, root).get
+      .select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+    // skip-if-committed: a replay write of batch 1 with DIFFERENT content
+    // must not clobber the committed original (the post-compaction guard)
+    BatchCommit.writeBatch(Seq((99L, "z")).toDF("id", "v"), root, 1L)
+    assert(ids == Set(1L, 2L))
+    // but the PARTIAL batch 2 is overwritten by its replay
+    BatchCommit.writeBatch(Seq((3L, "c")).toDF("id", "v"), root, 2L)
+    assert(ids == Set(1L, 2L, 3L))
+    // exclusion: a stateful batch must not see its own prior attempt
+    assert(BatchCommit.committedBatchDirs(spark, root, exclude = Some(2L))
+      .forall(!_.endsWith("batch=2")))
+  }
+
   test("incremental index: 20-batch ingest with compaction cadence, identical top-k throughout") {
     import org.apache.spark.sql.functions.col
     import graft.operators.{IncrementalIndex, Search}
