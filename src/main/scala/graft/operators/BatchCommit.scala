@@ -41,10 +41,29 @@ object BatchCommit {
   private def committed(fs: FileSystem, dir: Path): Boolean =
     fs.exists(new Path(dir, "_SUCCESS"))
 
+  /** True iff `dir` holds at least one data file (any file not prefixed
+    * `_`/`.`), at any partition depth — short-circuits on the first hit.
+    * A `partitionBy` write of an EMPTY frame commits only `_SUCCESS`: no
+    * parquet footer anywhere, so if such dirs were a scan's only inputs,
+    * schema inference would throw instead of yielding empty state.
+    */
+  private def hasDataFile(fs: FileSystem, dir: Path): Boolean = {
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val name = it.next().getPath.getName
+      if (!name.startsWith("_") && !name.startsWith(".")) return true
+    }
+    false
+  }
+
   /** Committed `batch=*` subdirs under `root` (absent root → empty), in
     * name order. `exclude` drops one batch id — a stateful batch excludes
     * its OWN dir so recomputation on replay sees exactly the strictly-
-    * prior state it saw the first time.
+    * prior state it saw the first time. Footer-less committed dirs (an
+    * empty frame's commit — e.g. a batch replayed after compaction
+    * absorbed its rows) are skipped: they contribute no rows, and as a
+    * scan's sole input they'd fail schema inference rather than read as
+    * empty.
     */
   def committedBatchDirs(spark: SparkSession, root: String,
                          exclude: Option[Long] = None): Seq[String] = {
@@ -54,6 +73,7 @@ object BatchCommit {
       .filter(p => p.getName.startsWith("batch="))
       .filter(p => !exclude.exists(id => p.getName == s"batch=$id"))
       .filter(p => committed(fs, p))
+      .filter(p => hasDataFile(fs, p))
       .map(_.toString).sorted.toSeq
   }
 
@@ -64,6 +84,14 @@ object BatchCommit {
     * match their own absorbed signatures), and overwriting the committed
     * output with it would lose the docs. Committed output was computed
     * against the correct prior state; it is never recomputed.
+    *
+    * The guard assumes a replayed batch recomputes IDENTICAL content — a
+    * deterministic derivation over the same batch input and strictly-prior
+    * state, which every ingest in this repo satisfies. It cannot detect a
+    * derivation that changed BETWEEN attempts (a code upgrade mid-stream,
+    * a nondeterministic upstream): the stale committed dir is silently
+    * kept. Cross-version replay therefore requires a fresh checkpoint +
+    * state dir — the MANIFEST pins the state LAYOUT, not the derivation.
     */
   def writeBatch(df: DataFrame, root: String, batchId: Long,
                  partitionCols: Seq[String] = Nil): Unit = {

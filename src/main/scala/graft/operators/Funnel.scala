@@ -74,7 +74,9 @@ object Funnel {
   /** Per-transition conversion timing: for each stage k ≥ 2, how long the
     * users who reached it took from their stage-(k−1) first touch. All
     * integer milliseconds (sum/avg/max of BIGINTs — exact, hash-stable
-    * cross-engine; avg is floor(sum/n)). Returns (stage, step, n_users,
+    * cross-engine; avg is integral `div`, Spark's long division twin of
+    * DuckDB's `//`, so exactness holds past 2^53 where a double-division
+    * floor() would start rounding). Returns (stage, step, n_users,
     * avg_ms, max_ms). Same shrinking-equi-join shape as `conversion`,
     * one extra epoch-diff column per stage.
     */
@@ -96,10 +98,12 @@ object Funnel {
         .localCheckpoint()
       val delta = unix_millis(col("t")) - unix_millis(col("t_prev"))
       stages += nxt.agg(count(lit(1)).as("n_users"),
-          floor(sum(delta) / count(lit(1))).cast("long").as("avg_ms"),
-          max(delta).as("max_ms"))
-        .select(lit(i + 2).as("stage"), lit(st).as("step"),
-          col("n_users"), col("avg_ms"), col("max_ms"))
+          sum(delta).as("sum_ms"), max(delta).as("max_ms"))
+        // `div` is long÷long integral division — deltas are non-negative,
+        // so this is the floor(sum/n) the doc promises, with no double
+        // round-trip anywhere
+        .select(lit(i + 2).as("stage"), lit(st).as("step"), col("n_users"),
+          expr("sum_ms div n_users").as("avg_ms"), col("max_ms"))
       cur = nxt.select("user_id", "t")
     }
     stages.result().reduce(_.unionAll(_)).orderBy("stage")

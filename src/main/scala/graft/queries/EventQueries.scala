@@ -232,8 +232,9 @@ object EventQueries {
 
     // Funnel conversion timing: avg/max milliseconds each transition took
     // among the users who made it — integer-ms arithmetic end to end, so
-    // the aggregate hashes exactly cross-engine (floor(sum/n), no float
-    // accumulation order anywhere).
+    // the aggregate hashes exactly cross-engine (avg is Spark `div` /
+    // DuckDB `//` integral division: exact even past 2^53, no double
+    // round-trip anywhere).
     GraftQuery("events_funnel_timing",
       (s, d) => graft.operators.Funnel.conversionTiming(Tables.events(s, d),
         Seq("signup", "view", "click", "purchase")),
@@ -250,13 +251,13 @@ object EventQueries {
            |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
            |       WHERE e.event_type = 'purchase' GROUP BY 1)
            |SELECT 2 AS stage, 'view' AS step, count(*) AS n_users,
-           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT) AS avg_ms,
+           |  CAST(sum(epoch_ms(t) - epoch_ms(t_prev)) // count(*) AS BIGINT) AS avg_ms,
            |  max(epoch_ms(t) - epoch_ms(t_prev)) AS max_ms FROM s2
            |UNION ALL SELECT 3, 'click', count(*),
-           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT),
+           |  CAST(sum(epoch_ms(t) - epoch_ms(t_prev)) // count(*) AS BIGINT),
            |  max(epoch_ms(t) - epoch_ms(t_prev)) FROM s3
            |UNION ALL SELECT 4, 'purchase', count(*),
-           |  CAST(floor(sum(epoch_ms(t) - epoch_ms(t_prev)) / count(*)) AS BIGINT),
+           |  CAST(sum(epoch_ms(t) - epoch_ms(t_prev)) // count(*) AS BIGINT),
            |  max(epoch_ms(t) - epoch_ms(t_prev)) FROM s4
            |ORDER BY stage""".stripMargin)),
 

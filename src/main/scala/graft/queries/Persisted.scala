@@ -16,14 +16,51 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * gating works against whatever store the paths resolve to.
   */
 object Persisted {
-  import org.apache.hadoop.fs.Path
+  import org.apache.hadoop.fs.{FileSystem, Path}
+
+  /** Kind dirs whose layouts were superseded by renamed kinds (cache-busts
+    * like `ivf`→`ivf-b1`) — deleted once per JVM on first Persisted use so
+    * long-lived builders don't accumulate unreachable generations in /tmp.
+    * Suffix/fingerprint bumps WITHIN a kind are pruned per call by
+    * `pruneStale` instead (they share the kind dir with live entries).
+    */
+  private val RetiredKinds = Seq("ivf", "ivfk", "inc")
+  private lazy val gcRetired: Unit = {
+    val conf = SparkSession.active.sparkContext.hadoopConfiguration
+    RetiredKinds.foreach { k =>
+      val p = new Path(s"/tmp/graft-$k")
+      p.getFileSystem(conf).delete(p, true)
+    }
+  }
+
+  private def sanitized(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** Drop this corpus's superseded cache entries under the kind dir: any
+    * sibling whose name shares the sanitized-SF-dir prefix but isn't the
+    * current target was produced by an earlier suffix (derivation bump) or
+    * fingerprint (regenerated source) and is unreachable — without this, a
+    * long-lived builder leaks one generation per bump. Entries of OTHER SF
+    * dirs never match the `prefix + "_"` test (suffixes and fingerprints
+    * always start with `_`; no test SF dir's sanitized name is a proper
+    * `_`-followed prefix of another's).
+    */
+  private def pruneStale(fs: FileSystem, kindDir: Path, d: String,
+                         keep: String): Unit = {
+    if (!fs.exists(kindDir)) return
+    val prefix = sanitized(d) + "_"
+    fs.listStatus(kindDir).map(_.getPath)
+      .filter(p => p.getName != keep && p.getName.startsWith(prefix))
+      .foreach(fs.delete(_, true))
+  }
 
   def apply(s: SparkSession, d: String, kind: String, src: String,
             suffix: String = "")(build: => DataFrame): DataFrame = {
-    val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}$suffix" +
-      s"_${fingerprint(s, d, src)}"
+    gcRetired
+    val name = s"${sanitized(d)}$suffix" + s"_${fingerprint(s, d, src)}"
+    val dir = s"/tmp/graft-$kind/$name"
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+    pruneStale(fs, dirPath.getParent, d, name)
     if (!fs.exists(new Path(dirPath, "_SUCCESS")))
       build.write.mode("overwrite").parquet(dir)
     s.read.parquet(dir)
@@ -48,8 +85,12 @@ object Persisted {
     */
   def indexDir(s: SparkSession, d: String, kind: String, src: String,
                gateSub: String)(build: String => Unit): String = {
-    val dir = s"/tmp/graft-$kind/${d.replaceAll("[^A-Za-z0-9.]", "_")}" +
-      s"_${fingerprint(s, d, src)}"
+    gcRetired
+    val name = s"${sanitized(d)}_${fingerprint(s, d, src)}"
+    val dir = s"/tmp/graft-$kind/$name"
+    val dirPath = new Path(dir)
+    pruneStale(dirPath.getFileSystem(s.sparkContext.hadoopConfiguration),
+      dirPath.getParent, d, name)
     graft.operators.DirSwap.recover(dir)
     if (!graft.operators.DirSwap.requireClean(dir, gateSub)) build(dir)
     dir

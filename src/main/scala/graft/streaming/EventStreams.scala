@@ -109,6 +109,7 @@ object EventStreams {
 
   case class BufEv(ms: Long, id: Long, tpe: String)
   case class FunnelBufState(stage: Int, lastMs: Long, buf: Seq[BufEv])
+  case class SessionBufState(nextId: Long, open: Option[SessionState], buf: Seq[BufEv])
 
   /** Streaming twin of operators.Funnel.completedUsers: emit each user the
     * moment they finish the strict-order funnel. Per-user state is one
@@ -190,16 +191,39 @@ object EventStreams {
     * pushed before the shuffle); finalized events are dropped from state
     * immediately. Completed users emit once and purge; stalled users
     * purge via event-time timeout `abandonMinutes` past their last
-    * buffered/accepted event.
+    * buffered/accepted event — the abandonment deadline caps the
+    * re-finalize trigger too, so a user whose buffered events the
+    * watermark never reaches (a stalled source) is still purged instead
+    * of holding state forever.
+    *
+    * State bounds, beyond the watermark horizon itself:
+    *  - buffered events that can no longer be a first touch are pruned
+    *    each invocation: an event at-or-before the accepted chain's last
+    *    timestamp can never satisfy `ms > lastMs` again (the chain only
+    *    moves forward), and an event whose type occurs only at
+    *    already-passed steps can never be consumed;
+    *  - `maxBuffered` hard-caps the per-user buffer: when a user spams
+    *    more out-of-order step events than that inside one watermark
+    *    horizon, the EARLIEST `maxBuffered` by (ms, id) are kept and the
+    *    latest dropped — first-touch semantics prefer the earliest event
+    *    of each step, so a drop can only affect a user whose completion
+    *    hinged on an event later than `maxBuffered` buffered predecessors
+    *    (pathological spam; bounded state is worth that miss).
     */
   def funnelCompletionsEventTime(events: Dataset[Ev], steps: Seq[String],
                                  abandonMinutes: Int = 60,
-                                 withinMinutes: Option[Int] = None): Dataset[FunnelOut] = {
+                                 withinMinutes: Option[Int] = None,
+                                 maxBuffered: Int = 10000): Dataset[FunnelOut] = {
     import events.sparkSession.implicits._
     require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxBuffered > 0, "maxBuffered must be positive")
     val abandonMs = abandonMinutes * 60000L
     val withinMs = withinMinutes.map(_ * 60000L).getOrElse(Long.MaxValue)
     val stepSet = steps.toSet
+    // last step index each type occurs at: a buffered event whose type
+    // never recurs at-or-after the current stage is dead weight
+    val lastIdx: Map[String, Int] =
+      steps.zipWithIndex.groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).max }
     events
       .filter(e => stepSet.contains(e.event_type))
       .withWatermark("ts", "10 minutes")
@@ -207,20 +231,27 @@ object EventStreams {
       OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
       (userId: Long, evs: Iterator[Ev], state: GroupState[FunnelBufState]) => {
         val prev = state.getOption.getOrElse(FunnelBufState(0, Long.MinValue, Nil))
-        if (state.hasTimedOut && prev.buf.isEmpty) {
-          state.remove() // abandoned mid-funnel, nothing buffered: purge
+        // the group function only runs on new data or a timeout — so a
+        // non-empty buffer always arms a timeout just past its earliest
+        // event (capped by the abandonment deadline), making the WATERMARK
+        // the finalization trigger even for users whose stream has gone
+        // quiet
+        val buf = prev.buf ++ evs.map(e => BufEv(e.ts.getTime, e.event_id, e.event_type))
+        val wm = state.getCurrentWatermarkMs()
+        // finalize: events the watermark has passed can no longer be
+        // preceded by anything — run them through the chain in
+        // event-time order; keep the rest buffered
+        val (ready, pending) = buf.partition(_.ms <= wm)
+        if (state.hasTimedOut && ready.isEmpty) {
+          // a timeout invocation carries no new events, and the
+          // re-finalize trigger only fires once the watermark has entered
+          // the buffer (ready non-empty) — so THIS firing was the
+          // abandonment deadline: the user stalled past abandonMs with no
+          // watermark progress. Purge, buffered events included (they
+          // could only extend an abandoned chain).
+          state.remove()
           Iterator.empty
         } else {
-          // the group function only runs on new data or a timeout — so a
-          // non-empty buffer always arms a timeout just past its earliest
-          // event, making the WATERMARK the finalization trigger even for
-          // users whose stream has gone quiet
-          val buf = prev.buf ++ evs.map(e => BufEv(e.ts.getTime, e.event_id, e.event_type))
-          val wm = state.getCurrentWatermarkMs()
-          // finalize: events the watermark has passed can no longer be
-          // preceded by anything — run them through the chain in
-          // event-time order; keep the rest buffered
-          val (ready, pending) = buf.partition(_.ms <= wm)
           var st = (prev.stage, prev.lastMs)
           var done: FunnelOut = null
           ready.sortBy(e => (e.ms, e.id)).foreach { e =>
@@ -234,10 +265,29 @@ object EventStreams {
             state.remove() // completes once; buffered later events discarded
             Iterator.single(done)
           } else {
-            state.update(FunnelBufState(st._1, st._2, pending))
+            // prune dead buffer entries (see doc), then hard-cap keeping
+            // the earliest — both invariants hold on EVERY path that
+            // updates state, so buffer size is bounded regardless of
+            // arrival pattern
+            val livePending = pending.filter(e =>
+              e.ms > st._2 && lastIdx(e.tpe) >= st._1)
+            val kept =
+              if (livePending.length <= maxBuffered) livePending
+              else livePending.sortBy(e => (e.ms, e.id)).take(maxBuffered)
+            state.update(FunnelBufState(st._1, st._2, kept))
+            // abandonment deadline caps the re-finalize trigger: a buffer
+            // the watermark hasn't entered abandonMs later (ready empty at
+            // the fire) is more than abandonMs in the stream's future —
+            // garbage-clock data — and hits the purge above instead of
+            // re-arming forever. Guarded on an INITIALIZED watermark:
+            // at cold start wm is 0 (epoch), every buffered event looks
+            // decades "future", and the deadline would purge healthy
+            // users before the first real watermark lands.
+            val abandonAt = math.max(st._2, wm) + abandonMs
             val t =
-              if (pending.nonEmpty) pending.map(_.ms).min + 1 // re-finalize when wm passes it
-              else math.max(st._2, wm) + abandonMs // nothing buffered: abandonment purge
+              if (kept.isEmpty) abandonAt
+              else if (wm <= 0) kept.map(_.ms).min + 1
+              else math.min(kept.map(_.ms).min + 1, abandonAt)
             state.setTimeoutTimestamp(math.max(t, wm + 1))
             Iterator.empty
           }
@@ -256,8 +306,104 @@ object EventStreams {
     * Note: events within a micro-batch are sorted per user here; across
     * micro-batches the state carries (lastMs). Correct under event-time
     * ordering per batch — the standard pattern for append-mode session
-    * emission.
+    * emission. Out-of-order transport across batches → use
+    * `sessionsEventTime` (buffer-to-watermark, the same treatment the
+    * funnel's buffering twin gets), which trades one-record state for
+    * exact batch-equivalent sessionization under reordering.
     */
+  /** TRUE event-time sessionization: the `sessions` twin that buffers
+    * events in state until the watermark passes them, then runs the gap
+    * logic in EVENT-TIME order — so events reordered ACROSS micro-batches
+    * are sessionized exactly as the batch operator (Sessionize.sessions)
+    * would, session numbering included (sessions close in event-time
+    * order here, which is what the batch row_number reproduces; the plain
+    * twin's arrival-order processing can split or mis-number sessions
+    * under cross-batch reordering — its documented caveat). Same price as
+    * the funnel's buffering twin: per-user state grows with un-finalized
+    * events inside one watermark horizon, pruned by the same two bounds —
+    * finalized events leave state immediately, and `maxBuffered` hard-caps
+    * the buffer keeping the EARLIEST events (dropping the latest can only
+    * affect a user spamming more than maxBuffered out-of-order events in
+    * one horizon). A session closes when the watermark passes
+    * last_event + gap (no in-gap event can still arrive) or when the gap
+    * is observed between finalized events; a user whose buffered events
+    * the watermark never reaches (stalled source) is closed-and-purged
+    * `stallMinutes` past the watermark — buffered events drop with it, so
+    * stalled-source state is bounded in TIME as well as size (a purged
+    * user's later events restart numbering at 1 — dedupe downstream on
+    * (user_id, session_start) if a stalled stream can resume).
+    */
+  def sessionsEventTime(events: Dataset[Ev], gapMinutes: Int,
+                        stallMinutes: Int = 60,
+                        maxBuffered: Int = 10000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    require(maxBuffered > 0, "maxBuffered must be positive")
+    val gapMs = gapMinutes * 60000L
+    val stallMs = stallMinutes * 60000L
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[SessionBufState]) => {
+        val prev = state.getOption.getOrElse(SessionBufState(1L, None, Nil))
+        val buf = prev.buf ++ evs.map(e => BufEv(e.ts.getTime, e.event_id, e.event_type))
+        val wm = state.getCurrentWatermarkMs()
+        val (ready, pending) = buf.partition(_.ms <= wm)
+        // did the watermark prove the open session closed? (distinguishes
+        // a close-trigger timeout from the stall deadline below)
+        val closeByWm = prev.open.exists(s => wm > s.lastMs + gapMs)
+        if (state.hasTimedOut && ready.isEmpty && !closeByWm) {
+          // neither the re-finalize nor the session-close trigger fired,
+          // so this was the stall deadline: the watermark sat short of
+          // every buffered event for stallMinutes. Close what's open,
+          // drop the unreachable buffer, purge.
+          state.remove()
+          prev.open.map(s =>
+            SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs)).iterator
+        } else {
+          var nextId = prev.nextId
+          var st = prev.open.orNull
+          val closed = Seq.newBuilder[SessionOut]
+          ready.sortBy(e => (e.ms, e.id)).foreach { e =>
+            st match {
+              case null =>
+                st = SessionState(nextId, 1L, e.ms, e.ms); nextId += 1
+              case s if e.ms - s.lastMs <= gapMs =>
+                st = s.copy(nEvents = s.nEvents + 1, lastMs = e.ms)
+              case s =>
+                closed += SessionOut(userId, s.sessionId, s.nEvents, s.startMs, s.lastMs)
+                st = SessionState(nextId, 1L, e.ms, e.ms); nextId += 1
+            }
+          }
+          // watermark-proven close: no event ≤ lastMs + gap can still
+          // arrive, and every still-buffered event is > wm > lastMs + gap
+          // — it would start a new session anyway
+          if (st != null && wm > st.lastMs + gapMs) {
+            closed += SessionOut(userId, st.sessionId, st.nEvents, st.startMs, st.lastMs)
+            st = null
+          }
+          val kept =
+            if (pending.length <= maxBuffered) pending
+            else pending.sortBy(e => (e.ms, e.id)).take(maxBuffered)
+          if (st == null && kept.isEmpty) {
+            if (state.exists) state.remove()
+          } else {
+            state.update(SessionBufState(nextId, Option(st), kept))
+            // stall deadline armed only once the watermark has initialized
+            // (wm 0 = epoch = cold start — see the funnel twin's note);
+            // there is always ≥1 trigger: state exists ⇒ open or buffered
+            val stallAt = math.max(if (st != null) st.lastMs else Long.MinValue, wm) + stallMs
+            val triggers =
+              (if (kept.nonEmpty) Seq(kept.map(_.ms).min + 1) else Nil) ++
+                (if (st != null) Seq(st.lastMs + gapMs + 1) else Nil) ++
+                (if (wm > 0) Seq(stallAt) else Nil)
+            state.setTimeoutTimestamp(math.max(triggers.min, wm + 1))
+          }
+          closed.result().iterator
+        }
+      })
+  }
+
   def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L

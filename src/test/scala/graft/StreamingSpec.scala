@@ -618,6 +618,165 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time funnel: spam-bounded buffer keeps first-touch semantics; drop-latest is the documented miss") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val steps = Seq("signup", "view", "click")
+    // a tiny cap so the bound is exercised with a handful of events
+    val q = EventStreams.funnelCompletionsEventTime(mem.toDS(), steps,
+      abandonMinutes = 600, maxBuffered = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_cap_out").start()
+    try {
+      // initialize the watermark before the interesting users arrive
+      mem.addData(EventStreams.Ev(900L, ts(0), 99L, "signup", 1.0))
+      q.processAllAvailable()
+      // user 7 spams 8 extra clicks behind its funnel (11 buffered > cap 5):
+      // the cap keeps the EARLIEST five — which include the true first-touch
+      // chain (signup ts20, view ts30, click ts40) — so completion survives.
+      // user 9 buries its ONLY click under 6 earlier views: the cap keeps
+      // the earliest five, the click is dropped, and the user cannot
+      // complete even after the watermark passes — the documented
+      // drop-latest miss for spamming users.
+      val spam7 = (0 until 8).map(i =>
+        EventStreams.Ev(30L + i, ts(41 + i), 7L, "click", 1.0))
+      val views9 = (0 until 6).map(i =>
+        EventStreams.Ev(50L + i, ts(21 + i), 9L, "view", 1.0))
+      mem.addData(Seq(
+        EventStreams.Ev(1L, ts(20), 7L, "signup", 1.0),
+        EventStreams.Ev(2L, ts(30), 7L, "view", 1.0),
+        EventStreams.Ev(3L, ts(40), 7L, "click", 1.0),
+        EventStreams.Ev(40L, ts(20), 9L, "signup", 1.0),
+        EventStreams.Ev(41L, ts(50), 9L, "click", 1.0)) ++ spam7 ++ views9: _*)
+      q.processAllAvailable()
+      // advance the watermark past every buffered event
+      mem.addData(EventStreams.Ev(901L, ts(100), 99L, "signup", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(902L, ts(101), 99L, "signup", 1.0))
+      q.processAllAvailable()
+      val out = spark.table("funnel_cap_out")
+        .as[EventStreams.FunnelOut].collect().toSeq
+      assert(out == Seq(EventStreams.FunnelOut(7L, ts(40).getTime)))
+    } finally q.stop()
+  }
+
+  test("event-time funnel: buffer beyond the abandonment deadline is purged (stalled/garbage-clock user)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // identical event sequences; only the deadline differs — the tight
+    // deadline purges the far-future buffer, the loose one completes
+    def run(abandonMin: Int, name: String): Seq[EventStreams.FunnelOut] = {
+      val mem = MemoryStream[EventStreams.Ev]
+      val q = EventStreams.funnelCompletionsEventTime(mem.toDS(),
+        Seq("signup", "view", "click"), abandonMinutes = abandonMin)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try {
+        mem.addData(EventStreams.Ev(900L, ts(0), 99L, "signup", 1.0))
+        q.processAllAvailable() // watermark initialized below ts(0)
+        // user 7's whole funnel sits ~200 min ahead of the watermark —
+        // more than a tight abandonMinutes, less than a loose one
+        mem.addData(
+          EventStreams.Ev(1L, ts(200), 7L, "signup", 1.0),
+          EventStreams.Ev(2L, ts(201), 7L, "view", 1.0),
+          EventStreams.Ev(3L, ts(202), 7L, "click", 1.0))
+        q.processAllAvailable()
+        // deadline fires here (watermark jumped to ts(192), still short of
+        // the buffer): tight config purges user 7, loose config re-arms
+        mem.addData(EventStreams.Ev(901L, ts(1), 99L, "signup", 1.0))
+        q.processAllAvailable()
+        // now the watermark passes the buffer — only a surviving user
+        // can complete
+        mem.addData(EventStreams.Ev(902L, ts(300), 99L, "signup", 1.0))
+        q.processAllAvailable()
+        mem.addData(EventStreams.Ev(903L, ts(301), 99L, "signup", 1.0))
+        q.processAllAvailable()
+        spark.table(name).as[EventStreams.FunnelOut].collect().toSeq
+      } finally q.stop()
+    }
+    assert(run(20, "funnel_purge_out").isEmpty) // purged at the deadline
+    assert(run(600, "funnel_keep_out") ==
+      Seq(EventStreams.FunnelOut(7L, ts(202).getTime))) // same data, loose deadline
+  }
+
+  test("event-time sessionization: reordered across batches matches the batch operator") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.sessionsEventTime(mem.toDS(), gapMinutes = 30,
+      stallMinutes = 600)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_et_out").start()
+    try {
+      // user 7: two sessions (ts 0+2, ts 60+62) with each session's events
+      // delivered OUT OF ORDER across batches — reordered WITHIN the
+      // 10-min watermark delay (Spark's late-row filter drops anything
+      // older than the watermark before it reaches the operator; the
+      // buffering twin fixes reordering inside the horizon, not beyond
+      // it). The plain sessionizer would mis-split/mis-number these; the
+      // buffering twin must reproduce the batch result exactly.
+      mem.addData(EventStreams.Ev(2L, ts(2), 7L, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(1L, ts(0), 7L, "a", 1.0)) // out of order
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(4L, ts(62), 7L, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(3L, ts(60), 7L, "a", 1.0)) // out of order
+      q.processAllAvailable()
+      // push the watermark past session 2's close (ts(62) + gap)
+      mem.addData(EventStreams.Ev(900L, ts(300), 99L, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(901L, ts(301), 99L, "a", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_et_out")
+        .as[EventStreams.SessionOut].collect()
+        .filter(_.user_id == 7L).sortBy(_.session_id).toSeq
+      // the batch oracle over the same four events
+      val batch = graft.operators.Sessionize.sessions(
+        Seq((1L, ts(0), 7L), (2L, ts(2), 7L), (3L, ts(60), 7L), (4L, ts(62), 7L))
+          .toDF("event_id", "ts", "user_id"), 30)
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+        .as[(Long, Long, Long, java.sql.Timestamp, java.sql.Timestamp)]
+        .collect().sortBy(_._2)
+        .map(r => EventStreams.SessionOut(r._1, r._2, r._3, r._4.getTime, r._5.getTime))
+        .toSeq
+      assert(got == batch)
+      assert(got.map(_.session_id) == Seq(1L, 2L)) // numbering in event-time order
+    } finally q.stop()
+  }
+
+  test("event-time sessionization: stalled buffer is purged at the stall deadline") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val mem = MemoryStream[EventStreams.Ev]
+    // stallMinutes BELOW the 10-min watermark delay, so a buffered event
+    // the watermark sits just short of trips the deadline (the stalled-
+    // source wedge; production sets stallMinutes well above the delay)
+    val q = EventStreams.sessionsEventTime(mem.toDS(), gapMinutes = 30,
+      stallMinutes = 5)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_stall_out").start()
+    try {
+      mem.addData(EventStreams.Ev(900L, ts(0), 99L, "a", 1.0))
+      q.processAllAvailable() // watermark initialized
+      mem.addData(EventStreams.Ev(1L, ts(100), 7L, "a", 1.0))
+      q.processAllAvailable() // buffered; deadline armed at wm + 5 min
+      // watermark advanced (to ts(90)) but not into the buffer → the stall
+      // deadline fires and purges user 7, buffer included
+      mem.addData(EventStreams.Ev(901L, ts(1), 99L, "a", 1.0))
+      q.processAllAvailable()
+      // watermark passes ts(100) + gap: a surviving user would now emit
+      mem.addData(EventStreams.Ev(902L, ts(200), 99L, "a", 1.0))
+      q.processAllAvailable()
+      mem.addData(EventStreams.Ev(903L, ts(201), 99L, "a", 1.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stall_out")
+        .as[EventStreams.SessionOut].collect().filter(_.user_id == 7L).toSeq
+      assert(rows.isEmpty, s"stalled user's session should have been purged: $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization emits closed sessions across batches") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
