@@ -43,6 +43,7 @@ object IncrementalIndex {
     * semantics.
     */
   def ingestBatch(docs: DataFrame, indexDir: String, batchId: Long = 0L): Unit = {
+    Lease.check(indexDir) // fail loudly while compaction holds the dir
     val toks = Search.tokens(docs)
     BatchCommit.writeBatch(
       toks.groupBy("word").agg(countDistinct("doc_id").as("df_delta")),
@@ -92,11 +93,13 @@ object IncrementalIndex {
     * O(1) — the same role parquet/table-format maintenance jobs play in
     * any streaming lakehouse. All three tables swap under ONE
     * `DirSwap.swap` marker scope, so a crash at any point recovers to a
-    * single consistent generation across them. Run it in a maintenance
-    * window: the swap must not race a concurrent ingest's writes.
+    * single consistent generation across them. The maintenance window is
+    * MECHANICAL: the swap runs under the dir's `Lease`, and `ingestBatch`
+    * fails loudly (checkpoint unadvanced → idempotent replay) if a batch
+    * arrives while it is held.
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    DirSwap.swap(indexDir, Seq(
+    Lease.withLease(indexDir, "index-compact") { DirSwap.swap(indexDir, Seq(
       "vocab_delta" -> { out =>
         vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
           .coalesce(1).write.parquet(s"$out/batch=compact")
@@ -112,7 +115,7 @@ object IncrementalIndex {
         table(spark, indexDir, "docinfo")
           .coalesce(1).write.parquet(s"$out/batch=compact")
         DirSwap.markComplete(out)
-      }))
+      })) }
 
   /** Current vocabulary view: df = sum of per-batch deltas. */
   def vocabulary(spark: SparkSession, indexDir: String): DataFrame =

@@ -311,6 +311,10 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          // an EXTERNAL maintenance job (compactState run outside this
+          // query's own cadence) holds the state dir's Lease — fail loudly
+          // rather than write mid-swap; a crashed one's debris self-heals
+          graft.operators.Lease.check(stateDir)
           DirSwap.recover(stateDir) // self-heal a compaction crashed mid-swap
           val (novel, novelState) =
             dedupNearLshBatch(batch, stateDir, bands, rowsPerBand, minAgree, batchId)
@@ -335,15 +339,20 @@ object DocStreams {
     * per micro-batch, so after N batches listing the state costs O(N).
     * Fold every committed batch dir into a single `batch=compact` dir with
     * one file per live (band, bkt) bucket and swap via `DirSwap` —
-    * crash-recoverable (marker + roll forward), same maintenance-window
-    * caveat (must not race a concurrent ingest outside `dedupNearIngest`'s
-    * own compactEvery cadence). Dedup decisions are unchanged: rows are
+    * crash-recoverable (marker + roll forward). The maintenance window is
+    * mechanical: the compaction holds the state dir's `Lease`, and both
+    * ingests check it at batch start — an external compaction racing a
+    * live ingest now fails the batch loudly instead of relying on caller
+    * discipline (the compactEvery cadence inside the ingest's own
+    * foreachBatch needs no lease ordering: check precedes take, within
+    * one serialized callback). Dedup decisions are unchanged: rows are
     * untouched, only the dir layout shrinks (spec-pinned). A batch whose
     * rows were folded here and is then crash-replayed recomputes an empty
     * novel set — BatchCommit's committed-output guard keeps its original
     * output, and its (empty) state re-write is harmless.
     */
-  def compactState(spark: SparkSession, stateDir: String): Unit = {
+  def compactState(spark: SparkSession, stateDir: String): Unit =
+    graft.operators.Lease.withLease(stateDir, "state-compact") {
     val live = BatchCommit.committedBatchDirs(spark, bandsRoot(stateDir))
     if (live.nonEmpty) DirSwap.swapOne(stateDir, "bands") { out =>
       spark.read.option("basePath", bandsRoot(stateDir)).parquet(live: _*)
@@ -356,7 +365,7 @@ object DocStreams {
       // stamp the aside root so the swap's completeness gate holds
       DirSwap.markComplete(out)
     }
-  }
+    }
 
   /** One micro-batch of streaming CURATION — the streaming twin of the
     * batch `text_curate` composite. Stage order mirrors cost: the
@@ -410,6 +419,7 @@ object DocStreams {
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
+          graft.operators.Lease.check(stateDir) // see dedupNearIngest
           DirSwap.recover(stateDir) // self-heal a compaction crashed mid-swap
           val (novel, novelState) = curateBatch(batch, lm, benchShingles,
             stateDir, bands, rowsPerBand, minAgree, maxRep, maxNll, maxContam, batchId)

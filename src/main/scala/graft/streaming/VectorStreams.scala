@@ -25,6 +25,12 @@ object VectorStreams {
     */
   def ingestVectorBatch(batch: DataFrame, indexDir: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    // the maintenance window is mechanical: retrain holds the dir's Lease
+    // for its whole run (not just the swap's rename window), so a batch
+    // arriving mid-retrain fails loudly BEFORE reading centroids that are
+    // about to be replaced — requireClean alone only catches the narrower
+    // crashed-mid-rename state
+    graft.operators.Lease.check(indexDir)
     // fail loudly mid-retrain-swap: between the swap's renames `cells` and
     // `centroids` can belong to DIFFERENT generations, and appending rows
     // celled by one generation's centroids would silently degrade recall
@@ -62,6 +68,7 @@ object VectorStreams {
     */
   def pqIngestBatch(batch: DataFrame, indexDir: String, batchId: Long = 0L): Unit = {
     val spark = batch.sparkSession
+    graft.operators.Lease.check(indexDir) // see ingestVectorBatch
     graft.operators.DirSwap.requireClean(indexDir, "codebooks")
     val cbs = Similarity.pqCodebooksFromDf(
       spark.read.parquet(s"$indexDir/codebooks"))
@@ -87,13 +94,15 @@ object VectorStreams {
   /** Retrain the PQ codebooks on the CURRENT corpus and re-encode — the
     * PQ twin of `retrainIndex` (as streamed vectors drift from the
     * distribution the codebooks were trained on, quantization error grows
-    * and ADC shortlists lose recall). Same one-marker-scope swap and the
-    * same load-bearing maintenance-window contract; the corpus comes from
-    * the caller (the code table stores codes, not vectors).
+    * and ADC shortlists lose recall). Same one-marker-scope swap; the
+    * maintenance window is held mechanically via the dir's `Lease` (see
+    * retrainIndex for the checkpoint caveat that remains); the corpus
+    * comes from the caller (the code table stores codes, not vectors).
     */
   def retrainPqIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
                      embeddings: DataFrame,
-                     m: Int = 8, kCodes: Int = 16, iters: Int = 5): Unit = {
+                     m: Int = 8, kCodes: Int = 16, iters: Int = 5): Unit =
+    graft.operators.Lease.withLease(indexDir, "retrain-pq") {
     val p = Similarity.prepared(embeddings)
     val cbs = Similarity.pqCodebooks(p.select("vec_id", "e"), m, kCodes, iters)
     graft.operators.DirSwap.swap(indexDir, Seq(
@@ -122,11 +131,21 @@ object VectorStreams {
     * the ingest guard on `requireClean`, so a query can no longer route by
     * one generation's centroids into the other's cells.
     *
+    * The maintenance window is mechanical: the whole retrain holds the
+    * dir's `Lease`, and the batch ingests check it — a micro-batch
+    * arriving mid-retrain fails loudly and replays idempotently after.
+    * What the lease does NOT cover (caller discipline that remains): the
+    * ingest's CHECKPOINT must have committed its last batch before the
+    * retrain folds batch dirs — a batch crash-replayed from before the
+    * fold re-enters under the new centroids next to its folded copy
+    * (stop the query, not just pause the source).
+    *
     * The trainer's actions re-read the live `cells` dir, which is only
     * renamed after both aside-writes complete.
     */
   def retrainIndex(spark: org.apache.spark.sql.SparkSession, indexDir: String,
-                   kCells: Int = 8, iters: Int = 5): Unit = {
+                   kCells: Int = 8, iters: Int = 5): Unit =
+    graft.operators.Lease.withLease(indexDir, "retrain-ivf") {
     val cur = Similarity.cellsTable(spark, indexDir).select("vec_id", "e", "nrm")
     val cent = Similarity.kmeansCentroidsPrepared(cur.select("vec_id", "e"), kCells, iters)
     graft.operators.DirSwap.swap(indexDir, Seq(
@@ -144,5 +163,5 @@ object VectorStreams {
       // centroids are a LocalRelation (the trainer collects k×dim means),
       // so this write reads nothing live
       "centroids" -> { out => cent.write.parquet(out) }))
-  }
+    }
 }

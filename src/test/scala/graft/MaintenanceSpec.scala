@@ -39,6 +39,62 @@ class MaintenanceSpec extends AnyFunSuite {
   private def mv(from: String, to: String): Unit =
     assert(new java.io.File(from).renameTo(new java.io.File(to)))
 
+  test("lease: acquire/check/release lifecycle, expiry steal, loud double-acquire") {
+    import graft.operators.Lease
+    spark.version // Lease resolves FileSystems via the active session
+    val base = tmp("lease")
+    Lease.check(base) // no lease → pass
+    Lease.acquire(base, "compact-a", ttlMs = 60000L)
+    // live lease: ingest check and a second maintenance job both fail loudly
+    val e1 = intercept[IllegalStateException](Lease.check(base))
+    assert(e1.getMessage.contains("compact-a"))
+    intercept[IllegalStateException](Lease.acquire(base, "compact-b", 60000L))
+    // releasing someone else's lease is a no-op
+    Lease.release(base, "compact-b")
+    intercept[IllegalStateException](Lease.check(base))
+    Lease.release(base, "compact-a")
+    Lease.check(base) // released → pass
+    // an expired lease (dead maintenance job) is ignored and collected
+    Lease.acquire(base, "crashed", ttlMs = -1L)
+    Lease.check(base) // expired → pass (and GC'd)
+    assert(Lease.read(base).isEmpty)
+    // ...and a new job can take over an expired lease directly
+    Lease.acquire(base, "crashed", ttlMs = -1L)
+    Lease.acquire(base, "successor", ttlMs = 60000L)
+    assert(Lease.read(base).get._1 == "successor")
+    Lease.release(base, "successor")
+  }
+
+  test("lease: an ingest batch arriving mid-compaction fails loudly, replays cleanly after") {
+    import graft.operators.{IncrementalIndex, Lease}
+    import spark.implicits._
+    val idx = tmp("leaseidx")
+    def mkDocs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    val docs = mkDocs((1L, "alpha beta"), (2L, "beta gamma"))
+    IncrementalIndex.ingestBatch(docs, idx, batchId = 0L)
+    // a maintenance job holds the dir (mid-compaction): the next batch
+    // must fail loudly — the streaming checkpoint would not advance, so
+    // the SAME batch id replays after the lease is released
+    Lease.acquire(idx, "index-compact", ttlMs = 60000L)
+    val more = mkDocs((3L, "gamma delta"))
+    intercept[IllegalStateException](
+      IncrementalIndex.ingestBatch(more, idx, batchId = 1L))
+    Lease.release(idx, "index-compact")
+    IncrementalIndex.ingestBatch(more, idx, batchId = 1L) // idempotent replay
+    val df = IncrementalIndex.vocabulary(spark, idx)
+      .as[(String, Long)].collect().toMap
+    assert(df == Map("alpha" -> 1L, "beta" -> 2L, "gamma" -> 2L, "delta" -> 1L))
+    // the real compaction takes (and releases) the lease itself
+    IncrementalIndex.compact(spark, idx)
+    assert(Lease.read(idx).isEmpty)
+    val df2 = IncrementalIndex.vocabulary(spark, idx)
+      .as[(String, Long)].collect().toMap
+    assert(df2 == df)
+  }
+
   test("swapOne replaces the live generation and leaves no debris") {
     val base = tmp("dirswap")
     writeGen(s"$base/t", "old")
