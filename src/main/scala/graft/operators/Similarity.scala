@@ -620,6 +620,124 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  // ---------------------------------------------------------------------
+  // Batch ANN routing — the corpus×corpus shape. The serving tiers above
+  // collect the query vectors (and probed cell ids) driver-side: correct
+  // and metadata-bounded for tens of queries, wrong for the one ANN
+  // pattern an LLM-data pipeline runs at FULL scale, a million-row query
+  // table joined against the corpus (semantic dedup, cross-corpus
+  // linking). These variants route a query TABLE with ZERO driver
+  // collects: centroids/codebooks ride as broadcast tables, routing and
+  // LUT construction stay in-plan, and plan construction runs no Spark
+  // job (spec-pinned) — so the whole thing composes into a larger lazy
+  // plan like any other operator.
+  // ---------------------------------------------------------------------
+
+  /** Label-IVF ANN over a query TABLE (vec_id, embedding), zero driver
+    * collects: per-label centroids aggregate in-plan, each query routes
+    * to its `nprobe` best cells through a broadcast centroid join, and
+    * candidates come from an EQUI-join of the routed query side against
+    * the label-keyed corpus — at a million queries the join shuffles by
+    * cell instead of broadcasting, which is exactly the right shape (the
+    * serving twin `ivfTopKIndexed` instead collects probed cell ids to
+    * drive partition pruning — better for tens of queries, impossible
+    * for a table). Same cosine/top-k/tie-break semantics as ivfTopK, so
+    * the same SQL oracle gates it.
+    */
+  def ivfTopKBatch(embeddings: DataFrame, queries: DataFrame, k: Int,
+                   nprobe: Int = 2): DataFrame = {
+    val p = prepared(embeddings)
+    val cent = ivfCentroids(embeddings)
+    val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
+    val qd = q.select(col("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
+      .join(broadcast(cent), (col("pos") + 1) === col("i"))
+      .groupBy("query_id", "label")
+      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
+    val probes = qd.withColumn("rn",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("label").as("probe_label"))
+    val cells = embeddings.select(col("vec_id"), col("label")).join(p, "vec_id")
+    val qside = q.join(probes, "query_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    qside.as("a")
+      .join(cells.as("b"),
+        col("b.label") === col("probe_label") && col("a.query_id") =!= col("b.vec_id"))
+      .select(col("query_id"), col("probe_label"), col("b.vec_id").as("neighbor_id"),
+        cosine().as("cos"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** PQ ANN over a query TABLE, zero driver collects: the ADC lookup
+    * tables are built IN-PLAN — each query explodes over the m subspace
+    * ids, equi-joins the broadcast codebook rows (j, code, c) (a
+    * BroadcastHashJoin, same trick as the LSH plane table), computes the
+    * subvector·centroid dot with the codegen'd ArrayDot over a slice
+    * (subspace width = size(c), read per row — nothing structural is
+    * collected), and reassembles per-query LUT arrays with an
+    * array_sort'd collect_list (idx is unique per query, so the sort
+    * makes the assembly deterministic). The ADC scoring and exact re-rank
+    * stages are IDENTICAL expressions to knnPqFromCodes — identical fold
+    * orders, so the batch path returns bit-identical rows to the serving
+    * path (spec-pinned). `m`/`kCodes` are index-structure constants, the
+    * same ones the build fixed.
+    *
+    * Scale notes: the LUT side grows with the query table (m·kCodes
+    * doubles per query) — the broadcast hint on it fits serving and
+    * thousands-of-queries batches; for a corpus-sized query table drop
+    * the hint and let the ADC stage shuffle, or IVF-route first
+    * (ivfTopKBatch) and ADC within cells. The brute ADC×queries product
+    * is inherent to un-routed PQ, not to this formulation.
+    */
+  def knnPqBatchFromCodes(embeddings: DataFrame, queries: DataFrame,
+                          codes: DataFrame, codebooks: DataFrame,
+                          m: Int = 8, kCodes: Int = 16,
+                          k: Int = 5, shortlist: Int = 10): DataFrame = {
+    val p = prepared(embeddings)
+    val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
+    val lutRows = q
+      .select(col("query_id"), col("e"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(broadcast(codebooks.select("j", "code", "c")), "j")
+      .select(col("query_id"),
+        (col("j") * kCodes + col("code")).as("idx"),
+        dot(slice(col("e"), col("j") * size(col("c")) + 1, size(col("c"))),
+          col("c")).as("d"))
+    val luts = lutRows.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        s => s.getField("d")).as("lut"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+    val w = Window.partitionBy("query_id").orderBy(desc("adc_cos"), asc("neighbor_id"))
+    val short = codes.crossJoin(broadcast(luts))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adc / col("nrm")).as("adc_cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist * k)
+      .select("query_id", "neighbor_id")
+    val wx = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    short.join(q, "query_id").as("a")
+      .join(p.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Stable.stab(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** The batch PQ query against a persisted index dir — reads the
+    * codebook table as a DataFrame (never collected; contrast
+    * knnPqIndexed, which collects it to build LUTs driver-side).
+    */
+  def knnPqBatch(spark: org.apache.spark.sql.SparkSession, indexDir: String,
+                 embeddings: DataFrame, queries: DataFrame,
+                 m: Int = 8, kCodes: Int = 16,
+                 k: Int = 5, shortlist: Int = 10): DataFrame =
+    knnPqBatchFromCodes(embeddings, queries, pqCodesTable(spark, indexDir),
+      spark.read.parquet(s"$indexDir/codebooks"), m, kCodes, k, shortlist)
+
   /** IVF probe-1 ANN: route each query (vec_id < nQueries) to its best
     * centroid by dot product, then brute-force cosine top-k inside that
     * cell only.

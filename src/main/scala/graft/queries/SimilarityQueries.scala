@@ -141,6 +141,40 @@ object SimilarityQueries {
         .orderBy("query_id", "rank"),
       None),
 
+    // BATCH ANN routing, IVF tier: a query TABLE routed with zero driver
+    // collects — centroid aggregation, probe routing, and the cell
+    // equi-join all in one lazy plan (the corpus×corpus shape a semantic
+    // dedup join needs; the *_indexed serving twins instead collect probe
+    // ids for partition pruning). Probe-2, same semantics as
+    // knn_ivf_indexed, so the same SQL oracle hash-gates it; PlanShapeSpec
+    // pins that building the plan runs no Spark job.
+    GraftQuery("knn_ivf_batch",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        Similarity.ivfTopKBatch(emb, emb.filter(col("vec_id") < 10), 5, nprobe = 2)
+          .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      Some(knnIvfOracleN(2))),
+
+    // BATCH ANN routing, PQ tier: ADC lookup tables built IN-PLAN from
+    // the broadcast codebook table (the serving twin knn_pq collects the
+    // query vectors and builds LUTs driver-side). Bit-identical rows to
+    // knn_pq (identical fold orders — SimilaritySpec pins equality), so
+    // like knn_pq it is rows-only at the driver gate (kmeans codebooks
+    // have no SQL twin); PlanShapeSpec pins the zero-job construction.
+    GraftQuery("knn_pq_batch",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        Similarity.knnPqBatch(s, pqIndexDir(s, d), emb,
+            emb.filter(col("vec_id") < 10), k = 5)
+          .select("query_id", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
     // step a DataFrame op), probe-2 routing, exact cosine inside probed
     // cells. No SQL twin (the iterative trainer isn't a query) → rows-only

@@ -18,6 +18,42 @@ class PlanShapeSpec extends AnyFunSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("batch ANN routing: plan CONSTRUCTION runs zero Spark jobs (no driver collects)") {
+    import org.apache.spark.sql.functions.col
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+    // training is a per-corpus index build and MAY collect (it happens
+    // before the listener) — the claim under test is that query ROUTING
+    // is a pure plan transformation
+    val p = graft.operators.Similarity.prepared(emb)
+    val cbs = graft.operators.Similarity.pqCodebooks(p.select("vec_id", "e"), 8, 16, 5)
+    val cbDf = graft.operators.Similarity.pqCodebooksToDf(spark, cbs)
+    val codes = graft.operators.Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+      .join(p.select("vec_id", "nrm"), "vec_id")
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val ivfPlan = graft.operators.Similarity.ivfTopKBatch(emb, q, 5, nprobe = 2)
+      val pqPlan = graft.operators.Similarity.knnPqBatchFromCodes(emb, q, codes, cbDf)
+      // listener events deliver asynchronously — a blocking collect inside
+      // construction would have posted its JobStart well within this grace
+      Thread.sleep(1000)
+      assert(jobs == 0,
+        s"batch ANN plan construction submitted $jobs Spark job(s) — a driver collect leaked in")
+      // contrast: the SERVING twin collects query vectors at construction
+      graft.operators.Similarity.knnPqFromCodes(emb, codes, cbs, 10, 5)
+      Thread.sleep(1000)
+      assert(jobs > 0, "expected the serving twin's construction-time collect as contrast")
+      // and the batch plans are real: they execute to full k per query
+      assert(ivfPlan.count() == 50L)
+      assert(pqPlan.count() == 50L)
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("q1_agg: filter pushed to parquet scan, partial+final hash agg") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

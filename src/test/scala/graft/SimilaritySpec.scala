@@ -188,6 +188,37 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("batch ANN routing returns exactly the serving tiers' rows (IVF and PQ)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+    // IVF: the in-plan batch router against the persisted-index serving
+    // path — centroids aggregate to identical stab'd values either way,
+    // so rows (cosines and ranks included) must match exactly
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_batch").toString
+    Similarity.buildIvfIndex(emb, dir)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "probe_label", "neighbor_id", "cos", "rank")
+      .as[(Long, Int, Long, Double, Long)].collect().sortBy(r => (r._1, r._5)).toSeq
+    assert(rows(Similarity.ivfTopKBatch(emb, q, 5, nprobe = 2)) ==
+      rows(Similarity.ivfTopKIndexed(spark, dir, q, 5, nprobe = 2)))
+    // PQ: in-plan LUTs vs driver-built LUTs — identical fold orders, so
+    // the shortlists, exact-re-rank cosines, and ranks are bit-identical
+    val p = Similarity.prepared(emb)
+    val cbs = Similarity.pqCodebooks(p.select("vec_id", "e"), 8, 16, 5)
+    val codes = Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+      .join(p.select("vec_id", "nrm"), "vec_id")
+    def pqRows(df: org.apache.spark.sql.DataFrame) = df
+      .select("query_id", "neighbor_id", "cos", "rank")
+      .as[(Long, Long, Double, Long)].collect().sortBy(r => (r._1, r._4)).toSeq
+    val serving = pqRows(Similarity.knnPqFromCodes(emb, codes, cbs, 10, 5))
+    val batch = pqRows(Similarity.knnPqBatchFromCodes(emb, q, codes,
+      Similarity.pqCodebooksToDf(spark, cbs)))
+    assert(serving == batch)
+    assert(batch.length == 50) // full k for every query
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
