@@ -41,10 +41,35 @@ object MultimodalQueries {
           |  min(doc_id) AS min_id
           |FROM documents GROUP BY 1 ORDER BY modality""".stripMargin)),
 
+    // The feature extractor itself, hash-gated: the deterministic
+    // projection of its rows — routing (modality → the right codec →
+    // the right columns), decoded dims/rates/frame counts, and the one
+    // byte length with a closed form (WAV = 44-byte canonical header +
+    // 2 bytes/frame PCM16 mono, pinned in MultimodalSpec). The checksum
+    // column (a fold over real PNG/GIF/WAV container bytes) is the only
+    // field without a SQL twin and is spec-covered instead — this entry
+    // was rows-only until round 9.
     GraftQuery("multimodal_features",
       (s, d) => Multimodal.extractFeatures(persistedMedia(s, d))
+        .select(col("media_id"), col("modality"), col("width"), col("height"),
+          col("sample_rate"), col("n_frames"),
+          when(col("modality") === "audio", col("n_bytes")).as("audio_bytes"))
         .orderBy("media_id"),
-      None), // all three modalities decode real codecs; checksum column has no SQL twin — rows-only
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + doc_id % 16
+          |            WHEN doc_id % 3 = 2 THEN 6 + doc_id % 10 END AS INT) AS width,
+          |  CAST(CASE WHEN doc_id % 3 = 0 THEN 4 + (doc_id // 16) % 16
+          |            WHEN doc_id % 3 = 2 THEN 6 + (doc_id // 10) % 10 END AS INT) AS height,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN
+          |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+          |         WHEN 2 THEN 16000 ELSE 22050 END END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 256
+          |            WHEN doc_id % 3 = 2 THEN 2 + doc_id % 7 END AS BIGINT) AS n_frames,
+          |  CAST(CASE WHEN doc_id % 3 = 1 THEN 44 + 2 * (64 + doc_id % 256) END AS BIGINT) AS audio_bytes
+          |FROM documents ORDER BY media_id""".stripMargin)),
 
     // The feature EXTRACTOR's routing, hash-gated for ALL THREE real
     // modalities: extractFeatures must send image payloads through

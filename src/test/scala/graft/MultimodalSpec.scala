@@ -137,6 +137,13 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = Seq((1L, Array[Byte](1, 2, 3, 4, 5))).toDF("media_id", "payload")
     val b = Multimodal.decodeAudioMeta(bad).collect()
     assert(b.length == 1 && b.head.isNullAt(1) && b.head.isNullAt(2))
+    // the WAV byte-length closed form the multimodal_features oracle
+    // leans on: canonical 44-byte RIFF/fmt/data header + 2 bytes per
+    // PCM16-mono frame — holds for every synthesized payload
+    assert(wav.forall { r =>
+      val (_, frames) = Multimodal.audioParams(r.getLong(0))
+      r.getAs[Array[Byte]]("payload").length == 44 + 2 * frames
+    })
   }
 
   test("decodeImageDims: corrupt payload yields NULL dims, no crash") {
