@@ -73,6 +73,31 @@ object Bench {
       (q.name, times.min, times.sorted.apply(times.size / 2))
     }
     val loadAfter = loadAvg()
+
+    // Self-adjudication of outliers: any query whose min exceeded 2× its
+    // committed quiet-box pin (pins.json) re-runs AFTER the main loop —
+    // a second, later sample of the box. A co-tenant spike during the
+    // main loop almost never reproduces minutes later, so the JSON now
+    // carries the spike/regression distinction itself instead of costing
+    // a judge session per outlier (two 9–13× driver-bench spikes in
+    // round 8 re-ran at ~1× isolated). A recheck that is STILL over 2×
+    // is evidence of a real regression.
+    val pins = readPins(sys.env.getOrElse("SPARK_GRAFT_PINS", "pins.json"))
+    val suspects = results.filter { case (n, v, _) =>
+      pins.get(n).exists(p => v > 2 * p)
+    }
+    val rechecked = suspects.map { case (n, _, _) =>
+      val q = Registry.all.find(_.name == n).get
+      val times = (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        (System.nanoTime() - t0) / 1e9
+      }
+      (n, times.min)
+    }
+    val recheckedJson = rechecked.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+      .mkString("{", ",", "}")
+
     val qs = results.map { case (k, v, _) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")
     val med = results.map { case (k, _, m) => "\"" + k + f"""\":$m%.3f""" }
@@ -80,10 +105,26 @@ object Bench {
     val total = results.map(_._2).sum
     val totalMed = results.map(_._3).sum
     // The driver's log capture keeps the TAIL of the line, so the summary
-    // fields (totals, loadavg) repeat at the END — they must survive
-    // truncation even when the per-query maps don't.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_med":$med,"setup_sec":$setupSec%.3f,"sf":"$sfDir","total_min_sec":$total%.3f,"total_med_sec":$totalMed%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
+    // fields (totals, loadavg, rechecks) repeat at/sit near the END —
+    // they must survive truncation even when the per-query maps don't.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_med":$med,"setup_sec":$setupSec%.3f,"sf":"$sfDir","pins_known":${pins.size},"rechecked":$recheckedJson,"load_recheck":${loadAvg()}%.2f,"total_min_sec":$total%.3f,"total_med_sec":$totalMed%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}""")
     spark.stop()
+  }
+
+  /** Quiet-box per-query pins (name → min-of-3 seconds), committed as
+    * pins.json at each round's BASELINE re-pin. Flat string→number JSON;
+    * parsed with a regex so the bench stays dependency-free. Absent file
+    * → no rechecks (first round of a fresh checkout).
+    */
+  private def readPins(path: String): Map[String, Double] = {
+    val f = new java.io.File(path)
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      val text = try src.mkString finally src.close()
+      """"([^"]+)"\s*:\s*([0-9]+\.?[0-9]*)""".r
+        .findAllMatchIn(text).map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
   }
 
   /** 1-minute system load average (OS MXBean; -1.0 where unsupported) —
