@@ -184,6 +184,62 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf corpus at 50k docs: candidate-growth law holds across a third decade") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 500 → 5 000 measured in the test above and BASELINE.md; this pins
+    // the 50 000 point with LINEAR work only (candidate counts are
+    // aggregates; the plain tier's ~half-billion-pair join itself runs
+    // on demand via `sbt "runMain graft.ZipfCrossover 50000"`, whose
+    // numbers BASELINE.md records)
+    val n = 50000L
+    val docs = graft.sources.ZipfCorpus.synth(
+      spark.range(n).select(col("id").as("doc_id"))).localCheckpoint()
+    val shk = Dedup.shingles(docs)
+      .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+      .localCheckpoint()
+    val plainCands = shk.groupBy("shk").count()
+      .agg(sum(col("count") * (col("count") - 1) / 2)).as[Double].head.toLong
+    val t = 0.8
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
+    val pref = shk.join(dfreq, "shk")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+          .orderBy(asc("df"), asc("shk"))))
+      .join(sizes, "doc_id")
+      .filter(col("rnk") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
+      .select("doc_id", "shk")
+    val prefixCands = pref.as("a").join(pref.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    info(f"50k: plain candidates = $plainCands, prefix candidates = $prefixCands " +
+      f"(${plainCands.toDouble / math.max(1, prefixCands)}%.0f× fewer)")
+    // the law, three points: plain grows ~quadratically per decade (the
+    // boilerplate-header shingles sit at df ≈ N/4, so Σ df²/2 ≈ 3N²/16),
+    // prefix stays ~linear (rare tail-word shingles anchor each doc)
+    assert(plainCands > 50L * 5158445L, // ≥ 50× the 5k point (theory: ~100×)
+      s"plain candidates lost their quadratic growth: $plainCands")
+    assert(prefixCands < 30L * 95L, // ≤ 30× the 5k point (theory: ~10×)
+      s"prefix candidates no longer linear: $prefixCands")
+    assert(plainCands / math.max(1L, prefixCands) > 100000L,
+      s"reduction collapsed: $plainCands / $prefixCands")
+    // bucket selectivity holds at the third decade too
+    val sh60 = Dedup.simhash60(docs)
+    val chunks = (0 until 3).map { k =>
+      struct(lit(k).as("c"),
+        pmod(shiftright(col("simhash"), k * 20), lit(1L << 20)).as("v"))
+    }
+    val maxBucket = sh60.select(explode(array(chunks: _*)).as("cv"))
+      .groupBy("cv").count().agg(max("count")).as[Long].head
+    val sig = Dedup.minhashSignaturesFast(Dedup.shingles(docs), 12)
+    val maxBand = Dedup.bandRows(sig, 6, 2, cols => xxhash64(cols: _*))
+      .groupBy("band", "bh").count().agg(max("count")).as[Long].head
+    info(s"50k: simhash60 max chunk-bucket = $maxBucket, LSH max band-bucket = $maxBand")
+    assert(maxBucket <= n / 10, s"simhash60 buckets degenerate at 50k: $maxBucket")
+    assert(maxBand <= n / 10, s"LSH band buckets degenerate at 50k: $maxBand")
+  }
+
   test("clusters: chain merges into one component, min id wins") {
     import spark.implicits._
     val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L))
