@@ -35,6 +35,8 @@ object Bench {
       graft.queries.DedupQueries.persistedShingleKeysFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedZipfShingleKeys(spark, sfDir).count()
       graft.queries.DedupQueries.persistedZipfSignatures(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedZipfMutShingleKeys(spark, sfDir).count()
+      graft.queries.DedupQueries.persistedZipfMutSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignatures(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSignaturesFast(spark, sfDir).count()
       graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()

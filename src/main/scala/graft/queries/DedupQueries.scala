@@ -75,6 +75,27 @@ object DedupQueries {
         SigHashes)
     }
 
+  /** Shingle keys of the MUTATED zipf corpus (copies carry a 2 %
+    * per-token mutation rate → a graded Jaccard distribution straddling
+    * the 0.8 threshold — see ZipfCorpus.synthMutated), persisted like
+    * the exact-copy tier.
+    */
+  def persistedZipfMutShingleKeys(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfmshk", "documents.parquet", "_n3") {
+      Dedup.shingles(
+          graft.sources.ZipfCorpus.synthMutated(Tables.documents(s, d).select("doc_id")), 3)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    }
+
+  /** md5-tier MinHash signatures of the mutated zipf corpus. */
+  def persistedZipfMutSignatures(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfmsig", "documents.parquet", "_n3") {
+      Dedup.minhashSignatures(
+        Dedup.shingles(
+          graft.sources.ZipfCorpus.synthMutated(Tables.documents(s, d).select("doc_id")), 3),
+        SigHashes)
+    }
+
   /** MinHash signature columns shared by every md5-tier LSH query: 12
     * hashes serve both the 3×4 parity banding and the 6×2 keep banding
     * (banding only regroups columns). */
@@ -229,6 +250,15 @@ object DedupQueries {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Same tail over the MUTATED corpus derivation. */
+  lazy val zipfMutJaccardOracle: String =
+    s"""WITH ${graft.sources.ZipfCorpus.mutatedShingleCte}, $shkCte, $jaccardTail
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin
+
   /** The actionable LSH-verified pair graph (shared with text_curate). */
   def lshKeepPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
@@ -333,6 +363,32 @@ object DedupQueries {
         .orderBy("doc_a", "doc_b"),
       Some(
         s"""WITH ${lshPairCtes(6, 2, 0.8, graft.sources.ZipfCorpus.shingleCte)}
+           |SELECT doc_a, doc_b, jaccard FROM p
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The mutated-copy fixture: near-dups with EDITS (2 % token mutation
+    // on copies), so pair similarities form a graded distribution
+    // straddling the 0.8 threshold — zero-mutation copies at ≈0.95+,
+    // one-mutation at ≈0.80–0.85 (either side of the line by length),
+    // two-plus below. Plain vs prefix exactness and the LSH tier are all
+    // hash-gated on BORDERLINE pairs now, not planted certainties —
+    // closing the "planted exact-J pairs" objection to the zipf fixture.
+    GraftQuery("dedup_zipf_mutated",
+      (s, d) => Dedup.ngramJaccardPairsFromKeys(persistedZipfMutShingleKeys(s, d), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(zipfMutJaccardOracle)),
+
+    GraftQuery("dedup_zipf_mutated_prefix",
+      (s, d) => Dedup.ngramJaccardPairsPrefixFromKeys(persistedZipfMutShingleKeys(s, d), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(zipfMutJaccardOracle)),
+
+    GraftQuery("dedup_zipf_mutated_lsh",
+      (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedZipfMutSignatures(s, d),
+          persistedZipfMutShingleKeys(s, d), 6, 2, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${lshPairCtes(6, 2, 0.8, graft.sources.ZipfCorpus.mutatedShingleCte)}
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin)),
 

@@ -65,6 +65,37 @@ object ZipfCorpus {
     ids.select(col("doc_id"), array_join(toks, " ").as("text"))
   }
 
+  /** Mutated-copy variant — the partial-overlap structure real near-dups
+    * have (boilerplate plus edits), vs `synth`'s whole-stream copies at
+    * J ≈ 0.97. Every doc_id ≡ 1 (mod 25) re-uses the previous doc's
+    * stream, but each position mutates independently with probability
+    * 1/50 (an md5-slice draw keyed "doc:m:i", redrawn from the full
+    * vocabulary under seed "m<doc>"). One mutated token kills up to
+    * three 3-shingles of ~40, so copies land at J ≈ 0.95+ (no
+    * mutations, ~45 %), ≈ 0.80–0.85 (one mutation — straddling the 0.8
+    * working threshold), or below (two-plus) — a GRADED distribution
+    * around the threshold instead of planted certainties, which is what
+    * makes borderline-pair agreement between the plain/prefix/LSH tiers
+    * worth hash-gating. Same integer-md5 arithmetic, so the DuckDB
+    * oracle re-derives the identical corpus.
+    */
+  def synthMutated(ids: DataFrame): DataFrame = {
+    val isCopy = col("doc_id") % 25 === 1
+    val seedN = col("doc_id") - when(isCopy, 1L).otherwise(0L)
+    val seed = seedN.cast("string")
+    val own = col("doc_id").cast("string")
+    val len = (lit(30) + col("doc_id") % 21).cast("int")
+    val body = transform(sequence(lit(0), len - 1), i => {
+      val mutKey = concat(own, lit(":m:"), i.cast("string"))
+      val isMut = isCopy &&
+        conv(substring(md5(mutKey), 1, 6), 16, 10).cast("long") % 50 === 0
+      when(isMut, tok(concat(lit("m"), own), i)).otherwise(tok(seed, i))
+    })
+    val header = array((0 until 8).map(k => lit(s"h$k")): _*)
+    val toks = when(seedN % 4 === 0, concat(header, body)).otherwise(body)
+    ids.select(col("doc_id"), array_join(toks, " ").as("text"))
+  }
+
   /** DuckDB twin: CTEs `zd` → `ztok` → `sh` (distinct 3-shingles) over the
     * same md5-slice token derivation — compose with the shared shk/jaccard
     * tails. Generates shingles directly from the token stream (equivalent
@@ -88,6 +119,44 @@ object ZipfCorpus {
       |      CAST(CONCAT('0x', substr(md5(seed || ':' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS u,
       |      CAST(CONCAT('0x', substr(md5(seed || ':' || CAST(i AS VARCHAR)), 7, 12)) AS BIGINT) AS h2
       |    FROM zd, unnest(range(0, len)) t(i))
+      |  UNION ALL
+      |  SELECT doc_id, k - 8 AS i, 'h' || CAST(k AS VARCHAR) AS tok
+      |  FROM zd, unnest(range(0, 8)) t(k)
+      |  WHERE seed_n % 4 = 0),
+      |sh AS (
+      |  SELECT DISTINCT a.doc_id, a.tok || ' ' || b.tok || ' ' || c.tok AS shingle
+      |  FROM ztok a
+      |  JOIN ztok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      |  JOIN ztok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  /** DuckDB twin of `synthMutated` — the same CTE chain with the copy
+    * rule at mod 25 and the per-position mutation redraw (key string
+    * chosen per (doc, i) before the token draw, mirroring the Spark
+    * side's conditional seed).
+    */
+  val mutatedShingleCte: String =
+    """zd AS (
+      |  SELECT doc_id,
+      |    doc_id - CASE WHEN doc_id % 25 = 1 THEN 1 ELSE 0 END AS seed_n,
+      |    CAST(doc_id - CASE WHEN doc_id % 25 = 1 THEN 1 ELSE 0 END AS VARCHAR) AS seed,
+      |    30 + doc_id % 21 AS len
+      |  FROM documents),
+      |ztok AS (
+      |  SELECT doc_id, i,
+      |    'w' || CAST(CASE WHEN u < 40 THEN h2 % 10
+      |                     WHEN u < 70 THEN 10 + h2 % 2000
+      |                     ELSE 2010 + h2 % 200000 END AS VARCHAR) AS tok
+      |  FROM (
+      |    SELECT doc_id, i,
+      |      CAST(CONCAT('0x', substr(md5(k), 1, 6)) AS BIGINT) % 100 AS u,
+      |      CAST(CONCAT('0x', substr(md5(k), 7, 12)) AS BIGINT) AS h2
+      |    FROM (
+      |      SELECT doc_id, i,
+      |        CONCAT(CASE WHEN doc_id % 25 = 1 AND
+      |                   CAST(CONCAT('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':m:' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 50 = 0
+      |              THEN 'm' || CAST(doc_id AS VARCHAR) ELSE seed END,
+      |          ':', CAST(i AS VARCHAR)) AS k
+      |      FROM zd, unnest(range(0, len)) t(i)))
       |  UNION ALL
       |  SELECT doc_id, k - 8 AS i, 'h' || CAST(k AS VARCHAR) AS tok
       |  FROM zd, unnest(range(0, 8)) t(k)

@@ -184,6 +184,36 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("mutated zipf corpus: graded Jaccard straddles the threshold, tiers agree on borderline pairs") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.ZipfCorpus.synthMutated(
+      graft.sources.Tables.documents(spark, TestSpark.sf001).select("doc_id"))
+      .localCheckpoint()
+    val shk = Dedup.shingles(docs)
+      .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+      .localCheckpoint()
+    val nCopies = docs.filter(col("doc_id") % 25 === 1).count()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double)].collect().toSeq.sorted
+    val plain = rows(Dedup.ngramJaccardPairsFromKeys(shk, 0.8))
+    // the point of the fixture: NOT all copies survive the threshold
+    // (mutations push some below 0.8) and the survivors include
+    // borderline pairs, not just planted ≈0.97 certainties
+    assert(plain.nonEmpty && plain.size < nCopies,
+      s"expected a graded distribution: ${plain.size} of $nCopies copies found")
+    val js = plain.map(_._3)
+    assert(js.min < 0.9, s"no borderline pairs below 0.9: min=${js.min}")
+    assert(js.max > 0.95, s"no near-exact pairs: max=${js.max}")
+    // prefix filter stays exact on partial-overlap structure
+    assert(rows(Dedup.ngramJaccardPairsPrefixFromKeys(shk, 0.8)) == plain)
+    // LSH at 6×2 banding finds the same pairs here (borderline s≈0.82
+    // has band-collision probability ≈ 1−(1−s²)⁶ ≈ 0.9987 per pair —
+    // and the driver gate hash-pins the exact candidate arithmetic)
+    val sig = Dedup.minhashSignatures(Dedup.shingles(docs), 12)
+    assert(rows(Dedup.minhashLshPairsFromSigKeys(sig, shk, 6, 2, 0.8)) == plain)
+  }
+
   test("zipf corpus at 50k docs: candidate-growth law holds across a third decade") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
