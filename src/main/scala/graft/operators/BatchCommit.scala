@@ -78,29 +78,89 @@ object BatchCommit {
   }
 
   /** Idempotent output write: overwrite `root/batch=<id>` — UNLESS that
-    * dir is already committed, then keep it untouched. The guard matters
-    * when state compaction has folded this batch's state rows into a
-    * combined dir: a replay then recomputes an EMPTY novel set (the docs
-    * match their own absorbed signatures), and overwriting the committed
-    * output with it would lose the docs. Committed output was computed
-    * against the correct prior state; it is never recomputed.
+    * dir is already committed (then keep it untouched) or the id appears
+    * in the root's `_FOLDED` ledger (then its rows already live in a
+    * consolidated dir — see `recordFolded`). The committed-dir guard
+    * matters when state compaction has folded this batch's state rows
+    * into a combined dir: a replay then recomputes an EMPTY novel set
+    * (the docs match their own absorbed signatures), and overwriting the
+    * committed output with it would lose the docs. Committed output was
+    * computed against the correct prior state; it is never recomputed.
     *
-    * The guard assumes a replayed batch recomputes IDENTICAL content — a
+    * The ledger closes the case the committed-dir check cannot see: a
+    * fold DELETES the per-batch dirs it absorbs, so a batch
+    * crash-replayed from before the fold finds no `batch=<id>` dir and —
+    * without the ledger — would re-write its rows NEXT TO their folded
+    * copy (for the vector indexes, possibly assigned under a retrained
+    * quantizer). With it, replay of an absorbed batch is a no-op on
+    * state, uniformly with the committed case.
+    *
+    * Both guards assume a replayed batch recomputes IDENTICAL content — a
     * deterministic derivation over the same batch input and strictly-prior
-    * state, which every ingest in this repo satisfies. It cannot detect a
-    * derivation that changed BETWEEN attempts (a code upgrade mid-stream,
-    * a nondeterministic upstream): the stale committed dir is silently
-    * kept. Cross-version replay therefore requires a fresh checkpoint +
-    * state dir — the MANIFEST pins the state LAYOUT, not the derivation.
+    * state, which every ingest in this repo satisfies. They cannot detect
+    * a derivation that changed BETWEEN attempts (a code upgrade
+    * mid-stream, a nondeterministic upstream): the stale committed/folded
+    * rows are silently kept. Cross-version replay therefore requires a
+    * fresh checkpoint + state dir — the MANIFEST pins the state LAYOUT,
+    * not the derivation.
     */
   def writeBatch(df: DataFrame, root: String, batchId: Long,
                  partitionCols: Seq[String] = Nil): Unit = {
     val (fs, _) = fsOf(df.sparkSession, root)
     val dir = batchDir(root, batchId)
-    if (!committed(fs, new Path(dir))) {
+    if (!committed(fs, new Path(dir)) &&
+        !foldedIds(df.sparkSession, root).contains(batchId)) {
       val w = df.write.mode("overwrite")
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir)
+    }
+  }
+
+  private val FoldedFile = "_FOLDED"
+
+  /** Batch ids absorbed by a fold of this root (empty when no fold ever
+    * ran). One id per line; `_`-prefixed, so dir listings and data scans
+    * ignore it.
+    */
+  def foldedIds(spark: SparkSession, root: String): Set[Long] = {
+    val (fs, base) = fsOf(spark, root)
+    val p = new Path(base, FoldedFile)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+        .filter(_.nonEmpty).map(_.trim.toLong).toSet
+      finally in.close()
+    }
+  }
+
+  /** Numeric ids of the committed batch dirs currently under `root` —
+    * what a fold is about to absorb (`base`/`compact` generations carry
+    * no replayable id and are skipped).
+    */
+  def committedNumericIds(spark: SparkSession, root: String): Seq[Long] =
+    committedBatchDirs(spark, root)
+      .map(_.split("=").last)
+      .flatMap(s => scala.util.Try(s.toLong).toOption)
+
+  /** Write `newRoot/_FOLDED` = `ids` ∪ the ids already folded at
+    * `prevRoot` — called by every fold (compaction/retrain) on its ASIDE
+    * dir before the swap, so the ledger rides the generation it
+    * describes. Carrying the previous generation's ids forward keeps
+    * replay of a long-stopped stream safe across multiple folds.
+    */
+  def recordFolded(spark: SparkSession, newRoot: String, prevRoot: String,
+                   ids: Seq[Long]): Unit = {
+    val all = (foldedIds(spark, prevRoot) ++ ids).toSeq.sorted
+    if (all.nonEmpty) {
+      val (fs, base) = fsOf(spark, newRoot)
+      val tmp = new Path(base, s"$FoldedFile.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(all.mkString("", "\n", "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(base, FoldedFile)
+      fs.delete(dst, false)
+      require(fs.rename(tmp, dst), s"folded-ledger rename failed under $newRoot")
     }
   }
 

@@ -99,21 +99,31 @@ object IncrementalIndex {
     * arrives while it is held.
     */
   def compact(spark: SparkSession, indexDir: String): Unit =
-    Lease.withLease(indexDir, "index-compact") { DirSwap.swap(indexDir, Seq(
+    Lease.withLease(indexDir, "index-compact") {
+      // folded-ledger per table (see BatchCommit.recordFolded): a batch
+      // crash-replayed from before this fold must skip re-writing rows
+      // the compact generation already holds
+      def fold(out: String, sub: String): Unit =
+        BatchCommit.recordFolded(spark, out, s"$indexDir/$sub",
+          BatchCommit.committedNumericIds(spark, s"$indexDir/$sub"))
+      DirSwap.swap(indexDir, Seq(
       "vocab_delta" -> { out =>
         vocabulary(spark, indexDir).withColumnRenamed("df", "df_delta")
           .coalesce(1).write.parquet(s"$out/batch=compact")
+        fold(out, "vocab_delta")
         DirSwap.markComplete(out)
       },
       "postings" -> { out =>
         table(spark, indexDir, "postings")
           .repartition(col("wb"))
           .write.partitionBy("wb").parquet(s"$out/batch=compact")
+        fold(out, "postings")
         DirSwap.markComplete(out)
       },
       "docinfo" -> { out =>
         table(spark, indexDir, "docinfo")
           .coalesce(1).write.parquet(s"$out/batch=compact")
+        fold(out, "docinfo")
         DirSwap.markComplete(out)
       })) }
 

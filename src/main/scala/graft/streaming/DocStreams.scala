@@ -361,6 +361,11 @@ object DocStreams {
         // therefore one file, per live (band, bkt) bucket
         .repartition(col("band"), col("bkt"))
         .write.partitionBy("band", "bkt").parquet(s"$out/batch=compact")
+      // folded-ledger: the absorbed ids ride the new generation, so a
+      // batch crash-replayed from before this fold skips its state
+      // re-write instead of duplicating rows next to batch=compact
+      BatchCommit.recordFolded(spark, out, bandsRoot(stateDir),
+        BatchCommit.committedNumericIds(spark, bandsRoot(stateDir)))
       // content sits in batch=compact (with its own parquet _SUCCESS);
       // stamp the aside root so the swap's completeness gate holds
       DirSwap.markComplete(out)

@@ -110,6 +110,10 @@ object VectorStreams {
         Similarity.pqEncode(p.select("vec_id", "e"), cbs)
           .join(p.select("vec_id", "nrm"), "vec_id")
           .write.parquet(s"$out/batch=base")
+        // folded-ledger: ids this re-encode absorbs must not replay in
+        // next to their folded copy (possibly coded by OLD codebooks)
+        graft.operators.BatchCommit.recordFolded(spark, out, s"$indexDir/codes",
+          graft.operators.BatchCommit.committedNumericIds(spark, s"$indexDir/codes"))
         graft.operators.DirSwap.markComplete(out)
       },
       "codebooks" -> { out =>
@@ -134,11 +138,11 @@ object VectorStreams {
     * The maintenance window is mechanical: the whole retrain holds the
     * dir's `Lease`, and the batch ingests check it — a micro-batch
     * arriving mid-retrain fails loudly and replays idempotently after.
-    * What the lease does NOT cover (caller discipline that remains): the
-    * ingest's CHECKPOINT must have committed its last batch before the
-    * retrain folds batch dirs — a batch crash-replayed from before the
-    * fold re-enters under the new centroids next to its folded copy
-    * (stop the query, not just pause the source).
+    * The fold itself is replay-safe too: the absorbed batch ids ride the
+    * new generation's `_FOLDED` ledger (BatchCommit.recordFolded), so a
+    * batch crash-replayed from BEFORE the fold — whose own dir the fold
+    * deleted — skips its re-write instead of re-entering under the new
+    * centroids next to its folded copy.
     *
     * The trainer's actions re-read the live `cells` dir, which is only
     * renamed after both aside-writes complete.
@@ -158,6 +162,11 @@ object VectorStreams {
         // would re-enter under the new centroids next to its folded copy.
         cur.join(Similarity.kmeansAssign(cur.select("vec_id", "e"), cent), "vec_id")
           .write.partitionBy("cell").parquet(s"$out/batch=base")
+        // folded-ledger: a pre-fold batch replayed after this retrain
+        // would re-enter celled by the NEW centroids next to its folded
+        // copy; the ledger makes that replay a no-op instead
+        graft.operators.BatchCommit.recordFolded(spark, out, s"$indexDir/cells",
+          graft.operators.BatchCommit.committedNumericIds(spark, s"$indexDir/cells"))
         graft.operators.DirSwap.markComplete(out)
       },
       // centroids are a LocalRelation (the trainer collects k×dim means),

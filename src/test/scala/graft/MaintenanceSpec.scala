@@ -95,6 +95,38 @@ class MaintenanceSpec extends AnyFunSuite {
     assert(df2 == df)
   }
 
+  test("folded-batch ledger: a pre-fold batch replayed after compaction is a state no-op") {
+    import graft.operators.{BatchCommit, IncrementalIndex}
+    import spark.implicits._
+    val idx = tmp("foldidx")
+    def mkDocs(rows: (Long, String)*) =
+      rows.toDF("doc_id", "text")
+        .withColumn("source", lit("s")).withColumn("lang", lit("en"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+    IncrementalIndex.ingestBatch(mkDocs((1L, "alpha beta")), idx, batchId = 0L)
+    IncrementalIndex.ingestBatch(mkDocs((2L, "beta gamma")), idx, batchId = 1L)
+    def df = IncrementalIndex.vocabulary(spark, idx)
+      .as[(String, Long)].collect().toMap
+    val before = df
+    IncrementalIndex.compact(spark, idx) // folds batch=0,1 into batch=compact
+    assert(BatchCommit.foldedIds(spark, s"$idx/postings") == Set(0L, 1L))
+    // the crash-replay the lease cannot cover: batch 1's checkpoint never
+    // committed, the stream restarts AFTER the fold deleted batch=1 —
+    // without the ledger this re-write would double batch 1's df next to
+    // its folded copy; with it, replay is a no-op
+    IncrementalIndex.ingestBatch(mkDocs((2L, "beta gamma")), idx, batchId = 1L)
+    assert(!new java.io.File(s"$idx/postings/batch=1").exists,
+      "replayed folded batch re-created its dir")
+    assert(df == before, "replay after fold changed the index")
+    // the ledger carries forward across a SECOND fold, and new batches
+    // still ingest normally
+    IncrementalIndex.ingestBatch(mkDocs((3L, "gamma delta")), idx, batchId = 2L)
+    IncrementalIndex.compact(spark, idx)
+    assert(BatchCommit.foldedIds(spark, s"$idx/postings") == Set(0L, 1L, 2L))
+    IncrementalIndex.ingestBatch(mkDocs((3L, "gamma delta")), idx, batchId = 2L)
+    assert(df == before + ("gamma" -> 2L) + ("delta" -> 1L))
+  }
+
   test("swapOne replaces the live generation and leaves no debris") {
     val base = tmp("dirswap")
     writeGen(s"$base/t", "old")
