@@ -175,6 +175,48 @@ object Search {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** BM25 top-k — the standard probabilistic ranking beside the parity
+    * (tf·qtf/df²) and log-idf variants:
+    *
+    *   score(d) = Σ_{w∈q∩d} ln((N−df+0.5)/(df+0.5)+1) · qtf ·
+    *              tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))
+    *
+    * (Robertson idf, k1/b the classic 1.2/0.75). Needs two corpus token
+    * passes — the query-filtered postings AND per-doc lengths (dl counts
+    * ALL kept tokens, so the isin filter can't be shared) — but dl/avgdl
+    * are pure corpus statistics a deployment precomputes once per corpus
+    * (text_token_counts is that table), so the benched form's second
+    * pass is the worst case, not the steady state. Determinism: dl sums
+    * are integer-valued doubles (exact in any order), avgdl is one
+    * division of exact sums, ln is stab(6)-collapsed like log-idf.
+    */
+  def searchTopKBm25(spark: SparkSession, dir: String,
+                     query: String = DefaultQuery, k: Int = 10,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = tokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).cast("double").as("dl"))
+    // sum/count explicitly (not avg): dl is integer-valued, so the sum is
+    // EXACT under any aggregation order and avgdl is bit-stable across
+    // engines with no stabilizer
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val scored = queryPostings(docs, query)
+      .join(broadcast(queryTerms(spark, query)), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("qtf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 6).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
+      .select("doc_id", "score", "source", "lang")
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** Shared Q2-Q8 tail over any (postings, vocab, docinfo) triple. */
   private def scoreAndRank(spark: SparkSession, post: DataFrame, vocab: DataFrame,
                            docinfo: DataFrame, query: String, k: Int): DataFrame = {

@@ -727,6 +727,73 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** IVF-PQ — the production composition (FAISS's default shape): coarse
+    * cells bound WHICH codes are scored, PQ codes bound WHAT a score
+    * costs. Each query routes to its `nprobe` nearest cells (in-plan,
+    * broadcast centroid join), and the ADC stage becomes an EQUI-JOIN of
+    * the routed (query, lut, cell) side against the cell-keyed code
+    * table — the un-routed PQ tier's cross-join disappears entirely, so
+    * this is the one ANN tier with bounded candidates AND no
+    * nested-loop anywhere (PlanShapeSpec-locked). At corpus scale the
+    * code table is partitioned by cell, so the join side prunes like
+    * every other IVF scan; cells partition the corpus, so no candidate
+    * is scored twice. Exact-cosine re-rank as in every PQ tier —
+    * approximation affects recall only, never reported scores. Zero
+    * driver collects, same as the other batch routers.
+    *
+    * `codes` must carry the cell column (vec_id, codes, nrm, label) — a
+    * deployment stores it in the code table at encode time; the
+    * registered query derives it with one metadata join.
+    */
+  def knnIvfPqBatchFromCodes(embeddings: DataFrame, queries: DataFrame,
+                             codes: DataFrame, codebooks: DataFrame,
+                             m: Int = 8, kCodes: Int = 16,
+                             k: Int = 5, nprobe: Int = 2,
+                             shortlist: Int = 10): DataFrame = {
+    val p = prepared(embeddings)
+    val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
+    val cent = ivfCentroids(embeddings)
+    val qd = q.select(col("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
+      .join(broadcast(cent), (col("pos") + 1) === col("i"))
+      .groupBy("query_id", "label")
+      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
+    val probes = qd.withColumn("rn",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
+      .filter(col("rn") <= nprobe).select("query_id", "label")
+    val lutRows = q
+      .select(col("query_id"), col("e"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(broadcast(codebooks.select("j", "code", "c")), "j")
+      .select(col("query_id"),
+        (col("j") * kCodes + col("code")).as("idx"),
+        dot(slice(col("e"), col("j") * size(col("c")) + 1, size(col("c"))),
+          col("c")).as("d"))
+    val luts = lutRows.groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        s => s.getField("d")).as("lut"))
+    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+    // the routed query side: (query_id, lut, label) — ≤ nQueries×nprobe
+    // rows; the ADC stage is an equi-join on the probed cell
+    val qside = luts.join(probes, "query_id")
+    val w = Window.partitionBy("query_id").orderBy(desc("adc_cos"), asc("neighbor_id"))
+    val short = codes.join(broadcast(qside), "label")
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (adc / col("nrm")).as("adc_cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist * k)
+      .select("query_id", "neighbor_id")
+    val wx = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
+    short.join(q, "query_id").as("a")
+      .join(p.as("b"), col("neighbor_id") === col("b.vec_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Stable.stab(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wx).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** The batch PQ query against a persisted index dir — reads the
     * codebook table as a DataFrame (never collected; contrast
     * knnPqIndexed, which collects it to build LUTs driver-side).

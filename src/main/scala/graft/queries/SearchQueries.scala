@@ -180,6 +180,34 @@ object SearchQueries {
            |  SELECT p.doc_id,
            |         floor(sum(p.tf * q.qtf * ln((SELECT n FROM n) / p.df))*1000000.0+0.5)/1000000.0 AS score
            |  FROM postings p JOIN q USING (word) GROUP BY p.doc_id)
-           |SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin))
+           |SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // BM25 (k1=1.2, b=0.75, Robertson idf) — the standard probabilistic
+    // ranking beside the parity and log-idf formulas, fully hash-gated:
+    // doc lengths are exact integer-valued sums (bit-stable avgdl, no
+    // stabilizer), the per-term ln is stab(6)-collapsed like log-idf.
+    GraftQuery("search_topk_bm25",
+      (s, d) => Search.searchTopKBm25(s, d),
+      Some(
+        s"""WITH $tokCte,
+           |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
+           |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
+           |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, sum(dl)/count(*) AS avgdl FROM dl),
+           |post AS (
+           |  SELECT doc_id, word, count(*) AS tf FROM tok
+           |  WHERE word IN (SELECT word FROM q) GROUP BY doc_id, word),
+           |dfx AS (SELECT word, count(*) AS df FROM post GROUP BY word),
+           |scores AS (
+           |  SELECT p.doc_id,
+           |    floor(sum(ln((st.n_docs - dfx.df + 0.5)/(dfx.df + 0.5) + 1.0) * q.qtf *
+           |              (p.tf * 2.2) / (p.tf + 1.2*(1.0 - 0.75 + 0.75*dl.dl/st.avgdl))
+           |             )*1000000.0+0.5)/1000000.0 AS score
+           |  FROM post p JOIN q USING (word) JOIN dfx USING (word)
+           |       JOIN dl USING (doc_id), st
+           |  GROUP BY p.doc_id),
+           |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
+           |SELECT t.doc_id, t.score, d.source, d.lang
+           |FROM topk t JOIN documents d USING (doc_id)
+           |ORDER BY t.score DESC, t.doc_id""".stripMargin))
   )
 }

@@ -175,6 +175,29 @@ object SimilarityQueries {
       },
       None),
 
+    // IVF-PQ, the production composition: coarse cells bound WHICH codes
+    // are scored (probe-2 routing, in-plan), PQ codes bound the COST of
+    // each score (in-plan LUTs), and the ADC stage is an EQUI-join of the
+    // routed query side against the cell-keyed code table — the un-routed
+    // PQ cross-join disappears (PlanShapeSpec pins no BNLJ anywhere).
+    // Exact-cosine re-rank; rows-only like every kmeans-codebook tier;
+    // SimilaritySpec pins recall vs the exact probe-2 IVF and that every
+    // reported cosine is true.
+    GraftQuery("knn_ivfpq",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        // cell column joined from the source table — a deployment stores
+        // it in the code table at encode time (metadata-scale join here)
+        val codes = Similarity.pqCodesTable(s, pqIndexDir(s, d))
+          .join(emb.select(col("vec_id"), col("label")), "vec_id")
+        Similarity.knnIvfPqBatchFromCodes(emb, emb.filter(col("vec_id") < 10),
+            codes, s.read.parquet(s"${pqIndexDir(s, d)}/codebooks"))
+          .select("query_id", "neighbor_id", "cos", "rank")
+          .orderBy("query_id", "rank")
+      },
+      None),
+
     // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
     // step a DataFrame op), probe-2 routing, exact cosine inside probed
     // cells. No SQL twin (the iterative trainer isn't a query) → rows-only

@@ -54,6 +54,17 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("knn_ivfpq: ADC stage is an equi-join on the probed cell — no nested loop anywhere") {
+    // the composition's whole point vs knn_pq(_batch): cell routing turns
+    // the ADC cross-product into a cell equi-join, so THIS ANN tier has
+    // bounded candidates AND zero nested-loop joins
+    val p = plan("knn_ivfpq")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "IVF-PQ plan regressed to a nested loop")
+    // the un-routed PQ tier keeps its (broadcast) cross-scoring by design
+    assert(plan("knn_pq_batch").contains("BroadcastNestedLoopJoin"))
+  }
+
   test("q1_agg: filter pushed to parquet scan, partial+final hash agg") {
     val p = plan("q1_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))

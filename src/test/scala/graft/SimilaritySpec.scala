@@ -219,6 +219,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(batch.length == 50) // full k for every query
   }
 
+  test("knnIvfPqBatch: true cosines, full k, recall tracks the exact probe-2 IVF") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val q = emb.filter(col("vec_id") < 10)
+    val p = Similarity.prepared(emb)
+    val cbs = Similarity.pqCodebooks(p.select("vec_id", "e"), 8, 16, 5)
+    val codes = Similarity.pqEncode(p.select("vec_id", "e"), cbs)
+      .join(p.select("vec_id", "nrm"), "vec_id")
+      .join(emb.select("vec_id", "label"), "vec_id")
+    val ivfpq = Similarity.knnIvfPqBatchFromCodes(emb, q, codes,
+        Similarity.pqCodebooksToDf(spark, cbs))
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect()
+    assert(ivfpq.length == 50) // full k for every query
+    // every reported cosine is the TRUE cosine (exact re-rank)
+    val brute = Similarity.bruteForceTopK(emb, 10, 2000)
+      .select("query_id", "neighbor_id", "cos")
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(ivfpq.forall { case (qid, n, c) => brute((qid, n)) == c })
+    // the composition can only lose what its PQ shortlist misses WITHIN
+    // the probed cells: recall vs the exact-scoring probe-2 IVF ≥ 0.8
+    val exact2 = Similarity.ivfTopKBatch(emb, q, 5, nprobe = 2)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = ivfpq.map(r => (r._1, r._2)).toSet
+    val recall = (exact2 intersect got).size.toDouble / exact2.size
+    assert(recall >= 0.8, s"recall vs exact probe-2 IVF = $recall")
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
