@@ -247,7 +247,11 @@ object Search {
     * postings as parquet under `indexDir`. The reference re-derives its
     * index inputs per job and re-reads side files per map task
     * (Indexer.java:42-73); here the corpus is scanned once and every later
-    * query is scan-free.
+    * query is scan-free. Doc-info carries `n_tokens` (kept-token count —
+    * the BM25 document length), so length-normalized ranking is served
+    * from the index with no corpus scan; docs whose every token is
+    * filtered keep a 0 row (left join) and are excluded from the BM25
+    * corpus statistics at query time, matching the in-plan twin.
     */
   def buildIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
     val docs = Tables.documents(spark, dir)
@@ -264,7 +268,13 @@ object Search {
           .repartition(col("wb"))
           .write.partitionBy("wb").parquet(out)
       },
-      "docinfo" -> { out => docInfo(docs).write.parquet(out) }))
+      "docinfo" -> { out =>
+        docInfo(docs)
+          .join(tokens(docs).groupBy("doc_id").agg(count(lit(1)).as("n_tokens")),
+            Seq("doc_id"), "left")
+          .na.fill(0L, Seq("n_tokens"))
+          .write.parquet(out)
+      }))
     vocab.unpersist()
   }
 
@@ -320,5 +330,47 @@ object Search {
     val post = spark.read.parquet(s"$indexDir/postings")
       .filter(col("wb").isin(qBuckets: _*))
     scoreAndRank(spark, post, vocab, docinfo, query, k)
+  }
+
+  /** BM25 served from the persisted index — identical answer to
+    * `searchTopKBm25` (same oracle gates both), with ZERO corpus scans:
+    * tf/df from the bucket-pruned postings and vocabulary, document
+    * lengths from docinfo's `n_tokens`, corpus statistics (N, avgdl) a
+    * docinfo-sized aggregate. This is the deployment shape — the in-plan
+    * twin's two corpus token passes become index reads, which is the
+    * whole point of carrying dl in the index.
+    */
+  def searchTopKBm25Indexed(spark: SparkSession, indexDir: String,
+                            query: String = DefaultQuery, k: Int = 10,
+                            k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val vocab = spark.read.parquet(s"$indexDir/vocabulary")
+    val docinfo = spark.read.parquet(s"$indexDir/docinfo")
+    val qt = queryTerms(spark, query).join(vocab, "word")
+      .select("word_id", "qtf", "df")
+    val qWordIds = qt.select("word_id").collect().map(_.getLong(0)) // ≤ |q| rows
+    val qBuckets = qWordIds.map(w => (w % IndexBuckets).toInt).distinct.toSeq
+    val post = spark.read.parquet(s"$indexDir/postings")
+      .filter(col("wb").isin(qBuckets: _*))
+    // docs whose every token was filtered carry n_tokens = 0 and are
+    // excluded from the corpus statistics — matching the in-plan twin,
+    // whose dl table only has rows for docs with ≥ 1 kept token
+    val dl = docinfo.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val scored = post
+      .join(broadcast(qt), "word_id")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("qtf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 6).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(docinfo.select("doc_id", "source", "lang")), "doc_id")
+      .select("doc_id", "score", "source", "lang")
+      .orderBy(desc("score"), asc("doc_id"))
   }
 }

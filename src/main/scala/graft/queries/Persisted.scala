@@ -24,7 +24,7 @@ object Persisted {
     * Suffix/fingerprint bumps WITHIN a kind are pruned per call by
     * `pruneStale` instead (they share the kind dir with live entries).
     */
-  private val RetiredKinds = Seq("ivf", "ivfk", "inc")
+  private val RetiredKinds = Seq("ivf", "ivfk", "inc", "index")
   private lazy val gcRetired: Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     RetiredKinds.foreach { k =>

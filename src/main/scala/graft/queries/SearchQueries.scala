@@ -84,7 +84,8 @@ object SearchQueries {
     // once; the steady-state query is scan-free.
     GraftQuery("search_topk_indexed",
       (s, d) => {
-        val idx = Persisted.indexDir(s, d, "index", "documents.parquet",
+        // index-b2: docinfo gained n_tokens (BM25 doc length)
+        val idx = Persisted.indexDir(s, d, "index-b2", "documents.parquet",
           "postings")(Search.buildIndex(s, d, _))
         Search.searchTopKIndexed(s, idx, Search.DefaultQuery, 10)
       },
@@ -188,7 +189,23 @@ object SearchQueries {
     // stabilizer), the per-term ln is stab(6)-collapsed like log-idf.
     GraftQuery("search_topk_bm25",
       (s, d) => Search.searchTopKBm25(s, d),
-      Some(
+      Some(bm25Oracle)),
+
+    // The same BM25 answer served from the persisted index with ZERO
+    // corpus scans: tf/df from the bucket-pruned postings + vocabulary,
+    // document lengths from docinfo's n_tokens — the deployment shape
+    // the in-plan twin's two token passes collapse into. Shared oracle:
+    // both paths must produce the identical ranking.
+    GraftQuery("search_topk_bm25_indexed",
+      (s, d) => {
+        val idx = Persisted.indexDir(s, d, "index-b2", "documents.parquet",
+          "postings")(Search.buildIndex(s, d, _))
+        Search.searchTopKBm25Indexed(s, idx)
+      },
+      Some(bm25Oracle))
+  )
+
+  lazy val bm25Oracle: String =
         s"""WITH $tokCte,
            |q(word, qtf) AS (VALUES ('the', 2), ('fast', 1), ('table', 1), ('scan', 1)),
            |dl AS (SELECT doc_id, CAST(count(*) AS DOUBLE) AS dl FROM tok GROUP BY doc_id),
@@ -208,6 +225,5 @@ object SearchQueries {
            |topk AS (SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10)
            |SELECT t.doc_id, t.score, d.source, d.lang
            |FROM topk t JOIN documents d USING (doc_id)
-           |ORDER BY t.score DESC, t.doc_id""".stripMargin))
-  )
+           |ORDER BY t.score DESC, t.doc_id""".stripMargin
 }

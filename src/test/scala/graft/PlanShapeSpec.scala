@@ -199,6 +199,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans.contains("PartitionFilters: [wb"))
   }
 
+  test("search_topk_bm25_indexed: bucket-pruned postings, no corpus scan") {
+    val df = SparkEntry.queries("search_topk_bm25_indexed")(spark, d)
+    val scans = df.queryExecution.executedPlan.toString
+    assert(scans.contains("PartitionFilters: [wb"))
+    // every scan reads the index dir — the corpus parquet never appears
+    // (the whole point of carrying n_tokens in docinfo)
+    assert(!scans.contains("documents.parquet"),
+      "indexed BM25 scanned the corpus")
+  }
+
   test("text_curate: the composite stays equi-join + hash-agg end to end") {
     val p = plan("text_curate")
     assert(!p.contains("BroadcastNestedLoopJoin"))
