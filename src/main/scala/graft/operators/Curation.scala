@@ -61,4 +61,62 @@ object Curation {
       .join(dupDrop, Seq("doc_id"), "left_anti")
       .select("doc_id", "n_tokens", "quality", "rep_ratio", "avg_nll")
   }
+
+  /** Weighted source mixing — the data-mixing step every training run
+    * does after curation: draw a deterministic per-source quota from the
+    * corpus so the output hits target proportions. Selection is by
+    * content-hash order within each source (the same reproducible-shuffle
+    * discipline as text_sample_hash: identical survivors on any cluster,
+    * any run), so re-weighting a 100 TB corpus is one partitioned window
+    * over source — no global sort, no rand(). Over-asked quotas
+    * truncate at the source's size (a short source simply contributes
+    * everything it has). Returns (doc_id, source, rk) — rk the doc's
+    * 1-based position in its source's hash order.
+    */
+  def mixBySource(docs: DataFrame, weights: Map[String, Double],
+                  total: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val quotas = weights.toSeq
+      .map { case (s, w) => (s, math.floor(w * total).toLong) }
+      .toDF("source", "quota")
+    docs.join(broadcast(quotas), "source")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= col("quota"))
+      .select("doc_id", "source", "rk")
+  }
+
+  /** Token-budget sequence packing (concat-and-chunk, the GPT-style
+    * pre-training layout): documents are laid out in content-hash order
+    * and cut into fixed-budget chunks; a doc belongs to the chunk its
+    * first token lands in. The global exclusive prefix-sum over token
+    * counts is DISTRIBUTED, not a single-partition window: docs bucket
+    * by their hash's first hex char (16 ordered buckets that sort-align
+    * with the global hash order — the vocabulary-id trick), each bucket
+    * prefix-sums in parallel, and bucket offsets come from a running-sum
+    * window over the 16-row aggregate, broadcast back. Token counts are
+    * the BPE-ish alnum proxy (TextAnalysis.tokenCounts). Returns one row
+    * per chunk: (seq_id, n_docs, n_tokens).
+    */
+  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val t = TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pfx", substring(col("h"), 1, 1))
+    val offsets = t.groupBy("pfx").agg(sum("n_tok").as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("pfx", "off") // ≤16 rows — the only single-partition window
+    t.join(broadcast(offsets), "pfx")
+      .withColumn("start", col("off") + coalesce(
+        sum("n_tok").over(w.partitionBy("pfx").orderBy("h", "doc_id")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("seq_id", expr(s"start div ${budget}L")) // long integral div — exact at any magnitude
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+  }
 }

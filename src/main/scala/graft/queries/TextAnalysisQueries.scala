@@ -287,6 +287,49 @@ object TextAnalysisQueries {
         .orderBy("doc_id"),
       Some(curateOracle)),
 
+    // Weighted source mixing — the post-curation data-mixing step:
+    // deterministic per-source quotas drawn in content-hash order (same
+    // reproducible-shuffle discipline as text_sample_hash; one window
+    // partitioned by source, no global sort). 50/30/20 over three
+    // sources at a 40-doc budget → 20/12/8 kept.
+    GraftQuery("text_mix",
+      (s, d) => graft.operators.Curation.mixBySource(Tables.documents(s, d),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 40)
+        .orderBy("source", "rk"),
+      Some(
+        """WITH q(source, quota) AS (VALUES ('src0', 20), ('src1', 12), ('src2', 8)),
+          |r AS (
+          |  SELECT d.doc_id, d.source, q.quota,
+          |    row_number() OVER (PARTITION BY d.source
+          |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+          |  FROM documents d JOIN q USING (source))
+          |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= quota ORDER BY source, rk""".stripMargin)),
+
+    // Token-budget sequence packing (concat-and-chunk): docs in
+    // content-hash order, cut at a 500-token budget; a doc belongs to
+    // the chunk its first token lands in. The Spark side computes the
+    // global exclusive prefix sum DISTRIBUTED (16 hash-prefix buckets +
+    // a 16-row offset window); the oracle is the plain global window —
+    // identical arithmetic, hash-gated.
+    GraftQuery("text_pack",
+      (s, d) => graft.operators.Curation.packSequences(Tables.documents(s, d), 500L)
+        .orderBy("seq_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tok,
+          |    COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          |  FROM t)
+          |SELECT CAST(start // 500 AS BIGINT) AS seq_id,
+          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).

@@ -55,4 +55,47 @@ class CurationSpec extends AnyFunSuite {
     assert(got.nonEmpty)
     assert(got.forall(_ >= 10)) // the eval split never leaks into training
   }
+
+  test("mixBySource: exact quotas, deterministic survivors, over-asked source truncates") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val mix = graft.operators.Curation.mixBySource(docs,
+      Map("src0" -> 0.5, "src1" -> 0.5), 20)
+    val bySrc = mix.groupBy("source").count().as[(String, Long)].collect().toMap
+    assert(bySrc == Map("src0" -> 10L, "src1" -> 10L))
+    // deterministic: same survivors on a second evaluation
+    val a = mix.select("doc_id").as[Long].collect().toSet
+    val b = graft.operators.Curation.mixBySource(docs,
+      Map("src0" -> 0.5, "src1" -> 0.5), 20).select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+    // a quota beyond the source's size yields the whole source, no error
+    val n0 = docs.filter(col("source") === "src0").count()
+    val over = graft.operators.Curation.mixBySource(docs,
+      Map("src0" -> 1.0), (n0 * 10).toInt)
+    assert(over.count() == n0)
+  }
+
+  test("packSequences: chunks partition the corpus, budgets respected at chunk starts") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val packed = graft.operators.Curation.packSequences(docs, 500L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    // every doc lands in exactly one chunk; totals add up
+    val total = graft.operators.TextAnalysis.tokenCounts(docs)
+      .agg(org.apache.spark.sql.functions.sum("alnum_tokens")).as[Long].head
+    assert(packed.map(_._2).sum == docs.count())
+    assert(packed.map(_._3).sum == total)
+    // seq ids are dense from 0 (concat-and-chunk leaves no gaps: chunk k
+    // exists whenever the running total passes k*budget)
+    assert(packed.map(_._1).toSeq == packed.indices.map(_.toLong))
+    // concat-and-chunk invariant: the first doc of chunk k+1 starts at or
+    // past (k+1)·budget, and that start equals the cumulative token count
+    // through chunk k — so every non-final chunk's cumulative total has
+    // crossed its boundary
+    val cums = packed.map(_._3).scanLeft(0L)(_ + _).drop(1)
+    assert(packed.dropRight(1).zip(cums).forall {
+      case ((k, _, _), cum) => cum >= (k + 1) * 500L
+    })
+  }
 }
