@@ -90,12 +90,19 @@ object Bench {
     }
     val rechecked = suspects.map { case (n, _, _) =>
       val q = Registry.all.find(_.name == n).get
+      // a recheck run that FAILS must not be timed as if it succeeded —
+      // a query regressed into a fast crash would otherwise adjudicate
+      // as "spike did not reproduce"; -1.0 marks it unambiguously
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { q.fn(spark, sfDir).count(); true } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] recheck $n failed: ${e.getMessage}")
+            false
+        }
+        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      (n, times.min)
+      (n, if (times.contains(-1.0)) -1.0 else times.min)
     }
     val recheckedJson = rechecked.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
       .mkString("{", ",", "}")

@@ -46,21 +46,10 @@ object ZipfCrossover {
 
     val plainCands = shk.groupBy("shk").count()
       .agg(sum(col("count") * (col("count") - 1) / 2)).as[Double].head.toLong
-    // the operator's own rare-first prefix construction (mirrors
-    // ngramJaccardPairsPrefixFromKeys's candidate stage at t=0.8)
+    // the operator's OWN candidate stage (Dedup.prefixCandidates) — the
+    // published numbers can never drift from the shipped construction
     val t = 0.8
-    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-    val pref = shk.join(dfreq, "shk")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(asc("df"), asc("shk"))))
-      .join(sizes, "doc_id")
-      .filter(col("rnk") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
-      .select("doc_id", "shk")
-    val prefixCands = pref.as("a").join(pref.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefixCands = Dedup.prefixCandidates(shk, t).count()
 
     val (prefixPairs, prefixSec) =
       timed(Dedup.ngramJaccardPairsPrefixFromKeys(shk, t).count())

@@ -42,12 +42,22 @@ object BatchCommit {
     fs.exists(new Path(dir, "_SUCCESS"))
 
   /** True iff `dir` holds at least one data file (any file not prefixed
-    * `_`/`.`), at any partition depth — short-circuits on the first hit.
-    * A `partitionBy` write of an EMPTY frame commits only `_SUCCESS`: no
-    * parquet footer anywhere, so if such dirs were a scan's only inputs,
-    * schema inference would throw instead of yielding empty state.
+    * `_`/`.`). A `partitionBy` write of an EMPTY frame commits only
+    * `_SUCCESS`: no parquet footer anywhere, so if such dirs were a
+    * scan's only inputs, schema inference would throw instead of
+    * yielding empty state. Listing cost is hot-path-aware (this runs
+    * per committed dir per micro-batch): the ONE direct listing decides
+    * flat dirs (the common non-partitioned layout: data files sit at
+    * the top) with no recursion; only dirs whose top level is all
+    * subdirs/markers (partitioned layouts) pay a recursive iterator,
+    * and that short-circuits at the first leaf file.
     */
   private def hasDataFile(fs: FileSystem, dir: Path): Boolean = {
+    val top = fs.listStatus(dir)
+    if (top.exists(s => s.isFile && !s.getPath.getName.startsWith("_") &&
+        !s.getPath.getName.startsWith(".")))
+      return true
+    if (!top.exists(_.isDirectory)) return false // flat and empty
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val name = it.next().getPath.getName
@@ -114,6 +124,28 @@ object BatchCommit {
       (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
         .parquet(dir)
     }
+  }
+
+  /** Post-write guard for a foreachBatch body: verify this batch's dir is
+    * still committed (or ledgered as folded — a replay whose write was
+    * absorbed, or an in-callback compaction cadence that just folded it)
+    * BEFORE the callback returns and the checkpoint advances. The
+    * ingest-side `Lease.check` runs at batch START; a maintenance job
+    * acquiring the lease mid-batch could swap away the generation the
+    * batch just wrote into — without this guard the callback would return
+    * cleanly, the checkpoint would advance, and the batch's rows would be
+    * permanently lost (neither committed nor replayable). Failing here
+    * instead leaves the checkpoint unadvanced, and the post-maintenance
+    * replay recomputes against the new generation idempotently.
+    */
+  def requireIntact(spark: SparkSession, root: String, batchId: Long): Unit = {
+    val (fs, _) = fsOf(spark, root)
+    if (!committed(fs, new Path(batchDir(root, batchId))) &&
+        !foldedIds(spark, root).contains(batchId))
+      throw new IllegalStateException(
+        s"$root/batch=$batchId vanished between write and checkpoint commit " +
+          "(a maintenance swap raced this batch?) — failing loudly so the " +
+          "batch replays instead of silently losing its rows")
   }
 
   private val FoldedFile = "_FOLDED"

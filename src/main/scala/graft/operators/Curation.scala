@@ -77,8 +77,12 @@ object Curation {
                   total: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // floor with an epsilon: plain floor(w·total) under-counts when the
+    // product lands one ulp below its decimal value (0.29 × 100 =
+    // 28.999999999999996 → 28, not the intended 29); the epsilon is far
+    // above double noise and far below any honest fractional quota
     val quotas = weights.toSeq
-      .map { case (s, w) => (s, math.floor(w * total).toLong) }
+      .map { case (s, w) => (s, math.floor(w * total + 1e-9).toLong) }
       .toDF("source", "quota")
     docs.join(broadcast(quotas), "source")
       .withColumn("rk", row_number().over(

@@ -207,11 +207,20 @@ object Dedup {
     * form THERE and the prefix twin is correctness-gated (DedupSpec pins
     * output equality at three thresholds on both fixture families).
     */
-  def ngramJaccardPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
+  /** The per-doc rare-first PREFIX of a key table — the candidate-stage
+    * core of the AllPairs/PPJoin family, exposed so the measurement
+    * harnesses (ZipfCrossover, DedupSpec's growth-law cases) count
+    * candidates from THE SHIPPED construction rather than a hand
+    * mirror: an edit to the epsilon, tie-break, or prefix-length
+    * formula changes the published numbers and the operator together.
+    * Returns (doc_id, shk) — each doc's |d| − ceil(t·|d|) + 1 rarest
+    * shingle keys under the global (df asc, key asc) order.
+    */
+  def prefixKeys(shk: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-    val pref = shk.join(dfreq, "shk")
+    shk.join(dfreq, "shk")
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
       .join(sizes, "doc_id")
@@ -223,10 +232,20 @@ object Dedup {
       // threshold, not just the spec-pinned ones.
       .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select("doc_id", "shk")
-    val cand = pref.as("a").join(pref.as("b"),
+  }
+
+  /** Distinct candidate pairs whose prefixes share a key (doc_a < doc_b). */
+  def prefixCandidates(shk: DataFrame, threshold: Double): DataFrame = {
+    val pref = prefixKeys(shk, threshold)
+    pref.as("a").join(pref.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  def ngramJaccardPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
+    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val cand = prefixCandidates(shk, threshold)
     val inter = cand
       .join(shk.as("x"), col("doc_a") === col("x.doc_id"))
       .join(shk.as("y"),

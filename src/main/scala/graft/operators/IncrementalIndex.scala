@@ -55,6 +55,12 @@ object IncrementalIndex {
     BatchCommit.writeBatch(
       Search.docInfo(docs).select("doc_id", "source", "lang"),
       s"$indexDir/docinfo", batchId)
+    // post-write guard: compaction acquiring the lease mid-batch could
+    // swap away the dirs just written — fail before the checkpoint
+    // advances so the batch replays against the compacted generation
+    Lease.check(indexDir)
+    Seq("vocab_delta", "postings", "docinfo").foreach(t =>
+      BatchCommit.requireIntact(docs.sparkSession, s"$indexDir/$t", batchId))
   }
 
   /** Committed-batches view of one of the index's tables. */

@@ -27,7 +27,7 @@ import java.nio.charset.StandardCharsets
   * The lease carries holder id + expiry. Expiry bounds the damage of a
   * maintenance job that died without releasing (its swap debris is
   * already self-healing via DirSwap.recover): an EXPIRED lease is ignored
-  * and garbage-collected by the next `check`/`acquire`. TTL should
+  * by `check` and taken over atomically by the next `acquire`. TTL should
   * comfortably exceed the longest expected maintenance run — an expired
   * lease under a still-running job means the protection lapses (same
   * trade every lease-based lock makes). Atomicity is the store's
@@ -66,9 +66,11 @@ object Lease {
   /** Take the lease for `holder`, valid `ttlMs` from now. Throws if a
     * LIVE lease is held (by anyone — re-entry is not supported: one
     * maintenance job at a time is the whole point). An expired or
-    * malformed lease is deleted and replaced. The create is
-    * create-exclusive, so two racing acquirers cannot both succeed; the
-    * loser gets the same loud failure an ingest would.
+    * malformed lease is taken over by atomically RENAMING it aside
+    * (rename loses for exactly one of two racers, and the loser re-reads
+    * the winner's fresh lease and refuses) before the create-exclusive
+    * write — so two racing acquirers can never both succeed, including
+    * over an expired predecessor.
     */
   def acquire(baseDir: String, holder: String, ttlMs: Long,
               nowMs: Long = System.currentTimeMillis()): Unit = {
@@ -80,7 +82,16 @@ object Lease {
         s"$baseDir is under maintenance (lease held by '${cur.get._1}' until " +
           s"${cur.get._2}) — refusing to take a second lease")
     fs.mkdirs(new Path(baseDir))
-    fs.delete(p, false) // expired/malformed leftover
+    if (cur.isDefined) {
+      // expired/malformed takeover: rename is the atomic arbiter — the
+      // loser's rename fails (source already gone) and its create below
+      // then collides with the winner's fresh lease
+      val tomb = new Path(baseDir, s"$File.expired.${java.util.UUID.randomUUID()}")
+      if (!fs.rename(p, tomb))
+        throw new IllegalStateException(
+          s"$baseDir lease takeover lost a race — another acquirer got there first")
+      fs.delete(tomb, false)
+    }
     val out = fs.create(p, false) // create-exclusive: racing acquirer fails
     try out.write(s"$holder\n${nowMs + ttlMs}\n".getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -88,7 +99,9 @@ object Lease {
 
   /** Release `holder`'s lease. Releasing a lease someone else re-acquired
     * (this holder's expired and was stolen) is a no-op — never delete
-    * another holder's protection.
+    * another holder's protection. `withLease` makes holders unique per
+    * run, so a stale release can never match a successor that reused the
+    * same job NAME.
     */
   def release(baseDir: String, holder: String): Unit = {
     val p = leasePath(baseDir)
@@ -96,10 +109,14 @@ object Lease {
     if (read(baseDir).exists(_._1 == holder)) fs.delete(p, false)
   }
 
-  /** Ingest-side guard: throw while a live lease is held; delete and
-    * ignore an expired one (a maintenance job that died without
-    * releasing must not wedge ingest forever — its swap debris is
-    * handled by DirSwap.recover).
+  /** Ingest-side guard: throw while a live lease is held; IGNORE an
+    * expired one (a maintenance job that died without releasing must not
+    * wedge ingest forever — its swap debris is handled by
+    * DirSwap.recover). Expired leftovers are garbage-collected by the
+    * next `acquire`'s atomic takeover, never here: a check-side delete
+    * would race a fresh acquirer (read-expired → acquirer creates →
+    * delete removes the LIVE lease), exactly the window the rename
+    * arbiter exists to close.
     */
   def check(baseDir: String, nowMs: Long = System.currentTimeMillis()): Unit = {
     val cur = read(baseDir)
@@ -108,12 +125,17 @@ object Lease {
         s"$baseDir is under maintenance (lease held by '${cur.get._1}' until " +
           s"${cur.get._2}) — ingest must not write during a generation swap; " +
           "retry after the maintenance job releases the lease")
-    if (cur.isDefined) fsOf(leasePath(baseDir)).delete(leasePath(baseDir), false)
   }
 
-  /** Run `body` under the lease: acquire → body → release (always). */
-  def withLease[T](baseDir: String, holder: String,
+  /** Run `body` under the lease: acquire → body → release (always). The
+    * on-disk holder is `name@<uuid>` — unique per run, so a crashed
+    * run's belated `release` can never delete a successor's live lease
+    * even though both runs share the job NAME (the round-9 review's
+    * takeover-scenario fix).
+    */
+  def withLease[T](baseDir: String, name: String,
                    ttlMs: Long = 60 * 60 * 1000L)(body: => T): T = {
+    val holder = s"$name@${java.util.UUID.randomUUID()}"
     acquire(baseDir, holder, ttlMs)
     try body finally release(baseDir, holder)
   }

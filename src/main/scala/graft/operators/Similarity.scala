@@ -633,6 +633,48 @@ object Similarity {
   // plan like any other operator.
   // ---------------------------------------------------------------------
 
+  /** In-plan probe routing shared by every batch tier: score each query
+    * against the broadcast per-label centroid table, keep the `nprobe`
+    * best labels. ONE definition — the serving/batch bit-identity pins
+    * and the shared IVF oracle rest on all tiers computing exactly this
+    * arithmetic, so it must not fork per tier. Returns
+    * (query_id, label).
+    */
+  private def labelProbesInPlan(q: DataFrame, cent: DataFrame,
+                                nprobe: Int): DataFrame =
+    q.select(col("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
+      .join(broadcast(cent), (col("pos") + 1) === col("i"))
+      .groupBy("query_id", "label")
+      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
+      .filter(col("rn") <= nprobe)
+      .select("query_id", "label")
+
+  /** In-plan per-query ADC lookup tables shared by the batch PQ tiers —
+    * fold order identical to the driver-built LUTs (the knn_pq_batch ==
+    * knn_pq equality spec rests on this single definition). Returns
+    * (query_id, lut ARRAY<DOUBLE> of m·kCodes entries).
+    */
+  private def pqLutsInPlan(q: DataFrame, codebooks: DataFrame,
+                           m: Int, kCodes: Int): DataFrame =
+    q.select(col("query_id"), col("e"),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .join(broadcast(codebooks.select("j", "code", "c")), "j")
+      .select(col("query_id"),
+        (col("j") * kCodes + col("code")).as("idx"),
+        dot(slice(col("e"), col("j") * size(col("c")) + 1, size(col("c"))),
+          col("c")).as("d"))
+      .groupBy("query_id")
+      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
+        s => s.getField("d")).as("lut"))
+
+  /** The ADC accumulation over a row's m codes against the joined lut. */
+  private def adcExpr(m: Int, kCodes: Int): Column =
+    aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+      (acc, j) => acc +
+        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+
   /** Label-IVF ANN over a query TABLE (vec_id, embedding), zero driver
     * collects: per-label centroids aggregate in-plan, each query routes
     * to its `nprobe` best cells through a broadcast centroid join, and
@@ -649,14 +691,8 @@ object Similarity {
     val p = prepared(embeddings)
     val cent = ivfCentroids(embeddings)
     val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
-    val qd = q.select(col("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
-      .join(broadcast(cent), (col("pos") + 1) === col("i"))
-      .groupBy("query_id", "label")
-      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
-    val probes = qd.withColumn("rn",
-        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
-      .filter(col("rn") <= nprobe)
-      .select(col("query_id"), col("label").as("probe_label"))
+    val probes = labelProbesInPlan(q, cent, nprobe)
+      .withColumnRenamed("label", "probe_label")
     val cells = embeddings.select(col("vec_id"), col("label")).join(p, "vec_id")
     val qside = q.join(probes, "query_id")
     val w = Window.partitionBy("query_id").orderBy(desc("cos"), asc("neighbor_id"))
@@ -696,25 +732,12 @@ object Similarity {
                           k: Int = 5, shortlist: Int = 10): DataFrame = {
     val p = prepared(embeddings)
     val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
-    val lutRows = q
-      .select(col("query_id"), col("e"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"))
-      .join(broadcast(codebooks.select("j", "code", "c")), "j")
-      .select(col("query_id"),
-        (col("j") * kCodes + col("code")).as("idx"),
-        dot(slice(col("e"), col("j") * size(col("c")) + 1, size(col("c"))),
-          col("c")).as("d"))
-    val luts = lutRows.groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
-        s => s.getField("d")).as("lut"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc +
-        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+    val luts = pqLutsInPlan(q, codebooks, m, kCodes)
     val w = Window.partitionBy("query_id").orderBy(desc("adc_cos"), asc("neighbor_id"))
     val short = codes.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adc / col("nrm")).as("adc_cos"))
+        (adcExpr(m, kCodes) / col("nrm")).as("adc_cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlist * k)
       .select("query_id", "neighbor_id")
@@ -752,28 +775,8 @@ object Similarity {
                              shortlist: Int = 10): DataFrame = {
     val p = prepared(embeddings)
     val q = prepared(queries).withColumnRenamed("vec_id", "query_id")
-    val cent = ivfCentroids(embeddings)
-    val qd = q.select(col("query_id"), posexplode(col("e")).as(Seq("pos", "qe")))
-      .join(broadcast(cent), (col("pos") + 1) === col("i"))
-      .groupBy("query_id", "label")
-      .agg(Stable.stab(sum(col("qe") * col("c")), 6).as("qdot"))
-    val probes = qd.withColumn("rn",
-        row_number().over(Window.partitionBy("query_id").orderBy(desc("qdot"), asc("label"))))
-      .filter(col("rn") <= nprobe).select("query_id", "label")
-    val lutRows = q
-      .select(col("query_id"), col("e"),
-        explode(sequence(lit(0), lit(m - 1))).as("j"))
-      .join(broadcast(codebooks.select("j", "code", "c")), "j")
-      .select(col("query_id"),
-        (col("j") * kCodes + col("code")).as("idx"),
-        dot(slice(col("e"), col("j") * size(col("c")) + 1, size(col("c"))),
-          col("c")).as("d"))
-    val luts = lutRows.groupBy("query_id")
-      .agg(transform(array_sort(collect_list(struct(col("idx"), col("d")))),
-        s => s.getField("d")).as("lut"))
-    val adc = aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
-      (acc, j) => acc +
-        element_at(col("lut"), j * kCodes + element_at(col("codes"), j + 1) + 1))
+    val probes = labelProbesInPlan(q, ivfCentroids(embeddings), nprobe)
+    val luts = pqLutsInPlan(q, codebooks, m, kCodes)
     // the routed query side: (query_id, lut, label) — ≤ nQueries×nprobe
     // rows; the ADC stage is an equi-join on the probed cell
     val qside = luts.join(probes, "query_id")
@@ -781,7 +784,7 @@ object Similarity {
     val short = codes.join(broadcast(qside), "label")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adc / col("nrm")).as("adc_cos"))
+        (adcExpr(m, kCodes) / col("nrm")).as("adc_cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlist * k)
       .select("query_id", "neighbor_id")

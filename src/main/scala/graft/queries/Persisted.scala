@@ -23,14 +23,25 @@ object Persisted {
     * long-lived builders don't accumulate unreachable generations in /tmp.
     * Suffix/fingerprint bumps WITHIN a kind are pruned per call by
     * `pruneStale` instead (they share the kind dir with live entries).
+    * NOT listed: `inc` — the incremental index cache-busted via a `_v2`
+    * name suffix INSIDE the same kind dir, so its live entries share
+    * /tmp/graft-inc with the retired flat-append ones; a whole-dir delete
+    * would wipe the live cache and force a full re-ingest per JVM. Its
+    * pre-v2 children are swept individually below.
     */
-  private val RetiredKinds = Seq("ivf", "ivfk", "inc", "index")
+  private val RetiredKinds = Seq("ivf", "ivfk", "index")
   private lazy val gcRetired: Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     RetiredKinds.foreach { k =>
       val p = new Path(s"/tmp/graft-$k")
       p.getFileSystem(conf).delete(p, true)
     }
+    val inc = new Path("/tmp/graft-inc")
+    val fs = inc.getFileSystem(conf)
+    if (fs.exists(inc))
+      fs.listStatus(inc).map(_.getPath)
+        .filter(p => !p.getName.endsWith("_v2"))
+        .foreach(fs.delete(_, true))
   }
 
   private def sanitized(d: String): String = d.replaceAll("[^A-Za-z0-9.]", "_")

@@ -324,6 +324,14 @@ object DocStreams {
           writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
           if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
             compactState(batch.sparkSession, stateDir)
+          // post-write guard: a maintenance job acquiring the lease
+          // MID-batch could swap away what was just written — re-check
+          // and verify our own commits before the checkpoint advances
+          // (the own-cadence compaction above folds this batch's state
+          // dir legitimately; requireIntact accepts the ledger entry)
+          graft.operators.Lease.check(stateDir)
+          BatchCommit.requireIntact(batch.sparkSession, outDir, batchId)
+          BatchCommit.requireIntact(batch.sparkSession, bandsRoot(stateDir), batchId)
         }
       }
       .start()
@@ -434,6 +442,9 @@ object DocStreams {
           writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
           if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
             compactState(batch.sparkSession, stateDir)
+          graft.operators.Lease.check(stateDir) // see dedupNearIngest
+          BatchCommit.requireIntact(batch.sparkSession, outDir, batchId)
+          BatchCommit.requireIntact(batch.sparkSession, bandsRoot(stateDir), batchId)
         }
       }
       .start()

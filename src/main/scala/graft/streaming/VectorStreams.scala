@@ -40,6 +40,11 @@ object VectorStreams {
     graft.operators.BatchCommit.writeBatch(
       p.join(Similarity.kmeansAssign(p.select("vec_id", "e"), cent), "vec_id"),
       s"$indexDir/cells", batchId, partitionCols = Seq("cell"))
+    // post-write guard: a retrain acquiring the lease mid-batch could
+    // fold the generation this batch just wrote into — fail before the
+    // checkpoint advances so the batch replays against the new one
+    graft.operators.Lease.check(indexDir)
+    graft.operators.BatchCommit.requireIntact(spark, s"$indexDir/cells", batchId)
   }
 
   /** Always-on embedding ingest: readStream of (vec_id, embedding) →
@@ -77,6 +82,8 @@ object VectorStreams {
       Similarity.pqEncode(p.select("vec_id", "e"), cbs)
         .join(p.select("vec_id", "nrm"), "vec_id"),
       s"$indexDir/codes", batchId)
+    graft.operators.Lease.check(indexDir) // see ingestVectorBatch
+    graft.operators.BatchCommit.requireIntact(spark, s"$indexDir/codes", batchId)
   }
 
   /** Always-on PQ ingest: arriving embeddings are encoded and folded into

@@ -74,6 +74,13 @@ class CurationSpec extends AnyFunSuite {
     val over = graft.operators.Curation.mixBySource(docs,
       Map("src0" -> 1.0), (n0 * 10).toInt)
     assert(over.count() == n0)
+    // binary-float quota edge: 0.29 × 100 = 28.999999999999996 in IEEE
+    // doubles — the epsilon'd floor must yield the intended 29, not 28
+    // (synthetic 40-doc source: the fixture's 25-doc sources would
+    // truncate before the edge is visible)
+    val wide = spark.range(40).select(col("id").as("doc_id"), lit("s").as("source"))
+    val eps = graft.operators.Curation.mixBySource(wide, Map("s" -> 0.29), 100)
+    assert(eps.count() == 29)
   }
 
   test("packSequences: chunks partition the corpus, budgets respected at chunk starts") {

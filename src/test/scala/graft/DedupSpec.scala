@@ -138,23 +138,12 @@ class DedupSpec extends AnyFunSuite {
       }
       // measured selectivity at t=0.8 — the numbers, not the argument:
       // plain candidate pairs = Σ df·(df−1)/2 (what the inverted-index
-      // join feeds the verify); prefix candidates from the same
-      // rare-first prefix construction the operator uses
+      // join feeds the verify); prefix candidates from the operator's
+      // OWN candidate stage (Dedup.prefixCandidates — no hand mirror)
       val t = 0.8
       val plainCands = shk.groupBy("shk").count()
         .agg(sum(col("count") * (col("count") - 1) / 2)).as[Double].head.toLong
-      val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-      val pref = shk.join(dfreq, "shk")
-        .withColumn("rnk", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-            .orderBy(asc("df"), asc("shk"))))
-        .join(sizes, "doc_id")
-        .filter(col("rnk") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
-        .select("doc_id", "shk")
-      val prefixCands = pref.as("a").join(pref.as("b"),
-          col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+      val prefixCands = Dedup.prefixCandidates(shk, t).count()
       info(s"$d: plain candidates = $plainCands, prefix candidates = $prefixCands " +
         f"(${plainCands.toDouble / math.max(1, prefixCands)}%.0f× fewer)")
       assert(prefixCands * 5 <= plainCands,
@@ -231,18 +220,7 @@ class DedupSpec extends AnyFunSuite {
     val plainCands = shk.groupBy("shk").count()
       .agg(sum(col("count") * (col("count") - 1) / 2)).as[Double].head.toLong
     val t = 0.8
-    val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-    val pref = shk.join(dfreq, "shk")
-      .withColumn("rnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
-          .orderBy(asc("df"), asc("shk"))))
-      .join(sizes, "doc_id")
-      .filter(col("rnk") <= col("n_sh") - ceil(lit(t) * col("n_sh") - lit(1e-9)) + 1)
-      .select("doc_id", "shk")
-    val prefixCands = pref.as("a").join(pref.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id"), col("b.doc_id")).distinct().count()
+    val prefixCands = Dedup.prefixCandidates(shk, t).count()
     info(f"50k: plain candidates = $plainCands, prefix candidates = $prefixCands " +
       f"(${plainCands.toDouble / math.max(1, prefixCands)}%.0f× fewer)")
     // the law, three points: plain grows ~quadratically per decade (the

@@ -54,13 +54,19 @@ class MaintenanceSpec extends AnyFunSuite {
     intercept[IllegalStateException](Lease.check(base))
     Lease.release(base, "compact-a")
     Lease.check(base) // released → pass
-    // an expired lease (dead maintenance job) is ignored and collected
+    // an expired lease (dead maintenance job) is ignored by check — but
+    // NOT deleted there (a check-side delete would race a fresh
+    // acquirer; GC belongs to acquire's atomic rename takeover)
     Lease.acquire(base, "crashed", ttlMs = -1L)
-    Lease.check(base) // expired → pass (and GC'd)
-    assert(Lease.read(base).isEmpty)
-    // ...and a new job can take over an expired lease directly
-    Lease.acquire(base, "crashed", ttlMs = -1L)
+    Lease.check(base) // expired → pass
+    assert(Lease.read(base).exists(_._1 == "crashed"))
+    // ...and a new job takes over the expired lease atomically
     Lease.acquire(base, "successor", ttlMs = 60000L)
+    assert(Lease.read(base).get._1 == "successor")
+    // a crashed predecessor's belated release must not delete the
+    // successor's live lease (withLease holders carry a unique nonce;
+    // here distinct names model that)
+    Lease.release(base, "crashed")
     assert(Lease.read(base).get._1 == "successor")
     Lease.release(base, "successor")
   }
