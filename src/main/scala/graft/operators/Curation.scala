@@ -92,6 +92,100 @@ object Curation {
       .select("doc_id", "source", "rk")
   }
 
+  /** Token-weighted source mixing — the budget a training run actually
+    * targets is TOKENS per source, not documents: each source keeps its
+    * content-hash-order prefix of docs whose running token total stays
+    * within the source's token quota (a doc survives iff its inclusive
+    * running sum ≤ quota; the first over-budget doc is dropped whole —
+    * packing handles intra-doc splits downstream). Same reproducible
+    * ordering discipline as [[mixBySource]]; the running sum is one
+    * window partitioned by source, so the operator scales with the
+    * widest source's doc count, not the corpus. Returns
+    * (doc_id, source, n_tok, cum).
+    */
+  def mixByTokens(docs: DataFrame, weights: Map[String, Double],
+                  totalTokens: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+    // same epsilon'd floor as mixBySource (see the 0.29 × 100 note there)
+    val quotas = weights.toSeq
+      .map { case (s, wt) => (s, math.floor(wt * totalTokens + 1e-9).toLong) }
+      .toDF("source", "tok_quota")
+    TextAnalysis.tokenCounts(docs)
+      .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+      .join(docs.select("doc_id", "source"), "doc_id")
+      .join(broadcast(quotas), "source")
+      .withColumn("cum", sum("n_tok").over(
+        w.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .filter(col("cum") <= col("tok_quota"))
+      .select("doc_id", "source", "n_tok", "cum")
+  }
+
+  /** Inter-source shingle containment matrix — the data-mixing
+    * diagnostic behind weight choices: how much of source A's distinct
+    * content already appears in source B (directed, so a small source
+    * swallowed by a crawl shows containment → 1 in one direction only).
+    * Operates on the persisted 60-bit shingle-KEY table (same fixed-width
+    * join currency as the Jaccard verifies — no string joins).
+    *
+    * Scale shape: distinct (source, shk) is one hash aggregate over the
+    * key table; the pair counts come from a self equi-join ON shk whose
+    * per-key fan-out is bounded by the number of sources (tens, not
+    * corpus-sized), so the join output is ≤ |sources|² rows per distinct
+    * shingle and the result is |sources|² rows total. Nothing here scales
+    * with corpus size except the one aggregate pass.
+    *
+    * @param docs the documents table (doc_id, source)
+    * @param shk  (doc_id, shk) — persisted shingle keys
+    * @return (src_a, src_b, n_shared, n_a, containment), pairs with zero
+    *         overlap omitted
+    */
+  def sourceOverlap(docs: DataFrame, shk: DataFrame): DataFrame = {
+    val ss = shk.join(docs.select("doc_id", "source"), "doc_id")
+      .select(col("source"), col("shk")).distinct()
+    val n = ss.groupBy("source").agg(count(lit(1)).as("n_a"))
+    val a = ss.toDF("src_a", "shk")
+    val b = ss.toDF("src_b", "shk")
+    a.join(b, "shk").filter(col("src_a") =!= col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_shared"))
+      .join(n.toDF("src_a", "n_a"), "src_a")
+      .select(col("src_a"), col("src_b"), col("n_shared"), col("n_a"),
+        (col("n_shared").cast("double") / col("n_a")).as("containment"))
+  }
+
+  /** Deterministic training-epoch shuffle: every epoch assigns each doc a
+    * global position by content-hash order under an epoch-salted key —
+    * the reproducible alternative to rand() shuffling (identical order on
+    * any cluster, any run, any partitioning), with epochs decorrelated by
+    * the salt. The global rank is computed DISTRIBUTED with the same
+    * 16-hex-prefix bucket decomposition as [[packSequences]]: buckets
+    * sort-align with the global hash order, each bucket ranks in
+    * parallel, and bucket offsets come from a running-count window over
+    * the 16·nEpochs-row aggregate, broadcast back. Returns
+    * (epoch, pos, doc_id), pos 1-based and dense per epoch.
+    */
+  def epochShuffle(docs: DataFrame, nEpochs: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    val epochs = spark.range(nEpochs).select(col("id").cast("int").as("epoch"))
+    val t = docs.select(col("doc_id")).crossJoin(broadcast(epochs))
+      .withColumn("h", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+      .withColumn("pfx", substring(col("h"), 1, 1))
+    val offsets = t.groupBy("epoch", "pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.partitionBy("epoch").orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("epoch", "pfx", "off") // ≤ 16·nEpochs rows
+    t.join(broadcast(offsets), Seq("epoch", "pfx"))
+      .withColumn("pos", col("off") +
+        row_number().over(w.partitionBy("epoch", "pfx").orderBy("h", "doc_id"))
+          .cast("long"))
+      .select("epoch", "pos", "doc_id")
+  }
+
   /** Token-budget sequence packing (concat-and-chunk, the GPT-style
     * pre-training layout): documents are laid out in content-hash order
     * and cut into fixed-budget chunks; a doc belongs to the chunk its

@@ -330,6 +330,70 @@ object TextAnalysisQueries {
           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
+    // Token-weighted source mixing — quotas in tokens (what a training
+    // run targets), 50/30/20 over a 2000-token budget: each source keeps
+    // its hash-order prefix while the inclusive running token sum stays
+    // within quota. One source-partitioned window, no global sort.
+    GraftQuery("text_mix_tokens",
+      (s, d) => graft.operators.Curation.mixByTokens(Tables.documents(s, d),
+          Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+        .orderBy("source", "cum", "doc_id"),
+      Some(
+        """WITH q(source, tok_quota) AS (VALUES ('src0', 1000), ('src1', 600), ('src2', 400)),
+          |t AS (
+          |  SELECT doc_id, source,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, t.source, n_tok, tok_quota,
+          |    sum(n_tok) OVER (PARTITION BY t.source ORDER BY h, doc_id) AS cum
+          |  FROM t JOIN q ON q.source = t.source)
+          |SELECT doc_id, source, n_tok, CAST(cum AS BIGINT) AS cum
+          |FROM c WHERE cum <= tok_quota ORDER BY source, cum, doc_id""".stripMargin)),
+
+    // Inter-source shingle containment matrix — the data-mixing
+    // diagnostic: how much of source A's distinct content source B
+    // already carries (directed). Distinct (source, shk) is one hash
+    // aggregate; the self-join fans out ≤ |sources| per key, so the
+    // output is |sources|²-bounded regardless of corpus size.
+    GraftQuery("text_source_overlap",
+      (s, d) => graft.operators.Curation.sourceOverlap(
+          Tables.documents(s, d), DedupQueries.persistedShingleKeys(s, d))
+        .orderBy("src_a", "src_b"),
+      Some(
+        s"""WITH ${DedupQueries.shingleCte}, ${DedupQueries.shkCte},
+           |ss AS (
+           |  SELECT DISTINCT d.source, k.shk
+           |  FROM shk k JOIN documents d USING (doc_id)),
+           |n AS (SELECT source, count(*) AS n_a FROM ss GROUP BY source),
+           |p AS (
+           |  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared
+           |  FROM ss a JOIN ss b ON a.shk = b.shk AND a.source <> b.source
+           |  GROUP BY 1, 2)
+           |SELECT p.src_a, p.src_b, p.n_shared, n.n_a,
+           |  CAST(p.n_shared AS DOUBLE) / n.n_a AS containment
+           |FROM p JOIN n ON n.source = p.src_a
+           |ORDER BY src_a, src_b""".stripMargin)),
+
+    // Deterministic epoch shuffle — reproducible training order (epoch-
+    // salted content-hash rank), global rank computed distributed via the
+    // same 16-bucket prefix decomposition as text_pack; the oracle is the
+    // plain per-epoch global window, identical arithmetic.
+    GraftQuery("text_shuffle",
+      (s, d) => graft.operators.Curation.epochShuffle(Tables.documents(s, d), 2)
+        .orderBy("epoch", "pos"),
+      Some(
+        """WITH e(epoch) AS (VALUES (0), (1)),
+          |t AS (
+          |  SELECT e.epoch, d.doc_id,
+          |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS h
+          |  FROM documents d, e)
+          |SELECT epoch,
+          |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS BIGINT) AS pos,
+          |  doc_id
+          |FROM t ORDER BY epoch, pos""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).

@@ -83,6 +83,70 @@ class CurationSpec extends AnyFunSuite {
     assert(eps.count() == 29)
   }
 
+  test("mixByTokens: hash-order prefix per source, inclusive running sum within quota") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val got = Curation.mixByTokens(docs,
+        Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 2000L)
+      .as[(Long, String, Long, Long)].collect()
+    val quotas = Map("src0" -> 1000L, "src1" -> 600L, "src2" -> 400L)
+    assert(got.nonEmpty && got.map(_._2).toSet == quotas.keySet)
+    for ((src, rows0) <- got.groupBy(_._2)) {
+      val rows = rows0.sortBy(_._4)
+      // cum is the running sum of n_tok in output order and stays in quota
+      assert(rows.map(_._3).scanLeft(0L)(_ + _).drop(1).toSeq == rows.map(_._4).toSeq)
+      assert(rows.last._4 <= quotas(src))
+      // the kept set is a PREFIX of the source's hash order
+      val hashOrder = docs.filter(col("source") === src)
+        .select(col("doc_id"), org.apache.spark.sql.functions.md5(col("doc_id").cast("string")).as("h"))
+        .as[(Long, String)].collect().sortBy { case (id, h) => (h, id) }.map(_._1)
+      val kept = rows.map(_._1).toSet
+      val prefixLen = hashOrder.takeWhile(kept).length
+      assert(prefixLen == kept.size) // kept == first prefixLen docs of hash order
+    }
+  }
+
+  test("sourceOverlap: directed containment in (0,1], shared counts symmetric") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val shk = Dedup.shingles(docs, 3)
+      .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    val m = Curation.sourceOverlap(docs, shk)
+      .as[(String, String, Long, Long, Double)].collect()
+    assert(m.nonEmpty)
+    assert(m.forall { case (a, b, shared, na, c) =>
+      a != b && shared >= 1 && shared <= na && c > 0.0 && c <= 1.0 &&
+        math.abs(c - shared.toDouble / na) < 1e-12
+    })
+    // n_shared is an intersection size — identical in both directions
+    val byPair = m.map { case (a, b, shared, _, _) => ((a, b), shared) }.toMap
+    assert(byPair.forall { case ((a, b), s) => byPair.get((b, a)).contains(s) })
+    // n_a depends only on src_a
+    val nA = m.groupBy(_._1).view.mapValues(_.map(_._4).toSet)
+    assert(nA.forall(_._2.size == 1))
+  }
+
+  test("epochShuffle: dense 1..N bijection per epoch, epochs decorrelated") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val n = docs.count()
+    val sh = Curation.epochShuffle(docs, 2).as[(Int, Long, Long)].collect()
+    assert(sh.length == 2 * n)
+    for (e <- Seq(0, 1)) {
+      val rows = sh.filter(_._1 == e)
+      assert(rows.map(_._2).sorted.toSeq == (1L to n).toSeq) // dense global rank
+      assert(rows.map(_._3).distinct.length == n)            // every doc exactly once
+    }
+    // the epoch salt actually reorders: the two permutations differ
+    val p0 = sh.filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    val p1 = sh.filter(_._1 == 1).sortBy(_._2).map(_._3).toSeq
+    assert(p0 != p1)
+    // deterministic: a second evaluation yields the identical permutation
+    val again = Curation.epochShuffle(docs, 2).as[(Int, Long, Long)].collect()
+      .filter(_._1 == 0).sortBy(_._2).map(_._3).toSeq
+    assert(again == p0)
+  }
+
   test("packSequences: chunks partition the corpus, budgets respected at chunk starts") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
