@@ -198,7 +198,16 @@ object Curation {
     * the BPE-ish alnum proxy (TextAnalysis.tokenCounts). Returns one row
     * per chunk: (seq_id, n_docs, n_tokens).
     */
-  def packSequences(docs: DataFrame, budget: Long): DataFrame = {
+  def packSequences(docs: DataFrame, budget: Long): DataFrame =
+    packAssignments(docs, budget)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+
+  /** Per-doc packing frame behind [[packSequences]] — the layout a data
+    * loader actually consumes: each doc's chunk id and its global token
+    * offset in the concatenated stream. (doc_id, n_tok, start, seq_id).
+    */
+  def packAssignments(docs: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
     val t = TextAnalysis.tokenCounts(docs)
       .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
@@ -214,7 +223,6 @@ object Curation {
         sum("n_tok").over(w.partitionBy("pfx").orderBy("h", "doc_id")
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
       .withColumn("seq_id", expr(s"start div ${budget}L")) // long integral div — exact at any magnitude
-      .groupBy("seq_id")
-      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+      .select("doc_id", "n_tok", "start", "seq_id")
   }
 }

@@ -218,6 +218,32 @@ object Search {
   }
 
   /** Shared Q2-Q8 tail over any (postings, vocab, docinfo) triple. */
+  /** Exact-phrase top-k (adjacent 2-token match): docs containing the
+    * phrase, ranked by its per-doc frequency. The match count is a
+    * ROW-LOCAL array filter over the doc's bigram stream — no explode, no
+    * shuffle before the top-k heap — so the whole scoring pass is one
+    * narrow projection inside WholeStageCodegen; a production deployment
+    * would serve it from bigram postings (same layout as the unigram
+    * index), but the scan shape here IS that index's build pass.
+    */
+  def phraseTopK(spark: SparkSession, dir: String,
+                 phrase: String = "table hash", k: Int = 10): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val bigrams = transform(
+      sequence(lit(0), size(col("arr")) - 2),
+      i => concat_ws(" ", element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))
+    docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("doc_id"),
+        size(filter(bigrams, b => b === lit(phrase))).cast("long").as("phrase_tf"))
+      .filter(col("phrase_tf") >= 1)
+      .orderBy(desc("phrase_tf"), asc("doc_id")).limit(k)
+      .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
+      .select("doc_id", "phrase_tf", "source", "lang")
+      .orderBy(desc("phrase_tf"), asc("doc_id"))
+  }
+
   private def scoreAndRank(spark: SparkSession, post: DataFrame, vocab: DataFrame,
                            docinfo: DataFrame, query: String, k: Int): DataFrame = {
     val qt = queryTerms(spark, query)

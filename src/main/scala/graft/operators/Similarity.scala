@@ -210,6 +210,34 @@ object Similarity {
       .groupBy(col("label"), (col("pos") + 1).as("i"))
       .agg(Stable.stab(avg("col"), 6).as("c"))
 
+  /** Embedding-quality QA: each vector's cosine to its own label's
+    * centroid, bottom-k per label — the mislabeled/outlier candidates a
+    * pipeline reviews before training on the labels. Centroids are the
+    * same stab(6)-collapsed per-dim averages the IVF tiers pin
+    * cross-engine ([[ivfCentroids]]), reassembled into per-label arrays
+    * (labels-count rows, broadcast), so the affinity pass is one
+    * ROW-LOCAL ArrayDot over the corpus — one explode aggregate + one
+    * broadcast join, nothing quadratic, and WindowGroupLimit prunes the
+    * per-label bottom-k. cos(v, mean) needs no count: the centroid IS
+    * the mean, joined whole.
+    */
+  def labelOutliers(embeddings: DataFrame, k: Int): DataFrame = {
+    val cent = ivfCentroids(embeddings)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val p = prepared(embeddings)
+    val w = Window.partitionBy("label").orderBy(asc("cos"), asc("vec_id"))
+    embeddings.select(col("vec_id"), col("label")).join(p, "vec_id")
+      .join(broadcast(cent), "label")
+      .select(col("label"), col("vec_id"),
+        Stable.stab(dot(col("e"), col("cv")) /
+          (col("nrm") * norm(col("cv"))), 6).as("cos"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+      .select("label", "rn", "vec_id", "cos")
+  }
+
   /** Persist the IVF layout: embeddings written as parquet partitioned by
     * cell label, centroids alongside. At scale, probing a cell is then
     * partition pruning at file-listing time — the ANN twin of

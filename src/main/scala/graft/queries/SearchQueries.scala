@@ -184,6 +184,22 @@ object SearchQueries {
            |SELECT doc_id, score FROM scores ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
     // BM25 (k1=1.2, b=0.75, Robertson idf) — the standard probabilistic
+    // Exact-phrase top-k: row-local bigram-array filter (no explode, no
+    // pre-top-k shuffle), integer counts — hash-gated with no stabilizer.
+    GraftQuery("search_phrase",
+      (s, d) => Search.phraseTopK(s, d),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |b AS (
+          |  SELECT doc_id, count(*) AS phrase_tf
+          |  FROM d, unnest(range(1, len(arr))) t(i)
+          |  WHERE len(arr) >= 2 AND arr[i] || ' ' || arr[i+1] = 'table hash'
+          |  GROUP BY doc_id),
+          |topk AS (SELECT doc_id, phrase_tf FROM b ORDER BY phrase_tf DESC, doc_id LIMIT 10)
+          |SELECT t.doc_id, CAST(t.phrase_tf AS BIGINT) AS phrase_tf, d2.source, d2.lang
+          |FROM topk t JOIN documents d2 ON d2.doc_id = t.doc_id
+          |ORDER BY phrase_tf DESC, t.doc_id""".stripMargin)),
+
     // ranking beside the parity and log-idf formulas, fully hash-gated:
     // doc lengths are exact integer-valued sums (bit-stable avgdl, no
     // stabilizer), the per-term ln is stab(6)-collapsed like log-idf.

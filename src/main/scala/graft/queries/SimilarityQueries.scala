@@ -73,6 +73,33 @@ object SimilarityQueries {
            |ORDER BY vec_a, vec_b""".stripMargin),
       bench = false),
 
+    // Embedding-quality QA: bottom-5 per label by cosine to the label's
+    // own centroid — mislabeled/outlier candidates. Centroids are the
+    // stab(6) per-dim averages the IVF oracles already pin; the affinity
+    // pass is a row-local ArrayDot against broadcast per-label arrays.
+    GraftQuery("emb_label_outliers",
+      (s, d) => Similarity.labelOutliers(Tables.embeddings(s, d), 5)
+        .orderBy("label", "rn"),
+      Some(
+        s"""WITH $prepCte,
+           |cent AS (
+           |  SELECT label, i, floor(avg(e[i])*1000000.0+0.5)/1000000.0 AS c
+           |  FROM (SELECT em.label, v.e FROM embeddings em JOIN v ON em.vec_id = v.vec_id),
+           |       unnest(range(1, len(e)+1)) t(i)
+           |  GROUP BY label, i),
+           |cl AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+           |aff AS (
+           |  SELECT em.label, em.vec_id,
+           |    floor(list_sum(list_transform(range(1, len(n.e)+1), i -> n.e[i]*cl.cv[i]))
+           |      / (n.nrm * sqrt(list_sum(list_transform(cl.cv, x -> x*x))))*1000000.0+0.5)/1000000.0 AS cos
+           |  FROM embeddings em JOIN n ON n.vec_id = em.vec_id
+           |  JOIN cl ON cl.label = em.label),
+           |r AS (SELECT label, vec_id, cos,
+           |        row_number() OVER (PARTITION BY label ORDER BY cos, vec_id) AS rn
+           |      FROM aff)
+           |SELECT label, CAST(rn AS BIGINT) AS rn, vec_id, cos FROM r
+           |WHERE rn <= 5 ORDER BY label, rn""".stripMargin)),
+
     // Brute-force exact top-5 neighbors for the first 10 vectors.
     GraftQuery("knn_brute",
       (s, d) => Similarity.bruteForceTopK(Tables.embeddings(s, d), 10, 5)

@@ -394,6 +394,24 @@ object TextAnalysisQueries {
           |  doc_id
           |FROM t ORDER BY epoch, pos""".stripMargin)),
 
+    // The per-doc packing frame (text_pack's pre-aggregation layout, what
+    // a data loader consumes): each doc's global token offset and chunk.
+    GraftQuery("text_pack_docs",
+      (s, d) => graft.operators.Curation.packAssignments(Tables.documents(s, d), 500L)
+        .orderBy("start"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents)
+          |SELECT doc_id, n_tok,
+          |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start,
+          |  CAST(COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 500 AS BIGINT) AS seq_id
+          |FROM t ORDER BY start""".stripMargin)),
+
     // Top-3 tf-idf terms per document (log variant) — window top-k, planned
     // with WindowGroupLimit (rank pushdown: per-partition heaps, no full
     // materialization of the ranked set).

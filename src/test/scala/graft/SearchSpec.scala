@@ -181,6 +181,22 @@ class SearchSpec extends AnyFunSuite {
     assert(hits == Seq(("T1", "u1"), ("T2", "u2")))
   }
 
+  test("phraseTopK: row-local bigram counts match a hand count, adjacency not bag-of-words") {
+    import spark.implicits._
+    import org.apache.spark.sql.SaveMode
+    val dir = java.nio.file.Files.createTempDirectory("graft-phrase").toFile
+    Seq(
+      (0L, "table hash table hash join", "en", "s", 1L),  // tf 2
+      (1L, "hash table only here", "en", "s", 1L),        // reversed order: no match
+      (2L, "one table hash here", "en", "s", 1L),         // tf 1
+      (3L, "no phrase at all", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode(SaveMode.Overwrite).parquet(s"${dir.getAbsolutePath}/documents.parquet")
+    val got = graft.operators.Search.phraseTopK(spark, dir.getAbsolutePath, "table hash", 10)
+      .select("doc_id", "phrase_tf").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 2L, 2L -> 1L)) // doc 1 (reversed) and doc 3 (absent) excluded
+  }
+
   test("corpusJson reads the reference's JSON-lines contract with AA* glob") {
     val dir = java.nio.file.Files.createTempDirectory("corpus").toFile
     val aa = new java.io.PrintWriter(new java.io.File(dir, "AA_wiki_00"))

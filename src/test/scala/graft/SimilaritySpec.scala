@@ -248,6 +248,25 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.8, s"recall vs exact probe-2 IVF = $recall")
   }
 
+  test("labelOutliers: own-label affinity, dense bottom-k rank, outlier ranks first") {
+    import spark.implicits._
+    // label 0's centroid ≈ x-axis-ish: vec 11 (diagonal) is its worst fit
+    val r = Similarity.labelOutliers(vecs, 2)
+      .as[(Int, Long, Long, Double)].collect().toSeq // (label, rn, vec_id, cos)
+    val byLabel = r.groupBy(_._1)
+    assert(byLabel.keySet == Set(0, 1))
+    for ((_, rows) <- byLabel) {
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+      assert(rows.forall(x => x._4 >= -1.0 - 1e-9 && x._4 <= 1.0 + 1e-9))
+      // rank order is ascending affinity
+      assert(rows.sortBy(_._2).map(_._4).toSeq == rows.map(_._4).sorted.toSeq)
+    }
+    assert(byLabel(0).minBy(_._2)._3 == 11L) // the diagonal vector is label 0's outlier
+    // every vector scored against ITS OWN label: members only
+    val members = vecs.select("label", "vec_id").as[(Int, Long)].collect().toSet
+    assert(r.forall(x => members.contains((x._1, x._3))))
+  }
+
   test("ivfTopK routes each query to its own cell") {
     import spark.implicits._
     val r = Similarity.ivfTopK(vecs, 2, 3)
