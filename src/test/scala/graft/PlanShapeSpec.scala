@@ -221,4 +221,49 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
       p.contains("EqualTo(l_returnflag,R)") && p.contains("GreaterThan(l_quantity"))
   }
+
+  // The locks below read the OPERATOR plans (not the registered queries,
+  // whose trailing orderBy adds a benign result-sized sort for the gate).
+  def opPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("phraseTopK: row-local scoring — no explode, top-k heap, doc-info broadcast") {
+    val p = opPlan(graft.operators.Search.phraseTopK(spark, d))
+    assert(!p.contains("Generate"), "phrase tf must not explode the bigram stream")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("labelOutliers: centroid join broadcast, no cartesian, window top-k pruned") {
+    val p = opPlan(graft.operators.Similarity.labelOutliers(
+      graft.sources.Tables.embeddings(spark, d), 5))
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), "bottom-k must prune per partition")
+  }
+
+  test("epochShuffle / packAssignments: the corpus rank never global-sorts") {
+    val docs = graft.sources.Tables.documents(spark, d)
+    for ((name, df) <- Seq(
+        "epochShuffle" -> graft.operators.Curation.epochShuffle(docs, 2),
+        "packAssignments" -> graft.operators.Curation.packAssignments(docs, 500L))) {
+      val p = opPlan(df)
+      // the corpus-sized prefix sum runs partitioned (pfx / epoch+pfx);
+      // the single-partition running-sum window exists only over the
+      // ≤32-row bucket aggregate — a range exchange of the corpus would
+      // mean the decomposition regressed to a global sort
+      assert(!p.contains("Exchange rangepartitioning"), s"$name global-sorted the corpus")
+      assert(!p.contains("CartesianProduct"), name)
+    }
+  }
+
+  test("text_source_overlap: distinct + equi-join only, no nested loop") {
+    val p = plan("text_source_overlap")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
 }
