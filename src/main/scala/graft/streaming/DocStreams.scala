@@ -449,6 +449,69 @@ object DocStreams {
       }
       .start()
 
+  /** One micro-batch of streaming token-budget mixing: a greedy fill of
+    * per-source token quotas against the strictly-prior committed totals
+    * (own batch excluded, so a crash-replay recomputes the identical
+    * decision). Within the batch, docs fill in content-hash order; the
+    * running total is monotone, so the kept set is a per-source prefix —
+    * the same rule as Curation.mixByTokens, just seeded at the source's
+    * prior total. Returns (doc_id, source, n_tok, cum), cum the source's
+    * cumulative kept-token total through this doc.
+    *
+    * Semantics vs the batch operator: batch mixByTokens fills by GLOBAL
+    * hash order over the corpus; the stream fills in (arrival batch,
+    * hash) order — first-come within the budget, the trade every
+    * streaming quota fill makes. Sources without a quota are dropped.
+    */
+  def mixBatch(batch: DataFrame, quotas: Map[String, Long],
+               totalsDir: String, batchId: Long): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val qdf = quotas.toSeq.toDF("source", "tok_quota")
+    val priorDirs = BatchCommit.committedBatchDirs(spark, totalsDir, Some(batchId))
+    val prior =
+      if (priorDirs.isEmpty) Seq.empty[(String, Long)].toDF("source", "prior")
+      else spark.read.option("basePath", totalsDir).parquet(priorDirs: _*)
+        .groupBy("source").agg(sum("toks").as("prior"))
+    graft.operators.TextAnalysis.tokenCounts(batch)
+      .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+      .join(batch.select("doc_id", "source"), "doc_id")
+      .join(broadcast(qdf), "source")
+      .join(broadcast(prior), Seq("source"), "left")
+      .withColumn("cum", coalesce(col("prior"), lit(0L)) + sum("n_tok").over(w))
+      .filter(col("cum") <= col("tok_quota"))
+      .select("doc_id", "source", "n_tok", "cum")
+  }
+
+  /** Always-on token-budget mixing: each micro-batch tops up the
+    * per-source quotas until they fill, then passes nothing more from
+    * that source. Kept docs land batch-keyed in `outDir`; the per-source
+    * token contributions land batch-keyed in `totalsDir` (the quota
+    * state — aggregate-sized, derived from the committed output dir
+    * itself so a replayed batch re-reports exactly what it committed).
+    */
+  def mixIngest(docs: DataFrame, quotas: Map[String, Long],
+                outDir: String, totalsDir: String): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          graft.operators.Lease.check(totalsDir)
+          BatchCommit.writeBatch(mixBatch(batch, quotas, totalsDir, batchId),
+            outDir, batchId)
+          val contrib = spark.read.parquet(BatchCommit.batchDir(outDir, batchId))
+            .groupBy("source").agg(sum("n_tok").as("toks"))
+          BatchCommit.writeBatch(contrib, totalsDir, batchId)
+          graft.operators.Lease.check(totalsDir)
+          BatchCommit.requireIntact(spark, outDir, batchId)
+          BatchCommit.requireIntact(spark, totalsDir, batchId)
+        }
+      }
+      .start()
+
   /** The always-on corpus pipeline in one query: stream in → dedup →
     * fold into the incremental search index (foreachBatch over
     * IncrementalIndex.ingestBatch, batch-id-keyed so a crash-replay

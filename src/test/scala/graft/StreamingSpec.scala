@@ -132,6 +132,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(pruned.count() > 0)
   }
 
+  test("streaming token-budget mixing: quotas fill across batches, never overflow, replay idempotent") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    // 4-token and 5-token docs: s0 quota 10 holds exactly two 4-token
+    // docs (whichever two hash first), s1 quota 5 rejects a 6-token doc
+    // but accepts a later 5-token one
+    def txt(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val mem = MemoryStream[(Long, String, String)]
+    val docs = mem.toDF.toDF("doc_id", "text", "source")
+    val out = java.nio.file.Files.createTempDirectory("mixout").toString + "/docs"
+    val totals = java.nio.file.Files.createTempDirectory("mixtotals").toString + "/totals"
+    val quotas = Map("s0" -> 10L, "s1" -> 5L)
+    val q = graft.streaming.DocStreams.mixIngest(docs, quotas, out, totals)
+    try {
+      mem.addData((1L, txt(4), "s0"), (2L, txt(4), "s0"), (3L, txt(4), "s0"),
+        (4L, txt(6), "s1"), (5L, txt(3), "nope"))
+      q.processAllAvailable()
+      mem.addData((6L, txt(2), "s0"), (7L, txt(5), "s1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    def output = graft.operators.BatchCommit.readCommitted(spark, out).get
+      .select("doc_id", "source", "n_tok", "cum")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val got = output
+    // per-source totals within quota; s0 full (2×4 then +2), s1 = the 5-token doc
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc == Map("s0" -> 10L, "s1" -> 5L))
+    assert(got.count(_._2 == "s0") == 3) // two 4-token docs + the 2-token top-up
+    assert(got.map(_._1).toSet.intersect(Set(4L, 5L)).isEmpty) // overflow + unquota'd dropped
+    // cum is consistent: within each source, sorted cum ends at the total
+    for ((src, rows) <- got.groupBy(_._2))
+      assert(rows.map(_._4).max == bySrc(src))
+    // crash-replay of batch 1 (both writes already committed): the body
+    // recomputes against strictly-prior totals and changes nothing
+    val b1 = Seq((6L, txt(2), "s0"), (7L, txt(5), "s1"))
+      .toDF("doc_id", "text", "source")
+    val replayKept = graft.streaming.DocStreams.mixBatch(b1, quotas, totals, 1L)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    graft.operators.BatchCommit.writeBatch(
+      replayKept.toDF("doc_id", "source", "n_tok", "cum"), out, 1L)
+    assert(output.sorted == got.sorted, "replay changed the committed output")
+    // and the replayed decision itself matches what batch 1 originally kept
+    assert(replayKept.map(_._1).toSet == Set(6L, 7L))
+  }
+
   test("streaming curation: gates, scoring, decontam, and near-dup state compose") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
