@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** The end-to-end curation decision — the single operation a training-data
   * pipeline actually ships: one declarative plan that composes every keep
@@ -90,6 +90,31 @@ object Curation {
           .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
       .filter(col("rk") <= col("quota"))
       .select("doc_id", "source", "rk")
+  }
+
+  /** Deterministic train/validation/test assignment: each doc hashes into
+    * a 16-bit space under a dedicated salt ("split:", independent of the
+    * sampling and shuffle hashes) and lands in the first split whose
+    * cumulative threshold covers it. Content-hash splitting is the
+    * reproducible discipline every training pipeline needs — the same doc
+    * lands in the same split on any cluster, any run, and adding docs
+    * never moves existing ones across splits (no rand(), no global
+    * count). Row-local — one projection, no shuffle.
+    *
+    * @param splits (name, weight) in order; weights need not sum to 1 —
+    *               the last split absorbs the remainder of the hash space
+    */
+  def assignSplits(docs: DataFrame,
+                   splits: Seq[(String, Double)]): DataFrame = {
+    val h = conv(substring(md5(concat(lit("split:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") // 0..65535
+    val cuts = splits.init.scanLeft(0.0)(_ + _._2).tail
+      .map(c => math.floor(c * 65536).toLong)
+    val expr = splits.init.zip(cuts).foldRight(
+        lit(splits.last._1): Column) { case (((name, _), cut), rest) =>
+      when(h < cut, name).otherwise(rest)
+    }
+    docs.select(col("doc_id"), expr.as("split"))
   }
 
   /** Token-weighted source mixing — the budget a training run actually

@@ -330,6 +330,71 @@ object TextAnalysisQueries {
           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
+    // Deterministic train/val/test split (90/5/5): salted content-hash
+    // thresholds, row-local, reproducible on any cluster — adding docs
+    // never reassigns existing ones.
+    GraftQuery("text_split",
+      (s, d) => graft.operators.Curation.assignSplits(Tables.documents(s, d),
+          Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id,
+          |  CASE WHEN h < 58982 THEN 'train' WHEN h < 62259 THEN 'val' ELSE 'test' END AS split
+          |FROM (
+          |  SELECT doc_id,
+          |    CAST(CONCAT('0x', substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h
+          |  FROM documents)
+          |ORDER BY doc_id""".stripMargin)),
+
+    // Long-n-gram decontamination (n=8, any-overlap): the production
+    // decontamination rule — at n=8 chance collisions vanish (the
+    // 3-shingle variant needs a count threshold instead), so ANY shared
+    // 8-gram flags. Both engines plant the same verbatim leak (every
+    // doc_id ≡ 7 (mod 100) appends eval doc doc_id%10's full text), so
+    // the flagged set is the planted one — hash-gated end to end. The
+    // eval 8-gram set is eval-sized and broadcast, same as the n=3 tier.
+    GraftQuery("text_decontaminate_long",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        val evalTexts = docs.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("eid"), col("text").as("etext"))
+        val aug = docs.filter(col("doc_id") >= 10)
+          .join(broadcast(evalTexts), col("doc_id") % 10 === col("eid"))
+          .select(col("doc_id"),
+            when(col("doc_id") % 100 === 7,
+              concat(col("text"), lit(" "), col("etext")))
+              .otherwise(col("text")).as("text"))
+        val evalSh = graft.operators.Dedup.shingles(docs.filter(col("doc_id") < 10), 8)
+          .select("shingle").distinct()
+        graft.operators.Dedup.shingles(aug, 8)
+          .join(broadcast(evalSh), "shingle")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+          .orderBy("doc_id")
+      },
+      Some(
+        """WITH aug AS (
+          |  SELECT d.doc_id,
+          |    CASE WHEN d.doc_id % 100 = 7 THEN d.text || ' ' || e.text ELSE d.text END AS text
+          |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id % 10
+          |  WHERE d.doc_id >= 10),
+          |ta AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM aug),
+          |tsh AS (
+          |  SELECT DISTINCT doc_id,
+          |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] || ' ' || arr[i+5] || ' ' || arr[i+6] || ' ' || arr[i+7] AS shingle
+          |  FROM ta, unnest(range(1, len(arr) - 6)) t(i)
+          |  WHERE len(arr) >= 8),
+          |ea AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr
+          |       FROM documents WHERE doc_id < 10),
+          |esh AS (
+          |  SELECT DISTINCT
+          |    arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2] || ' ' || arr[i+3] || ' ' || arr[i+4] || ' ' || arr[i+5] || ' ' || arr[i+6] || ' ' || arr[i+7] AS shingle
+          |  FROM ea, unnest(range(1, len(arr) - 6)) t(i)
+          |  WHERE len(arr) >= 8)
+          |SELECT doc_id, count(*) AS n_contaminated
+          |FROM tsh JOIN esh USING (shingle)
+          |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Token-weighted source mixing — quotas in tokens (what a training
     // run targets), 50/30/20 over a 2000-token budget: each source keeps
     // its hash-order prefix while the inclusive running token sum stays

@@ -83,6 +83,24 @@ class CurationSpec extends AnyFunSuite {
     assert(eps.count() == 29)
   }
 
+  test("assignSplits: exhaustive, deterministic, assignment stable under corpus growth") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val a = Curation.assignSplits(docs, splits).as[(Long, String)].collect().toMap
+    assert(a.size == docs.count())
+    assert(a.values.toSet == Set("train", "val", "test"))
+    // ~90/5/5: train dominates (loose bound — 500 docs of hash noise)
+    assert(a.values.count(_ == "train") > a.size * 0.8)
+    // growing the corpus never reassigns an existing doc (hash is
+    // per-doc, thresholds are fixed): the sf0.001 subset agrees exactly
+    val small = Curation.assignSplits(
+      graft.sources.Tables.documents(spark, TestSpark.sf0001), splits)
+      .as[(Long, String)].collect().toMap
+    assert(small.forall { case (id, s) => a.get(id).forall(_ == s) })
+    assert(small.keySet.intersect(a.keySet).nonEmpty)
+  }
+
   test("mixByTokens: hash-order prefix per source, inclusive running sum within quota") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
