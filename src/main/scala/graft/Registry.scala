@@ -24,5 +24,6 @@ object Registry {
       graft.queries.SimilarityQueries.all ++
       graft.queries.TextAnalysisQueries.all ++
       graft.queries.EventQueries.all ++
-      graft.queries.MultimodalQueries.all
+      graft.queries.MultimodalQueries.all ++
+      graft.queries.GraphQueries.all
 }

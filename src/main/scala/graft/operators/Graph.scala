@@ -1,0 +1,72 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Iterative graph analytics in the same declarative, hash-gatable
+  * discipline as the rest of the library — PageRank as the exemplar:
+  * every round is one equi-join plus one EXACT decimal aggregate, so the
+  * whole 5-round computation has a DuckDB twin and survives the
+  * value-identical correctness gate (most engines treat iterative graph
+  * scores as "approximately reproducible"; here they are bit-stable).
+  */
+object Graph {
+
+  /** Deterministic synthetic link graph over the corpus: node i links to
+    * (md5-slice("e:i:j") mod N) for j < outDeg — the repo's established
+    * integer-md5 arithmetic (≤48-bit slices), so DuckDB re-derives the
+    * identical edge set. Self-loops and parallel edges are kept as drawn
+    * (both engines agree on them; PageRank handles both).
+    */
+  def syntheticEdges(docs: DataFrame, outDeg: Int = 3): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).as("n"))
+    docs.select(col("doc_id").as("src"))
+      .crossJoin(broadcast(nDf))
+      .select(col("src"), explode(sequence(lit(0), lit(outDeg - 1))).as("j"),
+        col("n"))
+      .select(col("src"),
+        (conv(substring(md5(concat(lit("e:"), col("src").cast("string"),
+          lit(":"), col("j").cast("string"))), 1, 12), 16, 10).cast("long")
+          % col("n")).as("dst"))
+  }
+
+  /** PageRank over (src, dst) edges, uniform init, fixed rounds.
+    *
+    * Cross-engine determinism: per-edge contributions are stab(12)-
+    * quantized then summed as DECIMAL(28,12) — exact and order-free — and
+    * each round's new score is stab(12)-collapsed after the damping
+    * arithmetic, so both engines iterate through identical doubles.
+    * `teleport` and `damping` are passed to both engines as plain
+    * literals (0.15/0.85), never derived as 1−d at runtime: double
+    * (1.0−0.85) ≠ double(0.15), and the two engines' literal parsers DO
+    * agree on nearest-double("0.15").
+    *
+    * Scale shape: each round shuffles contributions by dst (one hash
+    * aggregate) and equi-joins scores by src — linear in edges, nothing
+    * quadratic, no driver collect. At 100 TB a deployment adds a
+    * localCheckpoint per round to truncate lineage; at bench scale the
+    * unrolled plan is the better bench citizen (pure, lazy).
+    */
+  def pageRank(docs: DataFrame, edges: DataFrame, iters: Int = 5,
+               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+    val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val e = edges.join(deg, "src")
+    var pr = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
+      .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e.join(pr.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"),
+          Stable.stab(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))
+        .groupBy("dst").agg(sum("c").cast("double").as("s"))
+      pr = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
+        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          Stable.stab(lit(teleport) / col("n") +
+            lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
+    }
+    pr
+  }
+}

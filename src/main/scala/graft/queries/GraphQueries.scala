@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Graph
+import graft.sources.Tables
+
+/** Graph analytics over a deterministic synthetic link graph — iterative
+  * computation under the same value-identical DuckDB gate as everything
+  * else (the oracle unrolls the rounds as CTEs with the same stab/decimal
+  * arithmetic, so 5 rounds of PageRank hash-match bit for bit).
+  */
+object GraphQueries {
+
+  /** DuckDB twin of Graph.syntheticEdges(outDeg = 3) + per-src degrees. */
+  val edgeCtes: String =
+    """nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+      |e0 AS (
+      |  SELECT d.doc_id AS src,
+      |    CAST(CONCAT('0x', substr(md5('e:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      % (SELECT count(*) FROM documents) AS dst
+      |  FROM documents d, range(0, 3) t(j)),
+      |deg AS (SELECT src, count(*) AS deg FROM e0 GROUP BY src),
+      |e AS (SELECT e0.src, e0.dst, deg.deg FROM e0 JOIN deg USING (src))""".stripMargin
+
+  /** One unrolled PageRank round: stab(12) per-edge contributions summed
+    * as exact DECIMAL, stab(12) on the damped update — mirroring
+    * Graph.pageRank's arithmetic operation for operation.
+    */
+  private def roundCte(k: Int): String =
+    s"""r$k AS (
+       |  SELECT d.doc_id,
+       |    floor((0.15/(SELECT n FROM nn) + 0.85 * COALESCE(c.s, 0.0))*1000000000000.0+0.5)/1000000000000.0 AS pr
+       |  FROM documents d LEFT JOIN (
+       |    SELECT e.dst AS doc_id,
+       |      CAST(sum(CAST(floor(r.pr/e.deg*1000000000000.0+0.5)/1000000000000.0 AS DECIMAL(28,12))) AS DOUBLE) AS s
+       |    FROM e JOIN r${k - 1} r ON r.doc_id = e.src GROUP BY e.dst) c
+       |  ON c.doc_id = d.doc_id)""".stripMargin
+
+  def pageRankOracle(iters: Int): String =
+    s"""WITH $edgeCtes,
+       |r0 AS (SELECT doc_id, 1.0/(SELECT n FROM nn) AS pr FROM documents),
+       |${(1 to iters).map(roundCte).mkString(",\n")}
+       |SELECT doc_id, pr FROM r$iters ORDER BY pr DESC, doc_id LIMIT 20""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // 5-round PageRank, top-20: the iterative-analytics shape — per
+    // round one src equi-join + one dst hash aggregate, linear in
+    // edges, no collect — under a full hash gate (see Graph.pageRank on
+    // why the rounds are bit-stable cross-engine).
+    GraftQuery("graph_pagerank",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        Graph.pageRank(docs, Graph.syntheticEdges(docs), 5)
+          .orderBy(desc("pr"), asc("doc_id")).limit(20)
+      },
+      Some(pageRankOracle(5)))
+  )
+}

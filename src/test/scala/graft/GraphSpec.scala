@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("syntheticEdges: outDeg per node, targets in range, deterministic") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    val e = Graph.syntheticEdges(docs, 3).as[(Long, Long)].collect().toSeq
+    assert(e.length == 3 * n)
+    assert(e.forall { case (s, d) => s >= 0 && s < n && d >= 0 && d < n })
+    assert(e.sorted == Graph.syntheticEdges(docs, 3).as[(Long, Long)].collect().toSeq.sorted)
+  }
+
+  test("pageRank: mass conserved, uniform graph stays uniform, sink concentration ranks first") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val n = docs.count()
+    val pr = Graph.pageRank(docs, Graph.syntheticEdges(docs), 5)
+      .as[(Long, Double)].collect().toSeq
+    assert(pr.length == n)
+    assert(pr.forall(_._2 > 0))
+    // probability mass conserved up to the per-round stab(12) quantization
+    assert(math.abs(pr.map(_._2).sum - 1.0) < 1e-6)
+    // a ring (uniform in/out degree 1) is the PageRank fixed point: every
+    // node keeps exactly 1/N through every round
+    val ring = spark.range(10).select(col("id").as("doc_id"))
+    val ringEdges = ring.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % 10).as("dst"))
+    val rpr = Graph.pageRank(ring, ringEdges, 5).as[(Long, Double)].collect()
+    assert(rpr.forall(x => math.abs(x._2 - 0.1) < 1e-9))
+    // a star (all nodes -> node 0) concentrates rank on the hub
+    val star = spark.range(10).select(col("id").as("doc_id"))
+    val starEdges = star.select(col("doc_id").as("src"), lit(0L).as("dst"))
+    val spr = Graph.pageRank(star, starEdges, 5).as[(Long, Double)].collect()
+      .sortBy(-_._2)
+    assert(spr.head._1 == 0L)
+    assert(spr.head._2 > 0.5) // the hub holds most of the mass
+  }
+}
