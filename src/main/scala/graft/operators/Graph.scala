@@ -32,6 +32,28 @@ object Graph {
           % col("n")).as("dst"))
   }
 
+  /** Exact triangle count over the undirected simple graph induced by
+    * (src, dst) edges (self-loops dropped, parallel/reverse edges
+    * collapsed). The classic ordered-wedge formulation: orient every
+    * edge low→high, join wedges a<b<c on their closing edge — two
+    * equi-joins, each triangle counted exactly once. Integer-exact, so
+    * the gate needs no numeric stabilization. At scale both joins
+    * shuffle by vertex key; the ordering filter keeps the wedge set to
+    * Σ deg_high(v)² (the standard skew bound — orient-by-degree is the
+    * production refinement, same plan shape).
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val wedges = und.toDF("a", "b").as("x")
+      .join(und.toDF("b", "c").as("y"), "b")
+      .select(col("a"), col("b"), col("c"))
+    wedges.join(und.toDF("a", "c"), Seq("a", "c"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   /** PageRank over (src, dst) edges, uniform init, fixed rounds.
     *
     * Cross-engine determinism: per-edge contributions are stab(12)-

@@ -55,6 +55,21 @@ object GraphQueries {
         Graph.pageRank(docs, Graph.syntheticEdges(docs), 5)
           .orderBy(desc("pr"), asc("doc_id")).limit(20)
       },
-      Some(pageRankOracle(5)))
+      Some(pageRankOracle(5))),
+
+    // Exact triangle count (ordered-wedge join, integer arithmetic — no
+    // numeric stabilization anywhere in the gate).
+    GraftQuery("graph_triangles",
+      (s, d) => Graph.triangleCount(Graph.syntheticEdges(Tables.documents(s, d))),
+      Some(
+        s"""WITH $edgeCtes,
+           |und AS (
+           |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+           |  FROM e0 WHERE src <> dst),
+           |w AS (
+           |  SELECT x.a, x.b, y.b AS c
+           |  FROM und x JOIN und y ON y.a = x.b)
+           |SELECT count(*) AS n_triangles
+           |FROM w JOIN und z ON z.a = w.a AND z.b = w.c""".stripMargin))
   )
 }

@@ -17,6 +17,20 @@ class GraphSpec extends AnyFunSuite {
     assert(e.sorted == Graph.syntheticEdges(docs, 3).as[(Long, Long)].collect().toSeq.sorted)
   }
 
+  test("triangleCount: K3/K4 exact, direction/duplicates/self-loops ignored") {
+    import spark.implicits._
+    def cnt(edges: Seq[(Long, Long)]): Long =
+      graft.operators.Graph.triangleCount(edges.toDF("src", "dst"))
+        .as[Long].head()
+    assert(cnt(Seq(0L -> 1L, 1L -> 2L, 2L -> 0L)) == 1)           // K3
+    assert(cnt(Seq(0L -> 1L, 0L -> 2L, 0L -> 3L, 1L -> 2L,
+      1L -> 3L, 2L -> 3L)) == 4)                                  // K4: C(4,3)
+    // reversed duplicates, parallel edges, self-loops change nothing
+    assert(cnt(Seq(0L -> 1L, 1L -> 0L, 1L -> 2L, 1L -> 2L,
+      2L -> 0L, 2L -> 2L)) == 1)
+    assert(cnt(Seq(0L -> 1L, 1L -> 2L)) == 0)                     // open wedge
+  }
+
   test("pageRank: mass conserved, uniform graph stays uniform, sink concentration ranks first") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
