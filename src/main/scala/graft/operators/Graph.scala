@@ -32,6 +32,25 @@ object Graph {
           % col("n")).as("dst"))
   }
 
+  /** Block-local synthetic edges: node i draws `outDeg` targets inside
+    * its own `blockSize`-node block ((i div B)·B + md5-slice mod B).
+    * Components are therefore bounded by the block size — the fixture
+    * shape connected-components needs for a recursive-CTE oracle (a
+    * 3-out-degree global graph is one giant component, and the label
+    * closure would be |V|² rows in SQL; block-local edges keep it
+    * |V|·B while leaving real structure — blocks split into multiple
+    * components when the draws miss nodes).
+    */
+  def blockEdges(docs: DataFrame, blockSize: Int = 10,
+                 outDeg: Int = 2): DataFrame =
+    docs.select(col("doc_id").as("src"))
+      .select(col("src"), explode(sequence(lit(0), lit(outDeg - 1))).as("j"))
+      .select(col("src"),
+        (col("src") - col("src") % blockSize +
+          conv(substring(md5(concat(lit("b:"), col("src").cast("string"),
+            lit(":"), col("j").cast("string"))), 1, 12), 16, 10).cast("long")
+            % blockSize).as("dst"))
+
   /** Exact triangle count over the undirected simple graph induced by
     * (src, dst) edges (self-loops dropped, parallel/reverse edges
     * collapsed). The classic ordered-wedge formulation: orient every

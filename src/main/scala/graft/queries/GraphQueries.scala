@@ -57,6 +57,36 @@ object GraphQueries {
       },
       Some(pageRankOracle(5))),
 
+    // Connected components over block-local edges (components bounded by
+    // the block size — see Graph.blockEdges on why the recursive-CTE
+    // oracle needs that): the same label-propagation operator the dedup
+    // clusters ride (Dedup.clusters — iterate-to-convergence min-label,
+    // localCheckpoint per round), against the same recursive label
+    // closure the dedup oracle uses.
+    GraftQuery("graph_components",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val e = Graph.blockEdges(Tables.documents(s, d))
+        val pairs = e.filter(col("src") =!= col("dst"))
+          .select(least(col("src"), col("dst")).as("doc_a"),
+            greatest(col("src"), col("dst")).as("doc_b")).distinct()
+        graft.operators.Dedup.clusters(pairs)
+          .select(col("doc_id"), col("keep_id").as("component"))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE eb AS (
+           |  SELECT d.doc_id AS src,
+           |    d.doc_id - d.doc_id % 10 +
+           |      CAST(CONCAT('0x', substr(md5('b:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % 10 AS dst
+           |  FROM documents d, range(0, 2) t(j)),
+           |p AS (
+           |  SELECT DISTINCT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b
+           |  FROM eb WHERE src <> dst),
+           |${DedupQueries.ccCtes}
+           |SELECT node AS doc_id, min(label) AS component
+           |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin)),
+
     // Exact triangle count (ordered-wedge join, integer arithmetic — no
     // numeric stabilization anywhere in the gate).
     GraftQuery("graph_triangles",

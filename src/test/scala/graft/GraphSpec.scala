@@ -31,6 +31,26 @@ class GraphSpec extends AnyFunSuite {
     assert(cnt(Seq(0L -> 1L, 1L -> 2L)) == 0)                     // open wedge
   }
 
+  test("blockEdges + components: edges stay in-block, labels are component minima") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val e = graft.operators.Graph.blockEdges(docs).as[(Long, Long)].collect()
+    assert(e.forall { case (s, d) => s / 10 == d / 10 }) // never crosses a block
+    val pairs = graft.operators.Graph.blockEdges(docs)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b")).distinct()
+    val comp = graft.operators.Dedup.clusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    // the component id IS the minimum member (label propagation invariant),
+    // and every edge joins two nodes of the same component
+    val byComp = comp.groupBy(_._2)
+    assert(byComp.forall { case (label, m) => m.keys.min == label })
+    val prs = pairs.as[(Long, Long)].collect()
+    assert(prs.forall { case (a, b) => comp(a) == comp(b) })
+    assert(byComp.size > 1) // blocks split into multiple components
+  }
+
   test("pageRank: mass conserved, uniform graph stays uniform, sink concentration ranks first") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
