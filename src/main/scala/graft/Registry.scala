@@ -25,5 +25,6 @@ object Registry {
       graft.queries.TextAnalysisQueries.all ++
       graft.queries.EventQueries.all ++
       graft.queries.MultimodalQueries.all ++
-      graft.queries.GraphQueries.all
+      graft.queries.GraphQueries.all ++
+      graft.queries.BpeQueries.all
 }

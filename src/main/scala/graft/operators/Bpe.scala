@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed byte-pair-encoding tokenizer training — the missing piece
+  * between "count whitespace tokens" and a real LLM data budget: the token
+  * count of a training corpus is defined by a TRAINED subword vocabulary,
+  * not by whitespace.
+  *
+  * Shape: training iterates over the word-TYPE table (Sennrich's algorithm
+  * — types weighted by corpus frequency, never token instances), so the
+  * corpus-scale work is ONE tokenize + groupBy, localCheckpointed; each
+  * merge round is a pair-count hash aggregate over |types| rows plus a
+  * literal string replace. At 100 TB the type table is millions of rows —
+  * executor-resident — and only the single argmax row crosses to the
+  * driver per round: the same metadata-bounded trainer contract as
+  * k-means/IVF (k×dim there, one (pair, cnt) row here).
+  *
+  * Cross-engine exactness: a word's symbol state is a plain string — every
+  * symbol wrapped in single spaces (" t  h  e ") so adjacent symbols are
+  * double-space separated and every symbol carries its own delimiters.
+  * A merge of pair (a, b) is then replace(sym, " a  b ", " ab "):
+  * left-to-right non-overlapping LITERAL replacement with identical
+  * semantics in Spark (UTF8String.replace) and DuckDB (replace) — no
+  * regex, no lookbehind, no engine divergence — and the own-delimiter
+  * rendering makes a whole-symbol match structurally unambiguous (the
+  * symbol pair ("ba","b") renders " ba  b ", which cannot contain the
+  * pattern " a  b "). Counts are integers and the argmax tie-break
+  * (cnt desc, pair asc — binary collation both engines) is a total order,
+  * so the whole iterative computation hash-matches an unrolled-CTE DuckDB
+  * twin: the PageRank discipline (graph_pagerank), for strings instead of
+  * decimals.
+  */
+object Bpe {
+
+  /** One merge decision: `pair` is "a b" (single-space-joined symbols),
+    * `cnt` its corpus frequency at selection time.
+    */
+  final case class Merge(step: Int, pair: String, cnt: Long)
+
+  /** (word, freq, sym): the word-type table with initial symbol state —
+    * each character wrapped in spaces ("the" → " t  h  e ").
+    */
+  def wordTypes(docs: DataFrame): DataFrame =
+    Search.tokens(docs).groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", regexp_replace(col("word"), "(.)", " $1 "))
+
+  /** Corpus pair counts of the current symbol state: (pair, cnt) with
+    * pair = "a b". zip_with over two slices of the symbol array — the
+    * codegen-friendly bigram form (see Search.phraseTopK on the 17×
+    * interpreted-HOF trap with transform+element_at).
+    */
+  def pairCounts(wt: DataFrame): DataFrame = {
+    val arr = split(trim(col("sym")), "  ")
+    val n = size(col("arr"))
+    wt.select(col("freq"), arr.as("arr"))
+      .select(col("freq"), explode(zip_with(
+        slice(col("arr"), lit(1), n - 1),
+        slice(col("arr"), lit(2), n - 1),
+        (a, b) => concat_ws(" ", a, b))).as("pair"))
+      .groupBy("pair").agg(sum("freq").as("cnt"))
+  }
+
+  /** replace(sym, " a  b ", " ab ") for pair "a b" — one merge step. */
+  def mergeExpr(sym: Column, pair: String): Column = {
+    val pat = " " + pair.replace(" ", "  ") + " "
+    val merged = " " + pair.replace(" ", "") + " "
+    replace(sym, lit(pat), lit(merged))
+  }
+
+  /** Train `numMerges` merges. Jobs: one localCheckpoint of the type table
+    * (the only corpus scan), then one 1-row argmax collect per round —
+    * driver traffic is numMerges (pair, cnt) rows total. Stops early only
+    * on a degenerate corpus where every word is a single symbol (the
+    * oracle assumes the full run; the fixtures are nowhere near it).
+    */
+  def train(docs: DataFrame, numMerges: Int = 8): Seq[Merge] = {
+    var wt = wordTypes(docs).localCheckpoint()
+    val out = Seq.newBuilder[Merge]
+    var k = 1
+    var exhausted = false
+    while (k <= numMerges && !exhausted) {
+      val best = pairCounts(wt).orderBy(desc("cnt"), asc("pair")).limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val m = Merge(k, best(0).getString(0), best(0).getLong(1))
+        out += m
+        wt = wt.withColumn("sym", mergeExpr(col("sym"), m.pair))
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  /** Apply an ordered merge list to a (word, freq, sym) table — the
+    * ENCODE side of the tokenizer: merges chain as literal replaces, so
+    * encoding is a narrow projection (no shuffle, no state).
+    */
+  def applyMerges(wt: DataFrame, merges: Seq[Merge]): DataFrame =
+    merges.foldLeft(wt)((d, m) => d.withColumn("sym", mergeExpr(col("sym"), m.pair)))
+
+  /** Final subword vocabulary with corpus token counts: (symbol,
+    * n_tokens), the trained tokenizer's frequency table.
+    */
+  def symbolVocab(wt: DataFrame, merges: Seq[Merge]): DataFrame =
+    applyMerges(wt, merges)
+      .select(col("freq"), explode(split(trim(col("sym")), "  ")).as("symbol"))
+      .groupBy("symbol").agg(sum("freq").as("n_tokens"))
+
+  /** Per-document token count under the trained tokenizer: the per-word
+    * symbol count joins the (doc_id, word, tf) table — broadcast (the
+    * type table's (word, n_sym) projection is small even when the corpus
+    * is not), then one per-doc sum. THE corpus-budget question for
+    * training-data planning, answered with one corpus pass.
+    */
+  def docTokenCounts(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val nSym = applyMerges(wordTypes(docs), merges)
+      .select(col("word"), size(split(trim(col("sym")), "  ")).as("n_sym"))
+    Search.docWordCounts(docs).join(broadcast(nSym), "word")
+      .groupBy("doc_id").agg(sum(col("tf") * col("n_sym")).as("bpe_tokens"))
+  }
+}

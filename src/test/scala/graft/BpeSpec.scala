@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class BpeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  test("mergeExpr: whole-symbol match only, greedy left-to-right") {
+    import spark.implicits._
+    def m(sym: String, pair: String): String =
+      Seq(sym).toDF("sym")
+        .select(Bpe.mergeExpr(col("sym"), pair)).as[String].head()
+    assert(m(" a  b ", "a b") == " ab ")
+    // own-delimiter rendering: pair "a b" must NOT fire inside ("ba","b")
+    assert(m(" ba  b ", "a b") == " ba  b ")
+    // greedy left-to-right on overlap: (a,a) over "aaa" → ["aa","a"]
+    assert(m(" a  a  a ", "a a") == " aa  a ")
+    // consecutive non-overlapping matches both fire
+    assert(m(" a  b  a  b ", "a b") == " ab  ab ")
+  }
+
+  test("train + encode match hand-computed BPE on a tiny corpus") {
+    import spark.implicits._
+    // words: aaa×1, ab×3 → round 1 picks "a b" (3 > 2), round 2 "a a"
+    val docs = Seq((1L, "aaa ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 2)
+    assert(merges.map(m => (m.step, m.pair, m.cnt)) ==
+      Seq((1, "a b", 3L), (2, "a a", 2L)))
+    val vocab = Bpe.symbolVocab(Bpe.wordTypes(docs), merges)
+      .as[(String, Long)].collect().toMap
+    assert(vocab == Map("ab" -> 3L, "aa" -> 1L, "a" -> 1L))
+    val perDoc = Bpe.docTokenCounts(docs, merges).as[(Long, Long)].collect().toMap
+    assert(perDoc == Map(1L -> 3L, 2L -> 2L)) // aaa→[aa,a]=2 +ab→1; ab,ab→2
+  }
+
+  test("train on the fixture: full run, counts non-increasing, budgets consistent") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val merges = Bpe.train(docs, 8)
+    assert(merges.map(_.step) == (1 to 8))
+    assert(merges.forall(_.pair.split(" ").length == 2))
+    // a newly created pair occurs at most as often as the symbol just
+    // merged, so selected counts never increase across rounds
+    assert(merges.map(_.cnt).sliding(2).forall(w => w(0) >= w(1)))
+    // total corpus symbols: vocabulary view and per-doc view must agree
+    val vocabTotal = Bpe.symbolVocab(Bpe.wordTypes(docs), merges)
+      .agg(sum("n_tokens")).as[Long].head()
+    val docTotal = Bpe.docTokenCounts(docs, merges)
+      .agg(sum("bpe_tokens")).as[Long].head()
+    assert(vocabTotal == docTotal && vocabTotal > 0)
+    // merging strictly shrinks the budget vs character-level
+    val charTotal = Bpe.wordTypes(docs)
+      .agg(sum(length(col("word")) * col("freq"))).as[Long].head()
+    assert(docTotal < charTotal)
+  }
+}
