@@ -216,6 +216,18 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("bpe_token_count: encode is a broadcast equi-join over hash aggs") {
+    // construction runs the trainer (8 bounded argmax collects — the
+    // trainer contract); the lock is on the ENCODE plan: the per-word
+    // symbol-count side broadcasts, merges are literal replaces in a
+    // narrow projection, nothing sorts or nests
+    val p = plan("bpe_token_count")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortAggregate"))
+  }
+
   test("q_filter_project: all predicates reach the parquet reader") {
     val p = plan("q_filter_project")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
