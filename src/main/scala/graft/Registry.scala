@@ -26,5 +26,6 @@ object Registry {
       graft.queries.EventQueries.all ++
       graft.queries.MultimodalQueries.all ++
       graft.queries.GraphQueries.all ++
-      graft.queries.BpeQueries.all
+      graft.queries.BpeQueries.all ++
+      graft.queries.SemDedupQueries.all
 }

@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SemDeDup — cluster-then-dedup over embeddings (Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication"): k-means the corpus, then search for near-duplicate
+  * pairs WITHIN each cluster only. Candidate count drops from N² to
+  * Σ|cell|² — with k scaled ∝ N this is the only embedding-dedup shape
+  * that survives web scale, and it is the technique's definition (the
+  * within-cluster restriction is semantics, not an approximation to be
+  * recall-measured — contrast dedup_embedding's LSH blocking, which
+  * approximates the all-pairs answer).
+  *
+  * Unlike the serving-tier IVF trainer (Similarity.kmeansCentroids:
+  * xxhash64 seeds, typed-UDAF means, early stop — tuned for speed), this
+  * trainer is built for the value-identical gate, the PageRank/BPE
+  * discipline applied to Lloyd's algorithm:
+  *
+  *  - seeds = first k vectors in (md5(vec_id), vec_id) order — a
+  *    deterministic uniform pick DuckDB re-derives exactly;
+  *  - assignment = argmax of stab(6) cosine, ties to the lower cell id —
+  *    dot products fold dims in index order in BOTH engines (ArrayDot
+  *    here, list_sum(list_transform) there), so the doubles agree
+  *    bit-for-bit;
+  *  - update = per-(cell, dim) avg collapsed with stab(6) — aggregation
+  *    order differs across engines but the 1e-6 quantum absorbs the
+  *    ~1e-15 reassociation noise (the emb_label_outliers gate, iterated);
+  *  - fixed rounds, no early stop (a converged round is a fixed point on
+  *    both sides, so extra rounds cannot diverge).
+  *
+  * Scale shape: per round one k-way broadcast crossJoin + argmax window
+  * over N×k rows and one (cell, dim)-keyed mean — k×dim doubles to the
+  * driver per round (the bounded trainer contract). The pair stage is a
+  * cell-keyed equi self-join; nothing is ever quadratic in N.
+  */
+object SemDedup {
+
+  /** Final (vec_id, cell) assignment after `iters` gated Lloyd rounds. */
+  def cells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val p = Similarity.prepared(embeddings) // vec_id, e, nrm
+    var cent: DataFrame = p
+      .withColumn("rn", row_number().over(
+        Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+      .filter(col("rn") <= k)
+      .select((col("rn") - 1).cast("int").as("cell"), col("e").as("c"))
+      .withColumn("cnrm", Similarity.norm(col("c")))
+    for (_ <- 1 to iters) {
+      val asg = assign(p, cent)
+      cent = update(p, asg)
+    }
+    assign(p, cent)
+  }
+
+  /** argmax_cell stab(6) cos(e, c), ties to the lower cell id. */
+  private def assign(p: DataFrame, cent: DataFrame): DataFrame = {
+    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cell"))
+    p.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cell"),
+        Stable.stab(Similarity.dot(col("e"), col("c")) /
+          (col("nrm") * col("cnrm")), 6).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("vec_id", "cell")
+  }
+
+  /** Per-(cell, dim) stab(6) means, reassembled to centroid arrays —
+    * collects k×dim doubles so the next round starts from a
+    * LocalRelation (O(1) lineage across rounds).
+    */
+  private def update(p: DataFrame, asg: DataFrame): DataFrame = {
+    val spark = p.sparkSession
+    import spark.implicits._
+    val rows = asg.join(p, "vec_id")
+      .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
+      .groupBy("cell", "i").agg(Stable.stab(avg("x"), 6).as("c"))
+      .groupBy("cell")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("c")))),
+        s => s.getField("c")).as("c"))
+      .collect().map(r => (r.getInt(0), r.getSeq[Double](1))).toSeq
+      .sortBy(_._1)
+    rows.toDF("cell", "c").withColumn("cnrm", Similarity.norm(col("c")))
+  }
+
+  /** Near-duplicate pairs within each cluster: (vec_a, vec_b, cell, cos)
+    * with exact stab(6) cosine ≥ threshold — a cell-keyed equi self-join
+    * (candidates Σ|cell|², never N²).
+    */
+  def pairs(embeddings: DataFrame, threshold: Double,
+            k: Int = 8, iters: Int = 3): DataFrame = {
+    val asg = cells(embeddings, k, iters)
+    val side = asg.join(Similarity.prepared(embeddings), "vec_id")
+    side.as("a").join(side.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.SemDedup
+import graft.sources.Tables
+
+/** SemDeDup under the value-identical gate: the oracle unrolls the gated
+  * Lloyd rounds as CTEs (seeds → assign → per-dim stab(6) means, ×3, then
+  * the final assignment and the within-cell pair join). MATERIALIZED for
+  * the same reason as the BPE chain: each round's tables are referenced
+  * twice downstream and would re-inline exponentially.
+  */
+object SemDedupQueries {
+
+  val K = 8
+  val Iters = 3
+  val Threshold = 0.45
+
+  /** stab(6) cosine between a row alias with (e, nrm) and a centroid
+    * alias with (c, cnrm).
+    */
+  private def cosC(a: String, c: String): String =
+    s"floor(list_sum(list_transform(range(1, len($a.e)+1), i -> $a.e[i]*$c.c[i]))" +
+      s"/($a.nrm*$c.cnrm)*1000000.0+0.5)/1000000.0"
+
+  /** One assignment CTE `name` against centroids `cent`: argmax stab(6)
+    * cosine, ties to the lower cell id.
+    */
+  private def assignCte(name: String, cent: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT n.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${cosC("n", "c")} DESC, c.cell ASC) AS rn
+       |    FROM n, $cent c) WHERE rn = 1)""".stripMargin
+
+  /** The full trainer chain: prep, md5-ordered seeds, Iters gated Lloyd
+    * rounds, final assignment `af`, pair side `s`.
+    */
+  def chainCtes: String = {
+    val head =
+      s"""${SimilarityQueries.prepCte},
+         |seed AS MATERIALIZED (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, e FROM (
+         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, e FROM n) WHERE rn <= $K),
+         |c0 AS MATERIALIZED (SELECT cell, e AS c, sqrt(list_sum(list_transform(e, x -> x*x))) AS cnrm FROM seed)""".stripMargin
+    val rounds = (1 to Iters).map { r =>
+      s"""${assignCte(s"a$r", s"c${r - 1}")},
+         |c$r AS MATERIALIZED (
+         |  SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM (
+         |    SELECT cell, list(cd ORDER BY i) AS c FROM (
+         |      SELECT a.cell, t.i, floor(avg(n.e[t.i])*1000000.0+0.5)/1000000.0 AS cd
+         |      FROM a$r a JOIN n ON n.vec_id = a.vec_id, unnest(range(1, len(n.e)+1)) t(i)
+         |      GROUP BY a.cell, t.i) GROUP BY cell))""".stripMargin
+    }
+    val tail =
+      s"""${assignCte("af", s"c$Iters")},
+         |s AS (SELECT a.vec_id, a.cell, n.e, n.nrm FROM af a JOIN n ON n.vec_id = a.vec_id)""".stripMargin
+    (head +: rounds :+ tail).mkString(",\n")
+  }
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // Within-cluster near-duplicate pairs — the SemDeDup candidate set,
+    // hash-matched end to end THROUGH the iterative trainer.
+    GraftQuery("dedup_semantic",
+      (s, d) => SemDedup.pairs(Tables.embeddings(s, d), Threshold, K, Iters)
+        .orderBy("vec_a", "vec_b"),
+      Some {
+        val pc = SimilarityQueries.cosSql("x", "y")
+        s"""WITH $chainCtes
+           |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell AS cell, $pc AS cos
+           |FROM s x JOIN s y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |WHERE $pc >= $Threshold ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
+    // The cluster assignment itself — cluster cardinality is the quantity
+    // SemDeDup's cost model runs on (Σ|cell|² candidate bound), and the
+    // gate on it pins every trainer round transitively.
+    GraftQuery("dedup_semantic_cells",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        SemDedup.cells(Tables.embeddings(s, d), K, Iters)
+          .groupBy("cell").agg(count(lit(1)).as("members"))
+          .orderBy("cell")
+      },
+      Some(
+        s"""WITH $chainCtes
+           |SELECT cell, CAST(count(*) AS BIGINT) AS members
+           |FROM af GROUP BY cell ORDER BY cell""".stripMargin))
+  )
+}

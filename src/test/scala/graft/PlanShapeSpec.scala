@@ -228,6 +228,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortAggregate"))
   }
 
+  test("dedup_semantic: pair stage is a cell-keyed equi self-join, never cartesian") {
+    // trainer rounds run at construction (bounded k×dim collects); the
+    // runtime plan is the final assignment (k-row broadcast argmax — the
+    // only nested-loop, against an 8-row LocalRelation) plus the pair
+    // join, which MUST key on cell
+    val p = plan("dedup_semantic")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
   test("q_filter_project: all predicates reach the parquet reader") {
     val p = plan("q_filter_project")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
