@@ -39,8 +39,11 @@ import org.apache.spark.sql.functions._
   */
 object SemDedup {
 
-  /** Final (vec_id, cell) assignment after `iters` gated Lloyd rounds. */
-  def cells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  /** Trained model: ((vec_id, cell) assignment, (cell, c, cnrm)
+    * centroids) after `iters` gated Lloyd rounds.
+    */
+  def model(embeddings: DataFrame, k: Int = 8,
+            iters: Int = 3): (DataFrame, DataFrame) = {
     val p = Similarity.prepared(embeddings) // vec_id, e, nrm
     var cent: DataFrame = p
       .withColumn("rn", row_number().over(
@@ -52,8 +55,12 @@ object SemDedup {
       val asg = assign(p, cent)
       cent = update(p, asg)
     }
-    assign(p, cent)
+    (assign(p, cent), cent)
   }
+
+  /** Final (vec_id, cell) assignment after `iters` gated Lloyd rounds. */
+  def cells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    model(embeddings, k, iters)._1
 
   /** argmax_cell stab(6) cos(e, c), ties to the lower cell id. */
   private def assign(p: DataFrame, cent: DataFrame): DataFrame = {
@@ -90,13 +97,42 @@ object SemDedup {
     * (candidates Σ|cell|², never N²).
     */
   def pairs(embeddings: DataFrame, threshold: Double,
-            k: Int = 8, iters: Int = 3): DataFrame = {
-    val asg = cells(embeddings, k, iters)
-    val side = asg.join(Similarity.prepared(embeddings), "vec_id")
+            k: Int = 8, iters: Int = 3): DataFrame =
+    pairsFrom(model(embeddings, k, iters)._1,
+      Similarity.prepared(embeddings), threshold)
+
+  private def pairsFrom(asg: DataFrame, p: DataFrame,
+                        threshold: Double): DataFrame = {
+    val side = asg.join(p, "vec_id")
     side.as("a").join(side.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))
       .filter(col("cos") >= threshold)
+  }
+
+  /** The prune decision — SemDeDup's action: connect near-dup pairs into
+    * groups (label propagation, component id = min member), keep ONE
+    * member per group — the paper's rule, the member with the LOWEST
+    * cosine to its cluster centroid (the least typical exemplar, which
+    * preserves diversity) — and mark the rest for removal. Only vectors
+    * that appear in some pair are listed: `keep = false` rows ARE the
+    * prune list a pipeline feeds to its filter.
+    */
+  def keep(embeddings: DataFrame, threshold: Double,
+           k: Int = 8, iters: Int = 3): DataFrame = {
+    val p = Similarity.prepared(embeddings)
+    val (asg, cent) = model(embeddings, k, iters)
+    val pr = pairsFrom(asg, p, threshold)
+    val comp = Dedup.clusters(
+      pr.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val scored = comp.withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("keep_id", "component")
+      .join(asg, "vec_id").join(p, "vec_id").join(broadcast(cent), "cell")
+      .select(col("vec_id"), col("component"),
+        Stable.stab(Similarity.dot(col("e"), col("c")) /
+          (col("nrm") * col("cnrm")), 6).as("ccos"))
+    val w = Window.partitionBy("component").orderBy(asc("ccos"), asc("vec_id"))
+    scored.withColumn("keep", row_number().over(w) === 1)
   }
 }

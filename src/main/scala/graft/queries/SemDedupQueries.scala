@@ -73,6 +73,35 @@ object SemDedupQueries {
            |WHERE $pc >= $Threshold ORDER BY vec_a, vec_b""".stripMargin
       }),
 
+    // The actionable output: near-dup groups via label propagation over
+    // the semantic pairs, one keeper per group (lowest centroid cosine —
+    // the paper's diversity-preserving rule). keep=false rows are the
+    // prune list. The oracle adds the recursive label closure on top of
+    // the trainer chain (components are near-dup groups — a handful of
+    // members each, so the closure is tiny at any SF).
+    GraftQuery("dedup_semantic_keep",
+      (s, d) => SemDedup.keep(Tables.embeddings(s, d), Threshold, K, Iters)
+        .orderBy("component", "vec_id"),
+      Some {
+        val pc = SimilarityQueries.cosSql("x", "y")
+        s"""WITH RECURSIVE $chainCtes,
+           |pr AS (
+           |  SELECT x.vec_id AS vec_a, y.vec_id AS vec_b
+           |  FROM s x JOIN s y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |  WHERE $pc >= $Threshold),
+           |p AS (SELECT vec_a AS doc_a, vec_b AS doc_b FROM pr),
+           |${DedupQueries.ccCtes},
+           |comp AS (SELECT node AS vec_id, min(label) AS component FROM lbl GROUP BY node),
+           |cc AS (
+           |  SELECT c.vec_id, c.component, ${cosC("s", "ct")} AS ccos
+           |  FROM comp c JOIN s ON s.vec_id = c.vec_id JOIN c$Iters ct ON ct.cell = s.cell),
+           |r AS (SELECT vec_id, component, ccos,
+           |        row_number() OVER (PARTITION BY component ORDER BY ccos, vec_id) AS rn
+           |      FROM cc)
+           |SELECT vec_id, component, ccos, (rn = 1) AS keep
+           |FROM r ORDER BY component, vec_id""".stripMargin
+      }),
+
     // The cluster assignment itself — cluster cardinality is the quantity
     // SemDeDup's cost model runs on (Σ|cell|² candidate bound), and the
     // gate on it pins every trainer round transitively.

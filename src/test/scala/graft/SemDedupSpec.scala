@@ -34,4 +34,28 @@ class SemDedupSpec extends AnyFunSuite {
     val coClustered = exact.filter { case (a, b, _) => cellOf(a) == cellOf(b) }
     assert(sem == coClustered) // and it is EXACTLY the co-clustered subset
   }
+
+  test("keep: one keeper per group, keeper is the least-typical member") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val rows = SemDedup.keep(emb, 0.45)
+      .select("vec_id", "component", "ccos", "keep")
+      .as[(Long, Long, Double, Boolean)].collect()
+    // only vectors that appear in some near-dup pair are listed
+    val paired = SemDedup.pairs(emb, 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p._1, p._2)).toSet
+    assert(rows.map(_._1).toSet == paired)
+    val byComp = rows.groupBy(_._2)
+    byComp.foreach { case (_, members) =>
+      assert(members.count(_._4) == 1) // exactly one keeper
+      val keeper = members.find(_._4).get
+      // the paper's diversity rule: keeper minimizes centroid cosine,
+      // ties to the lower vec_id
+      val best = members.minBy(m => (m._3, m._1))
+      assert(keeper._1 == best._1)
+      // component id is the min member id (label-propagation fixpoint)
+      assert(members.map(_._1).min == members.head._2)
+    }
+  }
 }
