@@ -27,5 +27,6 @@ object Registry {
       graft.queries.MultimodalQueries.all ++
       graft.queries.GraphQueries.all ++
       graft.queries.BpeQueries.all ++
-      graft.queries.SemDedupQueries.all
+      graft.queries.SemDedupQueries.all ++
+      graft.queries.SelectionQueries.all
 }

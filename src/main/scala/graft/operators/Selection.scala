@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Data selection via importance resampling (DSIR-style): score every raw
+  * document by how much it resembles a target domain, using hashed n-gram
+  * bag-of-words models — the standard cheap data-selection signal an LLM
+  * pipeline runs over the whole crawl before training.
+  *
+  * Model: unigram+bigram occurrences hash into `Buckets` feature buckets;
+  * a target distribution p (docs matching the target predicate) and a raw
+  * distribution q (the full pool) are estimated with add-one smoothing over
+  * the bucket space; a document's importance weight is
+  * `log w(d) = Σ_b count_d[b] · (ln p[b] − ln q[b])`.
+  *
+  * Cross-engine gate: the per-bucket log-ratio is collapsed ONCE to an
+  * integer micro-nat (`lam_micro = round_6(ln ratio)·1e6` as BIGINT,
+  * bucket-cardinality-bounded work), after which the per-document score is
+  * PURE INTEGER arithmetic — `Σ count·lam_micro` is an exact, order-free
+  * BIGINT sum in both engines, divided once at the end for display. No
+  * floating-point aggregation anywhere corpus-scale.
+  *
+  * Scale shape: one gram-stream scan feeds both the model (hash agg on a
+  * `Buckets`-sized key — partials collapse map-side, the shuffle is B rows
+  * per partition) and the per-doc features (hash agg on (doc_id, bucket));
+  * the λ table is B rows and broadcast, so scoring adds no corpus-scale
+  * shuffle beyond the one (doc_id, bucket) aggregate. Selection is a
+  * TakeOrderedAndProject top-k, never a global sort.
+  */
+object Selection {
+
+  /** Feature-space size. Small enough that the λ table broadcast is trivial
+    * and the model shuffle is negligible; large enough that bucket
+    * collisions blur, not bury, the domain signal (DSIR uses 10k buckets at
+    * crawl scale — the ratio estimator is collision-tolerant by design).
+    */
+  val Buckets = 512
+
+  /** Unigram + bigram occurrence stream: (keep..., g), one row per gram.
+    * Both gram orders are built from the SAME token array and exploded in
+    * ONE pass (unigram array ++ bigram array), so the stream costs a single
+    * narrow corpus scan — a union of two explode branches would scan twice.
+    */
+  def gramStream(docs: DataFrame, keep: Seq[String] = Seq("doc_id")): DataFrame = {
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val base = docs.select(keep.map(col) :+ arr.as("arr"): _*)
+    val bigram = transform(sequence(lit(0), size(col("arr")) - 2),
+      i => concat_ws(" ", element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))
+    // guard: sequence(0, -1) would DESCEND, not produce empty
+    val grams = concat(col("arr"),
+      when(size(col("arr")) >= 2, bigram).otherwise(array()))
+    base.select(keep.map(col) :+ explode(grams).as("g"): _*)
+  }
+
+  /** Feature bucket of a gram: the same md5 60-bit slice every other gated
+    * hash in the repo uses (Dedup.shingleKey), reduced mod `buckets` —
+    * non-negative, so `%` agrees between engines.
+    */
+  def bucket(g: Column, buckets: Int = Buckets): Column =
+    conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
+
+  /** Train the model: (b, lam_micro) — the per-bucket importance log-ratio
+    * `round_6(ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))·1e6` as BIGINT. Buckets
+    * never seen in the raw pool carry no row; they cannot occur in any
+    * document to score (raw = the full pool), so the λ table is total over
+    * the join domain by construction.
+    */
+  def model(docs: DataFrame, isTarget: Column, buckets: Int = Buckets): DataFrame = {
+    val g = gramStream(docs.withColumn("is_t", isTarget), Seq("is_t"))
+      .select(col("is_t"), bucket(col("g"), buckets).as("b"))
+    val counts = g.groupBy("b").agg(
+      count(lit(1)).as("cr"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      // <= `buckets` rows, referenced twice below (totals + λ projection);
+      // without the cut each reference re-runs the corpus gram scan
+      .localCheckpoint()
+    val tot = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    // (ct+1)(Tr+B) and (cr+1)(Tt+B) are exact BIGINT products (< 2^53),
+    // each converted to double exactly; ONE double division + ln, then the
+    // stab collapse to integer micro-nats. Identical op sequence in DuckDB.
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(((col("ct") + 1).cast("double") * (col("tr") + buckets)) /
+          ((col("cr") + 1) * (col("tt") + buckets)).cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("lam_micro"))
+  }
+
+  /** Per-document importance weights: (doc_id, n_grams, logw). The score
+    * aggregate is exact integer arithmetic (see object doc); `logw` is the
+    * single final micro-nat→double conversion.
+    */
+  def weights(docs: DataFrame, isTarget: Column, buckets: Int = Buckets): DataFrame =
+    weightsFrom(docs, model(docs, isTarget, buckets), buckets)
+
+  /** Score against a pre-trained λ table — a pipeline trains the model once
+    * (or on a held-out target) and scores many raw corpora with it.
+    */
+  def weightsFrom(docs: DataFrame, lam: DataFrame, buckets: Int = Buckets): DataFrame =
+    gramStream(docs).select(col("doc_id"), bucket(col("g"), buckets).as("b"))
+      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_micro")).as("lw_micro"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("lw_micro").cast("double") / lit(1000000.0)).as("logw"))
+
+  /** The selection itself: top-k raw documents by importance weight
+    * (deterministic ties → lower doc_id), ranked. TakeOrderedAndProject
+    * does the top-k; the rank window runs over k rows, not the corpus.
+    */
+  def selectTopK(docs: DataFrame, isTarget: Column, k: Int,
+                 buckets: Int = Buckets): DataFrame = {
+    val w = weights(docs, isTarget, buckets)
+      .orderBy(desc("logw"), asc("doc_id")).limit(k)
+    w.withColumn("rank",
+        row_number().over(Window.orderBy(desc("logw"), asc("doc_id"))).cast("long"))
+      .select("rank", "doc_id", "n_grams", "logw")
+  }
+}

@@ -239,6 +239,18 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("BroadcastHashJoin"))
   }
 
+  test("text_dsir_weights: two corpus passes, λ table broadcast, no corpus cartesian") {
+    // one gram-stream scan trains the model (cut at the B-row counts
+    // checkpoint), one scores — a union'd gram stream or an uncut model
+    // subtree multiplies corpus scans (6 before the fix)
+    val p = plan("text_dsir_weights")
+    assert("Scan parquet".r.findAllIn(p).size <= 2, "extra corpus scans")
+    assert(p.contains("BroadcastHashJoin"), "λ join must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    // the only nested loop is the 1-row totals broadcast under the trainer
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q_filter_project: all predicates reach the parquet reader") {
     val p = plan("q_filter_project")
     assert(p.contains("GreaterThanOrEqual(l_shipdate") &&
