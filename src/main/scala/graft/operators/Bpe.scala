@@ -39,6 +39,17 @@ object Bpe {
     */
   final case class Merge(step: Int, pair: String, cnt: Long)
 
+  /** Merges folded into one plan segment before the lineage is cut with a
+    * localCheckpoint. One chained `replace` per merge is free at 8 merges
+    * but a 32k-merge production vocabulary would build a 32k-deep
+    * expression tree — quadratic planner work during training (each round
+    * re-plans the whole chain) and an un-codegen-able mega-projection at
+    * encode. Chunking bounds every plan to ≤ ChunkMerges replaces; the
+    * checkpoint materializes the type table (types × ~bytes — executor
+    * resident at any corpus size, it is the trainer's working set anyway).
+    */
+  val ChunkMerges = 64
+
   /** (word, freq, sym): the word-type table with initial symbol state —
     * each character wrapped in spaces ("the" → " t  h  e ").
     */
@@ -87,6 +98,10 @@ object Bpe {
         val m = Merge(k, best(0).getString(0), best(0).getLong(1))
         out += m
         wt = wt.withColumn("sym", mergeExpr(col("sym"), m.pair))
+        // cut the replace chain every ChunkMerges rounds — without this
+        // round r re-plans r chained replaces (quadratic planner work
+        // across a 32k-merge run)
+        if (k % ChunkMerges == 0) wt = wt.localCheckpoint()
         k += 1
       }
     }
@@ -95,10 +110,18 @@ object Bpe {
 
   /** Apply an ordered merge list to a (word, freq, sym) table — the
     * ENCODE side of the tokenizer: merges chain as literal replaces, so
-    * encoding is a narrow projection (no shuffle, no state).
+    * encoding is a narrow projection (no shuffle, no state). Past
+    * ChunkMerges merges the chain is cut per chunk (see ChunkMerges) so
+    * plan depth stays bounded at any vocabulary size; at ≤ ChunkMerges
+    * merges the plan is exactly the old single projection.
     */
-  def applyMerges(wt: DataFrame, merges: Seq[Merge]): DataFrame =
-    merges.foldLeft(wt)((d, m) => d.withColumn("sym", mergeExpr(col("sym"), m.pair)))
+  def applyMerges(wt: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val chunks = merges.grouped(ChunkMerges).toSeq
+    chunks.zipWithIndex.foldLeft(wt) { case (d0, (chunk, i)) =>
+      val d = chunk.foldLeft(d0)((d, m) => d.withColumn("sym", mergeExpr(col("sym"), m.pair)))
+      if (i < chunks.size - 1) d.localCheckpoint() else d
+    }
+  }
 
   /** Final subword vocabulary with corpus token counts: (symbol,
     * n_tokens), the trained tokenizer's frequency table.

@@ -3,6 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.TimeOps
+
 /** Strict-order funnel analysis — the sequential-pattern operator event
   * pipelines run on clickstreams: how many users performed step 1, then
   * step 2 strictly after it, then step 3 after that, …
@@ -96,7 +98,7 @@ object Funnel {
         // c.t is unique per user (grouped), so min() just passes it through
         .agg(min(col("e.ts")).as("t"), min(col("c.t")).as("t_prev"))
         .localCheckpoint()
-      val delta = unix_millis(col("t")) - unix_millis(col("t_prev"))
+      val delta = TimeOps.epochMs(col("t")) - TimeOps.epochMs(col("t_prev"))
       stages += nxt.agg(count(lit(1)).as("n_users"),
           sum(delta).as("sum_ms"), max(delta).as("max_ms"))
         // `div` is long÷long integral division — deltas are non-negative,

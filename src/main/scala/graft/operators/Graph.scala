@@ -89,9 +89,20 @@ object Graph {
     * quadratic, no driver collect. At 100 TB a deployment adds a
     * localCheckpoint per round to truncate lineage; at bench scale the
     * unrolled plan is the better bench citizen (pure, lazy).
+    *
+    * Dangling nodes (no out-edges) leak their damped rank mass in the
+    * classic formulation — the registered query keeps that form (its
+    * synthetic graph has out-degree ≥ 1 everywhere, so nothing leaks).
+    * `redistributeDangling = true` adds the standard correction: each
+    * round the total dangling mass D (an exact decimal sum of already-
+    * stab(12)-quantized scores — order-free, engine-agnostic) is spread
+    * uniformly, new = t/n + d·(contrib + D/n), preserving Σ pr = 1. The
+    * D aggregate is one 1-row anti-join sum per round — same linear
+    * shape, no new corpus-scale shuffle.
     */
   def pageRank(docs: DataFrame, edges: DataFrame, iters: Int = 5,
-               damping: Double = 0.85, teleport: Double = 0.15): DataFrame = {
+               damping: Double = 0.85, teleport: Double = 0.15,
+               redistributeDangling: Boolean = false): DataFrame = {
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
     val e = edges.join(deg, "src")
@@ -102,11 +113,24 @@ object Graph {
         .select(col("dst"),
           Stable.stab(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))
         .groupBy("dst").agg(sum("c").cast("double").as("s"))
-      pr = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
+      val base = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          Stable.stab(lit(teleport) / col("n") +
-            lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
+      pr =
+        if (!redistributeDangling)
+          base.select(col("doc_id"),
+            Stable.stab(lit(teleport) / col("n") +
+              lit(damping) * coalesce(col("s"), lit(0.0)), 12).as("pr"))
+        else {
+          val dangling = pr
+            .join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left_anti")
+            .agg(coalesce(sum(col("pr").cast(DecimalType(28, 12))),
+              lit(0).cast(DecimalType(28, 12))).cast("double").as("dm"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("doc_id"),
+              Stable.stab(lit(teleport) / col("n") +
+                lit(damping) * (coalesce(col("s"), lit(0.0)) +
+                  col("dm") / col("n")), 12).as("pr"))
+        }
     }
     pr
   }

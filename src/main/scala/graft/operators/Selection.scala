@@ -47,11 +47,18 @@ object Selection {
   def gramStream(docs: DataFrame, keep: Seq[String] = Seq("doc_id")): DataFrame = {
     val arr = TextOps.splitWords(TextOps.normalize(col("text")))
     val base = docs.select(keep.map(col) :+ arr.as("arr"): _*)
-    val bigram = transform(sequence(lit(0), size(col("arr")) - 2),
-      i => concat_ws(" ", element_at(col("arr"), i + 1), element_at(col("arr"), i + 2)))
-    // guard: sequence(0, -1) would DESCEND, not produce empty
+    // zip_with over two slices, NOT transform(sequence(...), element_at):
+    // the indexed-lambda form runs interpreted and re-enters element_at per
+    // index — measured 17× slower at sf0.1 for identical rows
+    // (Search.phraseTopK carries the original measurement).
+    val n = size(col("arr"))
+    val bigram = zip_with(
+      slice(col("arr"), lit(1), n - 1),
+      slice(col("arr"), lit(2), n - 1),
+      (a, b) => concat_ws(" ", a, b))
+    // guard: slice length n-1 is negative on an empty array
     val grams = concat(col("arr"),
-      when(size(col("arr")) >= 2, bigram).otherwise(array()))
+      when(n >= 2, bigram).otherwise(array()))
     base.select(keep.map(col) :+ explode(grams).as("g"): _*)
   }
 
@@ -61,6 +68,29 @@ object Selection {
     */
   def bucket(g: Column, buckets: Int = Buckets): Column =
     conv(substring(md5(g), 1, 15), 16, 10).cast("long") % buckets
+
+  /** λ projection over a (b, cr, ct) bucket-count table.
+    * (ct+1)(Tr+B) and (cr+1)(Tt+B) are exact BIGINT products (< 2^53),
+    * each converted to double exactly; ONE double division + ln, then the
+    * stab collapse to integer micro-nats. Identical op sequence in DuckDB.
+    */
+  private def lambdaFrom(counts: DataFrame, buckets: Int): DataFrame = {
+    val tot = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("b"),
+        floor(log(((col("ct") + 1).cast("double") * (col("tr") + buckets)) /
+          ((col("cr") + 1) * (col("tt") + buckets)).cast("double")) *
+          lit(1000000.0) + lit(0.5)).cast("long").as("lam_micro"))
+  }
+
+  /** Integer-exact per-doc scoring tail over (doc_id, b, c) features. */
+  private def scoreCells(cells: DataFrame, lam: DataFrame): DataFrame =
+    cells
+      .join(broadcast(lam), "b")
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_micro")).as("lw_micro"))
+      .select(col("doc_id"), col("n_grams"),
+        (col("lw_micro").cast("double") / lit(1000000.0)).as("logw"))
 
   /** Train the model: (b, lam_micro) — the per-bucket importance log-ratio
     * `round_6(ln((ct+1)(Tr+B) / ((cr+1)(Tt+B))))·1e6` as BIGINT. Buckets
@@ -77,35 +107,40 @@ object Selection {
       // <= `buckets` rows, referenced twice below (totals + λ projection);
       // without the cut each reference re-runs the corpus gram scan
       .localCheckpoint()
-    val tot = counts.agg(sum("cr").as("tr"), sum("ct").as("tt"))
-    // (ct+1)(Tr+B) and (cr+1)(Tt+B) are exact BIGINT products (< 2^53),
-    // each converted to double exactly; ONE double division + ln, then the
-    // stab collapse to integer micro-nats. Identical op sequence in DuckDB.
-    counts.crossJoin(broadcast(tot))
-      .select(col("b"),
-        floor(log(((col("ct") + 1).cast("double") * (col("tr") + buckets)) /
-          ((col("cr") + 1) * (col("tt") + buckets)).cast("double")) *
-          lit(1000000.0) + lit(0.5)).cast("long").as("lam_micro"))
+    lambdaFrom(counts, buckets)
   }
 
   /** Per-document importance weights: (doc_id, n_grams, logw). The score
     * aggregate is exact integer arithmetic (see object doc); `logw` is the
     * single final micro-nat→double conversion.
+    *
+    * ONE corpus gram scan: the (doc_id, is_t, b) → c cell aggregate is
+    * materialized once (localCheckpoint — it is feature-table-sized,
+    * ≤ docs×buckets rows, vs the gram stream's corpus scale) and feeds
+    * BOTH the λ model (re-aggregated to bucket level — exact same integer
+    * counts as training directly off the stream) and the per-doc features.
+    * Training twice off the raw stream would double the dominant cost of
+    * the whole operator at crawl scale.
     */
-  def weights(docs: DataFrame, isTarget: Column, buckets: Int = Buckets): DataFrame =
-    weightsFrom(docs, model(docs, isTarget, buckets), buckets)
+  def weights(docs: DataFrame, isTarget: Column, buckets: Int = Buckets): DataFrame = {
+    val cells = gramStream(docs.withColumn("is_t", isTarget), Seq("doc_id", "is_t"))
+      .select(col("doc_id"), col("is_t"), bucket(col("g"), buckets).as("b"))
+      .groupBy("doc_id", "is_t", "b").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val bucketCounts = cells.groupBy("b").agg(
+      sum("c").as("cr"),
+      sum(when(col("is_t"), col("c")).otherwise(0L)).as("ct"))
+    scoreCells(cells.select("doc_id", "b", "c"), lambdaFrom(bucketCounts, buckets))
+  }
 
   /** Score against a pre-trained λ table — a pipeline trains the model once
     * (or on a held-out target) and scores many raw corpora with it.
     */
   def weightsFrom(docs: DataFrame, lam: DataFrame, buckets: Int = Buckets): DataFrame =
-    gramStream(docs).select(col("doc_id"), bucket(col("g"), buckets).as("b"))
-      .groupBy("doc_id", "b").agg(count(lit(1)).as("c"))
-      .join(broadcast(lam), "b")
-      .groupBy("doc_id")
-      .agg(sum("c").as("n_grams"), sum(col("c") * col("lam_micro")).as("lw_micro"))
-      .select(col("doc_id"), col("n_grams"),
-        (col("lw_micro").cast("double") / lit(1000000.0)).as("logw"))
+    scoreCells(
+      gramStream(docs).select(col("doc_id"), bucket(col("g"), buckets).as("b"))
+        .groupBy("doc_id", "b").agg(count(lit(1)).as("c")),
+      lam)
 
   /** The selection itself: top-k raw documents by importance weight
     * (deterministic ties → lower doc_id), ranked. TakeOrderedAndProject

@@ -32,10 +32,11 @@ import org.apache.spark.sql.functions._
   *  - fixed rounds, no early stop (a converged round is a fixed point on
   *    both sides, so extra rounds cannot diverge).
   *
-  * Scale shape: per round one k-way broadcast crossJoin + argmax window
-  * over N×k rows and one (cell, dim)-keyed mean — k×dim doubles to the
-  * driver per round (the bounded trainer contract). The pair stage is a
-  * cell-keyed equi self-join; nothing is ever quadratic in N.
+  * Scale shape: per round one row-local argmax projection (centroids
+  * inlined as literals — no corpus shuffle in assignment) and one
+  * (cell, dim)-keyed mean — k×dim doubles to the driver per round (the
+  * bounded trainer contract). The pair stage is a cell-keyed equi
+  * self-join; nothing is ever quadratic in N.
   */
 object SemDedup {
 
@@ -62,16 +63,29 @@ object SemDedup {
   def cells(embeddings: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
     model(embeddings, k, iters)._1
 
-  /** argmax_cell stab(6) cos(e, c), ties to the lower cell id. */
+  /** argmax_cell stab(6) cos(e, c), ties to the lower cell id.
+    *
+    * Row-local inlined argmax (the Similarity.kmeansAssign shape): the k
+    * centroids are collected (k×dim doubles — the same metadata-scale
+    * table `update` collects every round anyway) and inlined as literals,
+    * so assignment is ONE narrow projection. The previous
+    * crossJoin(broadcast)+row_number window shuffled the k×-exploded
+    * corpus once per Lloyd round. array_min over struct(−cos, cell)
+    * reproduces the window's (desc cos, asc cell) winner exactly: −stab
+    * ascending ≡ stab descending, struct ties fall through to the lower
+    * cell id.
+    */
   private def assign(p: DataFrame, cent: DataFrame): DataFrame = {
-    val w = Window.partitionBy("vec_id").orderBy(desc("cos"), asc("cell"))
-    p.crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("cell"),
-        Stable.stab(Similarity.dot(col("e"), col("c")) /
-          (col("nrm") * col("cnrm")), 6).as("cos"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "cell")
+    val cs = cent.select("cell", "c", "cnrm").collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1), r.getDouble(2)))
+      .toSeq.sortBy(_._1)
+    val best = array_min(array(cs.map { case (cell, c, cn) =>
+      struct(
+        (-Stable.stab(Similarity.dot(col("e"), typedLit(c)) /
+          (col("nrm") * lit(cn)), 6)).as("negcos"),
+        lit(cell).as("cell"))
+    }: _*))
+    p.select(col("vec_id"), best.getField("cell").as("cell"))
   }
 
   /** Per-(cell, dim) stab(6) means, reassembled to centroid arrays —

@@ -4,6 +4,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
 
+import graft.functions.TimeOps
+
 /** Gap-based sessionization (batch). Streaming twin: EventStreams.sessions
   * (flatMapGroupsWithState) — same gap semantics under event-time state.
   *
@@ -17,7 +19,7 @@ object Sessionize {
   def sessions(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapMs = gapMinutes * 60000L
-    val ms = unix_millis(col("ts"))
+    val ms = TimeOps.epochMs(col("ts")) // NTZ-safe: parquet ts may read as TIMESTAMP_NTZ
     events
       .withColumn("new_s",
         when(ms - lag(ms, 1).over(byUser) <= gapMs, 0L).otherwise(1L))

@@ -156,10 +156,14 @@ object TextAnalysis {
   /** The bigram occurrence stream (doc_id, w1, w2) — one narrow explode. */
   def bigramStream(docs: DataFrame): DataFrame = {
     val arr = TextOps.splitWords(TextOps.normalize(col("text")))
-    val bigram = transform(
-      sequence(lit(0), size(col("arr")) - 2),
-      i => struct(element_at(col("arr"), i + 1).as("w1"),
-        element_at(col("arr"), i + 2).as("w2")))
+    // zip_with over two slices, not transform(sequence, element_at) — the
+    // indexed-lambda HOF runs interpreted, measured 17× slower for
+    // identical rows (Search.phraseTopK carries the measurement)
+    val n = size(col("arr"))
+    val bigram = zip_with(
+      slice(col("arr"), lit(1), n - 1),
+      slice(col("arr"), lit(2), n - 1),
+      (a, b) => struct(a.as("w1"), b.as("w2")))
     docs.select(col("doc_id"), arr.as("arr"))
       .filter(size(col("arr")) >= 2)
       .select(col("doc_id"), explode(bigram).as("bg"))
@@ -207,8 +211,13 @@ object TextAnalysis {
     */
   def repetition(docs: DataFrame, n: Int = 3): DataFrame = {
     val arr = TextOps.splitWords(TextOps.normalize(col("text")))
-    val grams = transform(sequence(lit(0), size(col("arr")) - n),
-      i => concat_ws(" ", (0 until n).map(k => element_at(col("arr"), i + k + 1)): _*))
+    // n-gram stream as a zip_with fold over n shifted slices (left-assoc
+    // concat_ws chains to "w1 w2 … wn") — avoids the interpreted
+    // transform(sequence, element_at) path, 17× on the bigram measurement
+    val m = size(col("arr")) - (n - 1)
+    val grams = (1 until n).foldLeft(slice(col("arr"), lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(col("arr"), lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
     docs.select(col("doc_id"), arr.as("arr")).filter(size(col("arr")) >= n)
       .select(col("doc_id"), explode(grams).as("g"))
       .groupBy("doc_id")

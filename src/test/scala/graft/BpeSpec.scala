@@ -55,4 +55,35 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum(length(col("word")) * col("freq"))).as[Long].head()
     assert(docTotal < charTotal)
   }
+
+  test("chunked encode: 256-merge train+encode with bounded plan depth") {
+    import spark.implicits._
+    // deterministic synthetic corpus rich enough to sustain 256 merge
+    // rounds (400 random 6-letter words ≈ 2000 pair instances)
+    val rnd = new scala.util.Random(7)
+    val words = (0 until 400).map(_ =>
+      (1 to 6).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+    val docs = words.grouped(8).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val merges = Bpe.train(docs, 256)
+    assert(merges.size == 256)
+    assert(merges.map(_.step) == (1 to 256))
+    val encoded = Bpe.applyMerges(Bpe.wordTypes(docs), merges)
+    // bounded depth: the chunked encode cuts lineage every ChunkMerges
+    // merges, so the FINAL plan segment carries at most ChunkMerges
+    // replaces — not all 256
+    val plan = encoded.queryExecution.optimizedPlan.toString.toLowerCase
+    val nReplace = "replace\\(".r.findAllIn(plan).size
+    assert(nReplace > 0 && nReplace <= Bpe.ChunkMerges,
+      s"final plan segment carries $nReplace replaces")
+    // the encode is still a real tokenization: total symbol instances
+    // conserved downward vs character level, never zero
+    val total = encoded
+      .select(sum(size(split(trim(col("sym")), "  ")) * col("freq")).as("t"))
+      .as[Long].head()
+    val charTotal = Bpe.wordTypes(docs)
+      .agg(sum(length(col("word")) * col("freq"))).as[Long].head()
+    assert(total > 0 && total <= charTotal - 256) // each merge fired ≥ once
+  }
 }

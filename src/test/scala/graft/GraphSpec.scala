@@ -76,4 +76,27 @@ class GraphSpec extends AnyFunSuite {
     assert(spr.head._1 == 0L)
     assert(spr.head._2 > 0.5) // the hub holds most of the mass
   }
+
+  test("pageRank dangling mass: leaked without the option, conserved with it") {
+    import spark.implicits._
+    // a chain 0→1→2→3 where 3 is a SINK (no out-edges): the classic
+    // formulation leaks 3's damped mass every round
+    val docs = spark.range(4).select(col("id").as("doc_id"))
+    val edges = Seq(0L -> 1L, 1L -> 2L, 2L -> 3L).toDF("src", "dst")
+    val leaky = Graph.pageRank(docs, edges, 5).as[(Long, Double)].collect()
+    assert(leaky.map(_._2).sum < 0.99) // mass visibly lost through the sink
+    val kept = Graph.pageRank(docs, edges, 5, redistributeDangling = true)
+      .as[(Long, Double)].collect()
+    // Σ pr = 1 up to the per-round stab(12) quantization
+    assert(math.abs(kept.map(_._2).sum - 1.0) < 1e-6)
+    // redistribution must not change a graph with no dangling nodes: the
+    // ring's fixed point is identical under both forms
+    val ring = spark.range(10).select(col("id").as("doc_id"))
+    val ringEdges = ring.select(col("doc_id").as("src"),
+      ((col("doc_id") + 1) % 10).as("dst"))
+    val a = Graph.pageRank(ring, ringEdges, 3).as[(Long, Double)].collect().sortBy(_._1)
+    val b = Graph.pageRank(ring, ringEdges, 3, redistributeDangling = true)
+      .as[(Long, Double)].collect().sortBy(_._1)
+    assert(a.sameElements(b))
+  }
 }
