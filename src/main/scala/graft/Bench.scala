@@ -46,6 +46,8 @@ object Bench {
       "shingles" -> (() => graft.queries.DedupQueries.persistedShingles(spark, sfDir).count()),
       "shingle_keys" -> (() => graft.queries.DedupQueries.persistedShingleKeys(spark, sfDir).count()),
       "shingle_keys_fast" -> (() => graft.queries.DedupQueries.persistedShingleKeysFast(spark, sfDir).count()),
+      "zipf_corpus" -> (() => graft.queries.DedupQueries.persistedZipfCorpus(spark, sfDir).count()),
+      "zipf_mut_corpus" -> (() => graft.queries.DedupQueries.persistedZipfMutCorpus(spark, sfDir).count()),
       "zipf_shingle_keys" -> (() => graft.queries.DedupQueries.persistedZipfShingleKeys(spark, sfDir).count()),
       "zipf_signatures" -> (() => graft.queries.DedupQueries.persistedZipfSignatures(spark, sfDir).count()),
       "zipf_mut_shingle_keys" -> (() => graft.queries.DedupQueries.persistedZipfMutShingleKeys(spark, sfDir).count()),

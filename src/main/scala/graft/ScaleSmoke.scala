@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.{Bpe, Selection}
+import graft.sources.ZipfCorpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-shot scale measurement for DSIR selection and BPE training on the
+  * Zipf corpus at an arbitrary doc count — the dedup tiers got this
+  * treatment in round 8 (ZipfCrossover, BASELINE.md's candidate-growth
+  * table); this main gives the two remaining iterative/corpus-scan
+  * operator families the same measured-not-argued linearity evidence:
+  * `sbt "runMain graft.ScaleSmoke 5000"` vs `... 50000` — a 10× doc
+  * growth should move every phase ~10× (linear), never ~100×.
+  *
+  * Phases timed separately: DSIR weights (one gram scan + bucket aggs),
+  * DSIR top-k select, BPE 64-merge training (64 argmax rounds over the
+  * word-type table — crosses one ChunkMerges checkpoint boundary), BPE
+  * per-doc encode. Prints one JSON line.
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toInt).getOrElse(50000)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = ZipfCorpus.synth(spark.range(n.toLong).select(col("id").as("doc_id")))
+      .localCheckpoint()
+
+    def timed[T](body: => T): (T, Double) = {
+      val t0 = System.nanoTime()
+      val r = body
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val isTarget = col("doc_id") % 10 === 0 // a 10% "target domain"
+    val (wCnt, wSec) = timed(Selection.weights(docs, isTarget).count())
+    val (selCnt, selSec) = timed(Selection.selectTopK(docs, isTarget, 1000).count())
+
+    val (merges, trainSec) = timed(Bpe.train(docs, 64))
+    val (tokCnt, encSec) = timed(Bpe.docTokenCounts(docs, merges).count())
+    val nTypes = Bpe.wordTypes(docs).count()
+
+    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f}""")
+    spark.stop()
+  }
+}

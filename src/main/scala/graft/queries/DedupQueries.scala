@@ -50,6 +50,24 @@ object DedupQueries {
         .select(col("doc_id"), Dedup.shingleKeyFast(col("shingle")).as("shk"))
     }
 
+  /** The generated Zipf corpus itself, persisted — the md5-heavy token
+    * synthesis (2 md5 calls × ~40 tokens × every doc, inside an
+    * interpreted index-lambda that has no slice form) is the expensive
+    * half of every zipf artifact build, and FOUR builds (shk/sig ×
+    * plain/mutated) used to re-run it. Generate once per SF dir, read
+    * parquet thereafter.
+    */
+  def persistedZipfCorpus(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfdocs", "documents.parquet", "") {
+      graft.sources.ZipfCorpus.synth(Tables.documents(s, d).select("doc_id"))
+    }
+
+  /** The generated mutated-copy Zipf corpus, persisted like the plain one. */
+  def persistedZipfMutCorpus(s: SparkSession, d: String): DataFrame =
+    Persisted(s, d, "zipfmdocs", "documents.parquet", "") {
+      graft.sources.ZipfCorpus.synthMutated(Tables.documents(s, d).select("doc_id"))
+    }
+
   /** Shingle keys of the Zipf-vocabulary corpus (graft.sources.ZipfCorpus
     * over this SF dir's doc_id range), persisted like the main tier — the
     * fixture where prefix filtering and bucket selectivity are MEASURED
@@ -58,8 +76,7 @@ object DedupQueries {
     */
   def persistedZipfShingleKeys(s: SparkSession, d: String): DataFrame =
     Persisted(s, d, "zipfshk", "documents.parquet", "_n3") {
-      Dedup.shingles(
-          graft.sources.ZipfCorpus.synth(Tables.documents(s, d).select("doc_id")), 3)
+      Dedup.shingles(persistedZipfCorpus(s, d), 3)
         .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
     }
 
@@ -70,8 +87,7 @@ object DedupQueries {
   def persistedZipfSignatures(s: SparkSession, d: String): DataFrame =
     Persisted(s, d, "zipfsig", "documents.parquet", "_n3") {
       Dedup.minhashSignatures(
-        Dedup.shingles(
-          graft.sources.ZipfCorpus.synth(Tables.documents(s, d).select("doc_id")), 3),
+        Dedup.shingles(persistedZipfCorpus(s, d), 3),
         SigHashes)
     }
 
@@ -82,8 +98,7 @@ object DedupQueries {
     */
   def persistedZipfMutShingleKeys(s: SparkSession, d: String): DataFrame =
     Persisted(s, d, "zipfmshk", "documents.parquet", "_n3") {
-      Dedup.shingles(
-          graft.sources.ZipfCorpus.synthMutated(Tables.documents(s, d).select("doc_id")), 3)
+      Dedup.shingles(persistedZipfMutCorpus(s, d), 3)
         .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
     }
 
@@ -91,8 +106,7 @@ object DedupQueries {
   def persistedZipfMutSignatures(s: SparkSession, d: String): DataFrame =
     Persisted(s, d, "zipfmsig", "documents.parquet", "_n3") {
       Dedup.minhashSignatures(
-        Dedup.shingles(
-          graft.sources.ZipfCorpus.synthMutated(Tables.documents(s, d).select("doc_id")), 3),
+        Dedup.shingles(persistedZipfMutCorpus(s, d), 3),
         SigHashes)
     }
 
