@@ -230,21 +230,36 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("dedup_semantic: pair stage is a cell-keyed equi self-join, never cartesian") {
     // trainer rounds run at construction (bounded k×dim collects); the
-    // runtime plan is the final assignment (k-row broadcast argmax — the
-    // only nested-loop, against an 8-row LocalRelation) plus the pair
-    // join, which MUST key on cell
+    // runtime plan is the final assignment (row-local inlined argmax over
+    // literal centroids — no join, no window) plus the pair join, which
+    // MUST key on cell
     val p = plan("dedup_semantic")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
       p.contains("BroadcastHashJoin"))
   }
 
-  test("text_dsir_weights: two corpus passes, λ table broadcast, no corpus cartesian") {
-    // one gram-stream scan trains the model (cut at the B-row counts
-    // checkpoint), one scores — a union'd gram stream or an uncut model
-    // subtree multiplies corpus scans (6 before the fix)
+  test("dedup_semantic_cells: assignment is a narrow projection — no window, no join") {
+    // the round-10 rewrite (the round-7 k-means lesson applied to the
+    // SemDeDup trainer): assignment inlines the k collected centroids as
+    // literals, so the cells plan is scan → project, with NO window
+    // exchange and NO join of any kind — the crossJoin+row_number form
+    // shuffled the k×-exploded corpus once per Lloyd round
+    val p = plan("dedup_semantic_cells")
+    assert(!p.contains("Window"), "assignment regressed to the window-argmax form")
+    assert(!p.toLowerCase.contains("join"), "assignment regressed to a centroid join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_dsir_weights: ONE corpus pass (checkpointed cells), λ broadcast, no corpus cartesian") {
+    // the single corpus gram scan happens once at construction, inside the
+    // eager (doc_id, is_t, b) cell checkpoint; BOTH the λ trainer and the
+    // per-doc scorer read the cells RDD back — so the runtime plan must
+    // contain ZERO parquet scans (a second parquet scan = the doubled
+    // corpus pass the round-9 verdict flagged creeping back in)
     val p = plan("text_dsir_weights")
-    assert("Scan parquet".r.findAllIn(p).size <= 2, "extra corpus scans")
+    assert(!p.contains("Scan parquet"), "corpus re-scan leaked into the scoring plan")
+    assert(p.contains("Scan ExistingRDD"), "expected the checkpointed cell table")
     assert(p.contains("BroadcastHashJoin"), "λ join must broadcast")
     assert(!p.contains("CartesianProduct"))
     // the only nested loop is the 1-row totals broadcast under the trainer
