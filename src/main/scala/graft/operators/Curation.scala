@@ -250,4 +250,56 @@ object Curation {
       .withColumn("seq_id", expr(s"start div ${budget}L")) // long integral div — exact at any magnitude
       .select("doc_id", "n_tok", "start", "seq_id")
   }
+
+  /** Per-source quality cap: keep each source's top `k` documents by
+    * (n_chars DESC, doc_id ASC) — the per-domain cap every crawl pipeline
+    * applies so one over-represented domain cannot dominate the corpus
+    * (MassiveText/FineWeb-style caps; contrast [[mixBySource]], which
+    * takes a hash-ORDERED quota for proportional mixing — this keeps the
+    * BEST k, not a random k).
+    *
+    * Skew-safe two-phase shape: a single window partitioned by source
+    * hotspots one task under a giant domain (at crawl scale one domain
+    * can be half the corpus). Phase 1 ranks within (source,
+    * hash-bucket) — `nBuckets`-way parallel regardless of domain skew —
+    * and keeps each bucket's top k, a superset of the global per-source
+    * top k by containment. Phase 2 ranks the ≤ k·nBuckets survivors per
+    * source — aggregate-sized input, so the "global" window is cheap.
+    * Identical output to the one-window form, which is what the oracle
+    * runs. Returns (doc_id, source, rk).
+    */
+  def capBySource(docs: DataFrame, k: Int, nBuckets: Int = 16): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val ord: Seq[Column] = Seq(col("n_chars").desc, col("doc_id").asc)
+    val bkt = conv(substring(md5(concat(lit("cap:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") % nBuckets
+    docs.select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("bkt", bkt)
+      .withColumn("prk", row_number().over(
+        w.partitionBy("source", "bkt").orderBy(ord: _*)))
+      .filter(col("prk") <= k)
+      .withColumn("rk", row_number().over(
+        w.partitionBy("source").orderBy(ord: _*)).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "source", "rk")
+  }
+
+  /** Deterministic per-source rate downsampling: doc survives iff its
+    * 16-bit salted content hash falls under `floor(rate·65536)` for its
+    * source — how a pipeline de-weights over-represented sources without
+    * a count, a shuffle, or an RNG. Row-local single projection (the
+    * same salted-hash discipline as [[assignSplits]], independent salt);
+    * the same doc keeps/drops identically on any cluster, any run, and
+    * adding docs never flips existing decisions. Sources absent from
+    * `rates` are kept whole. Returns (doc_id, source).
+    */
+  def sampleStratified(docs: DataFrame,
+                       rates: Map[String, Double]): DataFrame = {
+    val h = conv(substring(md5(concat(lit("sample:"),
+      col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long") // 0..65535
+    val cut = rates.foldRight(lit(65536L): Column) { case ((src, r), rest) =>
+      when(col("source") === src, math.floor(r * 65536).toLong).otherwise(rest)
+    }
+    docs.filter(h < cut).select("doc_id", "source")
+  }
 }

@@ -306,6 +306,41 @@ object TextAnalysisQueries {
           |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
           |WHERE rk <= quota ORDER BY source, rk""".stripMargin)),
 
+    // Per-source quality cap (top-15 by n_chars per source): the
+    // per-domain cap every crawl pipeline applies. Spark runs the
+    // skew-safe two-phase form (rank within (source, hash-bucket), then
+    // rank the bounded survivors); the oracle is the plain one-window
+    // form — identical output by containment, hash-gated.
+    GraftQuery("text_source_cap",
+      (s, d) => graft.operators.Curation.capBySource(Tables.documents(s, d), 15)
+        .orderBy("source", "rk"),
+      Some(
+        """WITH r AS (
+          |  SELECT doc_id, source,
+          |    row_number() OVER (PARTITION BY source
+          |      ORDER BY n_chars DESC, doc_id) AS rk
+          |  FROM documents)
+          |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= 15 ORDER BY source, rk""".stripMargin)),
+
+    // Deterministic per-source downsampling (src0 kept at 25 %, src1 at
+    // 50 %, everything else whole): salted 16-bit content-hash
+    // thresholds, row-local, no RNG — reproducible on any cluster.
+    // (Distinct from text_sample_stratified above: that takes a fixed
+    // QUOTA per language in hash order; this keeps a RATE per source
+    // with no window at all.)
+    GraftQuery("text_downsample_sources",
+      (s, d) => graft.operators.Curation.sampleStratified(Tables.documents(s, d),
+          Map("src0" -> 0.25, "src1" -> 0.5))
+        .orderBy("doc_id"),
+      Some(
+        """SELECT doc_id, source FROM (
+          |  SELECT doc_id, source,
+          |    CAST(CONCAT('0x', substr(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) AS h
+          |  FROM documents)
+          |WHERE h < CASE source WHEN 'src0' THEN 16384 WHEN 'src1' THEN 32768 ELSE 65536 END
+          |ORDER BY doc_id""".stripMargin)),
+
     // Token-budget sequence packing (concat-and-chunk): docs in
     // content-hash order, cut at a 500-token budget; a doc belongs to
     // the chunk its first token lands in. The Spark side computes the

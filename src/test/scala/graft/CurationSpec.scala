@@ -187,4 +187,54 @@ class CurationSpec extends AnyFunSuite {
       case ((k, _, _), cum) => cum >= (k + 1) * 500L
     })
   }
+
+  test("capBySource: two-phase == one-window at every bucket count, incl. a skewed source") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    // reference: the plain one-window form (what the oracle runs)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    def oneWindow(d: org.apache.spark.sql.DataFrame, k: Int) =
+      d.select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= k).select("doc_id", "source", "rk")
+        .as[(Long, String, Long)].collect().toSet
+    for (nb <- Seq(1, 4, 16)) {
+      val got = Curation.capBySource(docs, 7, nb)
+        .as[(Long, String, Long)].collect().toSet
+      assert(got == oneWindow(docs, 7), s"nBuckets=$nb diverged")
+    }
+    // skew: collapse every doc into ONE source — phase 1 must still keep
+    // the containment property and the final ranks must match
+    val skewed = docs.withColumn("source", lit("megadomain"))
+    assert(Curation.capBySource(skewed, 25, 16)
+      .as[(Long, String, Long)].collect().toSet == oneWindow(skewed, 25))
+  }
+
+  test("sampleStratified: deterministic, per-source rates honored, unlisted sources whole") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val rates = Map("src0" -> 0.25, "src1" -> 0.5)
+    val a = Curation.sampleStratified(docs, rates).as[(Long, String)].collect().toSet
+    val b = Curation.sampleStratified(docs, rates).as[(Long, String)].collect().toSet
+    assert(a == b)
+    val bySrc = a.groupBy(_._2).view.mapValues(_.size).toMap
+    val totals = docs.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    // unlisted sources pass through whole
+    totals.keys.filterNot(rates.contains).foreach { s =>
+      assert(bySrc.getOrElse(s, 0) == totals(s))
+    }
+    // sampled sources land near their rate (16-bit hash over ~250
+    // docs/source at sf0.01 — allow a generous binomial margin) and the
+    // decision is per-doc stable: a kept doc stays kept when the corpus
+    // halves (no count dependence)
+    rates.foreach { case (s, r) =>
+      val kept = bySrc.getOrElse(s, 0).toDouble
+      assert(math.abs(kept / totals(s) - r) < 0.15, s"$s kept ${kept / totals(s)}")
+    }
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val halfKept = Curation.sampleStratified(half, rates).as[(Long, String)].collect().toSet
+    assert(halfKept == a.filter(_._1 % 2 == 0))
+  }
 }
