@@ -77,6 +77,7 @@ object Curation {
                   total: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
     // floor with an epsilon: plain floor(w·total) under-counts when the
     // product lands one ulp below its decimal value (0.29 × 100 =
     // 28.999999999999996 → 28, not the intended 29); the epsilon is far
@@ -84,10 +85,24 @@ object Curation {
     val quotas = weights.toSeq
       .map { case (s, w) => (s, math.floor(w * total + 1e-9).toLong) }
       .toDF("source", "quota")
-    docs.join(broadcast(quotas), "source")
-      .withColumn("rk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))).cast("long"))
+    // Skew-safe rank: a window partitioned only by source serializes the
+    // widest source through one task (at crawl scale one source can be
+    // half the corpus). Decompose exactly like packAssignments: the
+    // within-source hash order (h, doc_id) is refined by h's first hex
+    // char, so the global rank = (count of earlier buckets, a ≤16-row-
+    // per-source offset window) + (rank within (source, bucket), 16-way
+    // parallel). Identical rk values — the oracle runs the plain window.
+    val t = docs.join(broadcast(quotas), "source")
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pfx", substring(col("h"), 1, 1))
+    val offsets = t.groupBy("source", "pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.partitionBy("source").orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "pfx", "off") // ≤ 16·|sources| rows
+    t.join(broadcast(offsets), Seq("source", "pfx"))
+      .withColumn("rk", (col("off") + row_number().over(
+        w.partitionBy("source", "pfx").orderBy("h", "doc_id"))).cast("long"))
       .filter(col("rk") <= col("quota"))
       .select("doc_id", "source", "rk")
   }
@@ -123,10 +138,9 @@ object Curation {
     * within the source's token quota (a doc survives iff its inclusive
     * running sum ≤ quota; the first over-budget doc is dropped whole —
     * packing handles intra-doc splits downstream). Same reproducible
-    * ordering discipline as [[mixBySource]]; the running sum is one
-    * window partitioned by source, so the operator scales with the
-    * widest source's doc count, not the corpus. Returns
-    * (doc_id, source, n_tok, cum).
+    * ordering discipline as [[mixBySource]], and the same skew-safe
+    * 16-bucket prefix-sum decomposition — no window ever processes a
+    * whole source. Returns (doc_id, source, n_tok, cum).
     */
   def mixByTokens(docs: DataFrame, weights: Map[String, Double],
                   totalTokens: Long): DataFrame = {
@@ -137,13 +151,24 @@ object Curation {
     val quotas = weights.toSeq
       .map { case (s, wt) => (s, math.floor(wt * totalTokens + 1e-9).toLong) }
       .toDF("source", "tok_quota")
-    TextAnalysis.tokenCounts(docs)
+    // same skew-safe 16-bucket prefix-sum decomposition as mixBySource /
+    // packAssignments: the running token sum = per-(source, hex-bucket)
+    // inclusive sum + a ≤16-row-per-source bucket offset — no window ever
+    // sees a whole source
+    val t = TextAnalysis.tokenCounts(docs)
       .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
       .join(docs.select("doc_id", "source"), "doc_id")
       .join(broadcast(quotas), "source")
-      .withColumn("cum", sum("n_tok").over(
-        w.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))))
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pfx", substring(col("h"), 1, 1))
+    val offsets = t.groupBy("source", "pfx").agg(sum("n_tok").as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.partitionBy("source").orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "pfx", "off")
+    t.join(broadcast(offsets), Seq("source", "pfx"))
+      .withColumn("cum", col("off") + sum("n_tok").over(
+        w.partitionBy("source", "pfx").orderBy("h", "doc_id")))
       .filter(col("cum") <= col("tok_quota"))
       .select("doc_id", "source", "n_tok", "cum")
   }
