@@ -80,6 +80,47 @@ object TextAnalysis {
     size(arr) >= minTokens && quality >= minQuality && stopwordRatio >= langThreshold
   }
 
+  /** Exact top-`p`-fraction quality gate at corpus scale — the selection
+    * rule "keep the best P % by quality" that sits between scoring
+    * (qualityScore) and a fixed-threshold gate (cleanCorpus): the
+    * threshold is DERIVED from the corpus's own score distribution, so
+    * the gate adapts per corpus with no hand-tuned constant.
+    *
+    * Scalable exact shape — NOT a global rank window and NOT a top-k
+    * collect (both die at corpus scale for P·N rows): scores collapse to
+    * integer micro-units (floor(q·1e6 + 0.5), the repo's standard gate
+    * arithmetic), one hash aggregate builds the score HISTOGRAM, and the
+    * descending cumulative sum over the histogram finds the threshold
+    * q* = max{q : |{docs ≥ q}| ≥ ⌊p·n⌋}. The histogram window is
+    * score-cardinality-bounded (≤ 1e6 + 1 rows for a [0,1] score at
+    * micro precision) — a CONSTANT, independent of corpus size — and the
+    * keep set is one broadcast-threshold filter. Ties at q* are included
+    * whole (the smallest tie-closed superset of the top ⌊p·n⌋), so the
+    * result is deterministic with no per-doc tiebreak pass. The scored
+    * projection is localCheckpointed: the expensive tokenize+aggregate
+    * runs ONCE, with histogram and filter both reading the 2-long-per-doc
+    * cells back. Returns (doc_id, q_micro).
+    */
+  def qualityTopP(docs: DataFrame, p: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val s = qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long").as("q_micro"))
+      .localCheckpoint()
+    val hist = s.groupBy("q_micro").agg(count(lit(1)).as("c"))
+    // single-partition window, but over the score histogram (bounded),
+    // never the corpus
+    val cum = hist.withColumn("cum", sum("c").over(w.orderBy(desc("q_micro"))))
+    val tot = hist.agg(sum("c").as("n"))
+    // the epsilon'd floor of mixBySource (0.29 × 100 = 28.999…)
+    val thresh = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= floor(lit(p) * col("n") + lit(1e-9)))
+      .agg(max("q_micro").as("q_star"))
+    s.crossJoin(broadcast(thresh))
+      .filter(col("q_micro") >= col("q_star"))
+      .select("doc_id", "q_micro")
+  }
+
   /** PII patterns, written to the RE2 ∩ java.util.regex common subset (no
     * backrefs, no lookaround) so Spark and the DuckDB oracle match the
     * same spans byte-for-byte.

@@ -47,6 +47,36 @@ object TextAnalysisQueries {
            |  least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
            |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Exact top-20% quality gate: integer micro-unit score histogram →
+    // descending-cumulative threshold q* = max{q : |{q' ≥ q}| ≥ ⌊0.2·n⌋},
+    // ties at q* kept whole. The histogram window is score-cardinality-
+    // bounded (constant), never corpus-scale — the scalable exact form of
+    // "keep the best P %".
+    GraftQuery("text_quality_topp",
+      (s, d) => TextAnalysis.qualityTopP(Tables.documents(s, d), 0.2)
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |s AS (
+           |  SELECT doc_id,
+           |    CAST(floor(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr
+           |      * (1.0 - digit_ratio) * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+           |  FROM f),
+           |h AS (SELECT q_micro, count(*) AS c FROM s GROUP BY q_micro),
+           |cm AS (SELECT q_micro, sum(c) OVER (ORDER BY q_micro DESC) AS cum FROM h),
+           |t AS (
+           |  SELECT max(q_micro) AS q_star
+           |  FROM cm, (SELECT count(*) AS n FROM s) tot
+           |  WHERE cum >= floor(0.2 * n + 1e-9))
+           |SELECT doc_id, q_micro FROM s, t
+           |WHERE q_micro >= q_star ORDER BY doc_id""".stripMargin)),
+
     GraftQuery("text_langid",
       (s, d) => TextAnalysis.langId(Tables.documents(s, d)).orderBy("doc_id"),
       Some(

@@ -97,4 +97,25 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(s == Seq((7L, 1L, 2L), (7L, 2L, 2L), (8L, 1L, 1L)))
   }
+
+  test("qualityTopP: smallest tie-closed superset of the top ⌊p·n⌋") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
+    val n = docs.count()
+    val k = math.floor(0.2 * n + 1e-9).toLong
+    val kept = TextAnalysis.qualityTopP(docs, 0.2)
+      .as[(Long, Long)].collect()
+    val qstar = kept.map(_._2).min
+    val scores = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"),
+        floor(col("quality") * 1000000.0 + 0.5).cast("long"))
+      .as[(Long, Long)].collect()
+    // at least k kept; strictly-above-threshold alone is NOT enough
+    // (threshold maximality) and the keep set is exactly the ≥ q* class
+    // (tie closure — no per-doc tiebreak inside the boundary score)
+    assert(kept.length >= k)
+    assert(scores.count(_._2 > qstar) < k)
+    assert(kept.map(_._1).toSet == scores.filter(_._2 >= qstar).map(_._1).toSet)
+  }
 }
