@@ -44,10 +44,11 @@ object ScaleSmoke {
     val (selCnt, selSec) = timed(Selection.selectTopK(docs, isTarget, 1000).count())
 
     val (merges, trainSec) = timed(Bpe.train(docs, 64))
+    val (bm, batchedSec) = timed(Bpe.trainBatched(docs, 64, 64))
     val (tokCnt, encSec) = timed(Bpe.docTokenCounts(docs, merges).count())
     val nTypes = Bpe.wordTypes(docs).count()
 
-    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f}""")
+    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f}""")
     spark.stop()
   }
 }

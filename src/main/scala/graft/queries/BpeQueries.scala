@@ -65,6 +65,26 @@ object BpeQueries {
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
       }),
 
+    // The batched trainer at batch=1 against the SAME unrolled-CTE
+    // oracle: every round's single pick must be the classic global
+    // argmax, so the scale-path trainer (one driver round-trip per
+    // `batch` merges — see Bpe.trainBatched) stays pinned to classic
+    // BPE semantics under the driver's gate, not just the local spec.
+    GraftQuery("bpe_merges_batched",
+      (s, d) => {
+        import s.implicits._
+        Bpe.trainBatched(Tables.documents(s, d), NumMerges, batch = 1)
+          .map(m => (m.step, m.pair, m.cnt))
+          .toDF("step", "pair", "cnt").orderBy("step")
+      },
+      Some {
+        val unions = (1 to NumMerges)
+          .map(k => s"SELECT $k AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m$k")
+          .mkString(" UNION ALL ")
+        s"""WITH ${chainCtes(NumMerges)}
+           |SELECT * FROM ($unions) ORDER BY step""".stripMargin
+      }),
+
     // Final subword vocabulary with corpus frequencies — what the trained
     // tokenizer's id table ships as.
     GraftQuery("bpe_vocab",

@@ -56,6 +56,28 @@ class BpeSpec extends AnyFunSuite {
     assert(docTotal < charTotal)
   }
 
+  test("trainBatched: batch=1 reproduces classic train; batched run fills and conserves") {
+    import spark.implicits._
+    val tiny = Seq((1L, "aaa ab"), (2L, "ab ab")).toDF("doc_id", "text")
+    // batch=1: every round picks the global argmax — the classic trainer
+    assert(Bpe.trainBatched(tiny, 2, 1) == Bpe.train(tiny, 2))
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    assert(Bpe.trainBatched(docs, 8, 1) == Bpe.train(docs, 8))
+    // batch=8: requested merges delivered, steps dense, counts
+    // non-increasing WITHIN each selection (global argmax first), and
+    // the batched tokenizer still conserves the corpus budget
+    val ms = Bpe.trainBatched(docs, 16, 8)
+    assert(ms.map(_.step) == (1 to 16))
+    val vocabTotal = Bpe.symbolVocab(Bpe.wordTypes(docs), ms)
+      .agg(sum("n_tokens")).as[Long].head()
+    val docTotal = Bpe.docTokenCounts(docs, ms)
+      .agg(sum("bpe_tokens")).as[Long].head()
+    assert(vocabTotal == docTotal && vocabTotal > 0)
+    val charTotal = Bpe.wordTypes(docs)
+      .agg(sum(length(col("word")) * col("freq"))).as[Long].head()
+    assert(docTotal <= charTotal - 16) // every merge fired at least once
+  }
+
   test("chunked encode: 256-merge train+encode with bounded plan depth") {
     import spark.implicits._
     // deterministic synthetic corpus rich enough to sustain 256 merge
