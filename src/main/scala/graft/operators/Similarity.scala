@@ -323,11 +323,18 @@ object Similarity {
     * assignment is a NARROW projection — the previous crossJoin-by-k +
     * groupBy(vec_id) formulation shuffled the whole k×-exploded corpus
     * once per call (and once per Lloyd round).
+    *
+    * The distance is stab(6)-collapsed before the argmin (the SemDedup
+    * gate discipline): cc folds driver-side left-to-right — the same
+    * order as DuckDB's `list_sum(list_transform(c, x -> x*x))` — and the
+    * e·c dot folds in index order in both engines, so the quantized d
+    * agrees bit-for-bit and the oracle re-derives the same winning cell
+    * (ties fall through to the lower cell id in both).
     */
   private def argminCell(e: Column, cent: Seq[(Int, Seq[Double])]): Column =
     array_min(array(cent.map { case (cell, c) =>
       val cc = c.foldLeft(0.0)((a, x) => a + x * x)
-      struct((lit(cc) - lit(2.0) * dot(e, typedLit(c))).as("d"),
+      struct(Stable.stab(lit(cc) - lit(2.0) * dot(e, typedLit(c)), 6).as("d"),
         lit(cell).as("cell"))
     }: _*))
 
@@ -343,7 +350,7 @@ object Similarity {
     p.select(col("vec_id"), argminCell(col("e"), cs).getField("cell").as("cell"))
   }
 
-  /** Lloyd k-means over the embedding column: k deterministic hash-sampled
+  /** Lloyd k-means over the embedding column: k deterministic md5-sampled
     * seeds, then `iters` rounds of assign + per-dimension mean — every step
     * a DataFrame op (the corpus is never collected; per-round state is the
     * k×dim centroid table, localCheckpoint'ed so loop plans stay O(1) —
@@ -352,6 +359,14 @@ object Similarity {
     * aggregation order. A cell that loses all members drops out (standard
     * Lloyd behavior; routing simply never probes it).
     * Returns (cell INT 0..k-1, c ARRAY<DOUBLE>).
+    *
+    * GATED (round 11): every round is value-identical to a DuckDB SQL
+    * unroll — md5-ordered seeds, stab(6) squared-euclid argmin (ties to
+    * the lower cell), stab(6) per-dim means — the discipline SemDedup.model
+    * proved for cosine Lloyd, applied to the serving trainer. The early
+    * stop is safe under a fixed-round SQL twin: a converged round is a
+    * fixed point (assignment and update are both deterministic functions),
+    * so the oracle running all `iters` rounds lands on the same centroids.
     */
   def kmeansCentroids(embeddings: DataFrame, k: Int, iters: Int): DataFrame =
     kmeansCentroidsPrepared(prepared(embeddings).select("vec_id", "e"), k, iters)
@@ -364,11 +379,13 @@ object Similarity {
     val spark = prep.sparkSession
     import spark.implicits._
     val p = prep
-    // Seeds: first k vectors in xxhash64 order — a deterministic uniform
-    // sample (TakeOrdered k, no full sort; k×dim doubles is the only
+    // Seeds: first k vectors in (md5(vec_id), vec_id) order — a
+    // deterministic uniform sample DuckDB re-derives exactly (the SemDedup
+    // seed rule; md5 hex compares identically as a binary string in both
+    // engines). TakeOrdered k, no full sort; k×dim doubles is the only
     // thing this trainer ever collects, and it collects it anyway for the
-    // convergence check).
-    val hashOrd = Seq(xxhash64(col("vec_id")), col("vec_id"))
+    // convergence check.
+    val hashOrd = Seq(md5(col("vec_id").cast("string")), col("vec_id"))
     var cent: Seq[(Int, Seq[Double])] = p.orderBy(hashOrd: _*).limit(k)
       .select(col("e")).collect().map(_.getSeq[Double](0))
       .zipWithIndex.map { case (e, i) => (i, e) }.toSeq
@@ -401,11 +418,14 @@ object Similarity {
     cent.toDF("cell", "c")
   }
 
-  /** Route queries (query_id, e) to their `nprobe` nearest k-means cells. */
+  /** Route queries (query_id, e) to their `nprobe` nearest k-means cells.
+    * The routing distance is stab(6)-collapsed like the assignment's, so
+    * the probe set is oracle-re-derivable (ties to the lower cell id).
+    */
   private def kmeansProbes(q: DataFrame, cent: DataFrame, nprobe: Int): DataFrame = {
     val scored = q.crossJoin(broadcast(cent))
       .select(col("query_id"), col("cell"),
-        (dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c"))).as("d"))
+        Stable.stab(dot(col("c"), col("c")) - lit(2.0) * dot(col("e"), col("c")), 6).as("d"))
     scored.withColumn("rn", row_number().over(
         Window.partitionBy("query_id").orderBy(asc("d"), asc("cell"))))
       .filter(col("rn") <= nprobe).select("query_id", "cell")
@@ -634,7 +654,10 @@ object Similarity {
     val short = codes.crossJoin(broadcast(lutDf))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adc / col("nrm")).as("adc_cos"))
+        // stab(6): LUT entries and the m-term fold are order-identical
+        // across engines, so the quantized ADC score — and with it the
+        // shortlist membership — is oracle-re-derivable
+        Stable.stab(adc / col("nrm"), 6).as("adc_cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlist * k)
       .select("query_id", "neighbor_id")
@@ -765,7 +788,7 @@ object Similarity {
     val short = codes.crossJoin(broadcast(luts))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adcExpr(m, kCodes) / col("nrm")).as("adc_cos"))
+        Stable.stab(adcExpr(m, kCodes) / col("nrm"), 6).as("adc_cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlist * k)
       .select("query_id", "neighbor_id")
@@ -812,7 +835,7 @@ object Similarity {
     val short = codes.join(broadcast(qside), "label")
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        (adcExpr(m, kCodes) / col("nrm")).as("adc_cos"))
+        Stable.stab(adcExpr(m, kCodes) / col("nrm"), 6).as("adc_cos"))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= shortlist * k)
       .select("query_id", "neighbor_id")

@@ -29,7 +29,10 @@ object Persisted {
     * would wipe the live cache and force a full re-ingest per JVM. Its
     * pre-v2 children are swept individually below.
     */
-  private val RetiredKinds = Seq("ivf", "ivfk", "index")
+  private val RetiredKinds = Seq("ivf", "ivfk", "index",
+    // round 11: the gated trainer (md5 seeds + stab'd argmin) changed the
+    // kmeans/PQ layouts — the b1 generations are unreachable
+    "ivfk-b1", "pq-b1")
   private lazy val gcRetired: Unit = {
     val conf = SparkSession.active.sparkContext.hadoopConfiguration
     RetiredKinds.foreach { k =>

@@ -41,7 +41,7 @@ object SimilarityQueries {
     * ingest via VectorStreams.pqIngest → retrain/swap).
     */
   def pqIndexDir(s: org.apache.spark.sql.SparkSession, d: String): String =
-    Persisted.indexDir(s, d, "pq-b1", "embeddings.parquet", "codebooks") { dir =>
+    Persisted.indexDir(s, d, "pq-b2", "embeddings.parquet", "codebooks") { dir =>
       Similarity.buildPqIndex(Tables.embeddings(s, d), dir)
     }
 
@@ -159,14 +159,16 @@ object SimilarityQueries {
     // the CODE table, never the vectors), exact-cosine re-rank of the
     // shortlist. Runs against the persisted codebook/code tables (the m
     // per-subspace trainers are a per-corpus index build, like every
-    // other tier here). No SQL twin (iterative trainers) → rows-only
-    // check; SimilaritySpec pins recall@5 ≥ 0.8 on clustered data and
-    // that every reported cosine is the true cosine.
+    // other tier here). HASH-GATED since round 11: the gated trainer
+    // made the codebooks SQL-re-derivable, so the oracle re-trains all m
+    // codebooks, re-encodes, and replays ADC + re-rank; SimilaritySpec
+    // additionally pins recall@5 ≥ 0.8 on clustered data and that every
+    // reported cosine is the true cosine.
     GraftQuery("knn_pq",
       (s, d) => Similarity.knnPqIndexed(s, pqIndexDir(s, d), Tables.embeddings(s, d), 10, 5)
         .select("query_id", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      None),
+      Some(knnPqOracle(8, 16, 5, 8, 10, 5, 10))),
 
     // BATCH ANN routing, IVF tier: a query TABLE routed with zero driver
     // collects — centroid aggregation, probe routing, and the cell
@@ -189,8 +191,8 @@ object SimilarityQueries {
     // the broadcast codebook table (the serving twin knn_pq collects the
     // query vectors and builds LUTs driver-side). Bit-identical rows to
     // knn_pq (identical fold orders — SimilaritySpec pins equality), so
-    // like knn_pq it is rows-only at the driver gate (kmeans codebooks
-    // have no SQL twin); PlanShapeSpec pins the zero-job construction.
+    // the SAME SQL oracle hash-gates both since round 11; PlanShapeSpec
+    // pins the zero-job construction.
     GraftQuery("knn_pq_batch",
       (s, d) => {
         import org.apache.spark.sql.functions.col
@@ -200,16 +202,17 @@ object SimilarityQueries {
           .select("query_id", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(knnPqOracle(8, 16, 5, 8, 10, 5, 10))),
 
     // IVF-PQ, the production composition: coarse cells bound WHICH codes
     // are scored (probe-2 routing, in-plan), PQ codes bound the COST of
     // each score (in-plan LUTs), and the ADC stage is an EQUI-join of the
     // routed query side against the cell-keyed code table — the un-routed
     // PQ cross-join disappears (PlanShapeSpec pins no BNLJ anywhere).
-    // Exact-cosine re-rank; rows-only like every kmeans-codebook tier;
-    // SimilaritySpec pins recall vs the exact probe-2 IVF and that every
-    // reported cosine is true.
+    // Exact-cosine re-rank; hash-gated since round 11 (the PQ oracle with
+    // the label-cell probe restriction — nprobe=2); SimilaritySpec pins
+    // recall vs the exact probe-2 IVF and that every reported cosine is
+    // true.
     GraftQuery("knn_ivfpq",
       (s, d) => {
         import org.apache.spark.sql.functions.col
@@ -223,30 +226,33 @@ object SimilarityQueries {
           .select("query_id", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
       },
-      None),
+      Some(knnPqOracle(8, 16, 5, 8, 10, 5, 10, nprobe = 2))),
 
     // Learned-cell ANN: Lloyd k-means centroids (trained in-plan, every
     // step a DataFrame op), probe-2 routing, exact cosine inside probed
-    // cells. No SQL twin (the iterative trainer isn't a query) → rows-only
-    // driver check; SimilaritySpec pins recall@5 >= 0.8 vs knn_brute.
+    // cells. HASH-GATED since round 11: the gated trainer (md5 seeds,
+    // stab'd argmin/means) lets the oracle unroll all 5 Lloyd rounds as
+    // CTEs; SimilaritySpec additionally pins recall@5 >= 0.8 vs knn_brute.
     GraftQuery("knn_ivf_kmeans",
       (s, d) => Similarity.knnIvfKmeans(Tables.embeddings(s, d), 10, 5)
         .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
         .orderBy("query_id", "rank"),
-      None),
+      Some(knnKmeansOracle(8, 5, 10, 2, 5))),
 
     // Same semantics from the persisted layout: corpus parquet-partitioned
     // by learned cell, so probing = partition pruning at file-listing time.
+    // Same oracle as knn_ivf_kmeans — the layout changes the physical
+    // plan (partition pruning), never the rows.
     GraftQuery("knn_ivf_kmeans_indexed",
       (s, d) => {
         import org.apache.spark.sql.functions.col
         val emb = Tables.embeddings(s, d)
-        val idx = ivfIndexDir(s, d, "ivfk-b1")(Similarity.buildKmeansIvfIndex(emb, _))
+        val idx = ivfIndexDir(s, d, "ivfk-b2")(Similarity.buildKmeansIvfIndex(emb, _))
         Similarity.knnIvfKmeansIndexed(s, idx, emb.filter(col("vec_id") < 10), 5)
           .select("query_id", "probe_cell", "neighbor_id", "cos", "rank")
           .orderBy("query_id", "rank")
       },
-      None)
+      Some(knnKmeansOracle(8, 5, 10, 2, 5)))
   )
 
   /** DuckDB twin of Similarity.cosinePairsLsh: derive the same ±1
@@ -347,4 +353,169 @@ object SimilarityQueries {
        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
   lazy val knnIvfOracle: String = knnIvfOracleN(1)
+
+  // -------------------------------------------------------------------
+  // Gated k-means / PQ oracles (round 11): the serving trainer
+  // (Similarity.kmeansCentroidsPrepared) is value-identical to a
+  // fixed-round SQL unroll — md5-ordered seeds, stab(6) squared-euclid
+  // argmin with ties to the lower cell, stab(6) per-dim means (the
+  // SemDedup discipline applied to the Lloyd trainer) — so the kmeans-IVF
+  // and PQ tiers carry full DuckDB oracles: the SQL re-trains the
+  // centroids/codebooks, re-encodes the corpus, and re-runs the
+  // probe/ADC/re-rank arithmetic with identical fold orders. Early stop
+  // on the Spark side is safe under the fixed-round unroll: a converged
+  // round is a fixed point of (assign, update), so extra SQL rounds
+  // reproduce the same centroids.
+  // -------------------------------------------------------------------
+
+  private def stabSql(x: String): String =
+    s"floor(($x)*1000000.0+0.5)/1000000.0"
+
+  /** stab(6) squared-euclid distance (c·c − 2·e·c) between row alias `s`
+    * (list col e) and centroid alias `c` (list col c) — the SQL twin of
+    * Similarity.argminCell's quantized metric (cc folds left-to-right in
+    * both engines; the e·c dot folds in index order).
+    */
+  private def distSql(s: String, c: String): String =
+    stabSql(s"list_sum(list_transform($c.c, x -> x*x)) - " +
+      s"2.0*list_sum(list_transform(range(1, len($s.e)+1), i -> $s.e[i]*$c.c[i]))")
+
+  /** One stab'd-argmin assignment CTE `name`: each row of `src` (vec_id,
+    * e) to its nearest centroid in `cent` (cell, c), ties to the lower
+    * cell id. Output (vec_id, cell).
+    */
+  private def kmAssignCte(name: String, src: String, cent: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT s.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${distSql("s", "c")} ASC, c.cell ASC) AS rn
+       |    FROM $src s, $cent c) WHERE rn = 1)""".stripMargin
+
+  /** The gated Lloyd chain over `src` (vec_id, e): seeds `{p}c0` = first
+    * k rows in (md5(vec_id), vec_id) order, then `iters` assign/update
+    * rounds ending at `{p}c{iters}`. MATERIALIZED like the SemDedup
+    * chain — each round's tables are referenced twice downstream.
+    */
+  private def kmeansChain(p: String, src: String, k: Int, iters: Int): String = {
+    val seed =
+      s"""${p}c0 AS MATERIALIZED (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS cell, e AS c FROM (
+         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, e
+         |    FROM $src) WHERE rn <= $k)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""${kmAssignCte(s"${p}a$r", src, s"${p}c${r - 1}")},
+         |${p}c$r AS MATERIALIZED (
+         |  SELECT cell, list(cd ORDER BY i) AS c FROM (
+         |    SELECT a.cell, t.i, ${stabSql("avg(s.e[t.i])")} AS cd
+         |    FROM ${p}a$r a JOIN $src s ON s.vec_id = a.vec_id,
+         |         unnest(range(1, len(s.e)+1)) t(i)
+         |    GROUP BY a.cell, t.i) GROUP BY cell)""".stripMargin
+    }
+    (seed +: rounds).mkString(",\n")
+  }
+
+  /** Oracle for the learned-cell IVF tiers (knn_ivf_kmeans and its
+    * persisted-layout twin): train kCells centroids in `iters` gated
+    * rounds, assign the corpus, route each query to its `nprobe` nearest
+    * cells by the same stab'd distance, exact stab'd cosine top-k inside
+    * probed cells (cells partition the corpus — no dedup needed).
+    */
+  def knnKmeansOracle(kCells: Int, iters: Int, nQueries: Int,
+                      nprobe: Int, k: Int): String =
+    s"""WITH $prepCte,
+       |${kmeansChain("km", "n", kCells, iters)},
+       |${kmAssignCte("kaf", "n", s"kmc$iters")},
+       |kprobes AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT s.vec_id AS query_id, c.cell,
+       |      row_number() OVER (PARTITION BY s.vec_id ORDER BY ${distSql("s", "c")} ASC, c.cell ASC) AS rn
+       |    FROM n s, kmc$iters c WHERE s.vec_id < $nQueries) WHERE rn <= $nprobe),
+       |kcells AS (SELECT a.vec_id, a.cell, n.e, n.nrm FROM kaf a JOIN n ON n.vec_id = a.vec_id),
+       |cand AS (
+       |  SELECT a.vec_id AS query_id, p.cell AS probe_cell, b.vec_id AS neighbor_id,
+       |    ${cosSql("a", "b")} AS cos
+       |  FROM n a JOIN kprobes p ON p.query_id = a.vec_id
+       |  JOIN kcells b ON b.cell = p.cell AND b.vec_id <> a.vec_id),
+       |r AS (SELECT query_id, probe_cell, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM cand)
+       |SELECT query_id, probe_cell, neighbor_id, cos, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
+  /** Oracle for the PQ tiers: m per-subspace gated trainings (the j-th
+    * over `e[j·sub+1 : (j+1)·sub]`), stab'd-argmin encode, per-query ADC
+    * lookup rows (raw subvector·centroid dots — identical fold order to
+    * both the driver-built and in-plan LUTs), the m-term ADC fold
+    * re-assembled in j order (`list_sum(list(d ORDER BY j))` ≡ the
+    * left-fold `aggregate` with 0.0 seed), stab'd adc_cos shortlist, and
+    * the exact stab'd-cosine re-rank. With `routed=true` the candidate
+    * set is first restricted to the query's `nprobe` best LABEL cells
+    * (the IVF-PQ composition — same probe arithmetic as knnIvfOracleN).
+    */
+  def knnPqOracle(m: Int, kCodes: Int, iters: Int, sub: Int,
+                  nQueries: Int, k: Int, shortlist: Int,
+                  nprobe: Int = 0): String = {
+    val subs = 0 until m
+    val preps = subs.map(j =>
+      s"p$j AS MATERIALIZED (SELECT vec_id, e[${j * sub + 1}:${j * sub + sub}] AS e FROM n)")
+      .mkString(",\n")
+    val chains = subs.map(j => kmeansChain(s"s$j", s"p$j", kCodes, iters)).mkString(",\n")
+    val encs = subs.map(j => kmAssignCte(s"enc$j", s"p$j", s"s${j}c$iters")).mkString(",\n")
+    val luts = subs.map(j =>
+      s"""lut$j AS MATERIALIZED (
+         |  SELECT s.vec_id AS query_id, c.cell AS code,
+         |    list_sum(list_transform(range(1, ${sub + 1}), i -> s.e[i]*c.c[i])) AS d
+         |  FROM p$j s, s${j}c$iters c WHERE s.vec_id < $nQueries)""".stripMargin)
+      .mkString(",\n")
+    val parts = subs.map(j =>
+      s"  SELECT $j AS j, e.vec_id, l.query_id, l.d FROM enc$j e JOIN lut$j l ON l.code = e.cell")
+      .mkString("\n  UNION ALL\n")
+    val routeCtes = if (nprobe <= 0) "" else
+      s""",
+         |cent AS (
+         |  SELECT label, i, ${stabSql("avg(e[i])")} AS c
+         |  FROM (SELECT em.label, v.e FROM embeddings em JOIN v ON em.vec_id = v.vec_id),
+         |       unnest(range(1, len(e)+1)) t(i)
+         |  GROUP BY label, i),
+         |qd AS (
+         |  SELECT q.vec_id AS query_id, cent.label,
+         |    ${stabSql("sum(q.e[cent.i] * cent.c)")} AS qdot
+         |  FROM v q, cent WHERE q.vec_id < $nQueries
+         |  GROUP BY 1, 2),
+         |probes AS (
+         |  SELECT query_id, label AS probe_label FROM (
+         |    SELECT query_id, label,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, label) AS rn
+         |    FROM qd) WHERE rn <= $nprobe)""".stripMargin
+    val routeJoin = if (nprobe <= 0) "" else
+      s"""
+         |  JOIN embeddings em ON em.vec_id = a.vec_id
+         |  JOIN probes pr ON pr.query_id = a.query_id AND pr.probe_label = em.label""".stripMargin
+    s"""WITH $prepCte,
+       |$preps,
+       |$chains,
+       |$encs,
+       |$luts$routeCtes,
+       |ap AS (
+       |$parts),
+       |adc AS (
+       |  SELECT a.query_id, a.vec_id AS neighbor_id,
+       |    ${stabSql("list_sum(list(a.d ORDER BY a.j)) / n.nrm")} AS adc_cos
+       |  FROM ap a JOIN n ON n.vec_id = a.vec_id$routeJoin
+       |  WHERE a.query_id <> a.vec_id
+       |  GROUP BY a.query_id, a.vec_id, n.nrm),
+       |short AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY query_id ORDER BY adc_cos DESC, neighbor_id) AS rnk
+       |    FROM adc) WHERE rnk <= ${shortlist * k}),
+       |cand AS (
+       |  SELECT s.query_id, s.neighbor_id, ${cosSql("a", "b")} AS cos
+       |  FROM short s JOIN n a ON a.vec_id = s.query_id JOIN n b ON b.vec_id = s.neighbor_id),
+       |r AS (SELECT query_id, neighbor_id, cos,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+       |      FROM cand)
+       |SELECT query_id, neighbor_id, cos, rank FROM r
+       |WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
 }
