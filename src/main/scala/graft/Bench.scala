@@ -83,20 +83,30 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val loadBefore = loadAvg()
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // Iterations that SUCCEEDED in a round where another iteration threw:
+    // a transient single-iteration failure must stay distinguishable from
+    // a hard one, so the valid measurements ride along as
+    // `errors_partial` (min of the successful iterations) instead of
+    // being discarded with the error (round-10 advice).
+    val errorsPartial = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val results = Registry.all.filter(_.bench)
       .filter(q => only.forall(_.contains(q.name))).flatMap { q =>
       var err: Option[String] = None
-      val times = (1 to 3).map { _ =>
+      val times = (1 to 3).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { q.fn(spark, sfDir).count() } catch {
+        val ok = try { q.fn(spark, sfDir).count(); true } catch {
           case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             err = err.orElse(Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
+            false
         }
-        (System.nanoTime() - t0) / 1e9
+        if (ok) Some((System.nanoTime() - t0) / 1e9) else None
       }
       err match {
-        case Some(msg) => errors(q.name) = msg.take(300); None
+        case Some(msg) =>
+          errors(q.name) = msg.take(300)
+          if (times.nonEmpty) errorsPartial(q.name) = times.min
+          None
         case None => Some((q.name, times.min, times.sorted.apply(times.size / 2)))
       }
     }
@@ -159,7 +169,7 @@ object Bench {
     // fields (totals, loadavg, rechecks, errors, the escape assertion)
     // repeat at/sit near the END — they must survive truncation even when
     // the per-query maps don't.
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_med":$med,"setup_sec":$setupSec%.3f,"setup_breakdown":${jmap(setupBreakdown)},"sf":"$sfDir","pins_known":${pins.size},"rechecked":$recheckedJson,"errors":$errJson,"n_errors":${errors.size},"recheck_escapes":$escapes,"load_recheck":${loadAvg()}%.2f,"total_min_sec":$total%.3f,"total_med_sec":$totalMed%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_med":$med,"setup_sec":$setupSec%.3f,"setup_breakdown":${jmap(setupBreakdown)},"sf":"$sfDir","pins_known":${pins.size},"rechecked":$recheckedJson,"errors":$errJson,"errors_partial":${jmap(errorsPartial.toSeq)},"n_errors":${errors.size},"recheck_escapes":$escapes,"load_recheck":${loadAvg()}%.2f,"total_min_sec":$total%.3f,"total_med_sec":$totalMed%.3f,"load_before":$loadBefore%.2f,"load_after":$loadAfter%.2f}"""
     println(line)
     // Full line to disk: the driver keeps only the tail of stdout, which in
     // round 9 cut the min-of-3 map and left the recheck trigger unauditable.

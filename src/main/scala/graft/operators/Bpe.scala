@@ -80,11 +80,21 @@ object Bpe {
     replace(sym, lit(pat), lit(merged))
   }
 
-  /** Train `numMerges` merges. Jobs: one localCheckpoint of the type table
-    * (the only corpus scan), then one 1-row argmax collect per round —
-    * driver traffic is numMerges (pair, cnt) rows total. Stops early only
-    * on a degenerate corpus where every word is a single symbol (the
-    * oracle assumes the full run; the fixtures are nowhere near it).
+  /** REFERENCE implementation — spec-contrast only, not the recommended
+    * API (round-11 demotion, per the round-10 verdict): one argmax
+    * collect per merge means a 32k-vocabulary run pays 32k scheduler
+    * round-trips of pure latency. Production paths — and every
+    * registered query — use [[trainBatched]]; `batch = 1` reproduces
+    * this trainer verbatim (BpeSpec pins the equivalence, and the
+    * bpe_merges_batched oracle pins it under the driver's hash gate), so
+    * this survives as the semantic witness the batched trainer is
+    * checked against.
+    *
+    * Jobs: one localCheckpoint of the type table (the only corpus scan),
+    * then one 1-row argmax collect per round — driver traffic is
+    * numMerges (pair, cnt) rows total. Stops early only on a degenerate
+    * corpus where every word is a single symbol (the oracle assumes the
+    * full run; the fixtures are nowhere near it).
     */
   def train(docs: DataFrame, numMerges: Int = 8): Seq[Merge] = {
     var wt = wordTypes(docs).localCheckpoint()
@@ -136,8 +146,17 @@ object Bpe {
     var exhausted = false
     while (done < numMerges && !exhausted) {
       val want = math.min(batch, numMerges - done)
-      // over-fetch so conflict skips still fill the batch: each pick
-      // blocks at most its own 3 symbols, so 4× is a comfortable margin
+      // Over-fetch so conflict skips still fill the batch. 4× is a
+      // HEURISTIC margin, not a bound: each pick blocks its own ≤3
+      // symbols, which suffices when top pairs are symbol-diverse
+      // (typical text), but a hub symbol that appears in most top pairs
+      // (common in EARLY rounds, where one frequent character dominates)
+      // can make a round under-fill toward one merge. Correctness and
+      // progress are unaffected — the next round recounts and continues;
+      // only the ~numMerges/batch round-count claim degrades (it is a
+      // best-case). The 4k-merge production run in BASELINE.md measures
+      // the realized fill rate; scaling the over-fetch with the observed
+      // conflict rate is the upgrade if a real corpus under-fills badly.
       val top = pairCounts(wt).orderBy(desc("cnt"), asc("pair"))
         .limit(want * 4).collect()
       if (top.isEmpty) exhausted = true

@@ -154,9 +154,17 @@ object Curation {
     // same skew-safe 16-bucket prefix-sum decomposition as mixBySource /
     // packAssignments: the running token sum = per-(source, hex-bucket)
     // inclusive sum + a ≤16-row-per-source bucket offset — no window ever
-    // sees a whole source
-    val t = TextAnalysis.tokenCounts(docs)
+    // sees a whole source.
+    // ONE corpus tokenize: the (doc_id, n_tok) projection feeds both the
+    // bucket-offset aggregate and the probe side — localCheckpoint it
+    // (the Selection.weights single-scan discipline) so the expensive
+    // tokenize+aggregate never runs twice. mixBySource deliberately does
+    // NOT checkpoint: its shared subtree is a column-pruned scan plus a
+    // row-local md5, cheaper to recompute than to materialize.
+    val counts = TextAnalysis.tokenCounts(docs)
       .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+      .localCheckpoint()
+    val t = counts
       .join(docs.select("doc_id", "source"), "doc_id")
       .join(broadcast(quotas), "source")
       .withColumn("h", md5(col("doc_id").cast("string")))

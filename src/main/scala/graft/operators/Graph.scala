@@ -98,7 +98,9 @@ object Graph {
     * stab(12)-quantized scores — order-free, engine-agnostic) is spread
     * uniformly, new = t/n + d·(contrib + D/n), preserving Σ pr = 1. The
     * D aggregate is one 1-row anti-join sum per round — same linear
-    * shape, no new corpus-scale shuffle.
+    * shape, no new corpus-scale shuffle. Because that branch reads the
+    * previous round's `pr` twice, it localCheckpoints `pr` each round
+    * (O(1) lineage); the classic single-reference branch stays lazy.
     */
   def pageRank(docs: DataFrame, edges: DataFrame, iters: Int = 5,
                damping: Double = 0.85, teleport: Double = 0.15,
@@ -109,6 +111,13 @@ object Graph {
     var pr = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to iters) {
+      // With redistributeDangling the round reads `pr` TWICE (contrib and
+      // the dangling anti-join sum), so the unrolled lineage would double
+      // per round (~2^iters subtree copies, survivable only via exchange
+      // reuse). localCheckpoint collapses the round's input to O(1) plan
+      // — the Dedup.clusters iteration discipline. The classic branch
+      // reads `pr` once and stays pure/lazy (better bench citizen).
+      if (redistributeDangling) pr = pr.localCheckpoint()
       val contrib = e.join(pr.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"),
           Stable.stab(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))

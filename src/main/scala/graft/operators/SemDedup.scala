@@ -74,6 +74,17 @@ object SemDedup {
     * reproduces the window's (desc cos, asc cell) winner exactly: −stab
     * ascending ≡ stab descending, struct ties fall through to the lower
     * cell id.
+    *
+    * NaN invariant: cos is NaN only if a centroid or embedding has zero
+    * norm. Zero-norm CENTROIDS are impossible by construction — seeds
+    * are corpus vectors, updates are means of assigned vectors, and the
+    * synthetic/production contract is non-zero embeddings (a cell whose
+    * members all vanished drops out of the mean update entirely rather
+    * than averaging to zero). A zero-norm EMBEDDING would score NaN
+    * against every cell — the one place the negated-min form differs
+    * from the old window (NaN sorted first desc, sorts last negated) —
+    * but it cannot arise under the same contract; if a future corpus
+    * admits zero vectors, guard the cosine with nanvl before the argmin.
     */
   private def assign(p: DataFrame, cent: DataFrame): DataFrame = {
     val cs = cent.select("cell", "c", "cnrm").collect()

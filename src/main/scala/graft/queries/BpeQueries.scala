@@ -46,14 +46,78 @@ object BpeQueries {
     (head +: rounds).mkString(",\n")
   }
 
+  /** DuckDB twin of Bpe.trainBatched for numMerges ≤ batch: `n` unrolled
+    * rounds over the symbol table bw{r}, each with a pair recount
+    * (cr{r}), a rank cutoff at 4× the remaining budget (cand{r}), a
+    * greedy conflict-free walk (sel{r} — linear recursion over rank
+    * order), the accepted picks (pick{r}), the cumulative merge ledger
+    * (allp{r}), and the picks applied in order (apl{r} recursion →
+    * bw{r}). A round whose remaining budget is zero selects nothing and
+    * passes bw through unchanged, so the unroll is exact for ANY fill
+    * pattern from one-per-round to all-in-round-1.
+    */
+  def batchedChainSql(n: Int): String = {
+    val accept = s"s.picks < (SELECT rem FROM remR) AND len(list_intersect(" +
+      "string_split(s.used, ' '), [string_split(c.pair, ' ')[1], " +
+      "string_split(c.pair, ' ')[2], replace(c.pair, ' ', '')])) = 0"
+    val rounds = (1 to n).map { r =>
+      val acc = accept.replace("remR", s"rem$r")
+      s"""cr$r AS MATERIALIZED (
+         |  SELECT pair, sum(freq) AS cnt FROM (
+         |    SELECT a.arr[g.i] || ' ' || a.arr[g.i+1] AS pair, w.freq
+         |    FROM bw${r - 1} w, LATERAL (SELECT string_split(trim(w.sym), '  ') AS arr) a, range(1, 256) g(i)
+         |    WHERE g.i + 1 <= len(a.arr)) GROUP BY pair),
+         |rem$r AS (SELECT $n - (SELECT count(*) FROM allp${r - 1}) AS rem),
+         |cand$r AS MATERIALIZED (
+         |  SELECT pair, cnt, rn FROM (
+         |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM cr$r)
+         |  WHERE rn <= 4 * (SELECT rem FROM rem$r)),
+         |sel$r AS (
+         |  SELECT 0 AS rn, '' AS used, 0 AS picks, false AS take
+         |  UNION ALL
+         |  SELECT c.rn,
+         |    CASE WHEN $acc THEN s.used || ' ' || c.pair || ' ' || replace(c.pair, ' ', '') ELSE s.used END,
+         |    s.picks + CASE WHEN $acc THEN 1 ELSE 0 END,
+         |    $acc
+         |  FROM sel$r s JOIN cand$r c ON c.rn = s.rn + 1),
+         |pick$r AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY s.rn) AS ord, c.pair, c.cnt
+         |  FROM sel$r s JOIN cand$r c ON c.rn = s.rn WHERE s.take),
+         |allp$r AS MATERIALIZED (
+         |  SELECT rnd, ord, pair, cnt FROM allp${r - 1}
+         |  UNION ALL SELECT $r AS rnd, ord, pair, cnt FROM pick$r),
+         |apl$r AS (
+         |  SELECT word, freq, sym, 0 AS j FROM bw${r - 1}
+         |  UNION ALL
+         |  SELECT a.word, a.freq,
+         |    replace(a.sym, ' ' || replace(p.pair, ' ', '  ') || ' ',
+         |      ' ' || replace(p.pair, ' ', '') || ' ') AS sym,
+         |    a.j + 1
+         |  FROM apl$r a JOIN pick$r p ON p.ord = a.j + 1),
+         |bw$r AS MATERIALIZED (
+         |  SELECT word, freq, sym FROM apl$r WHERE j = (SELECT count(*) FROM pick$r))""".stripMargin
+    }
+    s"""WITH RECURSIVE ${chainCtes(0)},
+       |bw0 AS (SELECT word, freq, sym FROM w0),
+       |allp0 AS (SELECT 0 AS rnd, CAST(0 AS BIGINT) AS ord, '' AS pair,
+       |          CAST(0 AS HUGEINT) AS cnt WHERE 1 = 0),
+       |${rounds.mkString(",\n")}
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, ord) AS INT) AS step,
+       |       pair, CAST(cnt AS BIGINT) AS cnt
+       |FROM allp$n ORDER BY step""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     // The trained merge table itself — the tokenizer artifact. 8 rounds
     // of (argmax over corpus pair counts, merge) hash-matched end to end.
+    // Runs the BATCHED trainer at batch=1 (round-11 demotion: classic
+    // Bpe.train is spec-contrast only; batch=1 reproduces it verbatim,
+    // so the classic-chain oracle still gates the semantics).
     GraftQuery("bpe_merges",
       (s, d) => {
         import s.implicits._
-        Bpe.train(Tables.documents(s, d), NumMerges)
+        Bpe.trainBatched(Tables.documents(s, d), NumMerges, batch = 1)
           .map(m => (m.step, m.pair, m.cnt))
           .toDF("step", "pair", "cnt").orderBy("step")
       },
@@ -85,12 +149,37 @@ object BpeQueries {
            |SELECT * FROM ($unions) ORDER BY step""".stripMargin
       }),
 
+    // The batched trainer at batch>1 — the PRODUCTION path's ACTUAL
+    // semantics, hash-gated (new in round 11; previously only batch=1
+    // carried an oracle). The oracle replays the whole multi-round
+    // algorithm generically — it does NOT assume the first round fills
+    // (at sf0.01 it genuinely doesn't: 7 conflict-free picks in the top
+    // 32, then a recount round for the 8th). Per unrolled round r (worst
+    // case numMerges rounds; a round with zero remaining budget is a
+    // structural no-op): recount pairs from the current symbol table,
+    // rank by (cnt desc, pair asc) cut at 4·remaining, walk the ranked
+    // list as a linear RECURSIVE CTE carrying the used-symbol set as a
+    // space-delimited string (greedy accept iff the pair's two symbols
+    // and its merged symbol are all unused), then apply the round's
+    // picks IN PICK ORDER with a second recursion over the word table.
+    // So the conflict rule, the over-fetch cutoff, the under-fill
+    // recount, and the cross-round budget arithmetic all sit under the
+    // driver's hash gate.
+    GraftQuery("bpe_merges_batch64",
+      (s, d) => {
+        import s.implicits._
+        Bpe.trainBatched(Tables.documents(s, d), NumMerges, batch = 64)
+          .map(m => (m.step, m.pair, m.cnt))
+          .toDF("step", "pair", "cnt").orderBy("step")
+      },
+      Some(batchedChainSql(NumMerges))),
+
     // Final subword vocabulary with corpus frequencies — what the trained
     // tokenizer's id table ships as.
     GraftQuery("bpe_vocab",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.train(docs, NumMerges)
+        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
         Bpe.symbolVocab(Bpe.wordTypes(docs), merges).orderBy("symbol")
       },
       Some(
@@ -105,7 +194,7 @@ object BpeQueries {
     GraftQuery("bpe_token_count",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.train(docs, NumMerges)
+        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
         Bpe.docTokenCounts(docs, merges).orderBy("doc_id")
       },
       Some(

@@ -71,6 +71,44 @@ object SearchQueries {
            |FROM tok t JOIN vocab v USING (word)
            |GROUP BY t.doc_id, v.word_id ORDER BY t.doc_id, v.word_id""".stripMargin)),
 
+    // Reference-format TSV sinks, gated END TO END (round 11): write the
+    // vocabulary in the reference byte layout (word \t "wordId df" —
+    // Vocabulary.java:101-105), read it back through the same file
+    // contract, and hash-compare the round-tripped rows against the
+    // vocab_build oracle. A layout drift in EITHER the writer or the
+    // reader breaks the parse-back and fails the gate — this puts the one
+    // remaining reference-surface component (V6/P4/I4) on the oracle
+    // ledger instead of only the TsvSpec byte goldens.
+    GraftQuery("tsv_roundtrip",
+      (s, d) => {
+        val out = s"/tmp/graft-tsvrt/${d.replaceAll("[^A-Za-z0-9.]", "_")}_vocab"
+        graft.sources.Tsv.writeVocabulary(
+          Search.vocabulary(Tables.documents(s, d)), out, sorted = true)
+        graft.sources.Tsv.readVocabulary(s, out).orderBy("word")
+      },
+      Some(
+        s"""WITH $tokCte
+           |SELECT word, count(DISTINCT doc_id) AS df,
+           |       row_number() OVER (ORDER BY word) - 1 AS word_id
+           |FROM tok GROUP BY word ORDER BY word""".stripMargin)),
+
+    // Same gate for the postings sink (docId \t wordId \t tf —
+    // Indexer.java:110,131-137), against the postings_tf oracle.
+    GraftQuery("tsv_roundtrip_postings",
+      (s, d) => {
+        val bdw = Search.docWordCounts(Tables.documents(s, d))
+        val out = s"/tmp/graft-tsvrt/${d.replaceAll("[^A-Za-z0-9.]", "_")}_postings"
+        graft.sources.Tsv.writePostings(
+          Search.postingsFrom(bdw, Search.vocabularyFrom(bdw))
+            .select("doc_id", "word_id", "tf"), out)
+        graft.sources.Tsv.readPostings(s, out).orderBy("doc_id", "word_id")
+      },
+      Some(
+        s"""WITH $tokCte, $vocabCte
+           |SELECT t.doc_id, v.word_id, count(*) AS tf
+           |FROM tok t JOIN vocab v USING (word)
+           |GROUP BY t.doc_id, v.word_id ORDER BY t.doc_id, v.word_id""".stripMargin)),
+
     // Flagship: the reference's entire Query.java path in one plan.
     // Query "the fast table scan the" → qtf: the=2, fast/table/scan=1.
     GraftQuery("search_topk",
