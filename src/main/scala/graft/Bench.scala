@@ -60,8 +60,14 @@ object Bench {
       "bigram_lm" -> (() => graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()),
       "embedding_bands" -> (() => graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()),
       "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)))
+    // SPARK_GRAFT_SKIP_SETUP=1: skip the persisted-artifact pre-build —
+    // for filtered runs (SPARK_GRAFT_ONLY) against ad-hoc corpora (the
+    // DecadeSynth tier) where building every shingle/signature artifact
+    // would dwarf the queries being measured; queries that do need an
+    // artifact still build it lazily through Persisted on first use.
+    val skipSetup = sys.env.get("SPARK_GRAFT_SKIP_SETUP").contains("1")
     val s0 = System.nanoTime()
-    val setupBreakdown = setupSteps.map { case (name, step) =>
+    val setupBreakdown = (if (skipSetup) Seq.empty else setupSteps).map { case (name, step) =>
       val t0 = System.nanoTime()
       try step() catch { case e: Throwable =>
         System.err.println(s"[bench] setup $name failed: ${e.getMessage}")

@@ -1,6 +1,6 @@
 package graft
 
-import graft.operators.{Bpe, Selection}
+import graft.operators.{Bpe, Curation, Selection}
 import graft.sources.ZipfCorpus
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
@@ -48,7 +48,22 @@ object ScaleSmoke {
     val (tokCnt, encSec) = timed(Bpe.docTokenCounts(docs, merges).count())
     val nTypes = Bpe.wordTypes(docs).count()
 
-    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f}""")
+    // Mixing / packing / shuffle (round-10 verdict #7): the 16-bucket
+    // window decompositions are value-identical-gated at the SF tiers;
+    // this measures their GROWTH. Sources are deliberately skewed — src0
+    // holds half the corpus, the exact case the decomposition exists for
+    // (a plain source-partitioned window would serialize src0 through
+    // one task). Token quota targets ~40% of the ~40·n corpus tokens so
+    // the mix does real cumulative-sum work at every n.
+    val srcDocs = docs.withColumn("source",
+      when(col("doc_id") % 2 === 0, "src0")
+        .when(col("doc_id") % 4 === 1, "src1").otherwise("src2"))
+    val (mixCnt, mixSec) = timed(Curation.mixByTokens(srcDocs,
+      Map("src0" -> 0.5, "src1" -> 0.3, "src2" -> 0.2), 16L * n).count())
+    val (packCnt, packSec) = timed(Curation.packSequences(docs, 500L).count())
+    val (shufCnt, shufSec) = timed(Curation.epochShuffle(docs, 2).count())
+
+    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f}""")
     spark.stop()
   }
 }

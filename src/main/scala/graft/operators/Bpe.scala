@@ -138,11 +138,13 @@ object Bpe {
     * excludes for the round). Recorded `cnt` is the selection-time count.
     */
   def trainBatched(docs: DataFrame, numMerges: Int = 8,
-                   batch: Int = 64): Seq[Merge] = {
+                   batch: Int = 64,
+                   onRound: (Int, Int) => Unit = (_, _) => ()): Seq[Merge] = {
     require(batch >= 1, "batch must be >= 1")
     var wt = wordTypes(docs).localCheckpoint()
     val out = Seq.newBuilder[Merge]
     var done = 0
+    var round = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
       val want = math.min(batch, numMerges - done)
@@ -177,6 +179,8 @@ object Bpe {
         val ms = picked.result()
         out ++= ms
         done += ms.size
+        round += 1
+        onRound(round, ms.size) // observability hook: realized fill per round
         wt = ms.foldLeft(wt)((d, m) => d.withColumn("sym", mergeExpr(col("sym"), m.pair)))
           .localCheckpoint() // one cut per round — plan depth ≤ batch
       }
