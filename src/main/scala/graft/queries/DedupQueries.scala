@@ -278,6 +278,57 @@ object DedupQueries {
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
       KeepBands, KeepRows, KeepThreshold)
 
+  /** DuckDB twin of Dedup.minhashLshPairsFastFromSigKeys — the xxhash64
+    * tier under the full hash gate. Structure mirrors [[lshPairCtes]]
+    * with every digest swapped for XxhashSql's staged XXH64 chains:
+    * signatures = per-(doc, i) min of xxhash64(i, shingle) (the chained
+    * int seed is the driver-side constant hashInt(i, 42)); band buckets
+    * = hashLong-chained signature columns from seed 42; verify keys =
+    * xxhash64(shingle). One shared byte-extraction pass serves all
+    * 13 seeds (12 signature components + the key tier) via a seed
+    * cross-join before the hash chain.
+    */
+  def fastLshPairSql(bands: Int, rows: Int, threshold: Double): String = {
+    val n = bands * rows
+    val seedVals = ((0 until n).map(i => s"($i, ${XxhashSql.hashInt(i, 42L)})") :+
+      s"($n, 42)").mkString(", ")
+    val sigCols = (0 until n)
+      .map(i => s"min(xh) FILTER (WHERE i = $i) AS h$i").mkString(",\n    ")
+    val bandSel = (0 until bands).map { b =>
+      val cs = (0 until rows).map(r => s"h${b * rows + r} AS c$r").mkString(", ")
+      s"SELECT doc_id, $b AS band, $cs FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""WITH $shingleCte,
+       |shx AS (SELECT doc_id, shingle, hex(encode(shingle)) AS hx, octet_length(encode(shingle)) AS ln FROM sh),
+       |seeds(i, seed) AS (VALUES $seedVals),
+       |se AS (SELECT s.doc_id, s.hx, s.ln, t.i,
+       |  CAST((CAST(t.seed AS HUGEINT) + 18446744073709551616) % 18446744073709551616 AS UBIGINT) AS useed
+       |  FROM shx s, seeds t),
+       |${XxhashSql.strChainCtes("x", "se", Seq("doc_id", "i"))},
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM xb9 WHERE i < $n GROUP BY doc_id),
+       |shk AS (SELECT doc_id, xh AS shk FROM xb9 WHERE i = $n),
+       |bsrc AS (
+       |  $bandSel),
+       |${XxhashSql.longChainCtes("z", "bsrc", Seq("doc_id", "band"), (0 until rows).map(r => s"c$r"), "bh")},
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM zout a JOIN zout b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |    JOIN shk a ON c.doc_a = a.doc_id
+       |    JOIN shk b ON c.doc_b = b.doc_id AND a.shk = b.shk
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold
+       |ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("dedup_exact",
@@ -416,13 +467,17 @@ object DedupQueries {
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
     // xxhash64 tier: the same banded-LSH shape with the production hash.
-    // No cross-engine digest → rows-only driver check; DedupSpec pins its
-    // agreement with the md5 tier on the fixture.
+    // HASH-GATED since round 11: XxhashSql replays Spark's xxhash64 in
+    // DuckDB (mod-2⁶⁴ arithmetic over HUGEINT, staged CTEs, list_reduce
+    // folds), so the oracle re-derives the identical signatures, band
+    // buckets, and verify keys — the fast tier's pairs now hash-match
+    // instead of riding a rows-only check. DedupSpec additionally pins
+    // its agreement with the md5 tier on the fixture.
     GraftQuery("dedup_minhash_fast",
       (s, d) => Dedup.minhashLshPairsFastFromSigKeys(persistedSignaturesFast(s, d),
           persistedShingleKeysFast(s, d), 3, 4, 0.5)
         .orderBy("doc_a", "doc_b"),
-      None),
+      Some(fastLshPairSql(3, 4, 0.5))),
 
     // Near-dup clustering: connected components over the LSH-verified
     // >=0.6-Jaccard pair graph; every member maps to its component's min
