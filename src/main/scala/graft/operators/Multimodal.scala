@@ -302,6 +302,26 @@ object Multimodal {
   def extractFeatures(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val out = media.select("media_id", "modality", "payload").rdd.mapPartitions { rows =>
+      // ONE PNG reader per partition (one thread — ImageReader isn't
+      // thread-safe but needs no cross-row state beyond reset()): the
+      // per-row ImageIO.read path pays an SPI registry scan + reader
+      // construction + a FULL pixel decode per image, when the features
+      // only need header dims. getWidth/getHeight on a reusable reader
+      // parse the IHDR chunk alone. Non-PNG or header-corrupt payloads
+      // fall through to the generic full-decode path, then the stub —
+      // the synthesis contract is PNG, but a foreign codec's payload
+      // still decodes exactly as before.
+      lazy val pngReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      def pngHeaderDims(payload: Array[Byte]): (Int, Int) =
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            pngReader.setInput(iis, true, true)
+            (pngReader.getWidth(0), pngReader.getHeight(0))
+          } finally { pngReader.setInput(null); iis.close() }
+        } catch { case scala.util.control.NonFatal(_) => null }
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         def byteChecksum: Long = {
@@ -312,12 +332,17 @@ object Multimodal {
         }
         val row = r.getString(1) match {
           case "image" =>
-            val img = // NonFatal: malformed-body payloads throw runtime exceptions
-              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-              catch { case scala.util.control.NonFatal(_) => null }
-            if (img == null) null
+            val dims = pngHeaderDims(payload) match {
+              case null => // NonFatal: malformed-body payloads throw runtime exceptions
+                val img =
+                  try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+                  catch { case scala.util.control.NonFatal(_) => null }
+                if (img == null) null else (img.getWidth, img.getHeight)
+              case d => d
+            }
+            if (dims == null) null
             else Row(r.getLong(0), r.getString(1), payload.length.toLong,
-              img.getWidth, img.getHeight, null, null, byteChecksum)
+              dims._1, dims._2, null, null, byteChecksum)
           case "audio" =>
             val meta = try {
               val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
