@@ -267,6 +267,54 @@ object TextAnalysis {
         lit(1.0) - col("n_distinct").cast("double") / col("n_ngrams"))
   }
 
+  /** Cross-document duplicate-SPAN marking — the exact-substring dedup
+    * pass of Lee et al. 2021 ("Deduplicating Training Data Makes
+    * Language Models Better"), at token-n-gram granularity: a position
+    * whose n-token window occurs anywhere else in the corpus (another
+    * doc OR another offset of the same doc) starts a duplicate span,
+    * and every occurrence except the globally-first one — min
+    * (doc_id, pos) — is marked `keep = false`, the removal list a
+    * pipeline's span-cut step consumes. Complements the doc-level dedup
+    * family (whole/near-document) and `repetition` (within-doc ratio):
+    * this is the signal that catches boilerplate shared ACROSS
+    * otherwise-distinct documents.
+    *
+    * Scale shape: one narrow posexplode of the zip_with gram stream,
+    * one hash aggregate (count + min(struct(doc_id, pos)) —
+    * partial-aggregated map-side, so a boilerplate gram with millions
+    * of occurrences never serializes through one task the way a
+    * per-gram window would), and one equi-join back. The aggregate and
+    * join run on the xxhash64 KEY of the gram, not the string — the
+    * fast-tier fixed-width join-currency discipline (an n-token gram is
+    * ~50 bytes; the key is 8, and xxhash64 is one cheap pass where the
+    * md5-prefix key measured SLOWER than the string shuffle it saved at
+    * sf0.1) — and the oracle re-derives the identical keys through
+    * XxhashSql, so the rare collision (merging two distinct grams'
+    * groups) is engine-consistent, exactly as with the fast shk tier.
+    * Nothing is quadratic and nothing windows over an unbounded group.
+    *
+    * Returns (doc_id, pos 1-based token offset, gram, keep) for every
+    * occurrence of every duplicated n-gram.
+    */
+  def duplicateSpans(docs: DataFrame, n: Int = 8): DataFrame = {
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val m = size(col("arr")) - (n - 1)
+    val grams = (1 until n).foldLeft(slice(col("arr"), lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(col("arr"), lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
+    val pg = docs.select(col("doc_id"), arr.as("arr")).filter(size(col("arr")) >= n)
+      .select(col("doc_id"), posexplode(grams))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"), Dedup.shingleKeyFast(col("col")).as("gk"))
+    val stats = pg.groupBy("gk").agg(
+      count(lit(1)).as("occ"),
+      min(struct(col("doc_id"), col("pos"))).as("first"))
+    pg.join(stats.filter(col("occ") > 1).select("gk", "first"), "gk")
+      .select(col("doc_id"), col("pos"), col("gram"),
+        (col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")).as("keep"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
     * subword-like segments (runs of letters / digits / single punctuation),
     * the standard cheap proxy for LLM token budgeting.

@@ -280,6 +280,37 @@ object TextAnalysisQueries {
           |  1.0 - CAST(count(DISTINCT g) AS DOUBLE) / count(*) AS rep_ratio
           |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Cross-document duplicate spans (Lee et al. 2021 exact-substring
+    // dedup at 8-gram granularity): every occurrence of a corpus-repeated
+    // 8-token window, keep=false on all but the globally-first — the
+    // span-removal list. Skew-safe by construction (hash agg +
+    // min(struct), no per-gram window); the oracle's window form is
+    // value-identical (rn=1 ≡ min (doc_id, pos)). The aggregate/join
+    // currency is xxhash64(gram) — re-derived in SQL by XxhashSql, like
+    // the fast dedup tier.
+    GraftQuery("text_dup_spans",
+      (s, d) => TextAnalysis.duplicateSpans(Tables.documents(s, d), 8)
+        .orderBy("doc_id", "pos"),
+      Some {
+        val gram = (0 until 8).map(k => if (k == 0) "arr[i]" else s"arr[i+$k]")
+          .mkString(" || ' ' || ")
+        s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents),
+           |g0 AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS gram
+           |  FROM d, unnest(range(1, len(arr) - 6)) t(i)
+           |  WHERE len(arr) >= 8),
+           |gx AS (SELECT doc_id, pos, gram, hex(encode(gram)) AS hx,
+           |  octet_length(encode(gram)) AS ln, CAST(42 AS UBIGINT) AS useed FROM g0),
+           |${XxhashSql.strChainCtes("y", "gx", Seq("doc_id", "pos", "gram"))},
+           |g AS (SELECT doc_id, pos, gram, xh AS gk FROM yb9),
+           |s AS (SELECT gk, count(*) AS occ FROM g GROUP BY gk),
+           |f AS (SELECT gk, doc_id, pos, gram,
+           |        row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g)
+           |SELECT f.doc_id, f.pos, f.gram, (f.rn = 1) AS keep
+           |FROM f JOIN s USING (gk) WHERE s.occ > 1
+           |ORDER BY doc_id, pos""".stripMargin
+      }),
+
     // Benchmark decontamination: flag training docs sharing any 3-shingle
     // with the benchmark set (docs 0-9 stand in for an eval suite — the
     // real pipeline swaps in its benchmark corpus). The benchmark shingle

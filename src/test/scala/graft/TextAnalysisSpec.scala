@@ -118,4 +118,33 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(scores.count(_._2 > qstar) < k)
     assert(kept.map(_._1).toSet == scores.filter(_._2 >= qstar).map(_._1).toSet)
   }
+
+  test("duplicateSpans: cross-doc and within-doc repeats, first-occurrence keep") {
+    import spark.implicits._
+    val boiler = "subscribe to our newsletter for updates and more content here"
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),              // 10-token boiler at pos 3
+      (2L, s"delta $boiler epsilon zeta"),            // same boiler at pos 2
+      (3L, "one two three four five six seven eight one two three four five six seven eight"), // self-repeat at pos 1 and 9
+      (4L, "totally unique words nine ten eleven twelve thirteen fourteen")
+    ).toDF("doc_id", "text")
+    val spans = TextAnalysis.duplicateSpans(docs, 8)
+      .as[(Long, Long, String, Boolean)].collect().toSeq
+
+    // the 10-token boiler yields three 8-gram starts per doc; every one
+    // is duplicated across docs 1/2, and doc 1 (lower doc_id) keeps all
+    val d1 = spans.filter(_._1 == 1L)
+    val d2 = spans.filter(_._1 == 2L)
+    assert(d1.map(_._2).sorted == Seq(3L, 4L, 5L) && d1.forall(_._4))
+    assert(d2.map(_._2).sorted == Seq(2L, 3L, 4L) && d2.forall(!_._4))
+    // within-doc repeat: pos 1 (first) kept, pos 9 dropped
+    val d3 = spans.filter(_._1 == 3L).sortBy(_._2)
+    assert(d3.map(t => (t._2, t._4)) == Seq((1L, true), (9L, false)))
+    // unique doc emits nothing
+    assert(!spans.exists(_._1 == 4L))
+    // every duplicated gram has exactly one keeper
+    spans.groupBy(_._3).foreach { case (_, occ) =>
+      assert(occ.count(_._4) == 1)
+    }
+  }
 }
