@@ -311,6 +311,52 @@ object TextAnalysisQueries {
            |ORDER BY doc_id, pos""".stripMargin
       }),
 
+    // The cut step applied: corpus in, span-cleaned corpus out (tokens
+    // covered by non-kept duplicate spans removed, survivors
+    // reassembled). The oracle re-derives the span list through the
+    // same XxhashSql chain, expands drops n-wide, anti-joins, and
+    // string_aggs in position order.
+    GraftQuery("text_dup_cut",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        TextAnalysis.cutSpans(docs, TextAnalysis.duplicateSpans(docs, 8), 8)
+          .orderBy("doc_id")
+      },
+      Some {
+        val gram = (0 until 8).map(k => if (k == 0) "arr[i]" else s"arr[i+$k]")
+          .mkString(" || ' ' || ")
+        s"""WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents),
+           |g0 AS (
+           |  SELECT doc_id, CAST(i AS BIGINT) AS pos, $gram AS gram
+           |  FROM d, unnest(range(1, len(arr) - 6)) t(i)
+           |  WHERE len(arr) >= 8),
+           |gx AS (SELECT doc_id, pos, gram, hex(encode(gram)) AS hx,
+           |  octet_length(encode(gram)) AS ln, CAST(42 AS UBIGINT) AS useed FROM g0),
+           |${XxhashSql.strChainCtes("y", "gx", Seq("doc_id", "pos", "gram"))},
+           |g AS (SELECT doc_id, pos, xh AS gk FROM yb9),
+           |s AS (SELECT gk, count(*) AS occ FROM g GROUP BY gk),
+           |f AS (SELECT gk, doc_id, pos,
+           |        row_number() OVER (PARTITION BY gk ORDER BY doc_id, pos) AS rn FROM g),
+           |drops AS (
+           |  SELECT DISTINCT f.doc_id, f.pos + k.k AS p
+           |  FROM f JOIN s USING (gk), range(0, 8) k(k)
+           |  WHERE s.occ > 1 AND f.rn > 1),
+           |toks AS (
+           |  SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+           |    CAST(i AS BIGINT) AS p, arr[i] AS tok
+           |  FROM d, unnest(range(1, len(arr) + 1)) t(i)),
+           |kept AS (
+           |  SELECT t.* FROM toks t LEFT JOIN drops dr
+           |    ON t.doc_id = dr.doc_id AND t.p = dr.p
+           |  WHERE dr.p IS NULL)
+           |SELECT t.doc_id AS doc_id,
+           |  coalesce(string_agg(k.tok, ' ' ORDER BY k.p), '') AS clean_text,
+           |  t.n_tokens AS n_tokens, t.n_tokens - count(k.p) AS n_dropped
+           |FROM (SELECT DISTINCT doc_id, n_tokens FROM toks) t
+           |  LEFT JOIN kept k ON k.doc_id = t.doc_id
+           |GROUP BY t.doc_id, t.n_tokens ORDER BY t.doc_id""".stripMargin
+      }),
+
     // Benchmark decontamination: flag training docs sharing any 3-shingle
     // with the benchmark set (docs 0-9 stand in for an eval suite — the
     // real pipeline swaps in its benchmark corpus). The benchmark shingle

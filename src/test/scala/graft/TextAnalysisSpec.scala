@@ -146,5 +146,17 @@ class TextAnalysisSpec extends AnyFunSuite {
     spans.groupBy(_._3).foreach { case (_, occ) =>
       assert(occ.count(_._4) == 1)
     }
+
+    // the cut step: doc 2's spans at pos 2/3/4 cover tokens 2..11 → only
+    // its own words survive; doc 3 loses the second repeat; docs with no
+    // drops pass through with their normalized text and n_dropped = 0
+    val cut = TextAnalysis.cutSpans(docs, TextAnalysis.duplicateSpans(docs, 8), 8)
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(cut.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    val byId = cut.map(t => t._1 -> t).toMap
+    assert(byId(2L)._2 == "delta epsilon zeta" && byId(2L)._4 == 10L)
+    assert(byId(3L)._2 == "one two three four five six seven eight" && byId(3L)._4 == 8L)
+    assert(byId(1L)._4 == 0L && byId(1L)._2.startsWith("alpha beta subscribe"))
+    assert(byId(4L)._4 == 0L && byId(4L)._3 == 9L)
   }
 }
