@@ -63,7 +63,25 @@ object ScaleSmoke {
     val (packCnt, packSec) = timed(Curation.packSequences(docs, 500L).count())
     val (shufCnt, shufSec) = timed(Curation.epochShuffle(docs, 2).count())
 
-    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f}""")
+    // Round-11 additions: the span-level dedup pass, the RAG chunker, and
+    // the incremental batch-vs-corpus LSH — same decade treatment. The
+    // incremental phase materializes signatures/keys once (the persisted-
+    // artifact posture of the registered query) and times only the probe.
+    val (spanCnt, spanSec) = timed(
+      graft.operators.TextAnalysis.duplicateSpans(docs, 8).count())
+    val (chunkCnt, chunkSec) = timed(
+      graft.operators.TextAnalysis.chunks(docs, 64, 48).count())
+    val sh = graft.operators.Dedup.shingles(docs, 3)
+    val sig = graft.operators.Dedup.minhashSignatures(sh, 12).localCheckpoint()
+    val shk = sh.select(col("doc_id"),
+      graft.operators.Dedup.shingleKey(col("shingle")).as("shk")).localCheckpoint()
+    val isNew = col("doc_id") % 10 === 0
+    val (incCnt, incSec) = timed(
+      graft.operators.Dedup.minhashLshPairsIncremental(
+        sig.filter(isNew), sig.filter(!isNew),
+        shk.filter(isNew), shk.filter(!isNew), 6, 2, 0.6).count())
+
+    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f,"dup_spans_rows":$spanCnt,"dup_spans_sec":$spanSec%.1f,"chunk_rows":$chunkCnt,"chunk_sec":$chunkSec%.1f,"incremental_pairs":$incCnt,"incremental_sec":$incSec%.1f}""")
     spark.stop()
   }
 }

@@ -403,6 +403,51 @@ object Dedup {
     verifyCandidates(cand, shk, threshold)
   }
 
+  /** Incremental near-dup detection — a NEW ingest batch probed against
+    * the EXISTING corpus's MinHash artifacts. This is the per-snapshot
+    * shape of a production crawl pipeline: the old corpus's signature and
+    * shingle-key tables are already materialized from previous runs, so a
+    * snapshot hashes ONLY its new documents and the old×old work is never
+    * repeated. Candidates come from a band-bucket equi-join of the new
+    * batch's band rows against the old index (not a self-join — no
+    * doc_a < doc_b tie-break, the two sides are disjoint by construction);
+    * the exact-Jaccard verify joins each side's own shingle keys. At
+    * 100 TB corpus + a small daily batch, the new side is the build side
+    * (AQE broadcasts it when it fits), making snapshot cost one scan of
+    * the old band index — linear in corpus size, independent of history
+    * depth. Same md5 band hash as [[minhashLshPairsFromSigKeys]], so the
+    * same 12-column persisted signatures serve both and the DuckDB oracle
+    * replays the bucketing digest-for-digest.
+    *
+    * Returns (new_doc, old_doc, jaccard) for verified pairs >= threshold
+    * — the removal list for the batch (drop or link each matched new doc).
+    */
+  def minhashLshPairsIncremental(sigNew: DataFrame, sigOld: DataFrame,
+                                 shkNew: DataFrame, shkOld: DataFrame,
+                                 bands: Int, rowsPerBand: Int,
+                                 threshold: Double): DataFrame = {
+    val bh = (cols: Seq[Column]) => md5(concat_ws(":", cols.map(_.cast("string")): _*))
+    val cand = bandRows(sigNew, bands, rowsPerBand, bh).as("a")
+      .join(bandRows(sigOld, bands, rowsPerBand, bh).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.doc_id").as("new_doc"), col("b.doc_id").as("old_doc"))
+      .distinct()
+    val szNew = shkNew.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val szOld = shkOld.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = cand
+      .join(shkNew.as("a"), col("new_doc") === col("a.doc_id"))
+      .join(shkOld.as("b"),
+        col("old_doc") === col("b.doc_id") && col("a.shk") === col("b.shk"))
+      .groupBy("new_doc", "old_doc").agg(count(lit(1)).as("n_common"))
+    val j = col("n_common").cast("double") /
+      (col("sa.n_sh") + col("sb.n_sh") - col("n_common"))
+    inter
+      .join(szNew.as("sa"), col("new_doc") === col("sa.doc_id"))
+      .join(szOld.as("sb"), col("old_doc") === col("sb.doc_id"))
+      .select(col("new_doc"), col("old_doc"), j.as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** Connected components over near-duplicate pairs — the step that turns
     * pairwise similarity into an actionable dedup decision: every doc in a
     * component keeps the component's minimum doc_id as its canonical

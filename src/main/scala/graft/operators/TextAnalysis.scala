@@ -352,6 +352,42 @@ object TextAnalysis {
         coalesce(size(col("drops")), lit(0)).cast("long").as("n_dropped"))
   }
 
+  /** RAG-style sliding-window chunking: each doc becomes
+    * ceil-count overlapping windows of `width` tokens advancing by
+    * `stride` (stride < width → width−stride tokens of overlap between
+    * consecutive chunks — the standard retrieval-index prep, where a
+    * fact straddling a boundary must be whole in at least one chunk).
+    *
+    * Chunk count is the sliding-window formula: 1 window when the doc
+    * fits, else 1 + ⌈(n − width) ⁄ stride⌉ — the last window is the only
+    * one allowed to run short, and every token is covered (the final
+    * start (nc−1)·stride is < n by construction).
+    *
+    * Scale shape: strictly row-local — one projection computes the start
+    * sequence, one posexplode emits the windows, `slice`+`array_join`
+    * materialize each chunk from the doc's own token array. No shuffle,
+    * no window function, no join; output size is Σ nc rows, linear in
+    * corpus tokens. At 100 TB this is a map-only stage that fuses into
+    * whatever writes the retrieval index.
+    */
+  def chunks(docs: DataFrame, width: Int = 64, stride: Int = 48): DataFrame = {
+    require(width > 0 && stride > 0 && stride <= width,
+      s"need 0 < stride <= width, got width=$width stride=$stride")
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val n = size(col("arr"))
+    val nc = when(n <= width, lit(1))
+      .otherwise(((n - lit(width) + lit(stride - 1)) / lit(stride)).cast("int") + 1)
+    docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= 1)
+      .select(col("doc_id"), col("arr"),
+        posexplode(sequence(lit(0), (nc - 1) * lit(stride), lit(stride))))
+      .select(col("doc_id"),
+        col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("start_tok"),
+        least(lit(width), size(col("arr")) - col("col")).cast("long").as("n_tok"),
+        array_join(slice(col("arr"), col("col") + 1, lit(width)), " ").as("chunk"))
+  }
+
   /** Whitespace + BPE-ish token counting: raw whitespace tokens plus
     * subword-like segments (runs of letters / digits / single punctuation),
     * the standard cheap proxy for LLM token budgeting.

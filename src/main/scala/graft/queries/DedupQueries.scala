@@ -273,6 +273,50 @@ object DedupQueries {
        |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
        |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** DuckDB twin of Dedup.minhashLshPairsIncremental under the
+    * doc_id-mod-10 batch split the registered query uses (docs ≡ 0 mod 10
+    * are "today's ingest", the rest the existing corpus). Structure
+    * mirrors [[lshPairCtes]] — identical signature and band digests, so
+    * the oracle replays the bucketing byte-for-byte — with the self-join
+    * candidate step replaced by the new×old cross-set join. Ends in
+    * `p(new_doc, old_doc, jaccard)`.
+    */
+  def incrementalPairCtes(bands: Int, rows: Int, threshold: Double): String = {
+    val sigCols = (0 until bands * rows).map { i =>
+      val seed = i / 2
+      val start = if (i % 2 == 0) 1 else 17
+      s"min(CAST(CONCAT('0x', substr(md5('$seed:' || shingle), $start, 15)) AS BIGINT)) AS h$i"
+    }.mkString(",\n    ")
+    val bandSel = (0 until bands).map { b =>
+      val hs = (b * rows until (b + 1) * rows)
+        .map(i => s"CAST(h$i AS VARCHAR)").mkString(" || ':' || ")
+      s"SELECT doc_id, $b AS band, md5($hs) AS bh FROM sig"
+    }.mkString("\n  UNION ALL ")
+    s"""$shingleCte,
+       |sig AS (SELECT doc_id,
+       |    $sigCols
+       |  FROM sh GROUP BY doc_id),
+       |bands AS (
+       |  $bandSel),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS new_doc, b.doc_id AS old_doc
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+       |  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0),
+       |$shkCte,
+       |sz AS (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
+       |inter AS (
+       |  SELECT c.new_doc, c.old_doc, count(*) AS n_common
+       |  FROM cand c
+       |    JOIN shk a ON c.new_doc = a.doc_id
+       |    JOIN shk b ON c.old_doc = b.doc_id AND a.shk = b.shk
+       |  GROUP BY 1, 2),
+       |p AS (
+       |  SELECT new_doc, old_doc,
+       |    CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+       |  FROM inter JOIN sz sa ON new_doc = sa.doc_id JOIN sz sb ON old_doc = sb.doc_id
+       |  WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= $threshold)""".stripMargin
+  }
+
   /** The actionable LSH-verified pair graph (shared with text_curate). */
   def lshKeepPairs(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d), persistedShingleKeys(s, d),
@@ -512,6 +556,50 @@ object DedupQueries {
            |  HAVING node <> min(label))
            |SELECT doc_id, lang, source FROM documents
            |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+           |ORDER BY doc_id""".stripMargin)),
+
+    // Incremental ingest dedup: today's batch (doc_id ≡ 0 mod 10) probed
+    // against the existing corpus's persisted signature/shingle-key
+    // artifacts — the per-snapshot operation of a production pipeline
+    // (hash only the new docs, scan the old band index once, repeat no
+    // old×old work). Same 12-column signatures and 6×2 keep-banding as
+    // dedup_clusters/dedup_keep; see Dedup.minhashLshPairsIncremental.
+    GraftQuery("dedup_incremental",
+      (s, d) => {
+        val sig = persistedSignatures(s, d)
+        val shk = persistedShingleKeys(s, d)
+        Dedup.minhashLshPairsIncremental(
+            sig.filter(col("doc_id") % 10 === 0), sig.filter(col("doc_id") % 10 =!= 0),
+            shk.filter(col("doc_id") % 10 === 0), shk.filter(col("doc_id") % 10 =!= 0),
+            KeepBands, KeepRows, KeepThreshold)
+          .orderBy("new_doc", "old_doc")
+      },
+      Some(
+        s"""WITH ${incrementalPairCtes(KeepBands, KeepRows, KeepThreshold)}
+           |SELECT new_doc, old_doc, jaccard FROM p
+           |ORDER BY new_doc, old_doc""".stripMargin)),
+
+    // The actionable incremental output: the accepted slice of the batch
+    // (new docs with no >=0.6-Jaccard match in the corpus) — what actually
+    // gets appended to the training set this snapshot.
+    GraftQuery("dedup_incremental_keep",
+      (s, d) => {
+        val sig = persistedSignatures(s, d)
+        val shk = persistedShingleKeys(s, d)
+        val pairs = Dedup.minhashLshPairsIncremental(
+          sig.filter(col("doc_id") % 10 === 0), sig.filter(col("doc_id") % 10 =!= 0),
+          shk.filter(col("doc_id") % 10 === 0), shk.filter(col("doc_id") % 10 =!= 0),
+          KeepBands, KeepRows, KeepThreshold)
+        Tables.documents(s, d).filter(col("doc_id") % 10 === 0)
+          .join(pairs.select(col("new_doc").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${incrementalPairCtes(KeepBands, KeepRows, KeepThreshold)}
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id % 10 = 0 AND doc_id NOT IN (SELECT new_doc FROM p)
            |ORDER BY doc_id""".stripMargin)),
 
     // Exact-verify twin of dedup_clusters: the quadratic all-pairs pair

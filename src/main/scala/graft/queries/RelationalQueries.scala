@@ -544,6 +544,33 @@ object RelationalQueries {
       },
       None),
 
+    // KMV distinct sketch — the hash-GATED approximate distinct (contrast:
+    // q_approx_sketches' HLL++ is engine-internal, rows-only forever). The
+    // sketch state is k concrete xxhash64 values, so the DuckDB twin
+    // (XxhashSql's hashLong chain) reproduces the sketch, its threshold
+    // element, and the stab(6) estimate exactly. See Sketch.kmvDistinct
+    // for the bounded two-level k-min shape.
+    GraftQuery("q_kmv_distinct",
+      (s, d) => graft.operators.Sketch.kmvDistinct(
+          lineitem(s, d), "l_returnflag", col("l_orderkey"), 64)
+        .orderBy("l_returnflag"),
+      Some {
+        val m = "18446744073709551616"
+        s"""WITH k0 AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+           |${XxhashSql.longChainCtes("h", "k0", Seq("l_returnflag"), Seq("l_orderkey"), "xh")},
+           |u AS (SELECT DISTINCT l_returnflag,
+           |        CAST((CAST(xh AS HUGEINT) + $m) % $m AS HUGEINT) AS uh FROM hout),
+           |r AS (SELECT l_returnflag, uh,
+           |        row_number() OVER (PARTITION BY l_returnflag ORDER BY uh) AS rn FROM u),
+           |s AS (SELECT l_returnflag, count(*) AS n_kept, max(uh) AS kth
+           |      FROM r WHERE rn <= 64 GROUP BY l_returnflag)
+           |SELECT l_returnflag, n_kept, CAST(kth AS VARCHAR) AS kth_uh,
+           |  CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+           |       ELSE floor((63.0 * $m.0 / CAST(kth AS DOUBLE))*1000000.0+0.5)/1000000.0
+           |  END AS est_distinct
+           |FROM s ORDER BY l_returnflag""".stripMargin
+      }),
+
     // Two-phase salted aggregation (Skew.twoPhaseSum): same answer as the
     // plain GROUP BY (the oracle), but the heavy shuffle is split 8 ways —
     // the rewrite for hot low-cardinality keys. count + exact decimal sum

@@ -357,6 +357,27 @@ object TextAnalysisQueries {
            |GROUP BY t.doc_id, t.n_tokens ORDER BY t.doc_id""".stripMargin
       }),
 
+    // RAG-style sliding-window chunking (64-token windows, stride 48 →
+    // 16-token overlap): the retrieval-index prep step. Row-local
+    // explode, no shuffle — see TextAnalysis.chunks. The oracle derives
+    // the identical window starts from the sliding-window count formula
+    // and slices the same token arrays.
+    GraftQuery("text_chunk",
+      (s, d) => TextAnalysis.chunks(Tables.documents(s, d), 64, 48)
+        .orderBy("doc_id", "chunk_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |c AS (SELECT doc_id, arr, len(arr) AS n,
+          |        CASE WHEN len(arr) <= 64 THEN 1
+          |             ELSE CAST(floor((len(arr) - 64 + 47) / 48.0) AS BIGINT) + 1
+          |        END AS nc
+          |      FROM d WHERE len(arr) >= 1)
+          |SELECT doc_id, i AS chunk_id, i*48 AS start_tok,
+          |  least(64, n - i*48) AS n_tok,
+          |  array_to_string(arr[CAST(i*48+1 AS INT):CAST(i*48+64 AS INT)], ' ') AS chunk
+          |FROM c, unnest(range(0, nc)) t(i)
+          |ORDER BY doc_id, chunk_id""".stripMargin)),
+
     // Benchmark decontamination: flag training docs sharing any 3-shingle
     // with the benchmark set (docs 0-9 stand in for an eval suite — the
     // real pipeline swaps in its benchmark corpus). The benchmark shingle

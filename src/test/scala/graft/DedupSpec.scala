@@ -354,6 +354,35 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh.forall { case (d, k) => k <= d })
   }
 
+  test("incremental pairs == full-corpus pairs restricted to the batch split") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val sh = Dedup.shingles(corpus, 3)
+    val sig = Dedup.minhashSignatures(sh, 12)
+    val shk = sh.select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+    val isNew = (c: org.apache.spark.sql.Column) => c % 10 === 0
+    val inc = Dedup.minhashLshPairsIncremental(
+        sig.filter(isNew(col("doc_id"))), sig.filter(!isNew(col("doc_id"))),
+        shk.filter(isNew(col("doc_id"))), shk.filter(!isNew(col("doc_id"))),
+        6, 2, 0.6)
+      .as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    // the same banding over the whole corpus, restricted to cross-split
+    // pairs and re-oriented (new, old), must be the identical map: the
+    // incremental path changes WHERE candidates come from, not which
+    // pairs verify
+    val full = Dedup.minhashLshPairsFromSigKeys(sig, shk, 6, 2, 0.6)
+      .as[(Long, Long, Double)].collect()
+      .filter(t => (t._1 % 10 == 0) != (t._2 % 10 == 0))
+      .map(t => if (t._1 % 10 == 0) (t._1, t._2) -> t._3 else (t._2, t._1) -> t._3)
+      .toMap
+    assert(inc == full)
+    assert(inc.nonEmpty, "fixture has no cross-split near-dup — weak test")
+    // direction invariant: left side is always the batch, right the corpus
+    assert(inc.keys.forall { case (n, o) => n % 10 == 0 && o % 10 != 0 })
+  }
+
   test("simhash: identical docs get identical hashes; 16-bit range") {
     import spark.implicits._
     val h = Dedup.simhash(docs).orderBy("doc_id")

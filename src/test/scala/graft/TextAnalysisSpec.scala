@@ -159,4 +159,47 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(byId(1L)._4 == 0L && byId(1L)._2.startsWith("alpha beta subscribe"))
     assert(byId(4L)._4 == 0L && byId(4L)._3 == 9L)
   }
+
+  test("chunks: window starts, short-doc single chunk, tail coverage") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" "), "en", "s", 1L), // n=10: one chunk
+      (2L, (1 to 25).map(i => s"w$i").mkString(" "), "en", "s", 1L)  // n=25, w=8 s=5
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val c = TextAnalysis.chunks(d, 8, 5)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(t => (t._1, t._2))
+    // doc 1 fits (10 <= ... no: 10 > 8 → nc = 1 + ceil(2/5) = 2)
+    val d1 = c.filter(_._1 == 1L)
+    assert(d1.map(_._3).toSeq == Seq(0L, 5L))
+    assert(d1.map(_._4).toSeq == Seq(8L, 5L))
+    assert(d1(1)._5 == "w6 w7 w8 w9 w10")
+    // doc 2: nc = 1 + ceil(17/5) = 5; starts 0,5,10,15,20; last short (5)
+    val d2 = c.filter(_._1 == 2L)
+    assert(d2.map(_._3).toSeq == Seq(0L, 5L, 10L, 15L, 20L))
+    assert(d2.map(_._4).toSeq == Seq(8L, 8L, 8L, 8L, 5L))
+    assert(d2.head._5 == "w1 w2 w3 w4 w5 w6 w7 w8")
+    // coverage: every token index appears in some chunk
+    val covered = d2.flatMap(t => t._3 until (t._3 + t._4)).toSet
+    assert(covered == (0L until 25L).toSet)
+  }
+
+  test("chunks: consecutive windows overlap by width - stride tokens") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val c = TextAnalysis.chunks(docs, 64, 48)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .groupBy(_._1).values
+    c.foreach { ch =>
+      val sorted = ch.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b._3 - a._3 == 48L)
+          assert(a._3 + a._4 > b._3, "gap between consecutive chunks")
+        case _ => ()
+      }
+      // last chunk reaches the end exactly when any earlier chunk is full
+      val last = sorted.last
+      assert(last._4 >= 1L)
+    }
+  }
 }
