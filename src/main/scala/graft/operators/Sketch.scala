@@ -50,17 +50,22 @@ object Sketch {
     val uh = when(h < 0, h.cast(DecimalType(20, 0)) + lit(M64))
       .otherwise(h.cast(DecimalType(20, 0)))
       .cast(DecimalType(20, 0))
-    val hashed = df.select(col(groupCol), uh.as("uh")).distinct()
-    // Two-level k-min: per-partition k smallest (bounded merge candidates),
-    // then the global k smallest per group. The union of partition-wise
-    // k-minima is a superset of the global k-minima, so this is exact.
+    val hashed = df.select(col(groupCol), uh.as("uh"))
+    // Two-level k-min: per-partition k smallest distinct (bounded merge
+    // candidates), then the global k smallest per group. The union of
+    // partition-wise k-minima is a superset of the global k-minima, so
+    // this is exact. Dedup rides collect_set at BOTH levels instead of a
+    // standalone .distinct() — a distinct would shuffle every input row,
+    // while here only k values per (group, input-partition) reach the
+    // exchange (a cross-partition duplicate survives level 1 and dies in
+    // level 2's set).
     val partial = hashed
       .groupBy(col(groupCol), spark_partition_id().as("pid"))
-      .agg(slice(array_sort(collect_list(col("uh"))), 1, k).as("part"))
+      .agg(slice(array_sort(collect_set(col("uh"))), 1, k).as("part"))
       .select(col(groupCol), explode(col("part")).as("uh"))
     val kRow = lit((k - 1).toDouble * math.pow(2, 64)) // 63·2⁶⁴: exact double
     partial.groupBy(groupCol)
-      .agg(slice(array_sort(collect_list(col("uh"))), 1, k).as("kmins"))
+      .agg(slice(array_sort(collect_set(col("uh"))), 1, k).as("kmins"))
       .select(col(groupCol),
         size(col("kmins")).cast("long").as("n_kept"),
         expr("element_at(kmins, size(kmins))").as("kth"))

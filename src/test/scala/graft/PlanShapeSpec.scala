@@ -316,4 +316,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortAggregate"))
   }
+
+  test("text_chunk: map-only before the gate sort — no join, no agg, one exchange") {
+    val p = plan("text_chunk")
+    assert(!p.contains("Join"), "chunking must not join")
+    assert(!p.contains("Aggregate"), "chunking must not aggregate")
+    assert(!p.contains("Window"), "chunking must not window")
+    // exactly the ORDER BY's range exchange and nothing else (formatted
+    // mode prints each node twice — tree line and "(n) Exchange" detail
+    // header — so count the detail headers)
+    assert("\\) Exchange".r.findAllIn(p).size == 1, "chunking shuffled before the sort")
+  }
+
+  test("dedup_incremental: band equi-join, no nested loop, no self-join quadratic") {
+    for (name <- Seq("dedup_incremental", "dedup_incremental_keep")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+      assert(!p.contains("CartesianProduct"), name)
+      assert(!p.contains("SortAggregate"), name)
+    }
+  }
+
+  test("q_kmv_distinct: no standalone distinct shuffle — dedup rides the two collect_set levels") {
+    val p = plan("q_kmv_distinct")
+    assert(!p.contains("Join"))
+    // plan shape: one exchange per collect_set level plus the final
+    // sort's range exchange; a regression to .distinct() adds a fourth
+    // exchange moving every input row (count "(n) Exchange" headers —
+    // formatted mode prints each node twice)
+    assert("\\) Exchange".r.findAllIn(p).size <= 3,
+      "kmv re-grew a full-row distinct exchange")
+  }
 }
