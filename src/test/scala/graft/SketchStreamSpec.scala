@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming KMV gate: the stream's running sketch must be value-
+  * IDENTICAL (n_kept, threshold element string, stab(6) estimate) to the
+  * batch `Sketch.kmvDistinct` over the same rows — at every prefix, not
+  * just the end. The batch tier is DuckDB-hash-gated (q_kmv_distinct),
+  * so this transitively pins the streaming fold to the oracle.
+  */
+class SketchStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private def batchSketch(rows: Seq[(String, Long)], k: Int): Map[String, (Long, String, Double)] = {
+    import spark.implicits._
+    graft.operators.Sketch.kmvDistinct(rows.toDF("grp", "key"), "grp", col("key"), k)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getString(2), r.getDouble(3)))).toMap
+  }
+
+  test("streaming KMV equals the batch sketch at every prefix") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val k = 64
+    val all = graft.sources.Tables.lineitem(spark, TestSpark.sf0001)
+      .select(col("l_returnflag"), col("l_orderkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    assert(chunks.size == 3)
+
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, String, Double)]
+    val mem = MemoryStream[(String, Long)]
+    val ds = graft.streaming.SketchStreams.kmvStream(
+      mem.toDF.toDF("grp", "key"), "grp", "key", k)
+    val q = ds.writeStream.outputMode("update")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.SketchStreams.KmvUpdate], _: Long) =>
+          b.collect().foreach(u =>
+            latest(u.grp) = ((u.n_kept, u.kth_uh, u.est_distinct)))
+      }.start()
+    try {
+      var fed = Seq.empty[(String, Long)]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val want = batchSketch(fed, k)
+        assert(latest.toMap == want,
+          s"stream state diverged from batch sketch after ${fed.size} rows")
+      }
+    } finally q.stop()
+    // the final sketches are full (the fixture has > k distinct keys/group)
+    assert(latest.values.forall(_._1 == k.toLong))
+  }
+
+  test("sketch merge is exact set algebra: fold of k-min sets == k-min of union") {
+    // property at the state level, no stream needed: folding any partition
+    // of the hash stream through foldState gives the same k-min set as
+    // one pass — the KMV mergeability theorem the streaming tier rides
+    val hashes = (1 to 500).map(i => graft.queries.XxhashSql.hashInt(i, 42L))
+    val k = 16
+    val onePass = graft.streaming.SketchStreams.foldState(Array.empty, hashes.iterator, k)
+    for (splitAt <- Seq(1, 100, 250, 499)) {
+      val (a, b) = hashes.splitAt(splitAt)
+      val folded = graft.streaming.SketchStreams.foldState(
+        graft.streaming.SketchStreams.foldState(Array.empty, a.iterator, k),
+        b.iterator, k)
+      assert(folded.toSeq == onePass.toSeq, s"split at $splitAt diverged")
+    }
+  }
+}
