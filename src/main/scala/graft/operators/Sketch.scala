@@ -41,38 +41,31 @@ object Sketch {
     * `est_distinct` = (k−1)·2⁶⁴ ⁄ h₍ₖ₎ stab(6)'d (both factors are
     * exactly-representable doubles; the division is one IEEE op).
     *
+    * The aggregation is ONE hash aggregate over graft.functions.KmvAgg
+    * — the buffer IS the sketch (≤k hashes), so state is bounded k·8
+    * bytes at every stage (per-row update, map-side partial, shuffle,
+    * final merge) and only ≤k values per group cross the wire. The
+    * unsigned-decimal conversion happens once, on the k-row output.
+    *
     * Distinctness is taken over HASH values (KMV set semantics): a 64-bit
     * collision merges two keys identically in both engines.
     */
   def kmvDistinct(df: DataFrame, groupCol: String, key: Column, k: Int): DataFrame = {
     require(k >= 2, s"kmv needs k >= 2, got $k")
-    val h = xxhash64(key)
-    val uh = when(h < 0, h.cast(DecimalType(20, 0)) + lit(M64))
-      .otherwise(h.cast(DecimalType(20, 0)))
+    val kmvU = udaf(new graft.functions.KmvAgg(k))
+    val kth = expr("element_at(kmins, size(kmins))")
+    val kthDec = when(kth < 0, kth.cast(DecimalType(20, 0)) + lit(M64))
+      .otherwise(kth.cast(DecimalType(20, 0)))
       .cast(DecimalType(20, 0))
-    val hashed = df.select(col(groupCol), uh.as("uh"))
-    // Two-level k-min: per-partition k smallest distinct (bounded merge
-    // candidates), then the global k smallest per group. The union of
-    // partition-wise k-minima is a superset of the global k-minima, so
-    // this is exact. Dedup rides collect_set at BOTH levels instead of a
-    // standalone .distinct() — a distinct would shuffle every input row,
-    // while here only k values per (group, input-partition) reach the
-    // exchange (a cross-partition duplicate survives level 1 and dies in
-    // level 2's set).
-    val partial = hashed
-      .groupBy(col(groupCol), spark_partition_id().as("pid"))
-      .agg(slice(array_sort(collect_set(col("uh"))), 1, k).as("part"))
-      .select(col(groupCol), explode(col("part")).as("uh"))
     val kRow = lit((k - 1).toDouble * math.pow(2, 64)) // 63·2⁶⁴: exact double
-    partial.groupBy(groupCol)
-      .agg(slice(array_sort(collect_set(col("uh"))), 1, k).as("kmins"))
+    df.select(col(groupCol), xxhash64(key).as("h"))
+      .groupBy(groupCol)
+      .agg(kmvU(col("h")).as("kmins"))
       .select(col(groupCol),
         size(col("kmins")).cast("long").as("n_kept"),
-        expr("element_at(kmins, size(kmins))").as("kth"))
-      .select(col(groupCol), col("n_kept"),
-        col("kth").cast("string").as("kth_uh"),
-        when(col("n_kept") < k, col("n_kept").cast("double"))
-          .otherwise(Stable.stab(kRow / col("kth").cast("double"), 6))
+        kthDec.cast("string").as("kth_uh"),
+        when(size(col("kmins")) < k, size(col("kmins")).cast("double"))
+          .otherwise(Stable.stab(kRow / kthDec.cast("double"), 6))
           .as("est_distinct"))
   }
 }
