@@ -183,6 +183,34 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(covered == (0L until 25L).toSet)
   }
 
+  test("chunks: window invariants across (width, stride) shapes incl. edges") {
+    import spark.implicits._
+    // doc lengths straddling every boundary: n < width, n = width,
+    // n = width+1, n on/off stride multiples, n = 1
+    val lens = Seq(1, 2, 7, 8, 9, 12, 13, 15, 16, 17, 40)
+    val d = lens.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"t$j").mkString(" "), "en", "s", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    for ((w, s) <- Seq((8, 8), (8, 5), (8, 1), (1, 1), (16, 7))) {
+      val out = TextAnalysis.chunks(d, w, s)
+        .as[(Long, Long, Long, Long, String)].collect().groupBy(_._1)
+      for ((i, n) <- lens.indices.map(i => (i.toLong, lens(i)))) {
+        val ch = out(i).sortBy(_._2)
+        val expected = if (n <= w) 1 else 1 + (n - w + s - 1) / s
+        assert(ch.length == expected, s"n=$n w=$w s=$s count")
+        // starts are 0, s, 2s, ...; every chunk non-empty; full coverage;
+        // all but the last chunk are full-width
+        assert(ch.map(_._3).toSeq == (0 until expected).map(_.toLong * s))
+        assert(ch.forall(_._4 >= 1))
+        assert(ch.init.forall(_._4 == w.toLong), s"n=$n w=$w s=$s short mid-chunk")
+        assert(ch.flatMap(t => t._3 until (t._3 + t._4)).toSet == (0L until n.toLong).toSet,
+          s"n=$n w=$w s=$s coverage")
+        // chunk text matches its slice of the token stream
+        assert(ch.last._5 == ((ch.last._3 + 1) to n.toLong).map(j => s"t$j").mkString(" "))
+      }
+    }
+  }
+
   test("chunks: consecutive windows overlap by width - stride tokens") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
