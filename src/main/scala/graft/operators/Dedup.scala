@@ -597,4 +597,53 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair can collide on 2-3 chunks
   }
+
+  /** Content-novelty filter for an ingest batch — the "seen this exact
+    * document before?" gate a crawler runs on every snapshot (re-fetches
+    * and mirror copies carry new ids but old bytes, so an id-level check
+    * catches neither). Returns the batch rows whose text does NOT occur
+    * in the corpus: semantically an exact anti-join of `batch` against
+    * `corpus` on the content digest, executed as a Bloom-prefiltered
+    * one: build ONE bloom over the corpus's xxhash64(text) keys
+    * ([[graft.functions.BloomAgg]] — `numBits/8`-byte partials, OR
+    * merge), and let the probe split the batch:
+    *
+    *   - bloom says ABSENT → definitely novel (no false negatives):
+    *     these rows — the overwhelming majority of a healthy crawl —
+    *     never touch a join at all;
+    *   - bloom says MAYBE (true duplicates + the ≈(1−e^(−kn/m))^k false
+    *     positives) → exact verify via an md5-digest anti-join against
+    *     the corpus.
+    *
+    * Bloom false positives are removed by the exact join and false
+    * negatives don't exist, so the output is EXACTLY the anti-join —
+    * the DuckDB twin needs no bloom arithmetic. At 100 TB the corpus
+    * key set fits no broadcast and a plain anti-join shuffles the whole
+    * batch against it; here only the maybe-slice does, and the filter
+    * itself is a per-snapshot artifact a pipeline persists and reuses
+    * (the streaming twin holds it as static state). The one driver-side
+    * materialization is the built filter: `numBits/8` bytes (128 KiB at
+    * the 2^20 default) — contract-bounded like the ANN centroid pulls,
+    * independent of corpus size.
+    *
+    * Output: (doc_id, n_tokens), batch rows only, novel only.
+    */
+  def bloomNovelDocs(batch: DataFrame, corpus: DataFrame,
+                     numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
+    import graft.functions.BloomAgg
+    val bloomU = udaf(new BloomAgg(numBits, numHashes))
+    val bits: Array[Long] = corpus
+      .select(xxhash64(col("text")).as("h"))
+      .agg(bloomU(col("h")).as("bits"))
+      .head().getAs[scala.collection.Seq[Long]]("bits").toArray // numBits/8 bytes, bounded
+    val might = udf((h: Long) => BloomAgg.mightContain(bits, numHashes, h))
+    val keyed = batch.select(col("doc_id"),
+      size(graft.functions.TextOps.splitWords(col("text"))).cast("long").as("n_tokens"),
+      xxhash64(col("text")).as("xh"), md5(col("text")).as("mh"))
+    val novel = keyed.filter(!might(col("xh")))
+    val maybe = keyed.filter(might(col("xh")))
+      .join(corpus.select(md5(col("text")).as("mh")).distinct(), Seq("mh"), "left_anti")
+    novel.select("doc_id", "n_tokens")
+      .unionByName(maybe.select("doc_id", "n_tokens"))
+  }
 }

@@ -68,4 +68,44 @@ object Sketch {
           .otherwise(Stable.stab(kRow / kthDec.cast("double"), 6))
           .as("est_distinct"))
   }
+
+  /** EXACT φ-heavy hitters (all tokens with count > φ·N) via the
+    * two-pass Misra–Gries discipline — the bounded-state alternative to
+    * `groupBy(token)` over the full token universe, which at 100 TB
+    * shuffles hundreds of millions of distinct tail tokens to find the
+    * dozens that matter (boilerplate markers, stopwords, template
+    * chrome).
+    *
+    * Pass 1: ONE aggregate over the token stream through
+    * [[graft.functions.MgAgg]] (buffer ≤ k entries at every stage) plus
+    * the total count — a single 1-row result, localCheckpointed because
+    * both the candidate set and N are read from it. Pass 2: recount
+    * ONLY candidate tokens exactly (broadcast semi-join, ≤ k keys, so
+    * the recount's shuffle carries ≤ k·P partial rows), then gate on
+    * count > φ·N via the 1-row cross. MG's deficiency bound (≤ N/(k+1))
+    * makes the candidate set a provable superset of the φ-heavy items
+    * whenever φ > 1/(k+1) (`require`d), so the output is exact — the
+    * DuckDB twin is the plain HAVING-count query. Zero driver-side
+    * collects; two corpus scans (the textbook two-pass trade: a 100 TB
+    * corpus re-scan beats materializing its token multiset).
+    */
+  def heavyHitters(docs: DataFrame, phi: Double, k: Int = 128): DataFrame = {
+    require(phi > 1.0 / (k + 1),
+      s"phi=$phi must exceed 1/(k+1)=${1.0 / (k + 1)} for the MG superset guarantee")
+    import graft.functions.TextOps
+    val mgU = udaf(new graft.functions.MgAgg(k))
+    val toks = docs.select(
+      explode(TextOps.splitWords(TextOps.normalize(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+    val sk = toks.agg(mgU(col("token")).as("cand"), count(lit(1)).as("n"))
+      .localCheckpoint() // 1 row; read twice (candidates + N)
+    val cand = sk.select(explode(map_keys(col("cand"))).as("token"))
+    val tot = sk.select(col("n"))
+    toks.join(broadcast(cand), Seq("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(tot))
+      .filter(col("cnt") > col("n") * phi)
+      .select(col("token"), col("cnt"))
+      .orderBy("token")
+  }
 }

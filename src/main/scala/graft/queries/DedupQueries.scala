@@ -695,7 +695,48 @@ object DedupQueries {
           |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
           |FROM simh a JOIN simh b ON a.doc_id < b.doc_id
           |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // Content-novelty gate on a re-crawl snapshot: the batch is 1/7 of
+    // the corpus RE-FETCHED byte-identical under its own id, 25 MIRRORS
+    // (existing content under brand-new ids — novel-by-id, duplicate-by-
+    // content, the case an id-level check structurally misses), and 50
+    // genuinely new documents. Dedup.bloomNovelDocs must keep exactly
+    // the new 50: the corpus bloom passes the definite-novel slice with
+    // no join at all and the exact md5 anti-join clears the maybes. The
+    // oracle reconstructs both corpus and batch texts from the same
+    // md5-slice derivation (ZipfCorpus.textCtes) and takes the plain
+    // NOT IN — bloom false positives never reach the output, so no
+    // bloom arithmetic appears in SQL.
+    GraftQuery("dedup_bloom_novel",
+      (s, d) => {
+        val corpus = persistedZipfCorpus(s, d)
+        val mx = corpus.agg(max("doc_id")).head().getLong(0) // 1-row driver scalar
+        val refetch = corpus.select(col("doc_id"), col("doc_id").as("sid"))
+          .filter(col("doc_id") % 7 === 0)
+        val mirror = s.range(0, 25).select(
+          (lit(mx) + 1000 + col("id")).as("doc_id"),
+          ((col("id") * 37) % (mx + 1)).as("sid"))
+        val fresh = s.range(0, 50).select(
+          (lit(mx) + 1 + col("id")).as("doc_id"),
+          (lit(mx) + 1 + col("id")).as("sid"))
+        val batch = graft.sources.ZipfCorpus.synthFor(
+          refetch.unionByName(mirror).unionByName(fresh))
+        Dedup.bloomNovelDocs(batch, corpus).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+           |bids AS (
+           |  SELECT doc_id AS b, doc_id AS s FROM documents WHERE doc_id % 7 = 0
+           |  UNION ALL SELECT m + 1000 + j, (j * 37) % (m + 1) FROM mx, unnest(range(0, 25)) t(j)
+           |  UNION ALL SELECT m + 1 + i, m + 1 + i FROM mx, unnest(range(0, 50)) t(i)),
+           |cids AS (SELECT doc_id AS b, doc_id AS s FROM documents),
+           |${graft.sources.ZipfCorpus.textCtes("bids", "b_")},
+           |${graft.sources.ZipfCorpus.textCtes("cids", "c_")}
+           |SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens
+           |FROM b_txt
+           |WHERE md5(text) NOT IN (SELECT md5(text) FROM c_txt)
+           |ORDER BY doc_id""".stripMargin))
   )
 
   /** DuckDB twin of Dedup.simhash60: bit j = bit (3 − j%4) of md5 hex

@@ -681,7 +681,26 @@ object TextAnalysisQueries {
            |    row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rn
            |  FROM sc)
            |SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 3
-           |ORDER BY doc_id, rn""".stripMargin))
+           |ORDER BY doc_id, rn""".stripMargin)),
+
+    // EXACT heavy hitters (tokens above 2 % of the corpus token stream)
+    // over the Zipf-vocabulary corpus — ~10 stopwords at ~4 % each
+    // against a 200k-word tail, so the direct groupBy-everything form
+    // would shuffle the whole vocabulary to surface ten rows. The
+    // two-pass Misra–Gries form (Sketch.heavyHitters) finds a provable
+    // candidate superset in ≤128-entry bounded state, then recounts ONLY
+    // candidates — the sketch makes the first pass cheap, the recount
+    // makes the answer exact, and the oracle is therefore the plain
+    // HAVING query over the re-derived token stream.
+    GraftQuery("text_heavy_hitters",
+      (s, d) => graft.operators.Sketch.heavyHitters(
+        DedupQueries.persistedZipfCorpus(s, d), 0.02, 128),
+      Some(
+        s"""WITH ${graft.sources.ZipfCorpus.shingleCte},
+           |tot AS (SELECT count(*) AS n FROM ztok)
+           |SELECT tok AS token, count(*) AS cnt FROM ztok
+           |GROUP BY tok HAVING count(*) > 0.02 * (SELECT n FROM tot)
+           |ORDER BY token""".stripMargin))
   )
 
   /** DuckDB twin of Curation.curate: the per-signal oracles' CTEs composed

@@ -53,16 +53,29 @@ object ZipfCorpus {
     * 30..50 generated tokens (+ 8 boilerplate on every 4th doc). Narrow
     * (one projection per row), deterministic.
     */
-  def synth(ids: DataFrame): DataFrame = {
-    val seedN = col("doc_id") - when(col("doc_id") % 50 === 1, 1L).otherwise(0L)
+  def synth(ids: DataFrame): DataFrame =
+    synthFor(ids.select(col("doc_id"), col("doc_id").as("sid")))
+
+  /** `text(sid)` for an explicit SEED id column — byte-for-byte the text
+    * `synth` produces for `doc_id = sid` (same copy rule, header rule,
+    * and length draw, all keyed on `sid`). Input: (doc_id, sid) pairs;
+    * output (doc_id, text). This is how a RE-CRAWL batch is synthesized:
+    * sid = an existing id reproduces that doc's content exactly (a
+    * re-fetch, or — under a fresh doc_id — a mirror of existing content),
+    * while a fresh sid is genuinely new content. The DuckDB twin is
+    * `textCtes`.
+    */
+  def synthFor(pairs: DataFrame): DataFrame = {
+    val sid = col("sid")
+    val seedN = sid - when(sid % 50 === 1, 1L).otherwise(0L)
     val seed = seedN.cast("string")
-    val len = (lit(30) + col("doc_id") % 21).cast("int")
+    val len = (lit(30) + sid % 21).cast("int")
     val body = transform(sequence(lit(0), len - 1), i => tok(seed, i))
     val header = array((0 until 8).map(k => lit(s"h$k")): _*)
     // boilerplate keys on the SEED, so a near-dup copy duplicates the
     // whole doc — header included — and the planted pair stays ≥ 0.8
     val toks = when(seedN % 4 === 0, concat(header, body)).otherwise(body)
-    ids.select(col("doc_id"), array_join(toks, " ").as("text"))
+    pairs.select(col("doc_id"), array_join(toks, " ").as("text"))
   }
 
   /** Mutated-copy variant — the partial-overlap structure real near-dups
@@ -128,6 +141,37 @@ object ZipfCorpus {
       |  FROM ztok a
       |  JOIN ztok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
       |  JOIN ztok c ON a.doc_id = c.doc_id AND c.i = a.i + 2)""".stripMargin
+
+  /** DuckDB twin of `synthFor`: given the name of a CTE `pairs(b, s)`
+    * (b = batch doc_id, s = content seed), emits a CTE chain — names
+    * prefixed with `p` — ending in `${p}txt(doc_id, text)` where `text`
+    * is the full reconstructed document string (header + body,
+    * space-joined in position order), exactly what `synthFor` emits for
+    * the same pairs. Built on DuckDB's ordered `string_agg`.
+    */
+  def textCtes(pairs: String, p: String): String =
+    s"""${p}zd AS (
+       |  SELECT b, s - CASE WHEN s % 50 = 1 THEN 1 ELSE 0 END AS seed_n,
+       |    CAST(s - CASE WHEN s % 50 = 1 THEN 1 ELSE 0 END AS VARCHAR) AS seed,
+       |    30 + s % 21 AS len
+       |  FROM $pairs),
+       |${p}tok AS (
+       |  SELECT b, i,
+       |    'w' || CAST(CASE WHEN u < 40 THEN h2 % 10
+       |                     WHEN u < 70 THEN 10 + h2 % 2000
+       |                     ELSE 2010 + h2 % 200000 END AS VARCHAR) AS tok
+       |  FROM (
+       |    SELECT b, i,
+       |      CAST(CONCAT('0x', substr(md5(seed || ':' || CAST(i AS VARCHAR)), 1, 6)) AS BIGINT) % 100 AS u,
+       |      CAST(CONCAT('0x', substr(md5(seed || ':' || CAST(i AS VARCHAR)), 7, 12)) AS BIGINT) AS h2
+       |    FROM ${p}zd, unnest(range(0, len)) t(i))
+       |  UNION ALL
+       |  SELECT b, k - 8 AS i, 'h' || CAST(k AS VARCHAR) AS tok
+       |  FROM ${p}zd, unnest(range(0, 8)) t(k)
+       |  WHERE seed_n % 4 = 0),
+       |${p}txt AS (
+       |  SELECT b AS doc_id, string_agg(tok, ' ' ORDER BY i) AS text
+       |  FROM ${p}tok GROUP BY b)""".stripMargin
 
   /** DuckDB twin of `synthMutated` — the same CTE chain with the copy
     * rule at mod 25 and the per-position mutation redraw (key string
