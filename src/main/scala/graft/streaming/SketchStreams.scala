@@ -65,6 +65,73 @@ object SketchStreams {
     KmvUpdate(grp, nKept.toLong, java.lang.Long.toUnsignedString(kth), est)
   }
 
+  /** One flagged ingest row from `seenStream`: `novel` is false iff the
+    * content hash was seen earlier in the stream (or is a bloom false
+    * positive — the one-sided error, see seenStream).
+    */
+  case class SeenFlag(doc_id: Long, novel: Boolean)
+
+  /** Per-bucket running bloom state for `seenStream`. */
+  case class SeenState(bits: Array[Long])
+
+  /** Running content-seen filter over an unbounded ingest stream — the
+    * crawler frontier's "have I seen these bytes before?" test (the
+    * URL-seen/content-seen structure of Heydon & Najork's Mercator,
+    * 1999), with provably bounded state. Where `Dedup.bloomNovelDocs`
+    * checks a batch against a STATIC corpus (and is exact, because the
+    * maybe-slice gets an exact verify), this checks each arriving doc
+    * against EVERYTHING THE STREAM ITSELF HAS SEEN SO FAR — a set that
+    * grows without bound, so a lossless check would hold unbounded
+    * state. The stream keeps a bloom instead and accepts the bloom's
+    * one-sided error:
+    *
+    *   - a duplicate is NEVER flagged novel (no false negatives — the
+    *     direction that matters: nothing seen sneaks back in);
+    *   - a novel doc is flagged dup with probability ≈ the filter's FP
+    *     rate at its current load (sized by numBits; a production
+    *     deployment rotates/fold the filter as load approaches design).
+    *
+    * Scale shape: ONE global filter would serialize every doc through a
+    * single state key, so the hash space is partitioned into `buckets`
+    * groups (xh mod buckets), each holding an independent
+    * `numBits/buckets`-bit slice — a doc's hash deterministically owns
+    * one bucket, so the sliced filter carries the same total bit budget
+    * and (under xxhash64's uniform spread) the same expected FP rate as
+    * one big filter, while updates parallelize across the shuffle.
+    * State per bucket: numBits/buckets/8 bytes, forever. Within a
+    * micro-batch a bucket's rows are processed in doc_id order, so the
+    * member of an intra-batch duplicate pair that gets the `novel` flag
+    * is deterministic. Run with OutputMode.Append (every row is emitted
+    * exactly once).
+    */
+  def seenStream(rows: DataFrame, numBits: Int = 1 << 20, numHashes: Int = 5,
+                 buckets: Int = 64): Dataset[SeenFlag] = {
+    require(numBits % buckets == 0 && (numBits / buckets) % 64 == 0,
+      s"numBits=$numBits must split into $buckets word-aligned slices")
+    val sliceBits = numBits / buckets
+    require((sliceBits & (sliceBits - 1)) == 0, s"slice size $sliceBits must be a power of two")
+    import rows.sparkSession.implicits._
+    rows
+      .select(col("doc_id").cast("long").as("doc_id"),
+        xxhash64(col("text")).as("xh"))
+      .as[(Long, Long)]
+      .groupByKey { case (_, xh) => java.lang.Long.remainderUnsigned(xh, buckets) }
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[(Long, Long)], state: GroupState[SeenState]) => {
+          val bits = state.getOption.map(_.bits)
+            .getOrElse(new Array[Long](sliceBits >>> 6))
+          val out = it.toArray.sortBy(_._1).map { case (docId, xh) =>
+            val dup = graft.functions.BloomAgg.mightContain(bits, numHashes, xh)
+            if (!dup) graft.functions.BloomAgg.set(bits, numHashes, xh)
+            SeenFlag(docId, novel = !dup)
+          }
+          state.update(SeenState(bits))
+          out.iterator
+        })
+  }
+
   /** Running KMV distinct sketch per group. `rows` is a streaming
     * DataFrame; keys are hashed with Spark's `xxhash64` (seed 42) before
     * the stateful fold, exactly like the batch tier. Emits one updated

@@ -83,6 +83,96 @@ class NoveltySpec extends AnyFunSuite {
     }
   }
 
+  test("bloomNovelDocs is mode-agnostic: streaming batch == batch batch at every prefix") {
+    // the SAME plan builder, handed a streaming source, becomes a
+    // stateless stream-static plan (bloom filter + md5 anti-join vs the
+    // static corpus); its accumulated output must equal the batch run
+    // over the rows fed so far, after every micro-batch
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val corpus = Seq(
+      (1L, "alpha beta gamma"), (2L, "delta epsilon zeta"), (3L, "eta theta iota")
+    ).toDF("doc_id", "text")
+    val chunks = Seq(
+      Seq((10L, "alpha beta gamma"), (11L, "new one here")),
+      Seq((12L, "delta epsilon zeta"), (13L, "another new doc"), (14L, "eta theta iota")),
+      Seq((15L, "third wave novel")))
+    val mem = MemoryStream[(Long, String)]
+    val out = Dedup.bloomNovelDocs(mem.toDF.toDF("doc_id", "text"), corpus)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = out.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r => (r.getLong(0), r.getLong(1))); ()
+      }.start()
+    try {
+      var fed = Seq.empty[(Long, String)]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val want = Dedup.bloomNovelDocs(fed.toDF("doc_id", "text"), corpus)
+          .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+        assert(got.sortBy(_._1).toSeq == want,
+          s"stream output diverged from batch after ${fed.size} rows")
+      }
+    } finally q.stop()
+    assert(got.map(_._1).sorted == Seq(11L, 13L, 15L)) // novel docs only
+  }
+
+  test("seenStream: no duplicate ever passes; exact when the filter is roomy") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    val chunks = Seq(
+      Seq((1L, "a a a"), (2L, "b b"), (3L, "a a a")),          // 3 dups 1 in-batch
+      Seq((4L, "b b"), (5L, "c"), (6L, "d")),                  // 4 dups 2 cross-batch
+      Seq((7L, "a a a"), (8L, "e"), (9L, "c"), (10L, "f")))    // 7, 9 dups
+    val mem = MemoryStream[(Long, String)]
+    val flags = graft.streaming.SketchStreams.seenStream(
+      mem.toDF.toDF("doc_id", "text"), numBits = 1 << 16, buckets = 4)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = flags.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+        graft.streaming.SketchStreams.SeenFlag], _: Long) =>
+        got ++= b.collect().map(f => (f.doc_id, f.novel)); ()
+      }.start()
+    try {
+      chunks.foreach { c => mem.addData(c: _*); q.processAllAvailable() }
+    } finally q.stop()
+    // exact first-occurrence semantics at this load (FPs ~ 0 at 2^16/8 keys)
+    val want = Seq(1L -> true, 2L -> true, 3L -> false, 4L -> false, 5L -> true,
+      6L -> true, 7L -> false, 8L -> true, 9L -> false, 10L -> true)
+    assert(got.sortBy(_._1).toSeq == want)
+  }
+
+  test("seenStream one-sided error: even saturated, a duplicate is never flagged novel") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sc = spark.sqlContext
+    // 256-bit filter, 300 distinct texts: heavily saturated, so novel
+    // docs WILL be false-positive-flagged dup — but the replayed
+    // duplicates (same texts again, new ids) must ALL flag dup
+    val mem = MemoryStream[(Long, String)]
+    val flags = graft.streaming.SketchStreams.seenStream(
+      mem.toDF.toDF("doc_id", "text"), numBits = 256, buckets = 4)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Boolean)]
+    val q = flags.writeStream.outputMode("append")
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[
+        graft.streaming.SketchStreams.SeenFlag], _: Long) =>
+        got ++= b.collect().map(f => (f.doc_id, f.novel)); ()
+      }.start()
+    try {
+      mem.addData((0L until 300L).map(i => (i, s"text number $i")): _*)
+      q.processAllAvailable()
+      mem.addData((0L until 300L).map(i => (1000L + i, s"text number $i")): _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val replay = got.filter(_._1 >= 1000L)
+    assert(replay.size == 300 && replay.forall(!_._2),
+      "a seen text was flagged novel — bloom false negative, impossible")
+  }
+
   test("dedup_bloom_novel registered query: exactly the 50 fresh ids") {
     val q = Registry.all.find(_.name == "dedup_bloom_novel").get
     val out = q.fn(spark, TestSpark.sf0001).select("doc_id")
