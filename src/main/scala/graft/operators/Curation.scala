@@ -335,4 +335,35 @@ object Curation {
     }
     docs.filter(h < cut).select("doc_id", "source")
   }
+
+  /** Weighted sample WITHOUT replacement of k docs, probability
+    * proportional to `weight` — Efraimidis & Spirakis (2006) priority
+    * sampling in its exponential-race form: each doc draws a
+    * deterministic uniform u from an md5 slice (the repo's cross-engine
+    * RNG) and races with key −ln(u)/w; the k SMALLEST keys win, which
+    * is distributionally identical to k successive weighted draws.
+    *
+    * This is how a pipeline draws a token-weighted subcorpus (weight =
+    * doc length) or a quality-weighted eval slice at 100 TB: the key is
+    * one row-local projection and the selection is `orderBy(key)
+    * .limit(k)` — planned as TakeOrderedAndProject, i.e. per-partition
+    * k-heaps merged on the driver, never a global sort, never an RNG
+    * (same doc wins on any cluster, any run). The transcendental ln
+    * goes through Stable.stab(6) so the DuckDB twin orders identically;
+    * ties on the stab'd key break by doc_id in both engines.
+    *
+    * Returns (doc_id, w, skey), the k winners in key order.
+    */
+  def sampleWeighted(docs: DataFrame, weight: Column, k: Int,
+                     salt: String = "ws"): DataFrame = {
+    // 48-bit md5 slice → exact double in (0, 2^48) → u ∈ [0, 1); u = 0
+    // (p = 2⁻⁴⁸) yields key +∞ — "never sampled", identically cross-engine
+    val u = conv(substring(md5(concat(lit(salt + ":"),
+      col("doc_id").cast("string"))), 1, 12), 16, 10).cast("double") /
+      lit(281474976710656.0) // 2^48, exact
+    val key = graft.functions.Stable.stab(-log(u) / weight.cast("double"), 6)
+    docs.select(col("doc_id"), weight.cast("long").as("w"), key.as("skey"))
+      .orderBy(col("skey"), col("doc_id"))
+      .limit(k)
+  }
 }

@@ -125,6 +125,27 @@ object TextAnalysisQueries {
           |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '2000'
           |ORDER BY doc_id""".stripMargin)),
 
+    // Weighted sample without replacement (Efraimidis–Spirakis priority
+    // race, weight = n_chars): the deterministic way to draw a token-
+    // weighted subcorpus — one row-local key projection, then top-k BY
+    // KEY (TakeOrderedAndProject: per-partition heaps, no global sort,
+    // no RNG). The md5-slice uniform and the stab(6)'d −ln(u)/w key are
+    // re-derived identically in SQL, so even the sampled SET is
+    // hash-gated, not just its size.
+    GraftQuery("text_sample_weighted",
+      (s, d) => graft.operators.Curation.sampleWeighted(
+        Tables.documents(s, d), org.apache.spark.sql.functions.col("n_chars"), 64),
+      Some(
+        """WITH s AS (
+          |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+          |    floor((-ln(u) / n_chars) * 1000000.0 + 0.5) / 1000000.0 AS skey
+          |  FROM (
+          |    SELECT doc_id, n_chars,
+          |      CAST(CONCAT('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+          |        / 281474976710656.0 AS u
+          |    FROM documents))
+          |SELECT doc_id, w, skey FROM s ORDER BY skey, doc_id LIMIT 64""".stripMargin)),
+
     // Stratified quota sample: 20 docs per language, picked by hash order
     // (deterministic shuffle) — WindowGroupLimit prunes per partition.
     GraftQuery("text_sample_stratified",

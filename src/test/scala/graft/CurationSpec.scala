@@ -237,4 +237,29 @@ class CurationSpec extends AnyFunSuite {
     val halfKept = Curation.sampleStratified(half, rates).as[(Long, String)].collect().toSet
     assert(halfKept == a.filter(_._1 % 2 == 0))
   }
+
+  test("sampleWeighted: deterministic top-k heap plan, weight-proportional inclusion") {
+    import spark.implicits._
+    // skewed weights: doc i has weight 1 or 100 (every 10th doc heavy)
+    val docs = spark.range(0, 2000).select($"id".as("doc_id"),
+      when($"id" % 10 === 0, 100L).otherwise(1L).as("n_chars"))
+    val got = Curation.sampleWeighted(docs, col("n_chars"), 100)
+    // plan: TakeOrderedAndProject (per-partition k-heaps), never a global sort
+    val p = got.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p.linesIterator.take(3).mkString("|"))
+    val rows = got.as[(Long, Long, Double)].collect().toSeq
+    assert(rows.size == 100)
+    // partitioning invariance: same winners on a different layout
+    val rows2 = Curation.sampleWeighted(docs.repartition(13), col("n_chars"), 100)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(rows.toSet == rows2.toSet)
+    // E-S inclusion bias: heavy docs are 10% of the corpus but carry ~92%
+    // of the mass; they must dominate the sample (binomial margin wide)
+    val heavy = rows.count(_._2 == 100L)
+    assert(heavy > 60, s"only $heavy/100 heavy docs sampled — no weight bias?")
+    // exhausting k >= n returns everything, in key order
+    val all = Curation.sampleWeighted(docs, col("n_chars"), 3000)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(all.size == 2000 && all.map(_._3) == all.map(_._3).sorted)
+  }
 }
