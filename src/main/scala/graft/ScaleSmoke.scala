@@ -81,7 +81,19 @@ object ScaleSmoke {
         sig.filter(isNew), sig.filter(!isNew),
         shk.filter(isNew), shk.filter(!isNew), 6, 2, 0.6).count())
 
-    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f,"dup_spans_rows":$spanCnt,"dup_spans_sec":$spanSec%.1f,"chunk_rows":$chunkCnt,"chunk_sec":$chunkSec%.1f,"incremental_pairs":$incCnt,"incremental_sec":$incSec%.1f}""")
+    // Bloom novelty + Misra–Gries heavy hitters (this session's ops):
+    // novelty probes a batch of n/10 re-synthesized docs (all re-fetches
+    // → worst case: every row is bloom-positive and exact-verifies);
+    // heavy hitters runs both passes over the full token stream.
+    val batch = ZipfCorpus.synth(
+      spark.range(n.toLong).filter(col("id") % 10 === 0)
+        .select(col("id").as("doc_id")))
+    val (novCnt, novSec) = timed(
+      graft.operators.Dedup.bloomNovelDocs(batch, docs).count())
+    val (hhCnt, hhSec) = timed(
+      graft.operators.Sketch.heavyHitters(docs, 0.02, 128).count())
+
+    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f,"dup_spans_rows":$spanCnt,"dup_spans_sec":$spanSec%.1f,"chunk_rows":$chunkCnt,"chunk_sec":$chunkSec%.1f,"incremental_pairs":$incCnt,"incremental_sec":$incSec%.1f,"bloom_novel_rows":$novCnt,"bloom_novel_sec":$novSec%.1f,"heavy_hitters_rows":$hhCnt,"heavy_hitters_sec":$hhSec%.1f}""")
     spark.stop()
   }
 }

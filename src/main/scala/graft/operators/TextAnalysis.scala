@@ -42,6 +42,43 @@ object TextAnalysis {
         least(lit(1.0), col("n_tokens").cast("double") / lit(50.0)) *
           col("ttr") * (lit(1.0) - col("digit_ratio")))
 
+  /** Per-source corpus datasheet — the "data card" profile a pipeline
+    * publishes with every training-set release: volume (docs, tokens,
+    * chars), language spread, and quality/diversity means, one row per
+    * source. One token-stream aggregate (the same per-doc features
+    * qualityScore computes) joined 1:1 with the narrow doc metadata,
+    * then a second |sources|-bounded aggregate — the corpus is scanned
+    * once at token grain and once at metadata grain, nothing is
+    * collected, and the output is as many rows as there are sources.
+    *
+    * Determinism: per-doc doubles are stab(6)'d, per-source means go
+    * through dsum (exact decimal, order-independent) before the final
+    * stab — so the card hash-matches DuckDB despite double aggregation.
+    * Docs with zero tokens after filtering carry no token-derived
+    * features and are excluded (identically in both engines).
+    */
+  def datasheet(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable
+    val q = qualityScore(docs)
+    val meta = docs.select(col("doc_id"), col("source"), col("lang"),
+      col("n_chars").cast("long").as("n_chars"))
+    q.join(meta, "doc_id")
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        countDistinct("lang").as("n_langs"),
+        Stable.dsum(Stable.stab(col("quality"), 6), 6).as("qsum"),
+        Stable.dsum(Stable.stab(col("ttr"), 6), 6).as("tsum"))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"),
+        Stable.stab(col("n_tokens").cast("double") / col("n_docs"), 6)
+          .as("avg_doc_tokens"),
+        Stable.stab(col("qsum") / col("n_docs"), 6).as("mean_quality"),
+        Stable.stab(col("tsum") / col("n_docs"), 6).as("mean_ttr"))
+  }
+
   /** One-pass corpus cleaning (the C4-style filter a training pipeline
     * runs before anything else): minimum length, quality floor, and
     * language gate — all derived from the SINGLE per-doc aggregate

@@ -704,6 +704,38 @@ object TextAnalysisQueries {
            |SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 3
            |ORDER BY doc_id, rn""".stripMargin)),
 
+    // Per-source data card: volume, language spread, quality/diversity
+    // means — the release artifact of a curation run. Hash-gated through
+    // the dsum/stab double-aggregation discipline (per-doc stab(6) →
+    // exact-decimal source sums → stab'd means).
+    GraftQuery("text_datasheet",
+      (s, d) => TextAnalysis.datasheet(Tables.documents(s, d)).orderBy("source"),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |s AS (
+           |  SELECT doc_id, n_tokens,
+           |    floor(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr
+           |      * (1.0 - digit_ratio) * 1000000.0 + 0.5) / 1000000.0 AS q6,
+           |    floor(ttr * 1000000.0 + 0.5) / 1000000.0 AS t6
+           |  FROM f),
+           |j AS (
+           |  SELECT d.source, d.lang, d.n_chars, s.n_tokens, s.q6, s.t6
+           |  FROM s JOIN documents d USING (doc_id))
+           |SELECT source, count(*) AS n_docs,
+           |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+           |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |  count(DISTINCT lang) AS n_langs,
+           |  floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS avg_doc_tokens,
+           |  floor(CAST(sum(CAST(q6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_quality,
+           |  floor(CAST(sum(CAST(t6 AS DECIMAL(18,6))) AS DOUBLE) / count(*) * 1000000.0 + 0.5) / 1000000.0 AS mean_ttr
+           |FROM j GROUP BY source ORDER BY source""".stripMargin)),
+
     // EXACT heavy hitters (tokens above 2 % of the corpus token stream)
     // over the Zipf-vocabulary corpus — ~10 stopwords at ~4 % each
     // against a 200k-word tail, so the direct groupBy-everything form
