@@ -77,7 +77,6 @@ object Curation {
                   total: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val w = org.apache.spark.sql.expressions.Window
     // floor with an epsilon: plain floor(w·total) under-counts when the
     // product lands one ulp below its decimal value (0.29 × 100 =
     // 28.999999999999996 → 28, not the intended 29); the epsilon is far
@@ -85,13 +84,48 @@ object Curation {
     val quotas = weights.toSeq
       .map { case (s, w) => (s, math.floor(w * total + 1e-9).toLong) }
       .toDF("source", "quota")
-    // Skew-safe rank: a window partitioned only by source serializes the
-    // widest source through one task (at crawl scale one source can be
-    // half the corpus). Decompose exactly like packAssignments: the
-    // within-source hash order (h, doc_id) is refined by h's first hex
-    // char, so the global rank = (count of earlier buckets, a ≤16-row-
-    // per-source offset window) + (rank within (source, bucket), 16-way
-    // parallel). Identical rk values — the oracle runs the plain window.
+    takeQuotas(docs, quotas)
+  }
+
+  /** Temperature-smoothed source mixing — the multilingual-LM sampling
+    * scheme (exponential smoothing, Lample & Conneau 2019): quota_s ∝
+    * count_s^α with α = 1/T < 1, which up-weights small sources relative
+    * to their raw share (α → 0 is uniform-over-sources, α = 1 is
+    * natural). Unlike mixBySource the quotas are computed IN-PLAN from
+    * the observed per-source counts: one |sources|-row aggregate, pow
+    * through stab(6) (collapsing libm last-ulp spread so DuckDB's pow
+    * agrees), the normalizer via dsum (exact decimal, order-independent
+    * over the ≤|sources| stab'd weights), then the same skew-safe
+    * hash-order prefix machinery. Survivor sets are therefore
+    * deterministic and hash-gated end to end, including the quota
+    * arithmetic itself.
+    */
+  def mixByTemperature(docs: DataFrame, alpha: Double, total: Long): DataFrame = {
+    import graft.functions.Stable
+    val pw = docs.groupBy("source")
+      .agg(count(lit(1)).as("c"))
+      .select(col("source"),
+        Stable.stab(pow(col("c").cast("double"), lit(alpha)), 6).as("pw"))
+    val tw = pw.agg(Stable.dsum(col("pw"), 6).as("tw")) // 1 row, exact sum
+    val quotas = pw.crossJoin(broadcast(tw))
+      .select(col("source"),
+        floor(col("pw") / col("tw") * total + lit(1e-9)).cast("long").as("quota"))
+    takeQuotas(docs, quotas)
+  }
+
+  /** Shared tail of the mixing family: keep the first `quota_s` docs of
+    * each source in salted-hash order.
+    *
+    * Skew-safe rank: a window partitioned only by source serializes the
+    * widest source through one task (at crawl scale one source can be
+    * half the corpus). Decompose exactly like packAssignments: the
+    * within-source hash order (h, doc_id) is refined by h's first hex
+    * char, so the global rank = (count of earlier buckets, a ≤16-row-
+    * per-source offset window) + (rank within (source, bucket), 16-way
+    * parallel). Identical rk values — the oracle runs the plain window.
+    */
+  private def takeQuotas(docs: DataFrame, quotas: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
     val t = docs.join(broadcast(quotas), "source")
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("pfx", substring(col("h"), 1, 1))

@@ -455,6 +455,32 @@ object TextAnalysisQueries {
           |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
           |WHERE rk <= quota ORDER BY source, rk""".stripMargin)),
 
+    // Temperature-smoothed mixing (α = 0.7, the multilingual-LM
+    // exponential-smoothing default): quotas ∝ count^α computed IN-PLAN
+    // from the observed source sizes — small sources up-weighted
+    // relative to natural share. The quota arithmetic itself is
+    // hash-gated: pow through stab(6), the normalizer an exact decimal
+    // sum, the survivor sets the same hash-order prefixes as text_mix.
+    GraftQuery("text_mix_temperature",
+      (s, d) => graft.operators.Curation.mixByTemperature(
+          Tables.documents(s, d), 0.7, 2000)
+        .orderBy("source", "rk"),
+      Some(
+        """WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY source),
+          |pw AS (SELECT source,
+          |  floor(pow(CAST(c AS DOUBLE), 0.7) * 1000000.0 + 0.5) / 1000000.0 AS pw FROM cnt),
+          |tw AS (SELECT CAST(sum(CAST(pw AS DECIMAL(18,6))) AS DOUBLE) AS tw FROM pw),
+          |q AS (SELECT source,
+          |  CAST(floor(pw / (SELECT tw FROM tw) * 2000 + 0.000000001) AS BIGINT) AS quota
+          |  FROM pw),
+          |r AS (
+          |  SELECT d.doc_id, d.source, q.quota,
+          |    row_number() OVER (PARTITION BY d.source
+          |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+          |  FROM documents d JOIN q USING (source))
+          |SELECT doc_id, source, CAST(rk AS BIGINT) AS rk FROM r
+          |WHERE rk <= quota ORDER BY source, rk""".stripMargin)),
+
     // Per-source quality cap (top-15 by n_chars per source): the
     // per-domain cap every crawl pipeline applies. Spark runs the
     // skew-safe two-phase form (rank within (source, hash-bucket), then

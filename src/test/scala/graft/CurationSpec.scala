@@ -238,6 +238,34 @@ class CurationSpec extends AnyFunSuite {
     assert(halfKept == a.filter(_._1 % 2 == 0))
   }
 
+  test("mixByTemperature: small sources up-weighted vs natural share, quotas conserved") {
+    import spark.implicits._
+    // skewed corpus: src_big 1600 docs, src_mid 300, src_small 100
+    val docs = spark.range(0, 2000).select($"id".as("doc_id"),
+      when($"id" < 1600, "src_big").when($"id" < 1900, "src_mid")
+        .otherwise("src_small").as("source"))
+    val out = Curation.mixByTemperature(docs, 0.7, 500)
+      .as[(Long, String, Long)].collect().toSeq
+    val byS = out.groupBy(_._2).view.mapValues(_.size).toMap
+    // floor can undershoot by < |sources|; never overshoot
+    assert(out.size <= 500 && out.size > 500 - 3)
+    // α=0.7 shares: big 1600^.7=.. vs natural 80% — smoothing must move
+    // share from the big source to the small one
+    val naturalSmall = 100.0 / 2000
+    val naturalBig = 1600.0 / 2000
+    assert(byS("src_small").toDouble / out.size > naturalSmall * 1.5)
+    assert(byS("src_big").toDouble / out.size < naturalBig)
+    // α=1 recovers (floor-of-)natural shares
+    val nat = Curation.mixByTemperature(docs, 1.0, 500)
+      .as[(Long, String, Long)].collect().toSeq
+    val natS = nat.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(natS("src_big") == 400 && natS("src_mid") == 75 && natS("src_small") == 25)
+    // determinism across layouts
+    val out2 = Curation.mixByTemperature(docs.repartition(7), 0.7, 500)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.toSet == out2.toSet)
+  }
+
   test("sampleWeighted: deterministic top-k heap plan, weight-proportional inclusion") {
     import spark.implicits._
     // skewed weights: doc i has weight 1 or 100 (every 10th doc heavy)
