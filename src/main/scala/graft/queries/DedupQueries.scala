@@ -558,6 +558,56 @@ object DedupQueries {
            |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
            |ORDER BY doc_id""".stripMargin)),
 
+    // Quality-aware canonical selection: same LSH clusters as dedup_keep,
+    // but each cluster keeps its HIGHEST-quality member (stab(6)'d
+    // composite score, ties to the lower doc_id) instead of the minimum
+    // id — what a production pipeline actually does when near-dups
+    // differ (boilerplate-stripped mirror vs raw page: keep the clean
+    // one). The quality join touches only clustered docs; the final
+    // anti-join is corpus-linear; the per-cluster window partitions by
+    // cluster label (bounded groups — dup clusters, never the corpus).
+    GraftQuery("dedup_keep_best",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, d)
+        val cl = Dedup.clusters(lshKeepPairs(s, d))
+        val q6 = graft.operators.TextAnalysis.qualityScore(docs)
+          .select(col("doc_id"), graft.functions.Stable.stab(col("quality"), 6).as("q6"))
+        val members = cl.join(q6, "doc_id")
+        val drop = members.withColumn("rn", row_number().over(
+            Window.partitionBy("keep_id").orderBy(desc("q6"), asc("doc_id"))))
+          .filter(col("rn") > 1)
+          .select("doc_id")
+        docs.join(drop, Seq("doc_id"), "left_anti")
+          .select("doc_id", "lang", "source")
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE ${lshPairCtes(KeepBands, KeepRows, KeepThreshold)},
+           |$ccCtes,
+           |${SearchQueries.tokCte},
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |qs AS (
+           |  SELECT doc_id,
+           |    floor(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr
+           |      * (1.0 - digit_ratio) * 1000000.0 + 0.5) / 1000000.0 AS q6
+           |  FROM f),
+           |cla AS (SELECT node AS doc_id, min(label) AS cl FROM lbl GROUP BY node),
+           |m AS (SELECT cla.doc_id, cla.cl, qs.q6 FROM cla JOIN qs USING (doc_id)),
+           |r AS (
+           |  SELECT doc_id,
+           |    row_number() OVER (PARTITION BY cl ORDER BY q6 DESC, doc_id) AS rn
+           |  FROM m),
+           |drop AS (SELECT doc_id FROM r WHERE rn > 1)
+           |SELECT doc_id, lang, source FROM documents
+           |WHERE doc_id NOT IN (SELECT doc_id FROM drop)
+           |ORDER BY doc_id""".stripMargin)),
+
     // Incremental ingest dedup: today's batch (doc_id ≡ 0 mod 10) probed
     // against the existing corpus's persisted signature/shingle-key
     // artifacts — the per-snapshot operation of a production pipeline
