@@ -106,6 +106,7 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .select(col("source"),
         Stable.stab(pow(col("c").cast("double"), lit(alpha)), 6).as("pw"))
+      .localCheckpoint() // ≤|sources| rows; read by the normalizer AND the probe
     val tw = pw.agg(Stable.dsum(col("pw"), 6).as("tw")) // 1 row, exact sum
     val quotas = pw.crossJoin(broadcast(tw))
       .select(col("source"),
