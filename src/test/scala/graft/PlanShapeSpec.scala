@@ -347,4 +347,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("\\) Exchange".r.findAllIn(p).size <= 3,
       "kmv re-grew a full-row distinct exchange")
   }
+
+  test("dedup_bloom_novel: definite-novel rows take a join-free branch; no nested loop") {
+    val p = plan("dedup_bloom_novel")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+    // every join in the plan is the maybe-slice's exact verify — an
+    // ANTI hash join against the corpus digests. If the bloom prefilter
+    // regressed to routing EVERYTHING through the join, the plan's
+    // join count would exceed its LeftAnti count.
+    val joins = "\\) BroadcastHashJoin".r.findAllIn(p).size +
+      "\\) ShuffledHashJoin".r.findAllIn(p).size +
+      "\\) SortMergeJoin".r.findAllIn(p).size
+    val antis = "LeftAnti".r.findAllIn(p).size
+    assert(joins > 0 && antis >= joins,
+      s"novelty plan grew a non-anti join: $joins joins, $antis anti")
+  }
+
+  test("text_heavy_hitters: candidate semi-join broadcast; only the 1-row totals cross") {
+    val p = plan("text_heavy_hitters")
+    // the single BNLJ is the 1-row totals cross (the DSIR pattern); the
+    // recount join against <=k candidates must be a broadcast hash join
+    assert("\\) BroadcastNestedLoopJoin".r.findAllIn(p).size == 1,
+      "expected exactly the 1-row totals cross")
+    assert(p.contains("BroadcastHashJoin"), "candidate recount must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("text_sample_weighted: top-k heap, no global sort of the corpus") {
+    val p = opPlan(graft.operators.Curation.sampleWeighted(
+      graft.sources.Tables.documents(spark, d),
+      org.apache.spark.sql.functions.col("n_chars"), 64))
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"),
+      "weighted sample regressed to a global sort")
+  }
+
+  test("text_mix_temperature: quota side broadcast, corpus rank stays bucket-decomposed") {
+    val p = plan("text_mix_temperature")
+    assert(!p.contains("CartesianProduct"))
+    // quotas (≤|sources| rows) and offsets (≤16·|sources|) must both
+    // reach the corpus via broadcast joins, and the corpus-sized
+    // row_number must run on the 16-way (source, pfx) decomposition —
+    // a Window partitioned by source alone serializes the widest
+    // source through one task
+    assert(p.contains("BroadcastHashJoin"))
+    assert("partitionBy.{0,60}pfx".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(source#") && p.contains("pfx"),
+      "corpus rank lost its pfx bucket decomposition")
+  }
 }
