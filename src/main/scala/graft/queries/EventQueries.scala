@@ -73,6 +73,29 @@ object EventQueries {
            |  ${dsumSql("value")} AS sum_value, min(ts) AS first_ts, max(ts) AS last_ts
            |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Recency-weighted user value: each event's contribution halves
+    // every 7 days of age relative to the stream's own max timestamp
+    // (taken in-plan — the result is a pure function of the input).
+    // The freshness feature of ranking/abuse models, hash-gated: exact
+    // integer ages, one pow per row under stab(6), decimal sums.
+    GraftQuery("events_decay",
+      (s, d) => graft.operators.Decay
+        .decayedUserValue(Tables.events(s, d), 604800000L)
+        .orderBy("user_id"),
+      Some(
+        s"""WITH $evCte,
+           |e2 AS (SELECT user_id, value, epoch_ms(ts) AS es FROM ev),
+           |mx AS (SELECT max(es) AS now FROM e2),
+           |sc AS (
+           |  SELECT user_id,
+           |    floor(value * pow(0.5, CAST((SELECT now FROM mx) - es AS DOUBLE)
+           |      / 604800000.0) * 1000000.0 + 0.5) / 1000000.0 AS dv
+           |  FROM e2)
+           |SELECT user_id, count(*) AS n_events,
+           |  floor(CAST(sum(CAST(dv AS DECIMAL(18,6))) AS DOUBLE) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS decayed
+           |FROM sc GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
     // JSON scalar extraction from the props column.
     GraftQuery("events_json_props",
       (s, d) => Tables.events(s, d)
