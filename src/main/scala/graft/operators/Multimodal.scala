@@ -264,6 +264,63 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Perceptual (average) hash of image payloads from REAL pixel decode —
+    * the image-dedup primitive (near-identical images collide; aHash is
+    * the simplest of the pHash family). To keep the hash cross-engine
+    * exact, the usual area-resample is replaced by a fixed 6×10 POINT
+    * GRID: sample gray at (⌊gx·w/6⌋, ⌊gy·h/10⌋), bit j = gy·6+gx set iff
+    * 60·g_j > Σg — all integer arithmetic, so the DuckDB twin re-derives
+    * the identical 60-bit hash from the synthesis contract while Spark
+    * computes it from the DECODED PNG bytes. The mean-threshold makes
+    * the hash invariant to uniform brightness shifts (60·(g+c) >
+    * Σg+60·c ⇔ 60·g > Σg) — the fixture's same-dims images are exactly
+    * such shifts (mod-256 wraparound aside), which is what the pairs
+    * query surfaces. 60 bits on purpose: the hash drops straight into
+    * the simhashPairs60 pigeonhole banding for hamming-≤2 pair
+    * generation at scale.
+    */
+  def decodeImageAHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("ahash", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.getLong(0), null)
+        else {
+          val w = img.getWidth.toLong
+          val h = img.getHeight.toLong
+          val g = new Array[Long](60)
+          var j = 0
+          var gy = 0
+          while (gy < 10) {
+            var gx = 0
+            while (gx < 6) {
+              val x = ((gx * w) / 6).toInt
+              val y = ((gy * h) / 10).toInt
+              g(j) = (img.getRGB(x, y) & 0xff).toLong
+              j += 1; gx += 1
+            }
+            gy += 1
+          }
+          val tot = g.sum
+          var hash = 0L
+          j = 0
+          while (j < 60) {
+            if (60L * g(j) > tot) hash |= 1L << j
+            j += 1
+          }
+          Row(r.getLong(0), hash)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType),

@@ -145,6 +145,59 @@ object MultimodalQueries {
           |       WHEN 2 THEN 16000 ELSE 22050 END AS INT) AS sample_rate,
           |  CAST(64 + doc_id % 256 AS BIGINT) AS n_frames,
           |  CAST(1 AS INT) AS channels
-          |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin))
+          |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin)),
+
+    // Perceptual hash from REAL pixel decode: Spark reads the PNG bytes
+    // and samples a fixed 6×10 gray grid; the oracle re-derives the
+    // identical 60-bit mean-threshold hash from the synthesis contract
+    // (g(x,y) = (31x + 7y + id) mod 256) with pure integer arithmetic.
+    // A stride bug, channel mixup, or resample drift all hash-fail.
+    GraftQuery("multimodal_ahash",
+      (s, d) => Multimodal.decodeImageAHash(
+        persistedMedia(s, d).filter(col("modality") === "image"))
+        .orderBy("media_id"),
+      Some(ahashCte +
+        "\nSELECT media_id, ahash FROM ah ORDER BY media_id")),
+
+    // Image near-dup pairs at hamming <= 2 over the perceptual hash,
+    // riding the SAME pigeonhole 20-bit-chunk banding as the 60-bit
+    // SimHash text tier (equi-join candidates, exact hamming verify) —
+    // image dedup with no new join machinery. The fixture's same-dims
+    // images are uniform brightness shifts of each other (aHash-
+    // invariant up to mod-256 wraparound), so the pairs are plentiful
+    // and graded, not planted certainties.
+    GraftQuery("multimodal_ahash_pairs",
+      (s, d) => graft.operators.Dedup.simhashPairs60(
+        Multimodal.decodeImageAHash(
+            persistedMedia(s, d).filter(col("modality") === "image"))
+          .select(col("media_id").as("doc_id"), col("ahash").as("simhash")), 2)
+        .orderBy("doc_a", "doc_b"),
+      Some(ahashCte +
+        """
+          |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
+          |FROM ah a JOIN ah b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin))
   )
+
+  /** DuckDB twin of Multimodal.decodeImageAHash: the synthesis contract's
+    * pixel formula sampled on the same 6×10 integer grid, mean-threshold
+    * bits packed identically.
+    */
+  val ahashCte: String =
+    """WITH img AS (
+      |  SELECT doc_id, CAST(4 + doc_id % 16 AS BIGINT) AS w,
+      |    CAST(4 + (doc_id // 16) % 16 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 3 = 0),
+      |px AS (
+      |  SELECT doc_id, gy * 6 + gx AS j,
+      |    ((gx * w // 6) * 31 + (gy * h // 10) * 7 + doc_id) % 256 AS g
+      |  FROM img, unnest(range(0, 6)) t1(gx), unnest(range(0, 10)) t2(gy)),
+      |s AS (SELECT doc_id, sum(g) AS tot FROM px GROUP BY doc_id),
+      |ah AS (
+      |  SELECT px.doc_id AS media_id,
+      |    CAST(sum(CASE WHEN 60 * g > tot
+      |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
+      |  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id)""".stripMargin
 }
