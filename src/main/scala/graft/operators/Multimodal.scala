@@ -279,6 +279,35 @@ object Multimodal {
     * the simhashPairs60 pigeonhole banding for hamming-≤2 pair
     * generation at scale.
     */
+  /** The 6×10-grid mean-threshold hash of one decoded frame — shared by
+    * the image and video tiers so the two modalities can never drift.
+    */
+  private def gridAHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth.toLong
+    val h = img.getHeight.toLong
+    val g = new Array[Long](60)
+    var j = 0
+    var gy = 0
+    while (gy < 10) {
+      var gx = 0
+      while (gx < 6) {
+        val x = ((gx * w) / 6).toInt
+        val y = ((gy * h) / 10).toInt
+        g(j) = (img.getRGB(x, y) & 0xff).toLong
+        j += 1; gx += 1
+      }
+      gy += 1
+    }
+    val tot = g.sum
+    var hash = 0L
+    j = 0
+    while (j < 60) {
+      if (60L * g(j) > tot) hash |= 1L << j
+      j += 1
+    }
+    hash
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
@@ -291,31 +320,42 @@ object Multimodal {
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
         } catch { case scala.util.control.NonFatal(_) => null }
         if (img == null) Row(r.getLong(0), null)
-        else {
-          val w = img.getWidth.toLong
-          val h = img.getHeight.toLong
-          val g = new Array[Long](60)
-          var j = 0
-          var gy = 0
-          while (gy < 10) {
-            var gx = 0
-            while (gx < 6) {
-              val x = ((gx * w) / 6).toInt
-              val y = ((gy * h) / 10).toInt
-              g(j) = (img.getRGB(x, y) & 0xff).toLong
-              j += 1; gx += 1
-            }
-            gy += 1
+        else Row(r.getLong(0), gridAHash(img))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Per-frame perceptual hashes of video payloads — the video
+    * fingerprint sequence (near-dup videos share most frame hashes;
+    * scene cuts show as hash jumps). REAL GIF decode per frame, same
+    * gridAHash as the image tier; GifPixelProbe locks the codec round
+    * trip pixel-exact, which is what lets the DuckDB twin re-derive
+    * every frame hash from the synthesis contract.
+    */
+  def decodeVideoFrameHashes(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("frame", IntegerType, nullable = false),
+      StructField("ahash", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) Iterator.empty
+          else {
+            val rdr = readers.next()
+            rdr.setInput(iis)
+            val n = rdr.getNumImages(true)
+            val frames = (0 until n).map(f => Row(id, f, gridAHash(rdr.read(f))))
+            rdr.dispose()
+            frames.iterator
           }
-          val tot = g.sum
-          var hash = 0L
-          j = 0
-          while (j < 60) {
-            if (60L * g(j) > tot) hash |= 1L << j
-            j += 1
-          }
-          Row(r.getLong(0), hash)
-        }
+        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
       }
     }
     spark.createDataFrame(out, schema)

@@ -178,7 +178,36 @@ object MultimodalQueries {
           |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming
           |FROM ah a JOIN ah b ON a.media_id < b.media_id
           |WHERE bit_count(xor(a.ahash, b.ahash)) <= 2
-          |ORDER BY doc_a, doc_b""".stripMargin))
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The video fingerprint: one 60-bit perceptual hash PER DECODED
+    // FRAME (GifPixelProbe locks the codec round trip pixel-exact, so
+    // the oracle re-derives every frame hash from the synthesis
+    // contract). Near-dup videos share most of this sequence; scene
+    // cuts show as hash jumps.
+    GraftQuery("multimodal_video_framehash",
+      (s, d) => Multimodal.decodeVideoFrameHashes(
+        persistedMedia(s, d).filter(col("modality") === "video"))
+        .orderBy("media_id", "frame"),
+      Some(
+        """WITH vid AS (
+          |  SELECT doc_id, CAST(6 + doc_id % 10 AS BIGINT) AS w,
+          |    CAST(6 + (doc_id // 10) % 10 AS BIGINT) AS h,
+          |    CAST(2 + doc_id % 7 AS BIGINT) AS nf
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |px AS (
+          |  SELECT doc_id, f, gy * 6 + gx AS j,
+          |    ((gx * w // 6) * 31 + (gy * h // 10) * 7 + f * 53 + doc_id) % 256 AS g
+          |  FROM vid, unnest(range(0, nf)) t0(f),
+          |    unnest(range(0, 6)) t1(gx), unnest(range(0, 10)) t2(gy)),
+          |s AS (SELECT doc_id, f, sum(g) AS tot FROM px GROUP BY doc_id, f),
+          |fh AS (
+          |  SELECT px.doc_id AS media_id, CAST(px.f AS INT) AS frame,
+          |    CAST(sum(CASE WHEN 60 * g > tot
+          |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
+          |  FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f
+          |  GROUP BY px.doc_id, px.f)
+          |SELECT media_id, frame, ahash FROM fh ORDER BY media_id, frame""".stripMargin))
   )
 
   /** DuckDB twin of Multimodal.decodeImageAHash: the synthesis contract's
