@@ -207,7 +207,61 @@ object MultimodalQueries {
           |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
           |  FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f
           |  GROUP BY px.doc_id, px.f)
-          |SELECT media_id, frame, ahash FROM fh ORDER BY media_id, frame""".stripMargin))
+          |SELECT media_id, frame, ahash FROM fh ORDER BY media_id, frame""".stripMargin)),
+
+    // Video-level near-dup: directed frame-set containment over the
+    // fingerprints — C(A→B) = |H_A ∩ H_B| / |H_A| ≥ 0.8 on DISTINCT
+    // frame hashes, the same containment semantics as the text tier.
+    // Candidates come from an equi-join on the hash value (an inverted
+    // index over frame hashes — bucket sizes are hash-collision groups,
+    // never corpus²). The fixture makes this graded: same-dims videos
+    // are brightness/frame-shifted variants, so overlaps span full
+    // containment down to partial frame sharing.
+    GraftQuery("multimodal_video_neardup",
+      (s, d) => {
+        val fh = Multimodal.decodeVideoFrameHashes(
+            persistedMedia(s, d).filter(col("modality") === "video"))
+          .select(col("media_id"), col("ahash")).distinct()
+        val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("n_h"))
+        val shared = fh.as("a").join(fh.as("b"),
+            col("a.ahash") === col("b.ahash") &&
+              col("a.media_id") =!= col("b.media_id"))
+          .groupBy(col("a.media_id").as("vid_a"), col("b.media_id").as("vid_b"))
+          .agg(count(lit(1)).as("n_shared"))
+        shared.join(sizes.withColumnRenamed("media_id", "vid_a"), "vid_a")
+          .select(col("vid_a"), col("vid_b"), col("n_shared"),
+            (col("n_shared").cast("double") / col("n_h")).as("containment"))
+          .filter(col("containment") >= 0.8)
+          .orderBy("vid_a", "vid_b")
+      },
+      Some(
+        """WITH vid AS (
+          |  SELECT doc_id, CAST(6 + doc_id % 10 AS BIGINT) AS w,
+          |    CAST(6 + (doc_id // 10) % 10 AS BIGINT) AS h,
+          |    CAST(2 + doc_id % 7 AS BIGINT) AS nf
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |px AS (
+          |  SELECT doc_id, f, gy * 6 + gx AS j,
+          |    ((gx * w // 6) * 31 + (gy * h // 10) * 7 + f * 53 + doc_id) % 256 AS g
+          |  FROM vid, unnest(range(0, nf)) t0(f),
+          |    unnest(range(0, 6)) t1(gx), unnest(range(0, 10)) t2(gy)),
+          |s AS (SELECT doc_id, f, sum(g) AS tot FROM px GROUP BY doc_id, f),
+          |fh AS (
+          |  SELECT DISTINCT px.doc_id AS media_id,
+          |    CAST(sum(CASE WHEN 60 * g > tot
+          |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
+          |  FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f
+          |  GROUP BY px.doc_id, px.f),
+          |sz AS (SELECT media_id, count(*) AS n_h FROM fh GROUP BY media_id),
+          |sh AS (
+          |  SELECT a.media_id AS vid_a, b.media_id AS vid_b, count(*) AS n_shared
+          |  FROM fh a JOIN fh b ON a.ahash = b.ahash AND a.media_id <> b.media_id
+          |  GROUP BY 1, 2)
+          |SELECT vid_a, vid_b, n_shared,
+          |  CAST(n_shared AS DOUBLE) / sz.n_h AS containment
+          |FROM sh JOIN sz ON vid_a = sz.media_id
+          |WHERE CAST(n_shared AS DOUBLE) / sz.n_h >= 0.8
+          |ORDER BY vid_a, vid_b""".stripMargin))
   )
 
   /** DuckDB twin of Multimodal.decodeImageAHash: the synthesis contract's
