@@ -230,6 +230,47 @@ object Search {
     * this from bigram postings (same layout as the unigram index); the
     * scan shape here IS that index's build pass.
     */
+  def evalMetrics(docs: DataFrame, nQueries: Int = 20, k: Int = 10): DataFrame = {
+    // Distributed retrieval EVALUATION — the offline quality job a search
+    // pipeline runs on every index build, as ONE batch plan instead of a
+    // per-query loop: a deterministic query set (consecutive-word-id
+    // pairs from the corpus's own vocabulary), every query scored
+    // against every matching posting in a single broadcast join, ranks
+    // via per-query windows (≤ nQueries partitions), and graded-
+    // relevance-free metrics (P@k, MRR@k, with relevance := "doc
+    // contains BOTH query terms" — boolean-AND qrels both engines can
+    // derive). The per-(query, doc) term-presence count doubles as the
+    // relevance label, so scoring and labeling share one aggregate.
+    import graft.functions.Stable
+    val bdw = docWordCounts(docs)
+    val vocab = vocabularyFrom(bdw)
+    val post = postingsFrom(bdw, vocab)
+      .join(broadcast(vocab.select("word_id", "df")), "word_id")
+    val qt = vocab.select((col("word_id") / 2).cast("long").as("query_id"),
+        col("word_id"))
+      .filter(col("query_id") < nQueries)
+    val scored = post.join(broadcast(qt), "word_id")
+      .groupBy("query_id", "doc_id")
+      .agg(Stable.stab(sum(col("tf").cast("double") / (col("df") * col("df"))), 9)
+          .as("score"),
+        countDistinct("word_id").as("n_terms"))
+    val ranked = scored.withColumn("rnk", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("score"), asc("doc_id"))))
+      .filter(col("rnk") <= k)
+    val nRel = scored.filter(col("n_terms") === 2)
+      .groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+    val perQ = ranked.filter(col("n_terms") === 2)
+      .groupBy("query_id").agg(count(lit(1)).as("hits"), min("rnk").as("first_rel"))
+    qt.select("query_id").distinct()
+      .join(nRel, Seq("query_id"), "left")
+      .join(perQ, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_rel"), lit(0L)).as("n_rel"),
+        (coalesce(col("hits"), lit(0L)).cast("double") / k).as("p_at_k"),
+        coalesce(lit(1.0) / col("first_rel"), lit(0.0)).as("mrr"))
+      .orderBy("query_id")
+  }
+
   def phraseTopK(spark: SparkSession, dir: String,
                  phrase: String = "table hash", k: Int = 10): DataFrame = {
     val docs = Tables.documents(spark, dir)

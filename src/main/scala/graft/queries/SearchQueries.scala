@@ -256,7 +256,46 @@ object SearchQueries {
           "postings")(Search.buildIndex(s, d, _))
         Search.searchTopKBm25Indexed(s, idx)
       },
-      Some(bm25Oracle))
+      Some(bm25Oracle)),
+
+    // Distributed retrieval evaluation — the offline quality job of every
+    // index build, as ONE batch plan: a vocabulary-derived query set
+    // (consecutive word-id pairs), all queries scored in a single
+    // broadcast join, per-query ranks over ≤|queries| window partitions,
+    // P@10 / MRR@10 against boolean-AND relevance (doc contains both
+    // terms) that both engines derive from the postings themselves.
+    GraftQuery("search_eval",
+      (s, d) => Search.evalMetrics(Tables.documents(s, d), 20, 10),
+      Some(
+        s"""WITH $tokCte, $vocabCte, $postingsCte,
+           |qt AS (
+           |  SELECT word_id // 2 AS query_id, word_id FROM vocab
+           |  WHERE word_id // 2 < 20),
+           |j AS (
+           |  SELECT q.query_id, p.doc_id, p.tf, p.df, q.word_id
+           |  FROM postings p JOIN qt q USING (word_id)),
+           |sc AS (
+           |  SELECT query_id, doc_id,
+           |    floor(sum(CAST(tf AS DOUBLE) / (df * df)) * 1000000000.0 + 0.5)
+           |      / 1000000000.0 AS score,
+           |    count(DISTINCT word_id) AS n_terms
+           |  FROM j GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY score DESC, doc_id) AS rnk FROM sc),
+           |top AS (SELECT * FROM rk WHERE rnk <= 10),
+           |nrel AS (
+           |  SELECT query_id, count(*) AS n_rel FROM sc WHERE n_terms = 2 GROUP BY 1),
+           |hq AS (
+           |  SELECT query_id, count(*) AS hits, min(rnk) AS first_rel
+           |  FROM top WHERE n_terms = 2 GROUP BY 1)
+           |SELECT q.query_id,
+           |  COALESCE(n_rel, 0) AS n_rel,
+           |  CAST(COALESCE(hits, 0) AS DOUBLE) / 10.0 AS p_at_k,
+           |  COALESCE(1.0 / first_rel, 0.0) AS mrr
+           |FROM (SELECT DISTINCT query_id FROM qt) q
+           |LEFT JOIN nrel USING (query_id) LEFT JOIN hq USING (query_id)
+           |ORDER BY query_id""".stripMargin))
   )
 
   lazy val bm25Oracle: String =
