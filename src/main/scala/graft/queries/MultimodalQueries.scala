@@ -261,7 +261,36 @@ object MultimodalQueries {
           |  CAST(n_shared AS DOUBLE) / sz.n_h AS containment
           |FROM sh JOIN sz ON vid_a = sz.media_id
           |WHERE CAST(n_shared AS DOUBLE) / sz.n_h >= 0.8
-          |ORDER BY vid_a, vid_b""".stripMargin))
+          |ORDER BY vid_a, vid_b""".stripMargin)),
+
+    // Cross-modal pair curation (the CLIP-style image-text prep gate):
+    // keep (doc, image) pairs where BOTH modalities pass — image area
+    // from the REAL decode ≥ 100 px, text ≥ 25 tokens. One decode pass
+    // joined 1:1 with one token aggregate; both gates are row-local
+    // after their aggregates.
+    GraftQuery("multimodal_pair_filter",
+      (s, d) => {
+        val dims = Multimodal.decodeImageDims(
+          persistedMedia(s, d).filter(col("modality") === "image"))
+        val toks = graft.operators.TextAnalysis.tokenStats(
+          graft.sources.Tables.documents(s, d)).select("doc_id", "n_tokens")
+        dims.join(toks, dims("media_id") === toks("doc_id"))
+          .filter(col("width") * col("height") >= 100 && col("n_tokens") >= 25)
+          .select(col("media_id"), col("width"), col("height"), col("n_tokens"))
+          .orderBy("media_id")
+      },
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |tk AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+           |img AS (
+           |  SELECT doc_id AS media_id,
+           |    CAST(4 + doc_id % 16 AS INT) AS width,
+           |    CAST(4 + (doc_id // 16) % 16 AS INT) AS height
+           |  FROM documents WHERE doc_id % 3 = 0)
+           |SELECT media_id, width, height, n_tokens
+           |FROM img JOIN tk ON media_id = tk.doc_id
+           |WHERE width * height >= 100 AND n_tokens >= 25
+           |ORDER BY media_id""".stripMargin))
   )
 
   /** DuckDB twin of Multimodal.decodeImageAHash: the synthesis contract's
