@@ -73,6 +73,27 @@ object EventQueries {
            |  ${dsumSql("value")} AS sum_value, min(ts) AS first_ts, max(ts) AS last_ts
            |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // Per-user 3σ outliers with an all-integer decision rule:
+    // (n·x − S₁)² > 9·(n·S₂ − S₁²) over exact cent moments — no mean,
+    // no stddev, no sqrt, no doubles, so the flagged set is identical
+    // under any aggregation order and in any engine. One moment pass
+    // (three longs per user) broadcast back for the row-local test.
+    GraftQuery("events_anomaly",
+      (s, d) => graft.operators.Anomaly.sigmaOutliers(Tables.events(s, d), 3)
+        .orderBy("event_id"),
+      Some(
+        s"""WITH $evCte,
+           |evc AS (
+           |  SELECT event_id, user_id, value,
+           |    CAST(round(value * 100) AS BIGINT) AS c FROM ev),
+           |st AS (
+           |  SELECT user_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+           |  FROM evc GROUP BY user_id)
+           |SELECT event_id, user_id, value
+           |FROM evc JOIN st USING (user_id)
+           |WHERE (n * c - s1) * (n * c - s1) > 9 * (n * s2 - s1 * s1)
+           |ORDER BY event_id""".stripMargin)),
+
     // Recency-weighted user value: each event's contribution halves
     // every 7 days of age relative to the stream's own max timestamp
     // (taken in-plan — the result is a pure function of the input).
