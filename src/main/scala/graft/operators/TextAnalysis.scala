@@ -158,6 +158,30 @@ object TextAnalysis {
       .select("doc_id", "q_micro")
   }
 
+  /** Exact quality DECILES — the calibration table a curation run
+    * publishes next to its gate thresholds (which score buys entry to
+    * the top 10 %, how wide each band is). Same scalable shape as
+    * qualityTopP: micro-unit scores → ONE score histogram → a
+    * bounded-cardinality cumulative window — and the decile label is
+    * pure integer arithmetic, decile(q) = ⌈10·cum_incl(q) / n⌉ via
+    * (10·cum + n − 1) div n, so ties land in one band identically in
+    * both engines and no per-doc rank is ever computed. Output one row
+    * per non-empty decile: (decile, n_docs, q_lo, q_hi) in micro-units.
+    */
+  def qualityDeciles(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val s = qualityScore(docs)
+      .select(floor(col("quality") * lit(1000000.0) + lit(0.5)).cast("long").as("q_micro"))
+    val hist = s.groupBy("q_micro").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum("c").over(w.orderBy("q_micro")))
+    val tot = hist.agg(sum("c").as("n"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("decile", expr("(10 * cum + n - 1) div n")) // exact integer ceil-div
+      .groupBy("decile")
+      .agg(sum("c").as("n_docs"), min("q_micro").as("q_lo"), max("q_micro").as("q_hi"))
+      .orderBy("decile")
+  }
+
   /** PII patterns, written to the RE2 ∩ java.util.regex common subset (no
     * backrefs, no lookaround) so Spark and the DuckDB oracle match the
     * same spans byte-for-byte.

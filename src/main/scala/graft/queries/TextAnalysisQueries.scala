@@ -730,6 +730,36 @@ object TextAnalysisQueries {
            |SELECT doc_id, rn, word, tfidf FROM r WHERE rn <= 3
            |ORDER BY doc_id, rn""".stripMargin)),
 
+    // Quality decile calibration table: which micro-unit score buys
+    // entry to each tenth of the corpus, and how wide each band is —
+    // the same bounded-histogram shape as text_quality_topp, with the
+    // decile label an exact integer ceil-division so ties band
+    // identically in both engines and no per-doc rank ever runs.
+    GraftQuery("text_quality_deciles",
+      (s, d) => TextAnalysis.qualityDeciles(Tables.documents(s, d)),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |s AS (
+           |  SELECT CAST(floor(least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr
+           |    * (1.0 - digit_ratio) * 1000000.0 + 0.5) AS BIGINT) AS q_micro
+           |  FROM f),
+           |h AS (SELECT q_micro, count(*) AS c FROM s GROUP BY q_micro),
+           |cm AS (
+           |  SELECT q_micro, c, sum(c) OVER (ORDER BY q_micro) AS cum,
+           |    (SELECT count(*) FROM s) AS n
+           |  FROM h),
+           |dd AS (
+           |  SELECT q_micro, c, (10 * cum + n - 1) // n AS decile FROM cm)
+           |SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
+           |  min(q_micro) AS q_lo, max(q_micro) AS q_hi
+           |FROM dd GROUP BY decile ORDER BY decile""".stripMargin)),
+
     // Per-source data card: volume, language spread, quality/diversity
     // means — the release artifact of a curation run. Hash-gated through
     // the dsum/stab double-aggregation discipline (per-doc stab(6) →
