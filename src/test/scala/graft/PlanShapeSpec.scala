@@ -384,6 +384,14 @@ class PlanShapeSpec extends AnyFunSuite {
       "weighted sample regressed to a global sort")
   }
 
+  test("events_anomaly: one moment broadcast, row-local test — no window, no second agg") {
+    val p = plan("events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), "moment table must broadcast")
+    assert(!p.contains("Window"), "the sigma test must not rank anything")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("text_mix_temperature: quota side broadcast, corpus rank stays bucket-decomposed") {
     val p = plan("text_mix_temperature")
     assert(!p.contains("CartesianProduct"))
