@@ -77,7 +77,9 @@ object EventQueries {
     // (n·x − S₁)² > 9·(n·S₂ − S₁²) over exact cent moments — no mean,
     // no stddev, no sqrt, no doubles, so the flagged set is identical
     // under any aggregation order and in any engine. One moment pass
-    // (three longs per user) broadcast back for the row-local test.
+    // (three DECIMAL(38,0) moments per user — int64 would wrap at
+    // production magnitudes; the oracle mirrors with HUGEINT casts)
+    // broadcast back for the row-local test.
     GraftQuery("events_anomaly",
       (s, d) => graft.operators.Anomaly.sigmaOutliers(Tables.events(s, d), 3)
         .orderBy("event_id"),
@@ -87,7 +89,8 @@ object EventQueries {
            |  SELECT event_id, user_id, value,
            |    CAST(round(value * 100) AS BIGINT) AS c FROM ev),
            |st AS (
-           |  SELECT user_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+           |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n, sum(c) AS s1,
+           |    sum(CAST(c AS HUGEINT) * c) AS s2
            |  FROM evc GROUP BY user_id)
            |SELECT event_id, user_id, value
            |FROM evc JOIN st USING (user_id)

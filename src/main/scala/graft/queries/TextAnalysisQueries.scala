@@ -755,7 +755,8 @@ object TextAnalysisQueries {
            |    (SELECT count(*) FROM s) AS n
            |  FROM h),
            |dd AS (
-           |  SELECT q_micro, c, (10 * cum + n - 1) // n AS decile FROM cm)
+           |  SELECT q_micro, c,
+           |    CAST((10 * cum + n - 1) // n AS BIGINT) AS decile FROM cm)
            |SELECT decile, CAST(sum(c) AS BIGINT) AS n_docs,
            |  min(q_micro) AS q_lo, max(q_micro) AS q_hi
            |FROM dd GROUP BY decile ORDER BY decile""".stripMargin)),

@@ -349,4 +349,71 @@ class MaintenanceSpec extends AnyFunSuite {
       .select("band", "bkt").distinct().count()
     assert(files.size == buckets.toInt, s"${files.size} files for $buckets buckets")
   }
+
+  test("Persisted.apply: atomic publish — crashed debris rebuilds, racing " +
+    "cold-cache builders and overlapped readers never see a partial dir") {
+    import graft.queries.Persisted
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val d = tmp("pcache")
+    spark.range(10).toDF("id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$d/src.parquet")
+    // unique kind per test run → a fresh /tmp/graft-<kind> namespace
+    val kind = s"spec-pub-${java.util.UUID.randomUUID.toString.take(8)}"
+    val kindDir = Paths.get(s"/tmp/graft-$kind")
+    def entryName: String = d.replaceAll("[^A-Za-z0-9.]", "_") +
+      s"_${Persisted.fingerprint(spark, d, "src.parquet")}"
+    try {
+      // 1. crashed-write debris: a dir with data files but NO _SUCCESS must
+      //    be rebuilt, not read through (the round-11 in-place overwrite
+      //    left exactly this shape when killed mid-write)
+      val debris = kindDir.resolve(entryName)
+      Files.createDirectories(debris)
+      Files.write(debris.resolve("part-junk.parquet"), Array[Byte](1, 2, 3))
+      val first = Persisted(spark, d, kind, "src.parquet") {
+        spark.range(100).toDF("id")
+      }
+      assert(first.count() == 100L)
+      // 2. racing cold-cache builders: wipe the cache, fire 4 concurrent
+      //    apply() calls through one latch; every caller must read a
+      //    complete generation (the publish race is benign by design)
+      org.apache.commons.io.FileUtils.deleteDirectory(kindDir.toFile)
+      val pool = Executors.newFixedThreadPool(4)
+      val go = new CountDownLatch(1)
+      val counts = (1 to 4).map { _ =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = {
+            go.await()
+            Persisted(spark, d, kind, "src.parquet") {
+              spark.range(100).toDF("id")
+            }.count()
+          }
+        })
+      }
+      go.countDown()
+      counts.foreach(f => assert(f.get(120, TimeUnit.SECONDS) == 100L))
+      pool.shutdown()
+      // exactly one complete generation, zero aside/nested leftovers
+      val children = kindDir.toFile.listFiles().map(_.getName).toSeq
+      assert(children == Seq(entryName), s"unexpected cache children: $children")
+      assert(Files.exists(kindDir.resolve(entryName).resolve("_SUCCESS")))
+      val inside = kindDir.resolve(entryName).toFile.listFiles()
+        .filter(_.isDirectory).map(_.getName).toSeq
+      assert(inside.isEmpty, s"nested aside debris leaked: $inside")
+      // 3. overlapped readers: with _SUCCESS present no caller ever writes,
+      //    so a reader loop racing repeated apply() calls stays green
+      val readers = Executors.newFixedThreadPool(2)
+      val rf = readers.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = (1 to 10).map { _ =>
+          spark.read.parquet(kindDir.resolve(entryName).toString).count()
+        }.sum
+      })
+      (1 to 10).foreach { _ =>
+        assert(Persisted(spark, d, kind, "src.parquet") {
+          fail("published cache must never rebuild"); null
+        }.count() == 100L)
+      }
+      assert(rf.get(120, TimeUnit.SECONDS) == 1000L)
+      readers.shutdown()
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(kindDir.toFile)
+  }
 }

@@ -50,8 +50,19 @@ def main(sf_dir: str, out_dir: str) -> int:
             print(f"FAIL {name}: rows {len(g)} vs {len(w)}")
             n_bad += 1
             continue
+        # dtype-strict, like the driver's hash gate: a DuckDB HUGEINT/DECIMAL
+        # that lands in pandas as float64/object while Spark emits int64 is a
+        # RED row even when every value compares equal.  Report the coercion
+        # explicitly so the offending oracle cast is obvious.
+        dtype_diff = [c for c in g.columns if g[c].dtype != w[c].dtype]
+        if dtype_diff:
+            for c in dtype_diff:
+                print(f"FAIL {name}: dtype mismatch col={c}: "
+                      f"spark={g[c].dtype} duckdb={w[c].dtype}")
+            n_bad += 1
+            continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(g, w, check_dtype=True, check_exact=True)
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:600]}")
