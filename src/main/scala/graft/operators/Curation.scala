@@ -397,7 +397,12 @@ object Curation {
       col("doc_id").cast("string"))), 1, 12), 16, 10).cast("double") /
       lit(281474976710656.0) // 2^48, exact
     val key = graft.functions.Stable.stab(-log(u) / weight.cast("double"), 6)
-    docs.select(col("doc_id"), weight.cast("long").as("w"), key.as("skey"))
+    // E–S is only defined for w > 0: w = 0 would key +∞ ("never sampled",
+    // surprising) and w < 0 a NEGATIVE key that always wins the race,
+    // silently corrupting the sample — exclude both, identically in the
+    // oracle twin (WHERE w > 0).
+    docs.filter(weight > 0)
+      .select(col("doc_id"), weight.cast("long").as("w"), key.as("skey"))
       .orderBy(col("skey"), col("doc_id"))
       .limit(k)
   }

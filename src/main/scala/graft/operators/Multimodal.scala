@@ -182,8 +182,10 @@ object Multimodal {
       StructField("width", IntegerType),
       StructField("height", IntegerType)))
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      lazy val gifReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       rows.map { r =>
-        val meta = decodeGifMeta(r.getAs[Array[Byte]]("payload"))
+        val meta = gifMetaFast(gifReader, r.getAs[Array[Byte]]("payload"))
         if (meta == null) Row(r.getLong(0), null, null, null)
         else Row(r.getLong(0), meta._1, meta._2, meta._3)
       }
@@ -205,9 +207,33 @@ object Multimodal {
         try {
           reader.setInput(iis)
           (reader.getNumImages(true), reader.getWidth(0), reader.getHeight(0))
-        } finally reader.dispose()
+        } finally { reader.dispose(); iis.close() }
       }
     } catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Same metadata via a caller-POOLED GIF reader (one per partition, like
+    * `extractFeatures`' PNG reader): the per-row `getImageReaders` SPI
+    * registry scan + reader construction is the residual decode-meta
+    * jitter the round-11 pin chased. Returns null on anything the GIF
+    * codec can't parse — callers fall back to the generic per-row path so
+    * a foreign-codec payload still decodes exactly as before.
+    */
+  private def gifMetaPooled(reader: javax.imageio.ImageReader,
+                            payload: Array[Byte]): (Int, Int, Int) =
+    try {
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        reader.setInput(iis, true, true)
+        (reader.getNumImages(true), reader.getWidth(0), reader.getHeight(0))
+      } finally { reader.setInput(null); iis.close() }
+    } catch { case scala.util.control.NonFatal(_) => null }
+
+  private def gifMetaFast(reader: javax.imageio.ImageReader,
+                          payload: Array[Byte]): (Int, Int, Int) = {
+    val m = gifMetaPooled(reader, payload)
+    if (m != null) m else decodeGifMeta(payload)
+  }
 
   /** Decode audio payloads with the real codec (javax.sound.sampled):
     * parses the WAV header for true sample rate / frame count / channels.
@@ -342,20 +368,35 @@ object Multimodal {
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.flatMap { r =>
         val id = r.getLong(0)
+        // Frames decoded so far survive a mid-decode failure, and the
+        // failure itself lands as one null-hash row (the image tier's
+        // corrupt-payload convention) — round 11 returned Iterator.empty
+        // on ANY exception, silently vanishing the whole media AND leaking
+        // the ImageInputStream's disk-cache temp file (no close on either
+        // path). Stream and reader now release in finally.
+        val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+        var iis: javax.imageio.stream.ImageInputStream = null
+        var rdr: javax.imageio.ImageReader = null
         try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+          iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
           val readers = javax.imageio.ImageIO.getImageReaders(iis)
-          if (!readers.hasNext) Iterator.empty
+          if (!readers.hasNext) buf += Row(id, 0, null)
           else {
-            val rdr = readers.next()
+            rdr = readers.next()
             rdr.setInput(iis)
             val n = rdr.getNumImages(true)
-            val frames = (0 until n).map(f => Row(id, f, gridAHash(rdr.read(f))))
-            rdr.dispose()
-            frames.iterator
+            var f = 0
+            while (f < n) { buf += Row(id, f, gridAHash(rdr.read(f))); f += 1 }
           }
-        } catch { case scala.util.control.NonFatal(_) => Iterator.empty }
+        } catch {
+          case scala.util.control.NonFatal(_) => buf += Row(id, buf.length, null)
+        } finally {
+          if (rdr != null) rdr.dispose()
+          if (iis != null)
+            try iis.close() catch { case _: java.io.IOException => () }
+        }
+        buf.iterator
       }
     }
     spark.createDataFrame(out, schema)
@@ -410,6 +451,8 @@ object Multimodal {
       // still decodes exactly as before.
       lazy val pngReader =
         javax.imageio.ImageIO.getImageReadersByFormatName("png").next()
+      lazy val gifReader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       def pngHeaderDims(payload: Array[Byte]): (Int, Int) =
         try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -450,7 +493,7 @@ object Multimodal {
             else Row(r.getLong(0), r.getString(1), payload.length.toLong,
               null, null, meta._1, meta._2, byteChecksum)
           case "video" =>
-            val meta = decodeGifMeta(payload)
+            val meta = gifMetaFast(gifReader, payload)
             if (meta == null) null
             // n_frames rides the frame-count column; width/height = frame dims
             else Row(r.getLong(0), r.getString(1), payload.length.toLong,

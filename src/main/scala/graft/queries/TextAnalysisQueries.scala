@@ -143,7 +143,7 @@ object TextAnalysisQueries {
           |    SELECT doc_id, n_chars,
           |      CAST(CONCAT('0x', substr(md5('ws:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
           |        / 281474976710656.0 AS u
-          |    FROM documents))
+          |    FROM documents WHERE n_chars > 0))
           |SELECT doc_id, w, skey FROM s ORDER BY skey, doc_id LIMIT 64""".stripMargin)),
 
     // Stratified quota sample: 20 docs per language, picked by hash order

@@ -93,11 +93,18 @@ object SketchStreams {
     *
     * Scale shape: ONE global filter would serialize every doc through a
     * single state key, so the hash space is partitioned into `buckets`
-    * groups (xh mod buckets), each holding an independent
-    * `numBits/buckets`-bit slice — a doc's hash deterministically owns
-    * one bucket, so the sliced filter carries the same total bit budget
-    * and (under xxhash64's uniform spread) the same expected FP rate as
-    * one big filter, while updates parallelize across the shuffle.
+    * groups, each holding an independent `numBits/buckets`-bit slice — a
+    * doc's hash deterministically owns one bucket, so the sliced filter
+    * carries the same total bit budget and (under xxhash64's uniform
+    * spread) the same expected FP rate as one big filter, while updates
+    * parallelize across the shuffle. The bucket key is a FINALIZER-MIXED
+    * xh (murmur fmix64), not `xh mod buckets` (round 12): the raw mod
+    * equals the low bits of h1 that also form the i=0
+    * Kirsch–Mitzenmacher probe, so within a bucket the first probe
+    * addressed only sliceBits/buckets slots and simulation showed FP
+    * ~2.3× the one-big-filter rate at the defaults; the mix makes the
+    * bucket key statistically independent of every probe position at any
+    * (numBits, buckets) configuration.
     * State per bucket: numBits/buckets/8 bytes, forever. Within a
     * micro-batch a bucket's rows are processed in doc_id order, so the
     * member of an intra-batch duplicate pair that gets the `novel` flag
@@ -115,7 +122,14 @@ object SketchStreams {
       .select(col("doc_id").cast("long").as("doc_id"),
         xxhash64(col("text")).as("xh"))
       .as[(Long, Long)]
-      .groupByKey { case (_, xh) => java.lang.Long.remainderUnsigned(xh, buckets) }
+      .groupByKey { case (_, xh) =>
+        // murmur3 fmix64: an independent view of xh for routing, leaving
+        // the raw xh for the in-slice probes (see scale-shape note above)
+        var z = xh
+        z ^= z >>> 33; z *= 0xff51afd7ed558ccdL; z ^= z >>> 33
+        z *= 0xc4ceb9fe1a85ec53L; z ^= z >>> 33
+        java.lang.Long.remainderUnsigned(z, buckets)
+      }
       .flatMapGroupsWithState(
         org.apache.spark.sql.streaming.OutputMode.Append,
         GroupStateTimeout.NoTimeout)(
