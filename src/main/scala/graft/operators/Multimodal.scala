@@ -402,6 +402,28 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Video-level near-dup from per-frame fingerprints: directed frame-set
+    * containment C(A→B) = |H_A ∩ H_B| / |H_A| ≥ `minContainment` over
+    * DISTINCT frame hashes — the text containment semantics on the video
+    * fingerprint. Candidates come from an equi-join on the hash value (an
+    * inverted index over frame hashes), so work is Σ bucket² over
+    * hash-collision groups, never corpus². `fh` is the
+    * `decodeVideoFrameHashes` output (media_id, frame, ahash).
+    */
+  def videoNearDup(fh0: DataFrame, minContainment: Double = 0.8): DataFrame = {
+    val fh = fh0.select(col("media_id"), col("ahash")).distinct()
+    val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("n_h"))
+    val shared = fh.as("a").join(fh.as("b"),
+        col("a.ahash") === col("b.ahash") &&
+          col("a.media_id") =!= col("b.media_id"))
+      .groupBy(col("a.media_id").as("vid_a"), col("b.media_id").as("vid_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared.join(sizes.withColumnRenamed("media_id", "vid_a"), "vid_a")
+      .select(col("vid_a"), col("vid_b"), col("n_shared"),
+        (col("n_shared").cast("double") / col("n_h")).as("containment"))
+      .filter(col("containment") >= minContainment)
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("modality", StringType),

@@ -217,6 +217,41 @@ object Search {
       .orderBy(desc("score"), asc("doc_id"))
   }
 
+  /** BM25 with PRECOMPUTED length statistics — the steady-state form of
+    * the non-indexed tier. `searchTopKBm25`'s second corpus token pass
+    * only exists to derive per-doc lengths; a deployment refreshes that
+    * (doc_id, n_tokens) table once per corpus version (the index-b2
+    * docinfo already carries it), so the benched one-shot form's two
+    * passes collapse to ONE — the query-filtered postings scan — plus a
+    * docinfo-sized read. Identical answer to `searchTopKBm25` /
+    * `searchTopKBm25Indexed` (one oracle gates all three tiers);
+    * zero-kept-token docs carry n_tokens = 0 in the stats table and are
+    * excluded from N/avgdl exactly like the in-plan twin's dl table.
+    */
+  def searchTopKBm25Stats(spark: SparkSession, dir: String, dlStats: DataFrame,
+                          query: String = DefaultQuery, k: Int = 10,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val dl = dlStats.filter(col("n_tokens") > 0)
+      .select(col("doc_id"), col("n_tokens").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
+      (sum("dl") / count(lit(1))).as("avgdl"))
+    val scored = queryPostings(docs, query)
+      .join(broadcast(queryTerms(spark, query)), "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+          col("qtf") * (col("tf") * (k1 + 1)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))).as("part"))
+      .groupBy("doc_id")
+      .agg(Stable.stab(sum(col("part")), 6).as("score"))
+    scored.orderBy(desc("score"), asc("doc_id")).limit(k)
+      .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
+      .select("doc_id", "score", "source", "lang")
+      .orderBy(desc("score"), asc("doc_id"))
+  }
+
   /** Shared Q2-Q8 tail over any (postings, vocab, docinfo) triple. */
   /** Exact-phrase top-k (adjacent 2-token match): docs containing the
     * phrase, ranked by its per-doc frequency. The match count is a

@@ -218,22 +218,10 @@ object MultimodalQueries {
     // are brightness/frame-shifted variants, so overlaps span full
     // containment down to partial frame sharing.
     GraftQuery("multimodal_video_neardup",
-      (s, d) => {
-        val fh = Multimodal.decodeVideoFrameHashes(
-            persistedMedia(s, d).filter(col("modality") === "video"))
-          .select(col("media_id"), col("ahash")).distinct()
-        val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("n_h"))
-        val shared = fh.as("a").join(fh.as("b"),
-            col("a.ahash") === col("b.ahash") &&
-              col("a.media_id") =!= col("b.media_id"))
-          .groupBy(col("a.media_id").as("vid_a"), col("b.media_id").as("vid_b"))
-          .agg(count(lit(1)).as("n_shared"))
-        shared.join(sizes.withColumnRenamed("media_id", "vid_a"), "vid_a")
-          .select(col("vid_a"), col("vid_b"), col("n_shared"),
-            (col("n_shared").cast("double") / col("n_h")).as("containment"))
-          .filter(col("containment") >= 0.8)
-          .orderBy("vid_a", "vid_b")
-      },
+      (s, d) => Multimodal.videoNearDup(
+        Multimodal.decodeVideoFrameHashes(
+          persistedMedia(s, d).filter(col("modality") === "video")))
+        .orderBy("vid_a", "vid_b"),
       Some(
         """WITH vid AS (
           |  SELECT doc_id, CAST(6 + doc_id % 10 AS BIGINT) AS w,

@@ -258,6 +258,20 @@ object SearchQueries {
       },
       Some(bm25Oracle)),
 
+    // The non-indexed BM25 tier's PRODUCTION form: document lengths come
+    // from the persisted docinfo stats table (refreshed once per corpus
+    // version) instead of a second corpus token pass, so scoring pays one
+    // pass — the query-filtered postings — plus a docinfo-sized read.
+    // Third tier on the shared oracle: in-plan, stats-fed, and fully
+    // indexed must all produce the identical ranking.
+    GraftQuery("search_topk_bm25_stats",
+      (s, d) => {
+        val idx = Persisted.indexDir(s, d, "index-b2", "documents.parquet",
+          "postings")(Search.buildIndex(s, d, _))
+        Search.searchTopKBm25Stats(s, d, s.read.parquet(s"$idx/docinfo"))
+      },
+      Some(bm25Oracle)),
+
     // Distributed retrieval evaluation — the offline quality job of every
     // index build, as ONE batch plan: a vocabulary-derived query set
     // (consecutive word-id pairs), all queries scored in a single

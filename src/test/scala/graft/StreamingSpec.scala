@@ -853,4 +853,92 @@ class StreamingSpec extends AnyFunSuite {
         ts(50).getTime, ts(50).getTime)))
     } finally q.stop()
   }
+
+  test("streaming curation equals the batch curate operator at every " +
+    "micro-batch prefix") {
+    // The kmvStream discipline applied to the widest-surface twin: after
+    // EVERY micro-batch, the stream's accumulated kept set must equal the
+    // independent batch operator (Curation.curate — the text_curate plan,
+    // which IS oracle-pinned to DuckDB) run over the prefix corpus, with
+    // the near-dup pairs derived by the same band-collision + signature-
+    // agreement rule the stream uses. Docs arrive in doc_id order and the
+    // fixture has no dup CHAINS, the regime where greedy first-arrival
+    // (stream) and cluster-keep-min (batch) provably coincide.
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, TextAnalysis}
+    implicit val sc = spark.sqlContext
+    def ws(prefix: String, n: Int) = (0 until n)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val stop = Seq("the", "and", "of")
+    val span = ws("s", 6)
+    val evalSpan = ws("ev", 12)
+    val a = (stop ++ ws("w", 32)).mkString(" ")
+    val aDup = a.split(" ").dropRight(1).mkString(" ") + " zzz"
+    val b = "short text only"
+    val c = (stop ++ ws("c", 20) ++ evalSpan).mkString(" ")
+    val d = (stop ++ ws("d", 32)).mkString(" ")
+    val e = (stop ++ ws("e", 21) ++ span ++ ws("m", 3) ++ span).mkString(" ")
+    val f = (Seq("and", "the", "of") ++ ws("f", 32)).mkString(" ")
+    val g = (stop ++ ws("g", 32)).mkString(" ")
+    val evalDoc = (0L, evalSpan.mkString(" ")) // doc_id < evalMax → eval set
+    val lm = TextAnalysis.bigramLm(
+      Seq((100L, a), (101L, c), (102L, d), (103L, e), (104L, g))
+        .toDF("doc_id", "text")).localCheckpoint()
+    val bench = Dedup.shingles(Seq(evalDoc).toDF("doc_id", "text"))
+      .localCheckpoint()
+
+    // pairs among the quality survivors by the stream's own criterion:
+    // band-bucket collision, then signature agreement >= 0.5 of 12
+    def agreePairs(qdocs: org.apache.spark.sql.DataFrame) = {
+      val n = 12
+      val sigCols = (0 until n).map(i => s"h$i")
+      val sig = Dedup.minhashSignaturesFast(Dedup.shingles(qdocs), n)
+        .localCheckpoint()
+      val bands = Dedup.bandRows(sig, 6, 2, cols => xxhash64(cols: _*))
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+      val agree = sigCols.map(cn =>
+        when(col(s"a.$cn") === col(s"b.$cn"), 1).otherwise(0)).reduce(_ + _)
+        .cast("double") / n
+      cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+        .filter(agree >= 0.5)
+        .select("doc_a", "doc_b")
+    }
+
+    val mem = MemoryStream[(Long, String)]
+    val state = java.nio.file.Files.createTempDirectory("curprefix").toString + "/sigs"
+    val out = java.nio.file.Files.createTempDirectory("curprefixout").toString + "/docs"
+    val q = graft.streaming.DocStreams.curateIngest(
+      mem.toDF.toDF("doc_id", "text"), lm, bench, state, out, maxNll = 10.0)
+    val batches = Seq(
+      Seq(10L -> a, 11L -> b, 12L -> c),          // clean / too short / contaminated
+      Seq(13L -> aDup, 14L -> d, 15L -> e),       // cross-batch near-dup / clean / repetitive
+      Seq(16L -> f, 17L -> g))                    // unknown-bigram reject / clean
+    try {
+      var prefix = Seq(evalDoc)
+      batches.zipWithIndex.foreach { case (bdocs, i) =>
+        mem.addData(bdocs: _*)
+        q.processAllAvailable()
+        prefix = prefix ++ bdocs
+        val docsAll = prefix.toDF("doc_id", "text").localCheckpoint()
+        val sh = Dedup.shingles(docsAll).localCheckpoint()
+        val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        val qualitySurvivors = Curation
+          .curate(docsAll, sh, lm, noPairs, evalMax = 10, maxNll = 10.0)
+          .select("doc_id").as[Long].collect().toSet
+        val pairs = agreePairs(
+          docsAll.filter(col("doc_id").isin(qualitySurvivors.toSeq: _*)))
+        val want = Curation
+          .curate(docsAll, sh, lm, pairs, evalMax = 10, maxNll = 10.0)
+          .select("doc_id").as[Long].collect().toSet
+        val got = graft.streaming.DocStreams.readOutput(spark, out).get
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == want, s"after micro-batch $i: stream kept $got, batch curate kept $want")
+      }
+    } finally q.stop()
+  }
 }
