@@ -28,5 +28,6 @@ object Registry {
       graft.queries.GraphQueries.all ++
       graft.queries.BpeQueries.all ++
       graft.queries.SemDedupQueries.all ++
-      graft.queries.SelectionQueries.all
+      graft.queries.SelectionQueries.all ++
+      graft.queries.QualityQueries.all
 }

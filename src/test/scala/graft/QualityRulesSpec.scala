@@ -1,0 +1,80 @@
+package graft
+
+import graft.operators.QualityRules
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decision-level coverage for the published rule filters: each Gopher
+  * gate flips on a hand-built doc, modal ties break deterministically,
+  * OOV counts against a known vocabulary, and the group split never
+  * straddles a source. (The registered queries hash-gate the full
+  * outputs against DuckDB; these cases pin the RULES at the boundaries
+  * the fixture corpus doesn't reach.)
+  */
+class QualityRulesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) = rows.toDF("doc_id", "text")
+
+  test("gopher quality: each gate flips independently") {
+    val pass = (Seq("the", "and") ++ (1 to 48).map(i => s"word$i")).mkString(" ")
+    val short = "the and word word"                       // n_words < 50
+    val longWords = (Seq("the", "and") ++                 // mean_wlen > 10
+      (1 to 48).map(i => s"extraordinarily$i")).mkString(" ")
+    val noStop = (1 to 50).map(i => s"word$i").mkString(" ") // n_stop < 2
+    val d = QualityRules.gopherQuality(docs(
+      1L -> pass, 2L -> short, 3L -> longWords, 4L -> noStop))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(d == Map(1L -> true, 2L -> false, 3L -> false, 4L -> false))
+  }
+
+  test("gopher quality: alphabetic-fraction gate and signal values") {
+    // 50 words, 15 of them pure punctuation runs (kept by the token rule,
+    // no [a-z]) → alpha_frac = 0.7 < 0.8
+    val symbolic = (Seq("the", "and") ++ (1 to 33).map(i => s"w$i") ++
+      (1 to 15).map(_ => "!!!")).mkString(" ")
+    val r = QualityRules.gopherQuality(docs(1L -> symbolic))
+      .select("n_words", "alpha_frac", "keep")
+      .as[(Long, Double, Boolean)].head()
+    assert(r._1 == 50L && r._2 == 35.0 / 50.0 && !r._3)
+  }
+
+  test("gopher repetition: modal shares, deterministic tie-break, gate") {
+    // "b b b a c": top word b (3/5); bigrams: [b b, b b, b a, a c] → top
+    // "b b" (2/4) > 0.2 → reject
+    val rep = QualityRules.gopherRepetition(docs(1L -> "b b b a c"))
+      .as[(Long, Long, String, Double, String, Double, Boolean)].head()
+    assert(rep == ((1L, 5L, "b", 0.6, "b b", 0.5, false)))
+    // tie on count → lexicographically smallest gram wins, both levels:
+    // words a,b both ×2; bigrams b a / a z / z a / a b all ×1
+    val tie = QualityRules.gopherRepetition(docs(2L -> "b a z a b"))
+      .select("top_word", "top_bigram").as[(String, String)].head()
+    assert(tie == (("a", "a b")))
+  }
+
+  test("oov rate: counts against the top-k vocabulary, ties on word") {
+    // corpus counts: x→4, y→3, z→2, q→1; k=2 vocab = {x, y}
+    val d = Seq(("s1", "x x x y y"), ("s2", "x y z z q"))
+      .toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    val r = QualityRules.oovRate(d, k = 2)
+      .select("source", "n_tokens", "n_oov", "oov_frac")
+      .as[(String, Long, Long, Double)].collect()
+      .map { case (s, b, c, f) => s -> ((b, c, f)) }.toMap
+    assert(r("s1") == ((5L, 0L, 0.0)))
+    assert(r("s2") == ((5L, 3L, 0.6)))
+  }
+
+  test("split by source: group-consistent, both splits populated") {
+    val d = (0L until 200L).map(i => (i, s"src${i % 20}", "t"))
+      .toDF("doc_id", "source", "text")
+    val s = QualityRules.splitBySource(d)
+    // every source maps to exactly one split
+    assert(s.groupBy("source").agg(countDistinct("split").as("n"))
+      .filter(col("n") =!= 1).count() == 0)
+    val bySplit = s.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(bySplit.keySet == Set("train", "val"))
+    // and the split is stable across invocations (pure hash, no RNG)
+    assert(QualityRules.splitBySource(d).exceptAll(s).count() == 0)
+  }
+}
