@@ -200,6 +200,24 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Offline ANN quality evaluation — recall of an approximate tier
+    * against the exact ground truth, per query: |approx ∩ exact| / |exact|
+    * over (query_id, neighbor_id) id sets. The offline job every ANN
+    * deployment runs per index build (`search_eval`'s role, for vectors).
+    * Both inputs are (|queries|·k)-row top-k tables, so the left join and
+    * rollup here are metadata-sized regardless of corpus scale — the cost
+    * lives in producing the inputs, which stay one composed plan each.
+    */
+  def annRecall(exact: DataFrame, approx: DataFrame): DataFrame =
+    exact.select("query_id", "neighbor_id")
+      .join(approx.select(col("query_id"), col("neighbor_id"), lit(1L).as("h")),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("h"), lit(0L))).as("n_hit"),
+        count(lit(1)).as("k_eval"))
+      .select(col("query_id"), col("n_hit"), col("k_eval"),
+        (col("n_hit").cast("double") / col("k_eval")).as("recall"))
+
   /** IVF centroids: per-label mean vector, element-stabilized. Uses the
     * `label` column as the coarse partitioner (stand-in for k-means cells —
     * the routing/probing mechanics are identical).

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextOps
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame}
 
@@ -237,6 +238,45 @@ object TextAnalysis {
   def fingerprintFrom(sh: DataFrame): DataFrame =
     sh.groupBy("doc_id")
       .agg(min(Dedup.shingleKey(col("shingle"))).as("fingerprint"))
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
+    * algorithm): over the doc's POSITIONED n-gram hash sequence, every
+    * window of `w` consecutive grams selects its minimum hash (ties to
+    * the RIGHTMOST occurrence — the original robust-winnowing rule), and
+    * the doc's fingerprint set is the distinct selected hashes. Guarantees
+    * any shared run of w+n-1 tokens between two docs shares ≥ 1
+    * fingerprint, with ~2/(w+1) of grams selected — the copy-detection
+    * sketch between one min-hash (too coarse) and all grams (too big).
+    *
+    * Shape: one positioned gram projection (zip_with slices, row-local),
+    * then a doc-partitioned sliding min — partitions are DOC-sized
+    * (bounded by max doc length, like every per-doc window here), never
+    * corpus-sized. The min carries (hash, position) packed into one
+    * DECIMAL(38,0) so the rightmost tie-break rides the same aggregate:
+    * composite = hk·2²⁰ + (2²⁰−1−pos), min composite ⇔ (min hk, max pos).
+    * The oracle replays the identical packing in HUGEINT.
+    */
+  def winnowing(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val arr = TextOps.splitWords(lower(col("text")))
+    val m = size(col("arr")) - (n - 1)
+    val sh = (1 until n).foldLeft(slice(col("arr"), lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(col("arr"), lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
+    val P = 1048576L // 2^20 — max doc gram count the packing supports
+    val pos = docs.select(col("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= n + w - 1) // ≥ one complete window
+      .select(col("doc_id"), size(col("arr")).as("n_toks"),
+        posexplode(sh).as(Seq("pos", "shingle")))
+      .select(col("doc_id"), col("pos"), (col("n_toks") - (n - 1)).as("n_grams"),
+        (Dedup.shingleKey(col("shingle")).cast("decimal(38,0)") * P +
+          (lit(P - 1) - col("pos"))).as("ck"))
+    val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    pos.withColumn("m", min(col("ck")).over(win))
+      .filter(col("pos") <= col("n_grams") - w) // complete windows only
+      .select(col("doc_id"),
+        ((col("m") - pmod(col("m"), lit(P))) / P).cast("long").as("fp"))
+      .distinct()
+  }
 
   /** Per-document bigram-LM negative log-likelihood — the perplexity-style
     * quality signal LLM data pipelines filter on (a doc whose word

@@ -236,6 +236,25 @@ object EventQueries {
     // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
     // + distinct + count — no window over the event corpus
     // (graft.operators.Retention).
+    // Top starting event paths (first 3 events per user, total-ordered by
+    // ts then event_id): the onboarding-flow shape beside funnels and the
+    // retention matrix. The per-user window prunes to 3 rows per user
+    // (WindowGroupLimit); everything after is aggregate-sized.
+    GraftQuery("events_user_paths",
+      (s, d) => graft.operators.Paths.userPaths(Tables.events(s, d)),
+      Some(
+        s"""WITH $evCte,
+           |r AS (
+           |  SELECT user_id, event_type,
+           |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           |  FROM ev),
+           |p AS (
+           |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM r WHERE rn <= 3 GROUP BY user_id)
+           |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+           |FROM p GROUP BY path
+           |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
+
     GraftQuery("events_retention",
       (s, d) => graft.operators.Retention.matrix(Tables.events(s, d), 7)
         .orderBy("cohort_day", "day_offset"),

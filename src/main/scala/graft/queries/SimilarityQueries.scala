@@ -154,6 +154,52 @@ object SimilarityQueries {
         .orderBy("query_id", "rank"),
       Some(knnLshOracle(1024, 8, 64, 10, 5))),
 
+    // Offline ANN eval as a registered batch job — per-query recall@5 of
+    // the LSH tier against brute-force ground truth (search_eval's role,
+    // for vectors; SimilaritySpec's recall pin, promoted to a hash-gated
+    // production query). The oracle replays BOTH tiers from the shared
+    // CTE pieces and takes the same id-set intersection.
+    GraftQuery("ann_recall",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.annRecall(
+          Similarity.bruteForceTopK(emb, 10, 5),
+          Similarity.knnLshFrom(emb, persistedEmbeddingBands(s, d), 10, 5))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $prepCte,
+           |${bitsCtes(1024, 8, 64)},
+           |cand AS (
+           |  SELECT DISTINCT x.vec_id AS query_id, y.vec_id AS neighbor_id
+           |  FROM bits x JOIN bits y
+           |    ON x.band = y.band AND x.bh = y.bh AND x.vec_id <> y.vec_id
+           |  WHERE x.vec_id < 10),
+           |lc AS (
+           |  SELECT cand.query_id, cand.neighbor_id, ${cosSql("a", "b")} AS cos
+           |  FROM cand JOIN n a ON cand.query_id = a.vec_id
+           |            JOIN n b ON cand.neighbor_id = b.vec_id),
+           |lr AS (SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |       FROM lc),
+           |lsh AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5),
+           |bc AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS cos
+           |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |br AS (SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |       FROM bc),
+           |brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+           |hit AS (
+           |  SELECT b.query_id,
+           |    CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS h
+           |  FROM brute b LEFT JOIN lsh l
+           |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+           |SELECT query_id, CAST(sum(h) AS BIGINT) AS n_hit,
+           |  CAST(count(*) AS BIGINT) AS k_eval,
+           |  CAST(sum(h) AS DOUBLE) / count(*) AS recall
+           |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     // Product-quantization ANN: ADC shortlist over 8-subspace × 16-code
     // PQ codes (the 16-64× memory-compression tier — stage-1 scan cost is
     // the CODE table, never the vectors), exact-cosine re-rank of the

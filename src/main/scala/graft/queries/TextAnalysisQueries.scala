@@ -101,6 +101,32 @@ object TextAnalysisQueries {
            |SELECT doc_id, min(shk) AS fingerprint
            |FROM shk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): every window
+    // of 4 consecutive 3-gram hashes selects its min (ties rightmost —
+    // the robust-winnowing rule, carried through the sliding min as a
+    // packed (hash, ¬pos) DECIMAL so no second pass is needed). Any
+    // shared 6-token run between two docs is guaranteed a shared
+    // fingerprint; ~2/(w+1) of grams survive.
+    GraftQuery("text_winnowing",
+      (s, d) => TextAnalysis.winnowing(Tables.documents(s, d))
+        .orderBy("doc_id", "fp"),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |g AS (
+          |  SELECT doc_id, i - 1 AS pos, len(arr) - 2 AS n_grams,
+          |    CAST(CAST(CONCAT('0x', substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]), 1, 15)) AS BIGINT) AS HUGEINT)
+          |      * 1048576 + (1048575 - (i - 1)) AS ck
+          |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
+          |  WHERE len(arr) >= 6),
+          |m AS (
+          |  SELECT doc_id, pos, n_grams,
+          |    min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+          |  FROM g)
+          |SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+          |FROM m WHERE pos <= n_grams - 4
+          |ORDER BY doc_id, fp""".stripMargin)),
+
     GraftQuery("text_token_counts",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
       Some(

@@ -230,4 +230,48 @@ class TextAnalysisSpec extends AnyFunSuite {
       assert(last._4 >= 1L)
     }
   }
+
+  test("winnowing: shared-run guarantee, selection density, rightmost tie-break") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // two docs sharing a 6-token run (w+n-1 = 6 at the defaults) MUST
+    // share ≥ 1 fingerprint — the winnowing guarantee
+    val run = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      1L -> s"one two $run three four five six seven",
+      2L -> s"red orange yellow $run green blue purple",
+      3L -> "completely different words with no overlap here at all ok")
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.winnowing(docs)
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert((fp(1L) & fp(2L)).nonEmpty, "shared 6-token run must share a fingerprint")
+    assert((fp(1L) & fp(3L)).isEmpty && (fp(2L) & fp(3L)).isEmpty)
+    // density ~2/(w+1): far fewer fingerprints than grams, more than 1
+    val nGrams1 = 13 - 2 // 13 tokens → 11 trigrams
+    assert(fp(1L).size > 1 && fp(1L).size < nGrams1)
+    // rightmost tie-break: a doc of ONE repeated token has every gram
+    // hash equal; each window's min ties and must pick the rightmost,
+    // but the distinct fingerprint SET collapses to exactly that hash
+    val rep = TextAnalysis.winnowing(Seq(4L -> ("w " * 10).trim).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect()
+    assert(rep.length == 1)
+    // a doc shorter than one complete window (< 6 tokens) yields nothing
+    assert(TextAnalysis.winnowing(Seq(5L -> "a b c d e").toDF("doc_id", "text"))
+      .count() == 0)
+  }
+
+  test("user paths: deterministic total order and tie-break") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 1: a,b,c; user 2: a,b,c (same path); user 3: z alone — and
+    // user 1's first two events share a timestamp, ordered by event_id
+    val ev = Seq(
+      (10L, ts(0), 1L, "b"), (9L, ts(0), 1L, "a"), (11L, ts(5), 1L, "c"),
+      (20L, ts(1), 2L, "a"), (21L, ts(2), 2L, "b"), (22L, ts(3), 2L, "c"),
+      (30L, ts(1), 3L, "z"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val got = graft.operators.Paths.userPaths(ev)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("a>b>c", 2L), ("z", 1L)))
+  }
 }
