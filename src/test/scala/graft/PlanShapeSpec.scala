@@ -405,4 +405,49 @@ class PlanShapeSpec extends AnyFunSuite {
       p.contains("hashpartitioning(source#") && p.contains("pfx"),
       "corpus rank lost its pfx bucket decomposition")
   }
+
+  test("gopher rules: token-stream aggregates stay hash, no nested loops") {
+    val pq = plan("text_gopher_quality")
+    assert(!pq.contains("SortAggregate"), "quality gates grew a sort aggregate")
+    assert(!pq.contains("CartesianProduct") && !pq.contains("BroadcastNestedLoopJoin"))
+    assert(pq.contains("HashAggregate"))
+    // repetition: the TOKEN-STREAM aggregates (per-doc gram counts — the
+    // corpus-sized stage) must be hash aggregates; the modal min(struct)
+    // folds run over the already-aggregated count tables and plan as
+    // SortAggregate (struct buffers aren't hash-aggregatable) — that is
+    // the accepted shape, sorting |doc×gram-type| rows, never the stream
+    val pr = plan("text_gopher_repetition")
+    assert(!pr.contains("CartesianProduct") && !pr.contains("BroadcastNestedLoopJoin"))
+    assert(pr.contains("HashAggregate"),
+      "gram counting lost its hash aggregate")
+  }
+
+  test("text_oov_rate: the k-row vocabulary reaches the counts via broadcast") {
+    val p = plan("text_oov_rate")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrderedAndProject"), "vocab top-k lost its heap")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("events_user_paths: per-user window pruned by WindowGroupLimit") {
+    val p = plan("events_user_paths")
+    assert(p.contains("WindowGroupLimit"), "rn <= depth no longer prunes the window")
+    assert(p.contains("TakeOrderedAndProject"), "top-k paths lost their heap")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("text_winnowing: doc-partitioned sliding min, no unpartitioned window") {
+    val p = plan("text_winnowing")
+    // the round-11 deciles lesson: an unpartitioned Window moves the whole
+    // corpus to one task — the winnowing window must key on doc_id
+    assert("Window.*doc_id".r.findFirstIn(p).isDefined ||
+      p.contains("hashpartitioning(doc_id#"), "sliding min lost its doc_id partitioning")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("ann_recall: both tiers stay equi-join; the rollup is a hash aggregate") {
+    val p = plan("ann_recall")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("SortAggregate"))
+  }
 }
