@@ -133,6 +133,33 @@ object QualityRules {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
   }
 
+  /** Per-source distinctive terms by TF-IDF over SOURCES as "documents":
+    * score(s, w) = tf(s, w) · ln(|sources| / df(w)), top-`k` per source
+    * (ties to the smaller word) — the "what characterizes this slice"
+    * panel of a data card. One token aggregate, a |word-types|-row df
+    * aggregate, a 1-row corpus cross, and a source-partitioned top-k
+    * window (WindowGroupLimit — partitions are per-source word-type
+    * tables, never the token stream). ln through stab(6) for the gate.
+    */
+  def sourceTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    val t = docs.select(col("source"),
+        explode(TextOps.splitWords(lower(col("text")))).as("word"))
+      .filter(TextOps.isKeptToken(col("word")))
+    val tf = t.groupBy("source", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // reused: df derivation + scoring
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nSrc = tf.select("source").distinct()
+      .agg(count(lit(1)).as("n_src"))
+    val scored = tf.join(dfw, "word").crossJoin(broadcast(nSrc))
+      .withColumn("score", graft.functions.Stable.stab(
+        col("tf") * log(col("n_src").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("score"), asc("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("source", "rk", "word", "score")
+  }
+
   /** Group-consistent split: every doc of a source lands in the same
     * split, decided by the source's md5 (threshold `trainHex` on the
     * first 4 hex chars ≈ the train fraction). A per-doc hash split lets

@@ -236,6 +236,30 @@ object EventQueries {
     // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
     // + distinct + count — no window over the event corpus
     // (graft.operators.Retention).
+    // Linear multi-touch attribution beside the last-touch as-of join:
+    // each purchase's value splits equally across the user's clicks in the
+    // preceding 24 h. Per-pair credit rows (row-local stab(6) division —
+    // no cross-conversion double sums), hash-gated end to end.
+    GraftQuery("events_attribution_linear",
+      (s, d) => graft.operators.Attribution.linear(Tables.events(s, d))
+        .orderBy("conv_event_id", "touch_event_id"),
+      Some(
+        s"""WITH $evCte,
+           |c AS (SELECT event_id AS conv_event_id, user_id, ts AS conv_ts, value
+           |      FROM ev WHERE event_type = 'purchase'),
+           |t AS (SELECT user_id, event_id AS touch_event_id, ts AS touch_ts
+           |      FROM ev WHERE event_type = 'click'),
+           |p AS (
+           |  SELECT c.conv_event_id, t.touch_event_id, c.user_id, c.value
+           |  FROM c JOIN t ON c.user_id = t.user_id
+           |    AND t.touch_ts <= c.conv_ts
+           |    AND t.touch_ts >= c.conv_ts - INTERVAL 24 HOURS),
+           |n AS (SELECT *, count(*) OVER (PARTITION BY conv_event_id) AS n_touches FROM p)
+           |SELECT conv_event_id, touch_event_id, user_id,
+           |  CAST(n_touches AS BIGINT) AS n_touches,
+           |  floor((value / n_touches) * 1000000.0 + 0.5) / 1000000.0 AS credit
+           |FROM n ORDER BY conv_event_id, touch_event_id""".stripMargin)),
+
     // Top starting event paths (first 3 events per user, total-ordered by
     // ts then event_id): the onboarding-flow shape beside funnels and the
     // retention matrix. The per-user window prunes to 3 rows per user

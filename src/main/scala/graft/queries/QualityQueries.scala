@@ -105,6 +105,33 @@ object QualityQueries {
           |    / sum(c) AS oov_frac
           |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Per-source distinctive terms (TF-IDF over sources as "documents",
+    // top-5, ties to the smaller word) — the "what characterizes this
+    // slice" panel of a data card. Source-partitioned top-k window over
+    // word-type tables, never the token stream.
+    GraftQuery("text_source_terms",
+      (s, d) => QualityRules.sourceTerms(Tables.documents(s, d))
+        .orderBy("source", "rk"),
+      Some(
+        """WITH tok2 AS (
+          |  SELECT source, w AS word FROM documents,
+          |    unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$$')),
+          |tf AS (SELECT source, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
+          |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+          |ns AS (SELECT count(DISTINCT source) AS n_src FROM tf),
+          |sc AS (
+          |  SELECT tf.source, tf.word,
+          |    floor((tf * ln((SELECT n_src FROM ns) * 1.0 / df))
+          |      * 1000000.0 + 0.5) / 1000000.0 AS score
+          |  FROM tf JOIN dft USING (word)),
+          |r AS (
+          |  SELECT source, word, score,
+          |    row_number() OVER (PARTITION BY source ORDER BY score DESC, word) AS rk
+          |  FROM sc)
+          |SELECT source, CAST(rk AS BIGINT) AS rk, word, score
+          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
     // Group-consistent holdout: split decided by the SOURCE's hash, so
     // intra-domain near-duplicates can never straddle train/val — the
     // leakage a per-doc hash split (text_split) cannot prevent. Row-local.

@@ -34,4 +34,27 @@ class AsOfSpec extends AnyFunSuite {
       .select(col("_asof.rid")).as[Long].collect()
     assert(out.toSeq == Seq(11L))
   }
+
+  test("linear attribution: equal split, closed window bounds, cross-user isolation") {
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    // user 1: clicks at t−25h (outside), t−24h (boundary, IN), t−1min (IN),
+    // t (same instant, IN) → purchase of 9.0 splits 3.0 each
+    // user 2: click after the purchase only → conversion unattributable
+    val ev = Seq(
+      (1L, ts(0), 1L, "click", 0.0),
+      (2L, ts(60 * 1 - 25 * 60 + 1500), 1L, "noise", 0.0), // keep ids unique; ignored type
+      (3L, ts(1500 - 25 * 60), 1L, "click", 0.0),          // t−25h: outside
+      (4L, ts(1500 - 24 * 60), 1L, "click", 0.0),          // t−24h: boundary, in
+      (5L, ts(1499), 1L, "click", 0.0),                    // in
+      (6L, ts(1500), 1L, "click", 0.0),                    // same instant, in
+      (7L, ts(1500), 1L, "purchase", 9.0),
+      (8L, ts(1500), 2L, "purchase", 5.0),
+      (9L, ts(1501), 2L, "click", 0.0))                    // after: out
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Attribution.linear(ev)
+      .select("conv_event_id", "touch_event_id", "n_touches", "credit")
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._2).toSeq
+    assert(got == Seq((7L, 4L, 3L, 3.0), (7L, 5L, 3L, 3.0), (7L, 6L, 3L, 3.0)))
+  }
 }

@@ -65,6 +65,20 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r("s2") == ((5L, 3L, 0.6)))
   }
 
+  test("source terms: distinctive words score ln(S/df), ubiquitous words score 0") {
+    // 'shared' is in both sources → ln(2/2) = 0; each source's own word
+    // scores tf·ln(2/1) and tops its source
+    val d = Seq(("s1", "alpha alpha shared"), ("s2", "beta shared shared"))
+      .toDF("source", "text").withColumn("doc_id", monotonically_increasing_id())
+    val r = QualityRules.sourceTerms(d, k = 2)
+      .select("source", "rk", "word", "score")
+      .as[(String, Long, String, Double)].collect().toSeq.sorted
+    def stab(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r == Seq(
+      ("s1", 1L, "alpha", stab(2 * math.log(2.0))), ("s1", 2L, "shared", 0.0),
+      ("s2", 1L, "beta", stab(math.log(2.0))), ("s2", 2L, "shared", 0.0)))
+  }
+
   test("split by source: group-consistent, both splits populated") {
     val d = (0L until 200L).map(i => (i, s"src${i % 20}", "t"))
       .toDF("doc_id", "source", "text")
