@@ -295,6 +295,75 @@ object EventStreams {
       })
   }
 
+  case class AttrEv(ms: Long, id: Long, isConv: Boolean, value: Double)
+  case class AttrState(buf: Seq[AttrEv])
+  case class AttributionOut(conv_event_id: Long, touch_event_id: Long,
+                            user_id: Long, n_touches: Long, credit: Double)
+
+  /** TRUE event-time streaming linear attribution — the streaming twin of
+    * `Attribution.linear`: a conversion finalizes once the watermark
+    * passes its timestamp (any not-yet-arrived touch with an earlier
+    * event time would be beyond the watermark), then credits value/n to
+    * every buffered touch inside the lookback window, exactly the batch
+    * rule — so out-of-order touches (click arriving AFTER its purchase,
+    * with an earlier event time) are credited correctly as long as they
+    * arrive within the watermark; later than that they are missed, the
+    * standard event-time caveat every operator in this family documents.
+    *
+    * State bound: per-user buffered events inside (lookback + watermark)
+    * — touches older than watermark − lookback can qualify no future
+    * conversion and are pruned every invocation; finalized conversions
+    * leave the buffer immediately; `maxBuffered` hard-caps pathological
+    * spam keeping the EARLIEST (a drop shrinks that user's n for later
+    * conversions — bounded state is worth the miss). A user with a quiet
+    * stream still finalizes/prunes via event-time timeout armed at the
+    * next actionable instant (earliest pending conversion, or earliest
+    * touch's prune deadline), cold-start-guarded like the funnel.
+    */
+  def linearAttributionEventTime(events: Dataset[Ev],
+                                 convType: String = "purchase",
+                                 touchType: String = "click",
+                                 lookbackMinutes: Int = 24 * 60,
+                                 maxBuffered: Int = 10000): Dataset[AttributionOut] = {
+    import events.sparkSession.implicits._
+    require(maxBuffered > 0, "maxBuffered must be positive")
+    val lookMs = lookbackMinutes * 60000L
+    events
+      .filter(e => e.event_type == convType || e.event_type == touchType)
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[AttrState]) => {
+        val prev = state.getOption.map(_.buf).getOrElse(Nil)
+        val buf = prev ++ evs.map(e =>
+          AttrEv(e.ts.getTime, e.event_id, e.event_type == convType, e.value))
+        val wm = state.getCurrentWatermarkMs()
+        val (readyConv, rest) = buf.partition(e => e.isConv && e.ms <= wm)
+        val out = readyConv.sortBy(e => (e.ms, e.id)).flatMap { c =>
+          val touches = rest.filter(t => !t.isConv &&
+            t.ms <= c.ms && t.ms >= c.ms - lookMs)
+          val n = touches.length.toLong
+          touches.sortBy(t => (t.ms, t.id)).map { t =>
+            AttributionOut(c.id, t.id, userId, n,
+              math.floor(c.value / n * 1e6 + 0.5) / 1e6) // Stable.stab(_, 6)
+          }
+        }
+        val live = rest.filter(e => e.isConv || e.ms + lookMs >= wm)
+        val kept =
+          if (live.length <= maxBuffered) live
+          else live.sortBy(e => (e.ms, e.id)).take(maxBuffered)
+        if (kept.isEmpty) state.remove()
+        else {
+          state.update(AttrState(kept))
+          val nextConv = kept.filter(_.isConv).map(_.ms + 1)
+          val nextPrune = kept.filter(!_.isConv).map(_.ms + lookMs + 1)
+          state.setTimeoutTimestamp(
+            math.max((nextConv ++ nextPrune).min, wm + 1))
+        }
+        out.iterator
+      })
+  }
+
   /** Stateful gap-based sessionization via flatMapGroupsWithState: closes a
     * session when the next event for the user arrives more than
     * `gapMinutes` after the previous one — or, for users that go silent,

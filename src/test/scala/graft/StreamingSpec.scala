@@ -854,6 +854,65 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("event-time streaming linear attribution: out-of-order touches " +
+    "credited, equals the batch operator once finalized") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val mem = MemoryStream[EventStreams.Ev]
+    val q = EventStreams.linearAttributionEventTime(mem.toDS())
+      .writeStream.outputMode("append").format("memory")
+      .queryName("attr_out").start()
+    def got() = spark.table("attr_out")
+      .as[EventStreams.AttributionOut].collect().toSet
+    try {
+      // b1: user1 click t=10, purchase t=30 (v=6). wm after: 20
+      mem.addData(EventStreams.Ev(1L, ts(10), 1L, "click", 0.0),
+        EventStreams.Ev(2L, ts(30), 1L, "purchase", 6.0))
+      q.processAllAvailable()
+      assert(got().isEmpty, "purchase must not finalize before the watermark passes it")
+      // b2: LATE click t=21 for user1 (after its purchase in arrival
+      // order, before it in event time) + user2 click t=120 pushing the
+      // watermark to 110 — processAllAvailable runs the follow-up batch
+      // where user1's timeout fires under the new watermark, so the
+      // purchase finalizes HERE crediting both clicks incl. the
+      // out-of-order one
+      mem.addData(EventStreams.Ev(3L, ts(21), 1L, "click", 0.0),
+        EventStreams.Ev(4L, ts(120), 2L, "click", 0.0))
+      q.processAllAvailable()
+      assert(got() == Set(
+        EventStreams.AttributionOut(2L, 1L, 1L, 2L, 3.0),
+        EventStreams.AttributionOut(2L, 3L, 1L, 2L, 3.0)))
+      // b3: user2's purchase t=125 + a click at t=300 pushing wm to 290 —
+      // the follow-up batch finalizes it (1 touch, full credit) and
+      // user4's zero-touch purchase finalizes silently
+      mem.addData(EventStreams.Ev(5L, ts(125), 2L, "purchase", 4.0),
+        EventStreams.Ev(6L, ts(300), 3L, "click", 0.0),
+        EventStreams.Ev(7L, ts(200), 4L, "purchase", 9.9))
+      q.processAllAvailable()
+      assert(got() == Set(
+        EventStreams.AttributionOut(2L, 1L, 1L, 2L, 3.0),
+        EventStreams.AttributionOut(2L, 3L, 1L, 2L, 3.0),
+        EventStreams.AttributionOut(5L, 4L, 2L, 1L, 4.0)))
+      // b4: idempotence under further watermark advance — nothing re-emits
+      mem.addData(EventStreams.Ev(8L, ts(350), 3L, "click", 0.0))
+      q.processAllAvailable()
+      assert(got().size == 3)
+      // the finalized stream equals the batch operator over the full data
+      val all = Seq(
+        (1L, ts(10), 1L, "click", 0.0), (2L, ts(30), 1L, "purchase", 6.0),
+        (3L, ts(21), 1L, "click", 0.0), (4L, ts(120), 2L, "click", 0.0),
+        (5L, ts(125), 2L, "purchase", 4.0), (6L, ts(300), 3L, "click", 0.0),
+        (7L, ts(200), 4L, "purchase", 9.9), (8L, ts(350), 3L, "click", 0.0))
+        .toDF("event_id", "ts", "user_id", "event_type", "value")
+      val batch = graft.operators.Attribution.linear(all)
+        .select(col("conv_event_id"), col("touch_event_id"), col("user_id"),
+          col("n_touches"), col("credit"))
+        .as[EventStreams.AttributionOut].collect().toSet
+      assert(got() == batch)
+    } finally q.stop()
+  }
+
   test("streaming curation equals the batch curate operator at every " +
     "micro-batch prefix") {
     // The kmvStream discipline applied to the widest-surface twin: after
