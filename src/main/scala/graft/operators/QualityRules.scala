@@ -133,6 +133,26 @@ object QualityRules {
         (col("n_oov").cast("double") / col("n_tokens")).as("oov_frac"))
   }
 
+  /** Per-doc word-distribution (Shannon) entropy — the gibberish/template
+    * detector of the rule batteries: near-zero entropy is one word
+    * repeated (templates, keyword stuffing), maximal entropy ln(n) is
+    * all-distinct words. Computed as H = ln(n) − (Σ c·ln c)/n over the
+    * per-doc word counts, with the Σ under the repo's dsum/stab
+    * double-aggregation discipline (each c·ln c stab(6)'d, summed as
+    * exact DECIMAL) so the aggregate is order-independent and the output
+    * hash-gates in any engine.
+    */
+  def wordEntropy(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable
+    val wc = tok(docs).groupBy("doc_id", "word").agg(count(lit(1)).as("c"))
+    wc.groupBy("doc_id").agg(
+        sum("c").as("n_words"),
+        Stable.dsum(Stable.stab(col("c") * log(col("c")), 6), 6).as("sclnc"))
+      .select(col("doc_id"), col("n_words"),
+        Stable.stab(
+          log(col("n_words")) - col("sclnc") / col("n_words"), 6).as("entropy"))
+  }
+
   /** Per-source distinctive terms by TF-IDF over SOURCES as "documents":
     * score(s, w) = tf(s, w) · ln(|sources| / df(w)), top-`k` per source
     * (ties to the smaller word) — the "what characterizes this slice"

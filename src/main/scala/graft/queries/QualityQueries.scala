@@ -105,6 +105,25 @@ object QualityQueries {
           |    / sum(c) AS oov_frac
           |FROM j GROUP BY source ORDER BY source""".stripMargin)),
 
+    // Per-doc word-distribution entropy (gibberish/template detector):
+    // H = ln(n) − (Σ c·ln c)/n over word counts, the Σ under the
+    // dsum/stab discipline so the aggregate is order-independent.
+    GraftQuery("text_word_entropy",
+      (s, d) => QualityRules.wordEntropy(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |wc AS (SELECT doc_id, word, count(*) AS c FROM tok GROUP BY 1, 2),
+           |g AS (
+           |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+           |    CAST(sum(CAST(floor(c * ln(c) * 1000000.0 + 0.5) / 1000000.0
+           |      AS DECIMAL(18,6))) AS DOUBLE) AS sclnc
+           |  FROM wc GROUP BY doc_id)
+           |SELECT doc_id, n_words,
+           |  floor((ln(n_words) - sclnc / n_words) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS entropy
+           |FROM g ORDER BY doc_id""".stripMargin)),
+
     // Per-source distinctive terms (TF-IDF over sources as "documents",
     // top-5, ties to the smaller word) — the "what characterizes this
     // slice" panel of a data card. Source-partitioned top-k window over

@@ -65,6 +65,20 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(r("s2") == ((5L, 3L, 0.6)))
   }
 
+  test("word entropy: zero for one repeated word, ln(n) for all-distinct") {
+    val d = docs(
+      1L -> "w w w w w",                 // one word → H = 0
+      2L -> "a b c d",                   // all distinct → H = ln(4)
+      3L -> "a a b b")                   // uniform 2×2 → H = ln(2)
+    val r = QualityRules.wordEntropy(d)
+      .select("doc_id", "n_words", "entropy")
+      .as[(Long, Long, Double)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    def stab(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(r(1L) == ((5L, 0.0)))
+    assert(r(2L)._1 == 4L && math.abs(r(2L)._2 - stab(math.log(4.0))) < 2e-6)
+    assert(r(3L)._1 == 4L && math.abs(r(3L)._2 - stab(math.log(2.0))) < 2e-6)
+  }
+
   test("source terms: distinctive words score ln(S/df), ubiquitous words score 0") {
     // 'shared' is in both sources → ln(2/2) = 0; each source's own word
     // scores tf·ln(2/1) and tops its source
