@@ -93,7 +93,30 @@ object ScaleSmoke {
     val (hhCnt, hhSec) = timed(
       graft.operators.Sketch.heavyHitters(docs, 0.02, 128).count())
 
-    println(f"""{"n_docs":$n,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f,"dup_spans_rows":$spanCnt,"dup_spans_sec":$spanSec%.1f,"chunk_rows":$chunkCnt,"chunk_sec":$chunkSec%.1f,"incremental_pairs":$incCnt,"incremental_sec":$incSec%.1f,"bloom_novel_rows":$novCnt,"bloom_novel_sec":$novSec%.1f,"heavy_hitters_rows":$hhCnt,"heavy_hitters_sec":$hhSec%.1f}""")
+    // Round-12 rule battery + winnowing, same decade treatment: the
+    // Gopher gates and entropy are per-doc aggregates (linear by
+    // construction — measured to prove it); winnowing is the doc-windowed
+    // sliding min; the copy-detection join is Σ bucket² over fingerprint
+    // collision groups, the phase that WOULD go quadratic if the sketch
+    // lost its selectivity.
+    val (gqCnt, gqSec) = timed(
+      graft.operators.QualityRules.gopherQuality(docs).count())
+    val (grCnt, grSec) = timed(
+      graft.operators.QualityRules.gopherRepetition(docs).count())
+    val (entCnt, entSec) = timed(
+      graft.operators.QualityRules.wordEntropy(docs).count())
+    // PREFIX form here: zipf's head trigrams put one fingerprint in a
+    // 13 000-doc bucket at 50k docs, where the plain inverted-index join
+    // goes Σ bucket² (measured 50.1 s vs 3.0 s prefix, BASELINE.md) —
+    // the registered production path on collision-heavy corpora.
+    val fp = graft.operators.TextAnalysis.winnowing(docs)
+      .withColumnRenamed("fp", "shk")
+    val (fpCnt, fpSec) = timed(fp.count())
+    val fpc = fp.localCheckpoint()
+    val (wpCnt, wpSec) = timed(
+      graft.operators.Dedup.containmentPairsPrefixFromKeys(fpc, 0.3).count())
+
+    println(f"""{"n_docs":$n,"gopher_quality_rows":$gqCnt,"gopher_quality_sec":$gqSec%.1f,"gopher_rep_rows":$grCnt,"gopher_rep_sec":$grSec%.1f,"entropy_rows":$entCnt,"entropy_sec":$entSec%.1f,"winnow_fp_rows":$fpCnt,"winnow_fp_sec":$fpSec%.1f,"winnow_pairs":$wpCnt,"winnow_pairs_sec":$wpSec%.1f,"dsir_weights_rows":$wCnt,"dsir_weights_sec":$wSec%.1f,"dsir_select_rows":$selCnt,"dsir_select_sec":$selSec%.1f,"bpe_merges":${merges.size},"bpe_train_sec":$trainSec%.1f,"bpe_train_batched_merges":${bm.size},"bpe_train_batched_sec":$batchedSec%.1f,"bpe_word_types":$nTypes,"bpe_encode_rows":$tokCnt,"bpe_encode_sec":$encSec%.1f,"mix_tokens_rows":$mixCnt,"mix_tokens_sec":$mixSec%.1f,"pack_rows":$packCnt,"pack_sec":$packSec%.1f,"shuffle_rows":$shufCnt,"shuffle_sec":$shufSec%.1f,"dup_spans_rows":$spanCnt,"dup_spans_sec":$spanSec%.1f,"chunk_rows":$chunkCnt,"chunk_sec":$chunkSec%.1f,"incremental_pairs":$incCnt,"incremental_sec":$incSec%.1f,"bloom_novel_rows":$novCnt,"bloom_novel_sec":$novSec%.1f,"heavy_hitters_rows":$hhCnt,"heavy_hitters_sec":$hhSec%.1f}""")
     spark.stop()
   }
 }

@@ -20,6 +20,41 @@ object TextAnalysisQueries {
       TextAnalysis.bigramLm(Tables.documents(s, d))
     }
 
+  /** Shared oracle of the two winnowing copy-detection tiers (plain and
+    * prefix-filtered candidates produce the identical pair set).
+    */
+  val winnowContainOracle: Option[String] = Some(
+    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+      |g AS (
+      |  SELECT doc_id, i - 1 AS pos, len(arr) - 2 AS n_grams,
+      |    CAST(CAST(CONCAT('0x', substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]), 1, 15)) AS BIGINT) AS HUGEINT)
+      |      * 1048576 + (1048575 - (i - 1)) AS ck
+      |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
+      |  WHERE len(arr) >= 6),
+      |m AS (
+      |  SELECT doc_id, pos, n_grams,
+      |    min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+      |  FROM g),
+      |fp AS (
+      |  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+      |  FROM m WHERE pos <= n_grams - 4),
+      |sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |bd AS (
+      |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+      |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
+      |  FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+      |  UNION ALL
+      |  SELECT i.doc_b, i.doc_a, CAST(i.n_common AS DOUBLE) / sb.n_fp
+      |  FROM inter i JOIN sz sb ON i.doc_b = sb.doc_id)
+      |SELECT doc_contained, doc_container, containment
+      |FROM bd WHERE containment >= 0.3
+      |ORDER BY doc_contained, doc_container""".stripMargin)
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("text_token_stats",
@@ -149,37 +184,26 @@ object TextAnalysisQueries {
         graft.operators.Dedup.containmentPairsFromKeys(fp, 0.3)
           .orderBy("doc_contained", "doc_container")
       },
-      Some(
-        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
-          |g AS (
-          |  SELECT doc_id, i - 1 AS pos, len(arr) - 2 AS n_grams,
-          |    CAST(CAST(CONCAT('0x', substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]), 1, 15)) AS BIGINT) AS HUGEINT)
-          |      * 1048576 + (1048575 - (i - 1)) AS ck
-          |  FROM d, unnest(range(1, len(arr) - 1)) t(i)
-          |  WHERE len(arr) >= 6),
-          |m AS (
-          |  SELECT doc_id, pos, n_grams,
-          |    min(ck) OVER (PARTITION BY doc_id ORDER BY pos
-          |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
-          |  FROM g),
-          |fp AS (
-          |  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
-          |  FROM m WHERE pos <= n_grams - 4),
-          |sz AS (SELECT doc_id, count(*) AS n_fp FROM fp GROUP BY doc_id),
-          |inter AS (
-          |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-          |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-          |  GROUP BY 1, 2),
-          |bd AS (
-          |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
-          |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
-          |  FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
-          |  UNION ALL
-          |  SELECT i.doc_b, i.doc_a, CAST(i.n_common AS DOUBLE) / sb.n_fp
-          |  FROM inter i JOIN sz sb ON i.doc_b = sb.doc_id)
-          |SELECT doc_contained, doc_container, containment
-          |FROM bd WHERE containment >= 0.3
-          |ORDER BY doc_contained, doc_container""".stripMargin)),
+      winnowContainOracle),
+
+    // The SCALE path for winnowing copy detection: prefix-filtered
+    // candidates (rarest ceil((1−t)·|A|)+1 fingerprints per doc — the
+    // same asymmetric-prefix argument as the shingle tier). Identical
+    // output, shared oracle. On the zipf corpus at 50k docs, where one
+    // head fingerprint reaches a 13 000-doc bucket, this is 3.0 s vs the
+    // plain join's 50.1 s (BASELINE.md); on the low-collision documents
+    // fixture the plain form's smaller constant wins — the same measured
+    // crossover as dedup_containment vs _prefix.
+    GraftQuery("dedup_winnow_prefix",
+      (s, d) => {
+        val fp = Persisted(s, d, "winnow", "documents.parquet") {
+          TextAnalysis.winnowing(Tables.documents(s, d))
+            .withColumnRenamed("fp", "shk")
+        }
+        graft.operators.Dedup.containmentPairsPrefixFromKeys(fp, 0.3)
+          .orderBy("doc_contained", "doc_container")
+      },
+      winnowContainOracle),
 
     GraftQuery("text_token_counts",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
