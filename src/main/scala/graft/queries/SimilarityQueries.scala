@@ -200,6 +200,64 @@ object SimilarityQueries {
            |  CAST(sum(h) AS DOUBLE) / count(*) AS recall
            |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin)),
 
+    // The same offline recall job for the IVF tier (probe-1, the tier
+    // whose recall GAP is structural — neighbors across a cell boundary
+    // are unreachable; the number quantifies exactly what widening to
+    // nprobe=2 buys). Oracle replays the IVF routing + brute CTEs.
+    GraftQuery("ann_recall_ivf",
+      (s, d) => {
+        val emb = Tables.embeddings(s, d)
+        Similarity.annRecall(
+          Similarity.bruteForceTopK(emb, 10, 5),
+          Similarity.ivfTopK(emb, 10, 5))
+          .orderBy("query_id")
+      },
+      Some(
+        s"""WITH $prepCte,
+           |cent AS (
+           |  SELECT label, i, floor(avg(e[i])*1000000.0+0.5)/1000000.0 AS c
+           |  FROM (SELECT em.label, v.e FROM embeddings em JOIN v ON em.vec_id = v.vec_id),
+           |       unnest(range(1, len(e)+1)) t(i)
+           |  GROUP BY label, i),
+           |qd AS (
+           |  SELECT q.vec_id AS query_id, cent.label,
+           |    floor(sum(q.e[cent.i] * cent.c)*1000000.0+0.5)/1000000.0 AS qdot
+           |  FROM v q, cent WHERE q.vec_id < 10
+           |  GROUP BY 1, 2),
+           |probes AS (
+           |  SELECT query_id, label AS probe_label FROM (
+           |    SELECT query_id, label,
+           |      row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, label) AS rn
+           |    FROM qd) WHERE rn <= 1),
+           |cell AS (SELECT em.vec_id, em.label, n.e, n.nrm
+           |         FROM embeddings em JOIN n ON em.vec_id = n.vec_id),
+           |ic AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           |         ${cosSql("a", "b")} AS cos
+           |  FROM n a
+           |    JOIN probes ON probes.query_id = a.vec_id
+           |    JOIN cell b ON b.label = probes.probe_label AND b.vec_id <> a.vec_id),
+           |ir AS (SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |       FROM ic),
+           |ivf AS (SELECT query_id, neighbor_id FROM ir WHERE rank <= 5),
+           |bc AS (
+           |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, ${cosSql("a", "b")} AS cos
+           |  FROM n a JOIN n b ON a.vec_id < 10 AND b.vec_id <> a.vec_id),
+           |br AS (SELECT query_id, neighbor_id,
+           |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           |       FROM bc),
+           |brute AS (SELECT query_id, neighbor_id FROM br WHERE rank <= 5),
+           |hit AS (
+           |  SELECT b.query_id,
+           |    CASE WHEN l.neighbor_id IS NULL THEN 0 ELSE 1 END AS h
+           |  FROM brute b LEFT JOIN ivf l
+           |    ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id)
+           |SELECT query_id, CAST(sum(h) AS BIGINT) AS n_hit,
+           |  CAST(count(*) AS BIGINT) AS k_eval,
+           |  CAST(sum(h) AS DOUBLE) / count(*) AS recall
+           |FROM hit GROUP BY query_id ORDER BY query_id""".stripMargin)),
+
     // Product-quantization ANN: ADC shortlist over 8-subspace × 16-code
     // PQ codes (the 16-64× memory-compression tier — stage-1 scan cost is
     // the CODE table, never the vectors), exact-cosine re-rank of the
