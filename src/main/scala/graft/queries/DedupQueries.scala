@@ -510,6 +510,57 @@ object DedupQueries {
            |FROM wbd WHERE containment >= 0.3
            |ORDER BY doc_contained, doc_container""".stripMargin)),
 
+    // Winnowing on the MUTATED-copy corpus — the property that makes
+    // winnowing the copy-detection standard: a ~2 % token mutation kills
+    // only the grams spanning it, and every intact ≥ 6-token run still
+    // guarantees a shared fingerprint, so mutated copies stay above the
+    // containment bar while the boilerplate-header overlap stays below
+    // it. Same oracle chain over the mutated reconstruction.
+    GraftQuery("dedup_zipf_mutated_winnow",
+      (s, d) => {
+        val fp = Persisted(s, d, "zipfmwinnow", "documents.parquet", "") {
+          graft.operators.TextAnalysis.winnowing(persistedZipfMutCorpus(s, d))
+            .withColumnRenamed("fp", "shk")
+        }
+        Dedup.containmentPairsPrefixFromKeys(fp, 0.3)
+          .orderBy("doc_contained", "doc_container")
+      },
+      Some(
+        s"""WITH ${graft.sources.ZipfCorpus.mutatedShingleCte},
+           |wg AS (
+           |  SELECT a.doc_id,
+           |    row_number() OVER (PARTITION BY a.doc_id ORDER BY a.i) - 1 AS pos,
+           |    count(*) OVER (PARTITION BY a.doc_id) AS n_grams,
+           |    CAST(CAST(CONCAT('0x', substr(md5(a.tok || ' ' || b.tok || ' ' || c.tok), 1, 15)) AS BIGINT) AS HUGEINT) AS hk
+           |  FROM ztok a
+           |  JOIN ztok b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+           |  JOIN ztok c ON a.doc_id = c.doc_id AND c.i = a.i + 2),
+           |wg2 AS (SELECT doc_id, pos, n_grams,
+           |          hk * 1048576 + (1048575 - pos) AS ck FROM wg),
+           |wm AS (
+           |  SELECT doc_id, pos, n_grams,
+           |    min(ck) OVER (PARTITION BY doc_id ORDER BY pos
+           |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+           |  FROM wg2),
+           |wfp AS (
+           |  SELECT DISTINCT doc_id, CAST(m // 1048576 AS BIGINT) AS fp
+           |  FROM wm WHERE pos <= n_grams - 4),
+           |wsz AS (SELECT doc_id, count(*) AS n_fp FROM wfp GROUP BY doc_id),
+           |winter AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+           |  FROM wfp a JOIN wfp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2),
+           |wbd AS (
+           |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+           |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
+           |  FROM winter i JOIN wsz sa ON i.doc_a = sa.doc_id
+           |  UNION ALL
+           |  SELECT i.doc_b, i.doc_a, CAST(i.n_common AS DOUBLE) / sb.n_fp
+           |  FROM winter i JOIN wsz sb ON i.doc_b = sb.doc_id)
+           |SELECT doc_contained, doc_container, containment
+           |FROM wbd WHERE containment >= 0.3
+           |ORDER BY doc_contained, doc_container""".stripMargin)),
+
     // The LSH production path on the realistic corpus, fully hash-gated:
     // 6×2-banded md5 MinHash candidates + exact verify at 0.8 — at the
     // planted pairs' s≈0.97, band collision probability is 1−(1−s²)⁶ ≈
