@@ -179,8 +179,11 @@ object Bench {
     println(line)
     // Full line to disk: the driver keeps only the tail of stdout, which in
     // round 9 cut the min-of-3 map and left the recheck trigger unauditable.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
+    // ONLY for unfiltered runs — a SPARK_GRAFT_ONLY iteration clobbered the
+    // committed full-run snapshot with a single-query record in round 12.
+    if (only.isEmpty)
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_FULL.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH_FULL.json write failed: ${e.getMessage}") }
     spark.stop()
   }
 
