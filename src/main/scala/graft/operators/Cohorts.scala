@@ -12,6 +12,48 @@ import org.apache.spark.sql.functions._
   * WindowGroupLimit, then two hash aggregates collapse to |users| and
   * |distinct paths| rows. No window ever sees more than one user.
   */
+/** RFM (recency / frequency / monetary) user segmentation — the classic
+  * marketing rollup, in the repo's scalable-exact quantile form: instead
+  * of an unpartitioned `ntile` (which serializes every user through one
+  * window task — the round-11 deciles lesson), each metric's quintile is
+  * assigned from its CUMULATIVE HISTOGRAM: q(v) = ⌈B·cum(v)/n⌉ with
+  * cum(v) = #users with metric ≤ v. The histogram window is
+  * metric-cardinality-bounded, the assignment is an equi-join, and ties
+  * get the SAME bucket (better semantics than ntile's arbitrary tie
+  * split, and deterministic in any engine).
+  */
+object Rfm {
+
+  import graft.functions.Stable
+
+  /** (user_id, last_ts, n_events, total_value, r_q, f_q, m_q), quintile
+    * 5 = most recent / most frequent / highest spend.
+    */
+  def segments(events: DataFrame, buckets: Int = 5): DataFrame = {
+    val agg = events.groupBy("user_id").agg(
+        max("ts").as("last_ts"), count(lit(1)).as("n_events"),
+        Stable.dsum(col("value"), 2).as("total_value"))
+      .withColumn("r_v", // exact ms epoch (oracle twin: epoch_ms)
+        graft.functions.TimeOps.epochMs(col("last_ts")))
+      .withColumn("m_v", round(col("total_value") * 100).cast("long"))
+      .localCheckpoint() // |users| rows; consumed by three histogram joins
+    def quantile(metric: String, out: String): DataFrame = {
+      val h = agg.groupBy(metric).agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(metric) // histogram-cardinality rows, bounded
+      h.withColumn("cum", sum("c").over(w))
+        .crossJoin(broadcast(agg.agg(count(lit(1)).as("n"))))
+        .select(col(metric),
+          expr(s"($buckets * cum + n - 1) div n").as(out)) // exact ⌈·⌉
+    }
+    agg
+      .join(quantile("r_v", "r_q"), "r_v")
+      .join(quantile("n_events", "f_q"), "n_events")
+      .join(quantile("m_v", "m_q"), "m_v")
+      .select("user_id", "last_ts", "n_events", "total_value",
+        "r_q", "f_q", "m_q")
+  }
+}
+
 object Paths {
 
   /** Top starting event paths: each user's first `depth` events (by ts,

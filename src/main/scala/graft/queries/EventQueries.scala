@@ -236,6 +236,40 @@ object EventQueries {
     // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
     // + distinct + count — no window over the event corpus
     // (graft.operators.Retention).
+    // RFM user segmentation in the scalable-exact quantile form: each
+    // metric's quintile comes from its cumulative histogram
+    // (q = ⌈5·cum/n⌉, ties share a bucket) — never an unpartitioned
+    // ntile over the user table. Three bounded histogram windows +
+    // three equi-joins back.
+    GraftQuery("events_rfm",
+      (s, d) => graft.operators.Rfm.segments(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some(
+        s"""WITH $evCte,
+           |agg AS (
+           |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
+           |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+           |  FROM ev GROUP BY user_id),
+           |a2 AS (SELECT *, epoch_ms(last_ts) AS r_v,
+           |         CAST(round(total_value * 100) AS BIGINT) AS m_v FROM agg),
+           |nn AS (SELECT count(*) AS n FROM a2),
+           |cr AS (
+           |  SELECT r_v, CAST((5 * sum(c) OVER (ORDER BY r_v) + (SELECT n FROM nn) - 1)
+           |    // (SELECT n FROM nn) AS BIGINT) AS r_q
+           |  FROM (SELECT r_v, count(*) AS c FROM a2 GROUP BY r_v)),
+           |cf AS (
+           |  SELECT n_events, CAST((5 * sum(c) OVER (ORDER BY n_events) + (SELECT n FROM nn) - 1)
+           |    // (SELECT n FROM nn) AS BIGINT) AS f_q
+           |  FROM (SELECT n_events, count(*) AS c FROM a2 GROUP BY n_events)),
+           |cm AS (
+           |  SELECT m_v, CAST((5 * sum(c) OVER (ORDER BY m_v) + (SELECT n FROM nn) - 1)
+           |    // (SELECT n FROM nn) AS BIGINT) AS m_q
+           |  FROM (SELECT m_v, count(*) AS c FROM a2 GROUP BY m_v))
+           |SELECT a2.user_id, a2.last_ts, CAST(a2.n_events AS BIGINT) AS n_events,
+           |  a2.total_value, r_q, f_q, m_q
+           |FROM a2 JOIN cr USING (r_v) JOIN cf USING (n_events) JOIN cm USING (m_v)
+           |ORDER BY a2.user_id""".stripMargin)),
+
     // Linear multi-touch attribution beside the last-touch as-of join:
     // each purchase's value splits equally across the user's clicks in the
     // preceding 24 h. Per-pair credit rows (row-local stab(6) division —

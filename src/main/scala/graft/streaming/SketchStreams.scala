@@ -169,4 +169,46 @@ object SketchStreams {
           emit(grp, merged, k)
         })
   }
+
+  case class MgState(n: Long, sums: Map[String, Long])
+  case class MgRow(grp: String, item: String, cnt: Long, n_total: Long)
+
+  /** Running Misra–Gries frequent-items summary per group — the streaming
+    * twin of `Sketch.heavyHitters`' pass 1: per-group state is the ≤ k
+    * (item → residual) map plus the stream length, folded with the SAME
+    * `MgAgg.reduce` the batch tier uses, over `seqCol` order within each
+    * micro-batch (MG is order-sensitive; an explicit sequence makes the
+    * stream's fold identical to the batch fold over the prefix — the
+    * kmvStream discipline, which is what lets SketchStreamSpec pin
+    * state equality at every prefix, on top of the order-independent
+    * deficiency guarantee: every item with true count > n/(k+1) is in
+    * the summary). Emits the full ≤ k-row summary of each touched group
+    * per micro-batch — run with OutputMode.Append; downstream keeps the
+    * rows with the highest n_total per group. The exact-recount pass 2
+    * stays a batch job over the candidates, as in the two-pass query.
+    */
+  def mgStream(rows: DataFrame, groupCol: String, itemCol: String,
+               seqCol: String, k: Int): Dataset[MgRow] = {
+    require(k >= 1, s"misra-gries needs k >= 1, got $k")
+    import rows.sparkSession.implicits._
+    val agg = new graft.functions.MgAgg(k)
+    rows
+      .select(col(groupCol).cast("string").as("grp"),
+        col(itemCol).cast("string").as("item"), col(seqCol).cast("long").as("seq"))
+      .as[(String, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (grp: String, it: Iterator[(String, String, Long)],
+         state: GroupState[MgState]) => {
+          val prev = state.getOption.getOrElse(MgState(0L, Map.empty))
+          val items = it.toArray.sortBy(_._3)
+          val m = items.foldLeft(prev.sums)((acc, t) => agg.reduce(acc, t._2))
+          val n = prev.n + items.length
+          state.update(MgState(n, m))
+          m.toSeq.sortBy { case (w, c) => (-c, w) }
+            .map { case (w, c) => MgRow(grp, w, c, n) }.iterator
+        })
+  }
 }

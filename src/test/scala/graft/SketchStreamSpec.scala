@@ -69,4 +69,59 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(folded.toSeq == onePass.toSeq, s"split at $splitAt diverged")
     }
   }
+
+  test("streaming Misra-Gries equals the sequential fold at every prefix, " +
+    "and keeps the heavy-hitter superset") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val k = 8
+    // zipf-ish token stream over two groups, sequenced for a total order
+    val all = graft.sources.ZipfCorpus.synth(
+        spark.range(60L).selectExpr("id AS doc_id"))
+      .selectExpr("CAST(doc_id % 2 AS STRING) AS grp",
+        "explode(split(text, ' ')) AS item")
+      .selectExpr("grp", "item").collect()
+      .zipWithIndex.map { case (r, i) => (r.getString(0), r.getString(1), i.toLong) }.toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    // reference: the batch MgAgg folded sequentially in seq order
+    def refFold(rows: Seq[(String, String, Long)]): Map[String, Map[String, Long]] = {
+      val agg = new graft.functions.MgAgg(k)
+      rows.sortBy(_._3).groupBy(_._1).view
+        .mapValues(_.sortBy(_._3).foldLeft(Map.empty[String, Long])(
+          (m, t) => agg.reduce(m, t._2))).toMap
+    }
+    val latest = scala.collection.concurrent.TrieMap.empty[String, (Long, Map[String, Long])]
+    val mem = MemoryStream[(String, String, Long)]
+    val ds = graft.streaming.SketchStreams.mgStream(
+      mem.toDF.toDF("grp", "item", "seq"), "grp", "item", "seq", k)
+    val q = ds.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.SketchStreams.MgRow], _: Long) =>
+          b.collect().groupBy(_.grp).foreach { case (g, rows) =>
+            latest(g) = ((rows.head.n_total, rows.map(r => r.item -> r.cnt).toMap))
+          }
+      }.start()
+    try {
+      var fed = Seq.empty[(String, String, Long)]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val want = refFold(fed)
+        assert(latest.view.mapValues(_._2).toMap == want,
+          s"stream MG state diverged from the sequential fold after ${fed.size} rows")
+        // order-independent guarantee: every item with true count
+        // > n/(k+1) is in the summary (the exact-recount pass relies on it)
+        fed.groupBy(_._1).foreach { case (g, rows) =>
+          val n = rows.size
+          val truth = rows.groupBy(_._2).view.mapValues(_.size.toLong)
+          val heavy = truth.filter(_._2 > n.toLong / (k + 1)).keySet
+          assert(heavy.subsetOf(latest(g)._2.keySet),
+            s"group $g lost a heavy hitter: ${heavy -- latest(g)._2.keySet}")
+        }
+      }
+      // state really is bounded
+      assert(latest.values.forall(_._2.size <= k))
+    } finally q.stop()
+  }
 }
