@@ -54,6 +54,35 @@ object Rfm {
   }
 }
 
+/** Daily/weekly active users and the DAU/WAU stickiness ratio — the
+  * engagement headline of every events dashboard, in a LINEAR shape: a
+  * day-d trailing-7 distinct count is not a window over the event stream
+  * (distinct-over-range doesn't compose) but an EXPLODE — each (user,
+  * active day) row contributes to the 7 WAU days it can influence, then
+  * one distinct + one count. 7× row expansion of the |user-days| table,
+  * no self-join, no per-day rescan.
+  */
+object Engagement {
+
+  /** (day, dau, wau, stickiness) per active epoch-day; wau counts users
+    * active in [day − 6, day]. Integer epoch-day arithmetic end to end.
+    */
+  def dauWau(events: DataFrame): DataFrame = {
+    val ud = events
+      .select(col("user_id"), graft.functions.TimeOps.epochMs(col("ts")).as("ms"))
+      .selectExpr("user_id", "ms div 86400000 AS day")
+      .distinct()
+    val dau = ud.groupBy("day").agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"), explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy("day").agg(count(lit(1)).as("wau"))
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"),
+        (col("dau").cast("double") / col("wau")).as("stickiness"))
+  }
+}
+
 object Paths {
 
   /** Top starting event paths: each user's first `depth` events (by ts,

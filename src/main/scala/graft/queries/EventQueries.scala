@@ -236,6 +236,25 @@ object EventQueries {
     // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
     // + distinct + count — no window over the event corpus
     // (graft.operators.Retention).
+    // DAU/WAU + stickiness, in the linear shape: the trailing-7 distinct
+    // is an EXPLODE (each user-day contributes to the 7 WAU days it can
+    // influence) + distinct + count — no per-day rescan, no range window.
+    GraftQuery("events_dau_wau",
+      (s, d) => graft.operators.Engagement.dauWau(Tables.events(s, d))
+        .orderBy("day"),
+      Some(
+        s"""WITH $evCte,
+           |ud AS (SELECT DISTINCT user_id, epoch_ms(ts) // 86400000 AS day FROM ev),
+           |dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+           |wau AS (
+           |  SELECT day, count(*) AS wau FROM (
+           |    SELECT DISTINCT user_id, day + o AS day
+           |    FROM ud, unnest(range(0, 7)) t(o))
+           |  GROUP BY day)
+           |SELECT d.day, CAST(d.dau AS BIGINT) AS dau, CAST(w.wau AS BIGINT) AS wau,
+           |  CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+           |FROM dau d JOIN wau w USING (day) ORDER BY d.day""".stripMargin)),
+
     // RFM user segmentation in the scalable-exact quantile form: each
     // metric's quintile comes from its cumulative histogram
     // (q = ⌈5·cum/n⌉, ties share a bucket) — never an unpartitioned
