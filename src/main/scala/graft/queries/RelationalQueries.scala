@@ -470,6 +470,36 @@ object RelationalQueries {
           |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_orderkey)
           |ORDER BY o_orderkey""".stripMargin)),
 
+    // percent_rank / cume_dist — the two relative-position window
+    // functions the suite didn't yet cover, over per-nation customer
+    // balance totals partitioned by region (aggregate-sized partitions;
+    // both ratios are exact small-integer divisions).
+    GraftQuery("q_percent_rank_cume",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        import org.apache.spark.sql.functions._
+        val bal = customer(s, d).groupBy("c_nationkey")
+          .agg(dsum(col("c_acctbal"), 2).as("bal"))
+        val j = bal.join(nation(s, d),
+          col("c_nationkey") === col("n_nationkey"))
+        val w = Window.partitionBy("n_regionkey")
+          .orderBy(col("bal"), col("n_nationkey"))
+        j.select(col("n_regionkey"), col("n_name"), col("bal"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+          .orderBy("n_regionkey", "n_name")
+      },
+      Some(
+        s"""WITH bal AS (
+           |  SELECT c_nationkey, ${dsumSql("c_acctbal")} AS bal
+           |  FROM customer GROUP BY c_nationkey)
+           |SELECT n_regionkey, n_name, bal,
+           |  percent_rank() OVER w AS pr,
+           |  cume_dist() OVER w AS cd
+           |FROM bal JOIN nation ON c_nationkey = n_nationkey
+           |WINDOW w AS (PARTITION BY n_regionkey ORDER BY bal, n_nationkey)
+           |ORDER BY n_regionkey, n_name""".stripMargin)),
+
     // Pivot: long→wide on a known small domain (linestatus F/O).
     GraftQuery("q_pivot",
       (s, d) => {
