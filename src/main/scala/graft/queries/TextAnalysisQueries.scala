@@ -20,11 +20,13 @@ object TextAnalysisQueries {
       TextAnalysis.bigramLm(Tables.documents(s, d))
     }
 
-  /** Shared oracle of the two winnowing copy-detection tiers (plain and
-    * prefix-filtered candidates produce the identical pair set).
+  /** Winnowing fingerprint chain over `documents`, ending in
+    * `fp(doc_id, fp)` / `sz(doc_id, n_fp)` / `inter(doc_a, doc_b,
+    * n_common)` — shared by the copy-detection pair tiers and the
+    * cluster-keep query.
     */
-  val winnowContainOracle: Option[String] = Some(
-    """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+  val winnowFpCtes: String =
+    """d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
       |g AS (
       |  SELECT doc_id, i - 1 AS pos, len(arr) - 2 AS n_grams,
       |    CAST(CAST(CONCAT('0x', substr(md5(arr[i] || ' ' || arr[i+1] || ' ' || arr[i+2]), 1, 15)) AS BIGINT) AS HUGEINT)
@@ -43,7 +45,13 @@ object TextAnalysisQueries {
       |inter AS (
       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |  FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
-      |  GROUP BY 1, 2),
+      |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle of the two winnowing copy-detection tiers (plain and
+    * prefix-filtered candidates produce the identical pair set).
+    */
+  val winnowContainOracle: Option[String] = Some(
+    s"""WITH $winnowFpCtes,
       |bd AS (
       |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
       |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
@@ -204,6 +212,36 @@ object TextAnalysisQueries {
           .orderBy("doc_contained", "doc_container")
       },
       winnowContainOracle),
+
+    // Canonical selection from winnow copy detection: connected
+    // components over the UNDIRECTED pair graph (either direction's
+    // containment ≥ 0.3 links two docs), each doc mapped to its
+    // component's min doc_id — the actionable keep list of a
+    // copy-detection run, same recursive-closure oracle as dedup_clusters.
+    GraftQuery("dedup_winnow_keep",
+      (s, d) => {
+        import org.apache.spark.sql.functions.{col, greatest, least}
+        val fp = Persisted(s, d, "winnow", "documents.parquet") {
+          TextAnalysis.winnowing(Tables.documents(s, d))
+            .withColumnRenamed("fp", "shk")
+        }
+        val pairs = graft.operators.Dedup.containmentPairsFromKeys(fp, 0.3)
+          .select(least(col("doc_contained"), col("doc_container")).as("doc_a"),
+            greatest(col("doc_contained"), col("doc_container")).as("doc_b"))
+          .distinct()
+        graft.operators.Dedup.clusters(pairs).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH RECURSIVE $winnowFpCtes,
+           |p AS (
+           |  SELECT i.doc_a, i.doc_b
+           |  FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+           |                JOIN sz sb ON i.doc_b = sb.doc_id
+           |  WHERE CAST(i.n_common AS DOUBLE) / sa.n_fp >= 0.3
+           |     OR CAST(i.n_common AS DOUBLE) / sb.n_fp >= 0.3),
+           |${DedupQueries.ccCtes}
+           |SELECT node AS doc_id, min(label) AS keep_id
+           |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin)),
 
     GraftQuery("text_token_counts",
       (s, d) => TextAnalysis.tokenCounts(Tables.documents(s, d)).orderBy("doc_id"),
