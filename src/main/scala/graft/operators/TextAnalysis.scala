@@ -239,6 +239,24 @@ object TextAnalysis {
     sh.groupBy("doc_id")
       .agg(min(Dedup.shingleKey(col("shingle"))).as("fingerprint"))
 
+  /** Per-doc n-gram NOVELTY profile — the boilerplate detector dual of
+    * dedup: for each doc, the fraction of its distinct shingles whose
+    * FIRST corpus occurrence (min doc_id) is an earlier doc. A high
+    * seen-fraction doc is assembled from text the corpus already has
+    * (mirror, template, quote farm) even when no single source passes a
+    * pair-dedup bar. One gram-keyed min aggregate (|distinct grams| rows)
+    * + one equi-join back + a per-doc rollup — corpus-linear, no pairs.
+    * `shk` is the shared persisted (doc_id, shk) shingle-key table.
+    */
+  def shingleNovelty(shk: DataFrame): DataFrame = {
+    val first = shk.groupBy("shk").agg(min("doc_id").as("first_doc"))
+    shk.join(first, "shk")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_sh"), col("n_seen"),
+        (col("n_seen").cast("double") / col("n_sh")).as("seen_frac"))
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
     * algorithm): over the doc's POSITIONED n-gram hash sequence, every
     * window of `w` consecutive grams selects its minimum hash (ties to

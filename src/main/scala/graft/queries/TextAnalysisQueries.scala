@@ -144,6 +144,29 @@ object TextAnalysisQueries {
            |SELECT doc_id, min(shk) AS fingerprint
            |FROM shk GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc shingle-novelty profile: fraction of each doc's distinct
+    // shingles first seen in an EARLIER doc — the boilerplate/mirror
+    // signal no pair-dedup bar catches. Gram-keyed min + equi-join,
+    // corpus-linear.
+    GraftQuery("text_novelty_profile",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        TextAnalysis.shingleNovelty(
+          DedupQueries.persistedShingles(s, d)
+            .select(col("doc_id"),
+              graft.operators.Dedup.shingleKey(col("shingle")).as("shk")))
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${DedupQueries.shingleCte}, ${DedupQueries.shkCte},
+           |f AS (SELECT shk, min(doc_id) AS first_doc FROM shk GROUP BY shk)
+           |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+           |  CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+           |  CAST(sum(CASE WHEN f.first_doc < s.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) AS seen_frac
+           |FROM shk s JOIN f USING (shk)
+           |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin)),
+
     // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): every window
     // of 4 consecutive 3-gram hashes selects its min (ties rightmost —
     // the robust-winnowing rule, carried through the sliding min as a
