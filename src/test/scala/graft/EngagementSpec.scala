@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Decision-level coverage for the RFM quantiles and the DAU/WAU explode
+  * shape: the histogram-quintile rule at its boundaries (ties share a
+  * bucket, monotone metric→bucket), and the trailing-window identity the
+  * explode form must reproduce against a naive per-day recount.
+  */
+class EngagementSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("rfm: histogram quintiles are monotone, tie-sharing, and exact") {
+    // 10 users, frequency metric = 1..10 distinct → f_q = ceil(5*rank/10):
+    // users with n_events 1,2 → 1; 3,4 → 2; ...; 9,10 → 5
+    val ev = (1 to 10).flatMap(u => (1 to u).map(i =>
+      (u * 100L + i, ts(i), u.toLong, "click", 1.0)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val r = graft.operators.Rfm.segments(ev)
+      .select("user_id", "n_events", "f_q")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.map(_._3).toSeq == Seq(1L, 1L, 2L, 2L, 3L, 3L, 4L, 4L, 5L, 5L))
+    // monotone in the metric
+    assert(r.sortBy(_._2).map(_._3).toSeq == r.sortBy(_._2).map(_._3).sorted.toSeq)
+    // ties share a bucket: all users with the SAME monetary total (equal
+    // per-event value × n differs; craft equal totals instead)
+    val tied = Seq(
+      (1L, ts(0), 1L, "a", 6.0), (2L, ts(0), 2L, "a", 3.0), (3L, ts(1), 2L, "a", 3.0),
+      (4L, ts(0), 3L, "a", 1.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val m = graft.operators.Rfm.segments(tied)
+      .select("user_id", "m_q").as[(Long, Long)].collect().toMap
+    assert(m(1L) == m(2L), "equal monetary totals must land in one bucket")
+    assert(m(3L) < m(1L))
+  }
+
+  test("dau/wau: explode form equals the naive trailing-7 recount, wau >= dau") {
+    // users active across 10 days with gaps
+    val rows = for {
+      u <- 1L to 5L
+      d <- Seq(0L, 1L, 3L, 7L, 9L) if (u + d) % 3 != 0
+    } yield (u * 1000 + d, ts(d * 1440), u, "view", 0.0)
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Engagement.dauWau(ev)
+      .select("day", "dau", "wau")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // naive recount on the driver
+    val ud = rows.map(r => (r._3, 1700000000000L / 86400000L +
+      (r._1 % 1000))).distinct // (user, epoch-day); event_id % 1000 = d
+    val days = ud.map(_._2).distinct.sorted
+    for (d <- days) {
+      val dau = ud.count(_._2 == d).toLong
+      val wau = ud.filter(x => x._2 <= d && x._2 >= d - 6).map(_._1).distinct.size.toLong
+      assert(got(d) == ((dau, wau)), s"day $d mismatch")
+      assert(wau >= dau)
+    }
+    assert(got.keySet == days.toSet, "only active days emit rows")
+  }
+}
