@@ -260,6 +260,43 @@ class TextAnalysisSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("winnowing: differential against a plain-Scala reference on a " +
+    "tie-heavy random corpus") {
+    import spark.implicits._
+    import graft.operators.TextAnalysis
+    // tiny vocabulary → many equal gram hashes → the rightmost tie-break
+    // and window overlap logic get exercised constantly
+    val rnd = new scala.util.Random(12021)
+    val vocab = Vector("a", "b", "c", "dd")
+    val docs = (0L until 200L).map { id =>
+      val n = rnd.nextInt(25) // 0..24 tokens, incl. below-window sizes
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    def md5hk(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.take(15), 16)
+    }
+    def ref(text: String): Set[Long] = {
+      val t = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (t.length < 6) Set.empty
+      else {
+        val hks = (0 to t.length - 3).map(i => md5hk(s"${t(i)} ${t(i + 1)} ${t(i + 2)}"))
+        (0 to hks.length - 4).map { p =>
+          // min hash in the window; ties to the RIGHTMOST position
+          (p to p + 3).map(i => (hks(i), -i)).min._1
+        }.toSet
+      }
+    }
+    val got = TextAnalysis.winnowing(docs.toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    docs.foreach { case (id, text) =>
+      val want = ref(text)
+      assert(got.getOrElse(id, Set.empty[Long]) == want, s"doc $id diverged")
+    }
+  }
+
   test("user paths: deterministic total order and tie-break") {
     import spark.implicits._
     def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
