@@ -4,14 +4,6 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Event-sequence path analytics — the onboarding-flow rollup beside
-  * funnels (`Funnel`) and the cohort matrix (`Retention.matrix`).
-  *
-  * Scale shape: one per-USER window (partitions bounded by a user's own
-  * events, the sessionization bound) prunes to `depth` rows per user via
-  * WindowGroupLimit, then two hash aggregates collapse to |users| and
-  * |distinct paths| rows. No window ever sees more than one user.
-  */
 /** RFM (recency / frequency / monetary) user segmentation — the classic
   * marketing rollup, in the repo's scalable-exact quantile form: instead
   * of an unpartitioned `ntile` (which serializes every user through one
@@ -33,9 +25,18 @@ object Rfm {
     val agg = events.groupBy("user_id").agg(
         max("ts").as("last_ts"), count(lit(1)).as("n_events"),
         Stable.dsum(col("value"), 2).as("total_value"))
-      .withColumn("r_v", // exact ms epoch (oracle twin: epoch_ms)
-        graft.functions.TimeOps.epochMs(col("last_ts")))
-      .withColumn("m_v", round(col("total_value") * 100).cast("long"))
+      // recency at DAY granularity (the conventional RFM resolution) so
+      // the r histogram is |days|-bounded — ms-exact recency is ~unique
+      // per user and would rebuild the very |users|-row window this shape
+      // exists to avoid (round-12 review finding)
+      .withColumn("r_ms", graft.functions.TimeOps.epochMs(col("last_ts")))
+      .withColumn("r_v", expr("r_ms div 86400000"))
+      // monetary at whole-DOLLAR granularity for the same reason: exact
+      // cent totals are ~unique per user; the dollar grid bounds the
+      // histogram at the value range (the micro-unit-histogram argument
+      // the deciles family already makes)
+      .withColumn("m_c", round(col("total_value") * 100).cast("long"))
+      .withColumn("m_v", expr("m_c div 100"))
       .localCheckpoint() // |users| rows; consumed by three histogram joins
     def quantile(metric: String, out: String): DataFrame = {
       val h = agg.groupBy(metric).agg(count(lit(1)).as("c"))
@@ -83,6 +84,14 @@ object Engagement {
   }
 }
 
+/** Event-sequence path analytics — the onboarding-flow rollup beside
+  * funnels (`Funnel`) and the cohort matrix (`Retention.matrix`).
+  *
+  * Scale shape: one per-USER window (partitions bounded by a user's own
+  * events, the sessionization bound) prunes to `depth` rows per user via
+  * WindowGroupLimit, then two hash aggregates collapse to |users| and
+  * |distinct paths| rows. No window ever sees more than one user.
+  */
 object Paths {
 
   /** Top starting event paths: each user's first `depth` events (by ts,

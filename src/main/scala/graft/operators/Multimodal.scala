@@ -224,7 +224,12 @@ object Multimodal {
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
-        reader.setInput(iis, true, true)
+        // seekForwardOnly must stay FALSE: getNumImages(allowSearch=true)
+        // throws IllegalStateException against a forward-only input (the
+        // round-12 review caught the PNG pooling's (true, true) pattern
+        // copy-pasted here, which made every row fall through to the slow
+        // per-row SPI path). ignoreMetadata=true is still safe.
+        reader.setInput(iis, false, true)
         (reader.getNumImages(true), reader.getWidth(0), reader.getHeight(0))
       } finally { reader.setInput(null); iis.close() }
     } catch { case scala.util.control.NonFatal(_) => null }
@@ -411,7 +416,11 @@ object Multimodal {
     * `decodeVideoFrameHashes` output (media_id, frame, ahash).
     */
   def videoNearDup(fh0: DataFrame, minContainment: Double = 0.8): DataFrame = {
-    val fh = fh0.select(col("media_id"), col("ahash")).distinct()
+    // drop the corrupt-frame null-hash marker rows decodeVideoFrameHashes
+    // emits: a null can never equi-join, so leaving it in would only
+    // inflate n_h and deflate every containment of a partly-corrupt video
+    val fh = fh0.filter(col("ahash").isNotNull)
+      .select(col("media_id"), col("ahash")).distinct()
     val sizes = fh.groupBy("media_id").agg(count(lit(1)).as("n_h"))
     val shared = fh.as("a").join(fh.as("b"),
         col("a.ahash") === col("b.ahash") &&

@@ -286,8 +286,17 @@ object TextAnalysis {
       .select(col("doc_id"), size(col("arr")).as("n_toks"),
         posexplode(sh).as(Seq("pos", "shingle")))
       .select(col("doc_id"), col("pos"), (col("n_toks") - (n - 1)).as("n_grams"),
-        (Dedup.shingleKey(col("shingle")).cast("decimal(38,0)") * P +
-          (lit(P - 1) - col("pos"))).as("ck"))
+        // fail LOUDLY past the packing's capacity: at pos ≥ 2²⁰ the
+        // inverted-position term goes negative and the sliding min would
+        // silently select a corrupted key (review finding) — a >1M-gram
+        // doc must error, not drift from the oracle
+        when(col("n_grams") < P,
+          Dedup.shingleKey(col("shingle")).cast("decimal(38,0)") * P +
+            (lit(P - 1) - col("pos")))
+          .otherwise(raise_error(concat(lit("winnowing: doc "),
+            col("doc_id").cast("string"),
+            lit(s" has >= $P grams — beyond the (hash, pos) packing"))))
+          .as("ck"))
     val win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
     pos.withColumn("m", min(col("ck")).over(win))
       .filter(col("pos") <= col("n_grams") - w) // complete windows only

@@ -269,8 +269,8 @@ object EventQueries {
            |  SELECT user_id, max(ts) AS last_ts, count(*) AS n_events,
            |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
            |  FROM ev GROUP BY user_id),
-           |a2 AS (SELECT *, epoch_ms(last_ts) AS r_v,
-           |         CAST(round(total_value * 100) AS BIGINT) AS m_v FROM agg),
+           |a2 AS (SELECT *, epoch_ms(last_ts) // 86400000 AS r_v,
+           |         CAST(round(total_value * 100) AS BIGINT) // 100 AS m_v FROM agg),
            |nn AS (SELECT count(*) AS n FROM a2),
            |cr AS (
            |  SELECT r_v, CAST((5 * sum(c) OVER (ORDER BY r_v) + (SELECT n FROM nn) - 1)

@@ -86,22 +86,52 @@ object Persisted {
       // (kind, src fingerprint, suffix), so the winner's dir is
       // equivalent and we just drop our aside copy.
       val aside = new Path(s"$dir.build-${java.util.UUID.randomUUID}")
+      val success = new Path(dirPath, "_SUCCESS")
       build.write.mode("overwrite").parquet(aside.toString)
-      if (fs.exists(new Path(dirPath, "_SUCCESS"))) fs.delete(aside, true)
+      if (fs.exists(success)) fs.delete(aside, true)
       else {
-        // A dir WITHOUT _SUCCESS is debris from a crashed pre-publish-era
-        // write — post-fix, dirs only ever appear complete, so nothing
-        // valid can be reading it and dropping it is safe.
-        fs.delete(dirPath, true)
-        fs.rename(aside, dirPath)
-        // Sweep race debris regardless of the rename's reported outcome: a
-        // concurrent builder publishing between our delete and rename makes
-        // Hadoop's local rename fall back to copy-INTO-dst (nesting our
-        // aside inside the winner's dir — and returning true) or fail
-        // outright. Either way exactly one complete generation must remain.
-        fs.delete(new Path(dirPath, aside.getName), true)
-        fs.delete(aside, true)
-        require(fs.exists(new Path(dirPath, "_SUCCESS")),
+        // The PUBLISH step (drop debris + rename aside in) runs under a
+        // TTL'd lease so concurrent builders serialize: a bare
+        // check-then-delete had a window where builder A could delete the
+        // complete generation builder B published between A's _SUCCESS
+        // re-check and A's delete (round-12 review finding). Under the
+        // lock the re-check is authoritative — a complete dir is never
+        // deleted, and readers only ever read dirs whose _SUCCESS they
+        // saw through this same gate. A crashed publisher's lease expires
+        // (TTL ≫ the rename's cost) and the next builder takes over;
+        // losers drop their equivalent aside and wait for the winner's
+        // marker.
+        val owner = java.util.UUID.randomUUID.toString
+        // lock lives OUTSIDE the kind dir: a sibling of the cache entry
+        // would be swept by pruneStale (possibly mid-publish of another
+        // JVM) and would trip exactly-one-generation assertions
+        val lockDir = s"/tmp/graft-publocks/$kind-$name"
+        val won =
+          try { graft.operators.Lease.acquire(lockDir, owner, 120000L); true }
+          catch { case _: IllegalStateException => false }
+        if (won) {
+          try {
+            if (!fs.exists(success)) { // authoritative under the lock
+              fs.delete(dirPath, true)
+              fs.rename(aside, dirPath)
+              // Hadoop local-rename copy-INTO-dst paranoia (can't happen
+              // under the lock, but a leftover nested aside must not leak)
+              fs.delete(new Path(dirPath, aside.getName), true)
+            }
+            fs.delete(aside, true)
+          } finally {
+            graft.operators.Lease.release(lockDir, owner)
+            // drop the lock scaffolding; a racing acquirer re-creates it,
+            // and post-publish acquirers no-op on the _SUCCESS re-check
+            fs.delete(new Path(lockDir), true)
+          }
+        } else {
+          fs.delete(aside, true) // content is fingerprint-determined; winner's is equivalent
+          val deadline = System.currentTimeMillis() + 120000L
+          while (!fs.exists(success) && System.currentTimeMillis() < deadline)
+            Thread.sleep(100L)
+        }
+        require(fs.exists(success),
           s"cache publish left no complete generation for $dir")
       }
     }

@@ -338,7 +338,11 @@ object EventStreams {
         val buf = prev ++ evs.map(e =>
           AttrEv(e.ts.getTime, e.event_id, e.event_type == convType, e.value))
         val wm = state.getCurrentWatermarkMs()
-        val (readyConv, rest) = buf.partition(e => e.isConv && e.ms <= wm)
+        // STRICT ms < wm: Spark does not treat ts == watermark as late, so
+        // a touch stamped exactly at the conversion's timestamp can still
+        // arrive while wm == conv.ms — finalizing at <= would miss it
+        // where the batch twin (touch_ts <= conv_ts) credits it
+        val (readyConv, rest) = buf.partition(e => e.isConv && e.ms < wm)
         val out = readyConv.sortBy(e => (e.ms, e.id)).flatMap { c =>
           val touches = rest.filter(t => !t.isConv &&
             t.ms <= c.ms && t.ms >= c.ms - lookMs)
@@ -349,9 +353,14 @@ object EventStreams {
           }
         }
         val live = rest.filter(e => e.isConv || e.ms + lookMs >= wm)
-        val kept =
-          if (live.length <= maxBuffered) live
-          else live.sortBy(e => (e.ms, e.id)).take(maxBuffered)
+        // cap TOUCHES only: pending conversions are already bounded by
+        // watermark finalization, and evicting one would silently drop a
+        // whole conversion (review finding) — a touch drop only shrinks a
+        // later conversion's n_touches, the documented trade
+        val (convs, touches) = live.partition(_.isConv)
+        val kept = convs ++ (
+          if (touches.length <= maxBuffered) touches
+          else touches.sortBy(e => (e.ms, e.id)).take(maxBuffered))
         if (kept.isEmpty) state.remove()
         else {
           state.update(AttrState(kept))
