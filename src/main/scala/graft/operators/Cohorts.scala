@@ -36,7 +36,12 @@ object Rfm {
       // histogram at the value range (the micro-unit-histogram argument
       // the deciles family already makes)
       .withColumn("m_c", round(col("total_value") * 100).cast("long"))
-      .withColumn("m_v", expr("m_c div 100"))
+      // FLOOR division, not `div` (which truncates toward zero): the
+      // DuckDB oracle's `//` floors, so a user with a NEGATIVE monetary
+      // total (refund-heavy) would land in different dollar buckets across
+      // engines under truncation. pmod is non-negative, so subtracting it
+      // makes the numerator exactly divisible and `div` exact = floor.
+      .withColumn("m_v", expr("(m_c - pmod(m_c, 100)) div 100"))
       .localCheckpoint() // |users| rows; consumed by three histogram joins
     def quantile(metric: String, out: String): DataFrame = {
       val h = agg.groupBy(metric).agg(count(lit(1)).as("c"))

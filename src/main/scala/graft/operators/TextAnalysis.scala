@@ -260,7 +260,9 @@ object TextAnalysis {
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003, the MOSS
     * algorithm): over the doc's POSITIONED n-gram hash sequence, every
     * window of `w` consecutive grams selects its minimum hash (ties to
-    * the RIGHTMOST occurrence — the original robust-winnowing rule), and
+    * the RIGHTMOST occurrence — the standard winnowing tie-break; robust
+    * winnowing in Schleimer et al. instead prefers re-selecting the
+    * previously selected fingerprint), and
     * the doc's fingerprint set is the distinct selected hashes. Guarantees
     * any shared run of w+n-1 tokens between two docs shares ≥ 1
     * fingerprint, with ~2/(w+1) of grams selected — the copy-detection

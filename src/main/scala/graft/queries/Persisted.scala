@@ -106,30 +106,49 @@ object Persisted {
         // would be swept by pruneStale (possibly mid-publish of another
         // JVM) and would trip exactly-one-generation assertions
         val lockDir = s"/tmp/graft-publocks/$kind-$name"
-        val won =
-          try { graft.operators.Lease.acquire(lockDir, owner, 120000L); true }
-          catch { case _: IllegalStateException => false }
-        if (won) {
-          try {
+        def tryPublish(a: Path): Boolean = {
+          val won =
+            try { graft.operators.Lease.acquire(lockDir, owner, 120000L); true }
+            catch { case _: IllegalStateException => false }
+          if (won) try {
             if (!fs.exists(success)) { // authoritative under the lock
               fs.delete(dirPath, true)
-              fs.rename(aside, dirPath)
+              fs.rename(a, dirPath)
               // Hadoop local-rename copy-INTO-dst paranoia (can't happen
               // under the lock, but a leftover nested aside must not leak)
-              fs.delete(new Path(dirPath, aside.getName), true)
+              fs.delete(new Path(dirPath, a.getName), true)
             }
-            fs.delete(aside, true)
+            fs.delete(a, true)
           } finally {
             graft.operators.Lease.release(lockDir, owner)
             // drop the lock scaffolding; a racing acquirer re-creates it,
             // and post-publish acquirers no-op on the _SUCCESS re-check
             fs.delete(new Path(lockDir), true)
           }
-        } else {
+          won
+        }
+        if (!tryPublish(aside)) {
           fs.delete(aside, true) // content is fingerprint-determined; winner's is equivalent
-          val deadline = System.currentTimeMillis() + 120000L
-          while (!fs.exists(success) && System.currentTimeMillis() < deadline)
-            Thread.sleep(100L)
+          // Wait for the winner's marker; if it never appears, the holder
+          // crashed between acquire and publish and its TTL (120 s = our
+          // wait) has expired — so TAKE OVER: rebuild an aside (ours is
+          // gone) and retry the acquisition, making "the next builder
+          // takes over" true within this call instead of throwing
+          // (round-13 review fix). Bounded retries: another taker-over
+          // losing again waits again; three crashed winners in a row is a
+          // real outage worth the require below.
+          var tries = 0
+          while (!fs.exists(success) && tries < 3) {
+            val deadline = System.currentTimeMillis() + 120000L
+            while (!fs.exists(success) && System.currentTimeMillis() < deadline)
+              Thread.sleep(100L)
+            if (!fs.exists(success)) {
+              val retry = new Path(s"$dir.build-${java.util.UUID.randomUUID}")
+              build.write.mode("overwrite").parquet(retry.toString)
+              if (!tryPublish(retry)) fs.delete(retry, true)
+            }
+            tries += 1
+          }
         }
         require(fs.exists(success),
           s"cache publish left no complete generation for $dir")

@@ -135,7 +135,7 @@ object QualityQueries {
         """WITH tok2 AS (
           |  SELECT source, w AS word FROM documents,
           |    unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
-          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$$')),
+          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')),
           |tf AS (SELECT source, word, count(*) AS tf FROM tok2 GROUP BY 1, 2),
           |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
           |ns AS (SELECT count(DISTINCT source) AS n_src FROM tf),

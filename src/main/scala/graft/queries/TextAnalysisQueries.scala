@@ -169,7 +169,7 @@ object TextAnalysisQueries {
 
     // Winnowing fingerprints (Schleimer et al. 2003 / MOSS): every window
     // of 4 consecutive 3-gram hashes selects its min (ties rightmost —
-    // the robust-winnowing rule, carried through the sliding min as a
+    // the standard winnowing tie-break, carried through the sliding min as a
     // packed (hash, ¬pos) DECIMAL so no second pass is needed). Any
     // shared 6-token run between two docs is guaranteed a shared
     // fingerprint; ~2/(w+1) of grams survive.

@@ -314,7 +314,9 @@ object EventStreams {
     * — touches older than watermark − lookback can qualify no future
     * conversion and are pruned every invocation; finalized conversions
     * leave the buffer immediately; `maxBuffered` hard-caps pathological
-    * spam keeping the EARLIEST (a drop shrinks that user's n for later
+    * spam keeping the MOST RECENT touches — the oldest are the ones the
+    * lookback prune would discard soonest, while the newest are the ones
+    * upcoming conversions credit (a drop shrinks that user's n for later
     * conversions — bounded state is worth the miss). A user with a quiet
     * stream still finalizes/prunes via event-time timeout armed at the
     * next actionable instant (earliest pending conversion, or earliest
@@ -356,11 +358,16 @@ object EventStreams {
         // cap TOUCHES only: pending conversions are already bounded by
         // watermark finalization, and evicting one would silently drop a
         // whole conversion (review finding) — a touch drop only shrinks a
-        // later conversion's n_touches, the documented trade
+        // later conversion's n_touches, the documented trade. Evict the
+        // OLDEST touches (keep takeRight of the (ms,id) sort): the oldest
+        // are the ones the lookback prune discards soonest anyway, while
+        // the newest are exactly those most likely to qualify for upcoming
+        // conversions — so under touch spam the stream stays as close to
+        // the batch twin as the cap allows (round-13 review fix).
         val (convs, touches) = live.partition(_.isConv)
         val kept = convs ++ (
           if (touches.length <= maxBuffered) touches
-          else touches.sortBy(e => (e.ms, e.id)).take(maxBuffered))
+          else touches.sortBy(e => (e.ms, e.id)).takeRight(maxBuffered))
         if (kept.isEmpty) state.remove()
         else {
           state.update(AttrState(kept))
