@@ -69,6 +69,80 @@ object Sketch {
           .as("est_distinct"))
   }
 
+  /** Deterministic fixed-register HyperLogLog (Flajolet, Fusy, Gandouet
+    * & Meunier 2007) — the gateable sibling of `approx_count_distinct`
+    * whose HLL++ registers are engine-internal. Here the ENTIRE sketch
+    * is a pure function of xxhash64 (seed 42, the form XxhashSql
+    * replays): register index = top `p` bits of the unsigned hash, rank
+    * ρ = leading-zero count of the remaining 64−p bits + 1, register =
+    * max ρ. So a DuckDB twin re-derives every register, and the estimate
+    * is cross-engine exact under stab(6):
+    *
+    *  - ρ is computed INTEGER-ONLY (no floor(log2) — log2(2⁵⁹−1) rounds
+    *    UP to 59.0 in double, an off-by-one at exactly the values that
+    *    matter): smear w to 2^bitlen−1 with 6 doubling shifts, then
+    *    bit_count = bitlen, ρ = (64−p) − bitlen + 1.
+    *  - the harmonic sum Σ 2^−M[j] is kept EXACT as the integer
+    *    Σ 2^(maxρ−M[j]) (+ zero registers at 2^maxρ) in DECIMAL(38,0);
+    *    the estimate αm²·2^maxρ ⁄ S then needs exactly two double
+    *    conversions (the numerator is a power of two — exact) and one
+    *    divide — deterministic IEEE in both engines, no
+    *    summation-order dependence.
+    *  - small-range correction (V zero registers > 0 and E ≤ 2.5m):
+    *    linear counting m·ln(m/V); ln differs across libms by ≤ 1 ulp,
+    *    invisible under stab(6). The 2⁶⁴/30 large-range correction is
+    *    unreachable below ~6·10¹⁷ distinct keys and is omitted.
+    *
+    * Scale shape: one (group, idx) hash aggregate over the key stream
+    * (map-side partial max — registers merge by max, the mergeable-
+    * sketch property), then per-group arithmetic over ≤ m=2^p rows; the
+    * maxρ window partition is register-bounded, never data-bounded.
+    * Output per group: `n_zero_regs`, `max_rho`, `reg_sum` (cross-engine
+    * anchors on the register array) and the stab(6) `hll_est`.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, key: Column, p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll p must be in [4,16], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val wBits = 64 - p
+    val mask = (1L << wBits) - 1
+    val h = df.select(col(groupCol), xxhash64(key).as("h"))
+      .select(col(groupCol),
+        shiftrightunsigned(col("h"), wBits).as("idx"),
+        col("h").bitwiseAND(lit(mask)).as("w"))
+    val smeared = Seq(1, 2, 4, 8, 16, 32).foldLeft(col("w")) {
+      (acc, s) => acc.bitwiseOR(shiftright(acc, s))
+    }
+    val regs = h.select(col(groupCol), col("idx"),
+        (lit(wBits + 1) - bit_count(smeared)).cast("long").as("rho"))
+      .groupBy(groupCol, "idx").agg(max("rho").as("reg"))
+    // ≤ m rows per partition — register-bounded, not data-bounded
+    val wg = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val g = regs.withColumn("maxr", max("reg").over(wg))
+      .groupBy(groupCol).agg(
+        count(lit(1)).as("np"), max("reg").as("maxr"),
+        sum("reg").as("reg_sum"),
+        sum(expr("cast(shiftleft(cast(1 as bigint), cast(maxr - reg as int)) as decimal(38,0))"))
+          .as("sp"))
+    val pow2maxr = expr("cast(shiftleft(cast(1 as bigint), cast(maxr as int)) as decimal(38,0))")
+    val v = (lit(m) - col("np")).cast("long")
+    val stot = col("sp") + v.cast(DecimalType(38, 0)) * pow2maxr
+    val numer = pow2maxr * lit(m.toLong * m)
+    val raw = lit(alpha) * (numer.cast("double") / stot.cast("double"))
+    val est = when(v > 0 && raw <= lit(2.5 * m),
+        lit(m.toDouble) * log(lit(m.toDouble) / v.cast("double")))
+      .otherwise(raw)
+    g.select(col(groupCol), v.as("n_zero_regs"),
+      col("maxr").cast("long").as("max_rho"),
+      col("reg_sum").cast("long").as("reg_sum"),
+      Stable.stab(est, 6).as("hll_est"))
+  }
+
   /** EXACT φ-heavy hitters (all tokens with count > φ·N) via the
     * two-pass Misra–Gries discipline — the bounded-state alternative to
     * `groupBy(token)` over the full token universe, which at 100 TB

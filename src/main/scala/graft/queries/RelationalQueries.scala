@@ -558,21 +558,80 @@ object RelationalQueries {
           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
           |ORDER BY o_orderkey""".stripMargin)),
 
-    // Approximate sketches — the 100 TB substitutes for exact distinct /
-    // exact percentile (HLL++ and KLL-style). No DuckDB oracle: sketch
-    // implementations differ across engines by design, so the driver's
-    // rows-only check applies; the error bound vs the exact answer is
-    // asserted in ApproxSpec instead.
+    // Approximate sketches, EXACT-GATED (round 13 — retires the last
+    // no_oracle row): the previous revision ran the engine-internal
+    // HLL++ / percentile_approx, whose sketch states can never
+    // hash-match another engine. This revision runs the same two jobs —
+    // approximate distinct + approximate median — through DETERMINISTIC
+    // sketches: a fixed-register HyperLogLog (Sketch.hllDistinct, m=64
+    // registers over xxhash64, integer-exact register math) whose whole
+    // register array the DuckDB twin replays bit-for-bit via XxhashSql,
+    // and a histogram median (cumulative counts over the bounded
+    // l_quantity grid — the deciles playbook, never a corpus sort). The
+    // engine-native approx_count_distinct / percentile_approx remain
+    // exercised and error-bounded in ApproxSpec; this registered query
+    // is the cross-engine-checkable production form.
     GraftQuery("q_approx_sketches",
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         import org.apache.spark.sql.functions._
-        lineitem(s, d).groupBy("l_returnflag")
-          .agg(
-            approx_count_distinct("l_orderkey", 0.02).as("approx_orders"),
-            percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("approx_median"))
-          .orderBy("l_returnflag")
+        val li = lineitem(s, d)
+        val hll = graft.operators.Sketch.hllDistinct(li, "l_returnflag", col("l_orderkey"))
+        val hq = li.groupBy("l_returnflag", "l_quantity").agg(count(lit(1)).as("c"))
+        val med = hq
+          .withColumn("cum",
+            sum("c").over(Window.partitionBy("l_returnflag").orderBy("l_quantity")))
+          .withColumn("n", sum("c").over(Window.partitionBy("l_returnflag")))
+          .filter(col("cum") * 2 >= col("n"))
+          .groupBy("l_returnflag")
+          .agg(min("l_quantity").cast("double").as("median_qty"))
+        hll.join(med, "l_returnflag").orderBy("l_returnflag")
       },
-      None),
+      Some {
+        val m = "18446744073709551616"
+        s"""WITH k0 AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+           |${XxhashSql.longChainCtes("h", "k0", Seq("l_returnflag"), Seq("l_orderkey"), "xh")},
+           |hu AS (SELECT l_returnflag,
+           |         CAST((CAST(xh AS HUGEINT) + $m) % $m AS UBIGINT) AS uh FROM hout),
+           |hb AS (SELECT l_returnflag,
+           |         CAST(uh // 288230376151711744 AS BIGINT) AS idx,
+           |         CAST(uh % 288230376151711744 AS BIGINT) AS w FROM hu),
+           |sm1 AS (SELECT l_returnflag, idx, w | (w >> 1) AS w1 FROM hb),
+           |sm2 AS (SELECT l_returnflag, idx, w1 | (w1 >> 2) AS w2 FROM sm1),
+           |sm3 AS (SELECT l_returnflag, idx, w2 | (w2 >> 4) AS w3 FROM sm2),
+           |sm4 AS (SELECT l_returnflag, idx, w3 | (w3 >> 8) AS w4 FROM sm3),
+           |sm5 AS (SELECT l_returnflag, idx, w4 | (w4 >> 16) AS w5 FROM sm4),
+           |sm6 AS (SELECT l_returnflag, idx, w5 | (w5 >> 32) AS w6 FROM sm5),
+           |hr AS (SELECT l_returnflag, idx, 59 - bit_count(w6) AS rho FROM sm6),
+           |rg AS (SELECT l_returnflag, idx, max(rho) AS reg FROM hr GROUP BY 1, 2),
+           |rg2 AS (SELECT l_returnflag, reg,
+           |          max(reg) OVER (PARTITION BY l_returnflag) AS maxr FROM rg),
+           |hg AS (SELECT l_returnflag, count(*) AS np, max(maxr) AS maxr,
+           |         CAST(sum(reg) AS BIGINT) AS reg_sum,
+           |         sum(CAST(1 AS BIGINT) << CAST(maxr - reg AS INT)) AS sp
+           |       FROM rg2 GROUP BY 1),
+           |hs AS (SELECT l_returnflag, np, maxr, reg_sum,
+           |         sp + (64 - np) * CAST(CAST(1 AS BIGINT) << CAST(maxr AS INT) AS HUGEINT) AS stot
+           |       FROM hg),
+           |hrw AS (SELECT l_returnflag, np, maxr, reg_sum,
+           |         CAST(0.709 AS DOUBLE) *
+           |           (CAST(CAST(4096 AS HUGEINT) * (CAST(1 AS BIGINT) << CAST(maxr AS INT)) AS DOUBLE)
+           |            / CAST(stot AS DOUBLE)) AS raw FROM hs),
+           |he AS (SELECT l_returnflag, CAST(64 - np AS BIGINT) AS n_zero_regs,
+           |         CAST(maxr AS BIGINT) AS max_rho, reg_sum,
+           |         floor((CASE WHEN np < 64 AND raw <= 160.0
+           |                THEN CAST(64 AS DOUBLE) * ln(CAST(64 AS DOUBLE) / (64 - np))
+           |                ELSE raw END) * 1000000.0 + 0.5) / 1000000.0 AS hll_est
+           |       FROM hrw),
+           |hm AS (SELECT l_returnflag, l_quantity, count(*) AS c FROM lineitem GROUP BY 1, 2),
+           |hc AS (SELECT l_returnflag, l_quantity,
+           |         sum(c) OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS cum,
+           |         sum(c) OVER (PARTITION BY l_returnflag) AS n FROM hm),
+           |md AS (SELECT l_returnflag, CAST(min(l_quantity) AS DOUBLE) AS median_qty
+           |       FROM hc WHERE cum * 2 >= n GROUP BY 1)
+           |SELECT he.l_returnflag, n_zero_regs, max_rho, reg_sum, hll_est, median_qty
+           |FROM he JOIN md USING (l_returnflag) ORDER BY he.l_returnflag""".stripMargin
+      }),
 
     // KMV distinct sketch — the hash-GATED approximate distinct (contrast:
     // q_approx_sketches' HLL++ is engine-internal, rows-only forever). The
