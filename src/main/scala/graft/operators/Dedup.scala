@@ -257,6 +257,76 @@ object Dedup {
     jaccardFromInter(inter, sizes, threshold)
   }
 
+  /** Key-bucket profile of a (doc_id, shk) table — the routing statistic
+    * for the plain-vs-prefix tier choice (round 13; SURVEY §2.9's known
+    * limitation that "a human picks the tier" closed). `candPairs` is the
+    * exact candidate-row count the PLAIN inverted-index join would
+    * generate (Σ b·(b−1)/2 over bucket sizes b); `maxBucket/nDocs` is the
+    * head-bucket corpus FRACTION — the quadratic-blowup signature (a head
+    * key reaching a constant fraction α of docs makes the plain join's
+    * cost α²n²/2, corpus-QUADRATIC, while O(1)-bounded buckets keep it
+    * corpus-linear).
+    */
+  case class BucketProfile(nDocs: Long, nBuckets: Long, maxBucket: Long,
+                           candPairs: Long) {
+    def headFraction: Double =
+      if (nDocs == 0) 0.0 else maxBucket.toDouble / nDocs
+  }
+
+  /** Compute the profile: two bounded aggregates over the key table (the
+    * bucket-size histogram is |distinct keys| rows, the doc count one
+    * row) — both map-side-combinable and corpus-LINEAR with a scan-sized
+    * constant (measured ~0.6 s warm against the sf0.1 key tables;
+    * BASELINE.md round-13 section). That buys insurance against the
+    * measured 17× plain-tier cliff (50.1 s vs 3.0 s at one 13k-doc zipf
+    * bucket — an outage at 100× scale), which is the trade: the probe
+    * costs one cheap scan even where plain would have been fine. The
+    * collect is TWO single-row reads — a driver-side ROUTING decision,
+    * the same contract as AQE reading shuffle statistics, never corpus
+    * data.
+    */
+  def bucketProfile(shk: DataFrame): BucketProfile = {
+    val b = shk.groupBy("shk").agg(count(lit(1)).as("b"))
+      .agg(count(lit(1)).as("n_buckets"), max("b").as("max_b"),
+        sum(expr("b * (b - 1) div 2")).as("cand"))
+      .collect()(0)
+    val nDocs = shk.agg(countDistinct("doc_id")).collect()(0).getLong(0)
+    BucketProfile(nDocs, b.getLong(0), b.getLong(1), b.getLong(2))
+  }
+
+  /** The routing rule, exposed separately so specs pin the DECISION on
+    * each corpus profile without running the joins. Prefix when the head
+    * bucket reaches ≥ `headFraction` of the corpus: measured profiles
+    * are documents ≤ 0.018 at every SF (trending DOWN with n — plain's
+    * smaller constant wins, crossover-measured in BASELINE.md) vs zipf
+    * 0.25–0.26 at every SF (constant α — the 17× cliff regime where the
+    * prefix tier is mandatory). 0.05 sits an order of magnitude from
+    * both sides of every measurement.
+    */
+  def usePrefixTier(p: BucketProfile, headFraction: Double = 0.05): Boolean =
+    p.headFraction >= headFraction
+
+  /** Containment pairs with AUTOMATIC tier selection: probe the key
+    * table's bucket profile, then run the plain inverted-index join
+    * (low-collision corpora — smaller constant) or the prefix-filtered
+    * join (head-heavy corpora — the only shape that survives a corpus
+    * whose hottest key scales with n). Output is tier-invariant (the
+    * tiers are spec-pinned equal), so the auto form shares the plain
+    * form's oracle on every profile.
+    */
+  def containmentPairsAutoFromKeys(shk: DataFrame, threshold: Double,
+                                   headFraction: Double = 0.05): DataFrame =
+    if (usePrefixTier(bucketProfile(shk), headFraction))
+      containmentPairsPrefixFromKeys(shk, threshold)
+    else containmentPairsFromKeys(shk, threshold)
+
+  /** Jaccard pairs with the same automatic plain-vs-prefix routing. */
+  def ngramJaccardPairsAutoFromKeys(shk: DataFrame, threshold: Double,
+                                    headFraction: Double = 0.05): DataFrame =
+    if (usePrefixTier(bucketProfile(shk), headFraction))
+      ngramJaccardPairsPrefixFromKeys(shk, threshold)
+    else ngramJaccardPairsFromKeys(shk, threshold)
+
   /** One MinHash signature component: min over shingles of a 60-bit slice
     * (15 hex chars) of md5(seed || ":" || shingle), as a BIGINT.
     *

@@ -236,6 +236,27 @@ object TextAnalysisQueries {
       },
       winnowContainOracle),
 
+    // AUTO-ROUTED winnowing copy detection (round 13 — SURVEY §2.9's
+    // "a human picks the tier" limitation closed): Dedup.bucketProfile
+    // probes the persisted fingerprint table (two bounded aggregates,
+    // ≪ the join they route) and picks plain vs prefix on the
+    // head-bucket fraction. On THIS fixture the probe reads max bucket
+    // 24 of 5000 docs = 0.005 < 0.05 and picks the PLAIN tier (the
+    // measured smaller-constant winner here); on the zipf profile the
+    // same probe picks prefix (dedup_zipf_winnow_auto). Decision
+    // spec-pinned both ways in DedupSpec; output shares the plain
+    // form's oracle because the tiers are output-identical.
+    GraftQuery("dedup_winnow_auto",
+      (s, d) => {
+        val fp = Persisted(s, d, "winnow", "documents.parquet") {
+          TextAnalysis.winnowing(Tables.documents(s, d))
+            .withColumnRenamed("fp", "shk")
+        }
+        graft.operators.Dedup.containmentPairsAutoFromKeys(fp, 0.3)
+          .orderBy("doc_contained", "doc_container")
+      },
+      winnowContainOracle),
+
     // Canonical selection from winnow copy detection: connected
     // components over the UNDIRECTED pair graph (either direction's
     // containment ≥ 0.3 links two docs), each doc mapped to its

@@ -58,6 +58,46 @@ class DedupSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketProfile: exact stats on a hand-computable key table") {
+    import spark.implicits._
+    // buckets: k1 -> {1,2,3} (3 choose 2 = 3 cand), k2 -> {1,4} (1), k3 -> {2} (0)
+    val shk = Seq((1L, 10L), (2L, 10L), (3L, 10L), (1L, 20L), (4L, 20L), (2L, 30L))
+      .toDF("doc_id", "shk")
+    val p = Dedup.bucketProfile(shk)
+    assert(p == Dedup.BucketProfile(nDocs = 4, nBuckets = 3, maxBucket = 3, candPairs = 4))
+    assert(math.abs(p.headFraction - 0.75) < 1e-12)
+  }
+
+  test("auto tier routing: plain on the documents profile, prefix on the zipf profile") {
+    // The round-13 auto-selection contract (SURVEY §2.9 item 1 closed):
+    // the probe must read the documents fixture as low-collision (head
+    // bucket ≪ 5% of docs → plain tier, the measured smaller-constant
+    // winner) and the zipf fixture as head-heavy (planted 26% head
+    // bucket → prefix tier, the measured 17×-cliff escape) — at BOTH
+    // fixture SFs, for BOTH key families (winnow fingerprints and
+    // 3-gram shingle keys).
+    import org.apache.spark.sql.functions.col
+    for (d <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+      val docs = graft.sources.Tables.documents(spark, d)
+      val docShk = Dedup.shingles(docs)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+      val docFp = graft.operators.TextAnalysis.winnowing(docs)
+        .withColumnRenamed("fp", "shk")
+      val zipf = graft.sources.ZipfCorpus.synth(docs.select("doc_id"))
+      val zipfShk = Dedup.shingles(zipf)
+        .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+      val zipfFp = graft.operators.TextAnalysis.winnowing(zipf)
+        .withColumnRenamed("fp", "shk")
+      assert(!Dedup.usePrefixTier(Dedup.bucketProfile(docShk)), s"$d doc shingles")
+      assert(!Dedup.usePrefixTier(Dedup.bucketProfile(docFp)), s"$d doc winnow")
+      assert(Dedup.usePrefixTier(Dedup.bucketProfile(zipfShk)), s"$d zipf shingles")
+      assert(Dedup.usePrefixTier(Dedup.bucketProfile(zipfFp)), s"$d zipf winnow")
+      // the margin is an order of magnitude on each side, not a knife-edge
+      assert(Dedup.bucketProfile(docShk).headFraction < 0.02, s"$d doc margin")
+      assert(Dedup.bucketProfile(zipfShk).headFraction > 0.2, s"$d zipf margin")
+    }
+  }
+
   test("ZipfCorpus: deterministic, planted near-dups, tiered df, boilerplate") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
