@@ -675,8 +675,10 @@ object Dedup {
     * in the corpus: semantically an exact anti-join of `batch` against
     * `corpus` on the content digest, executed as a Bloom-prefiltered
     * one: build ONE bloom over the corpus's xxhash64(text) keys
-    * ([[graft.functions.BloomAgg]] — `numBits/8`-byte partials, OR
-    * merge), and let the probe split the batch:
+    * (Spark's native `BloomFilterAggregate` — `numBits/8`-byte
+    * partials, OR merge; the streaming twin keeps the replayable
+    * [[graft.functions.BloomAgg]] form for its state encoding), and
+    * let the codegen'd `BloomFilterMightContain` probe split the batch:
     *
     *   - bloom says ABSENT → definitely novel (no false negatives):
     *     these rows — the overwhelming majority of a healthy crawl —
@@ -700,13 +702,27 @@ object Dedup {
     */
   def bloomNovelDocs(batch: DataFrame, corpus: DataFrame,
                      numBits: Int = 1 << 20, numHashes: Int = 5): DataFrame = {
-    import graft.functions.BloomAgg
-    val bloomU = udaf(new BloomAgg(numBits, numHashes))
-    val bits: Array[Long] = corpus
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.graftglue
+    // Build + probe ride Spark's NATIVE bloom expressions (the pair that
+    // powers its runtime-filter join rewrite) instead of a Scala UDF over
+    // a closure-captured bitset (round-13 review cleanup): the probe is
+    // codegen'd and the filter bytes travel as a plan literal, not a
+    // closure. Spark sizes k itself as round(numBits/n·ln2), so the
+    // requested `numHashes` maps to the estimated-items hint that makes
+    // that formula land on it; k only shapes the FP rate — correctness
+    // is the exact verify join either way.
+    val nItems = math.max(1L, math.round(numBits * math.log(2) / numHashes))
+    val bloomBytes: Array[Byte] = corpus
       .select(xxhash64(col("text")).as("h"))
-      .agg(bloomU(col("h")).as("bits"))
-      .head().getAs[scala.collection.Seq[Long]]("bits").toArray // numBits/8 bytes, bounded
-    val might = udf((h: Long) => BloomAgg.mightContain(bits, numHashes, h))
+      .select(graftglue.column(new BloomFilterAggregate(
+          graftglue.expression(col("h")),
+          Literal(nItems), Literal(numBits.toLong)).toAggregateExpression())
+        .as("bf"))
+      .head().getAs[Array[Byte]]("bf") // numBits/8 bytes, bounded
+    def might(c: org.apache.spark.sql.Column) = graftglue.column(
+      BloomFilterMightContain(Literal(bloomBytes), graftglue.expression(c)))
     val keyed = batch.select(col("doc_id"),
       size(graft.functions.TextOps.splitWords(col("text"))).cast("long").as("n_tokens"),
       xxhash64(col("text")).as("xh"), md5(col("text")).as("mh"))

@@ -362,6 +362,11 @@ class PlanShapeSpec extends AnyFunSuite {
     val antis = "LeftAnti".r.findAllIn(p).size
     assert(joins > 0 && antis >= joins,
       s"novelty plan grew a non-anti join: $joins joins, $antis anti")
+    // round 13: the probe is Spark's native BloomFilterMightContain
+    // (codegen'd, filter bytes as a plan literal) — a regression back to
+    // a Scala UDF over a closure-captured bitset shows as ScalaUDF
+    assert(!p.contains("ScalaUDF"), "bloom probe regressed to a Scala UDF")
+    assert(p.contains("might_contain"), "native bloom probe missing from plan")
   }
 
   test("text_heavy_hitters: candidate semi-join broadcast; only the 1-row totals cross") {
