@@ -661,6 +661,46 @@ object DedupQueries {
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // NATURAL-LANGUAGE fixture tiers (round 13 — SURVEY §2.9's "all
+    // measurements ride the synthetic zipf corpus" caveat narrowed): the
+    // committed fixtures/natural_docs.parquet corpus (40 original
+    // English docs with planted mirrors, a light-mutation copy at
+    // J=0.829, boilerplate/quote variants at J≈0.68, and stopword-only
+    // unrelated pairs; see graft.sources.NaturalCorpus) validates the
+    // 0.8 Jaccard bar linguistically: mirrors + the light mutation pass,
+    // boilerplate wrapping does NOT (that is containment's job —
+    // dedup_natural_winnow). Both engines read identical committed
+    // bytes; the oracle shadows `documents` with the fixture CTE and
+    // reuses the standard chains verbatim. SF-independent by design
+    // (like the zipf tiers at fixed doc count).
+    GraftQuery("dedup_natural_jaccard",
+      (s, d) => Dedup.ngramJaccardPairsFromKeys(
+          Dedup.shingles(graft.sources.NaturalCorpus.docs(s))
+            .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk")), 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${graft.sources.NaturalCorpus.docsCte}, $shingleCte, $shkCte, $jaccardTail
+           |SELECT doc_a, doc_b,
+           |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+           |WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
+    // The banded-LSH production path on natural text (6 bands × 2 rows —
+    // ≈0.999 candidate recall at J=0.83, certain at J=1), verify-exact
+    // on candidates. In-plan signatures: the fixture is 40 docs, so no
+    // persistence tier is warranted.
+    GraftQuery("dedup_natural_lsh",
+      (s, d) => Dedup.minhashLshPairsFrom(
+          Dedup.shingles(graft.sources.NaturalCorpus.docs(s)),
+          KeepBands, KeepRows, 0.8)
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH ${lshPairCtes(KeepBands, KeepRows, 0.8,
+               s"${graft.sources.NaturalCorpus.docsCte},\n${shingleCte}")}
+           |SELECT doc_a, doc_b, jaccard FROM p
+           |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // xxhash64 tier: the same banded-LSH shape with the production hash.
     // HASH-GATED since round 11: XxhashSql replays Spark's xxhash64 in
     // DuckDB (mod-2⁶⁴ arithmetic over HUGEINT, staged CTEs, list_reduce

@@ -236,6 +236,32 @@ object TextAnalysisQueries {
       },
       winnowContainOracle),
 
+    // Winnowing copy detection on the NATURAL fixture (round 13): the
+    // behavior that makes containment the right tool on real text —
+    // boilerplate-wrapped variants and a full-quote embedding sit at
+    // J≈0.68 (under the symmetric Jaccard bar, correctly skipped by
+    // dedup_natural_jaccard) but near-total DIRECTED containment of the
+    // base, and winnowed fingerprints surface every planted direction
+    // while no stopword-only pair crosses 0.3. Oracle: the standard
+    // winnow chain over the shadowed fixture CTE.
+    GraftQuery("dedup_natural_winnow",
+      (s, d) => graft.operators.Dedup.containmentPairsFromKeys(
+          TextAnalysis.winnowing(graft.sources.NaturalCorpus.docs(s))
+            .withColumnRenamed("fp", "shk"), 0.3)
+        .orderBy("doc_contained", "doc_container"),
+      Some(
+        s"""WITH ${graft.sources.NaturalCorpus.docsCte}, $winnowFpCtes,
+           |bd AS (
+           |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+           |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
+           |  FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+           |  UNION ALL
+           |  SELECT i.doc_b, i.doc_a, CAST(i.n_common AS DOUBLE) / sb.n_fp
+           |  FROM inter i JOIN sz sb ON i.doc_b = sb.doc_id)
+           |SELECT doc_contained, doc_container, containment
+           |FROM bd WHERE containment >= 0.3
+           |ORDER BY doc_contained, doc_container""".stripMargin)),
+
     // AUTO-ROUTED winnowing copy detection (round 13 — SURVEY §2.9's
     // "a human picks the tier" limitation closed): Dedup.bucketProfile
     // probes the persisted fingerprint table (two bounded aggregates,
