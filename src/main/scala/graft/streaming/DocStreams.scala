@@ -30,6 +30,83 @@ object DocStreams {
       .withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("text_hash")
 
+  /** Per-gram state of [[noveltyFlagsStream]]: the smallest doc_id that
+    * has carried this shingle so far — ONE long per distinct gram, the
+    * minimum state exact novelty admits.
+    */
+  case class GramFirst(firstDoc: Long)
+
+  /** One flagged (doc, gram) row: `seen` iff an EARLIER doc (smaller
+    * doc_id, stream-prefix-wide) carried the same shingle key.
+    */
+  case class NovelFlag(doc_id: Long, shk: Long, seen: Boolean)
+
+  /** Streaming twin of `TextAnalysis.shingleNovelty` (text_novelty_
+    * profile) — the boilerplate-detector dual of dedup as a LIVE ingest
+    * signal: per arriving doc, which of its distinct shingles the corpus
+    * has already seen. The fold is gram-keyed `flatMapGroupsWithState`
+    * (the kmvStream discipline): state per gram is the min doc_id so
+    * far, a seen flag is emitted per (doc, gram), and the per-doc
+    * profile is ONE plain rollup of each micro-batch's flags
+    * ([[noveltyProfile]], used from foreachBatch/the consumer) — a doc's
+    * grams all surface in its own micro-batch, so the rollup is
+    * stateless and Spark's multiple-stateful-operator restriction (no
+    * event time here) is never hit.
+    *
+    * Parity contract: docs arriving in doc_id order make the stream's
+    * accumulated profiles EQUAL the batch operator over every prefix
+    * (spec-pinned at each micro-batch in StreamingSpec) — within a
+    * micro-batch rows fold in doc_id order, so intra-batch order is
+    * handled; cross-batch reordering shifts which member of a pair is
+    * "first", the same in-order caveat the curation twin documents.
+    * Shingling (normalize → 3-gram fold → per-doc distinct → 60-bit md5
+    * key) is row-local — `array_distinct` before the explode, because
+    * the batch tier's `.distinct()` is a streaming-illegal aggregation.
+    *
+    * State: |distinct grams| × one long — corpus-proportional like every
+    * exact-novelty store; the bounded-memory alternative with one-sided
+    * error is the bloom `seenStream`, and a production deployment
+    * snapshots/rotates this state like the LSH band index.
+    */
+  def noveltyFlagsStream(docs: DataFrame, n: Int = 3): org.apache.spark.sql.Dataset[NovelFlag] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.TextOps
+    val arr = TextOps.splitWords(TextOps.normalize(col("text")))
+    val m = size(col("arr")) - (n - 1)
+    val sh = (1 until n).foldLeft(slice(col("arr"), lit(1), m)) { (acc, k) =>
+      zip_with(acc, slice(col("arr"), lit(k + 1), m), (a, b) => concat_ws(" ", a, b))
+    }
+    docs.select(col("doc_id").cast("long").as("doc_id"), arr.as("arr"))
+      .filter(size(col("arr")) >= n)
+      .select(col("doc_id"), explode(array_distinct(sh)).as("shingle"))
+      .select(col("doc_id"), graft.operators.Dedup.shingleKey(col("shingle")).as("shk"))
+      .as[(Long, Long)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout)(
+        (shk: Long, it: Iterator[(Long, Long)],
+         state: org.apache.spark.sql.streaming.GroupState[GramFirst]) => {
+          var first = state.getOption.map(_.firstDoc).getOrElse(Long.MaxValue)
+          val out = it.map(_._1).toArray.sorted.map { d =>
+            val seen = first < d
+            if (d < first) first = d
+            NovelFlag(d, shk, seen)
+          }
+          state.update(GramFirst(first))
+          out.iterator
+        })
+  }
+
+  /** Stateless per-doc rollup of a micro-batch's novelty flags — same
+    * columns and derivations as the batch `shingleNovelty` output.
+    */
+  def noveltyProfile(flags: DataFrame): DataFrame =
+    flags.groupBy("doc_id").agg(count(lit(1)).as("n_sh"),
+        sum(when(col("seen"), 1L).otherwise(0L)).as("n_seen"))
+      .select(col("doc_id"), col("n_sh"), col("n_seen"),
+        (col("n_seen").cast("double") / col("n_sh")).as("seen_frac"))
+
   /** Partition-bucket count for the streaming near-dup state: band rows
     * land in `bands × StateBuckets` parquet partitions keyed by
     * (band, bkt = pmod(bh, StateBuckets)). A micro-batch touches at most

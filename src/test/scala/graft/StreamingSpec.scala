@@ -913,6 +913,64 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming novelty profile equals the batch operator at every " +
+    "micro-batch prefix") {
+    // The kmvStream discipline for the round-12 batch operator that
+    // lacked a streaming sibling: accumulate noveltyFlagsStream's
+    // per-(doc, gram) seen flags through a memory sink, roll each
+    // prefix up with noveltyProfile, and pin equality against
+    // TextAnalysis.shingleNovelty (the oracle-gated text_novelty_profile
+    // shape) over the same prefix corpus after EVERY micro-batch. The
+    // fixture plants the interesting regimes: an exact re-post (full
+    // seen), a half-template doc (partial), cross-BATCH reuse, and
+    // reuse WITHIN one micro-batch (the intra-batch doc_id-order fold).
+    import spark.implicits._
+    import graft.operators.{Dedup, TextAnalysis}
+    implicit val sc = spark.sqlContext
+    def ws(p: String, n: Int) = (0 until n).map(i => s"$p$i").mkString(" ")
+    val base = ws("alpha", 12)
+    val tmpl = ws("tmpl", 8)
+    val docs = Seq(
+      1L -> s"$base end marker here",
+      2L -> ws("beta", 10),
+      3L -> s"$base end marker here",          // exact re-post of doc 1
+      4L -> s"$tmpl ${ws("gamma", 6)}",        // template half
+      5L -> s"$tmpl ${ws("delta", 6)}",        // same-batch template reuse
+      6L -> ws("epsilon", 9),
+      7L -> s"${ws("beta", 10)} extra tail")   // cross-batch partial reuse
+    val batches = Seq(Seq(0, 1), Seq(2, 3, 4), Seq(5, 6)).map(_.map(docs))
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.DocStreams.noveltyFlagsStream(
+        mem.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("novel_flags").start()
+    try {
+      var prefix = Seq.empty[(Long, String)]
+      batches.zipWithIndex.foreach { case (bdocs, i) =>
+        mem.addData(bdocs: _*)
+        q.processAllAvailable()
+        prefix = prefix ++ bdocs
+        val shk = Dedup.shingles(prefix.toDF("doc_id", "text"))
+          .select(col("doc_id"), Dedup.shingleKey(col("shingle")).as("shk"))
+        val want = TextAnalysis.shingleNovelty(shk)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val got = graft.streaming.DocStreams.noveltyProfile(
+            spark.table("novel_flags"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        assert(got == want, s"after micro-batch $i")
+        assert(got.nonEmpty)
+      }
+      // the planted regimes actually occurred: re-post fully seen,
+      // same-batch template reuse partially seen
+      val byDoc = graft.streaming.DocStreams.noveltyProfile(
+          spark.table("novel_flags"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      assert(byDoc(3L) == 1.0, "exact re-post must be fully seen")
+      assert(byDoc(5L) > 0.0 && byDoc(5L) < 1.0, "same-batch template reuse partial")
+      assert(byDoc(2L) == 0.0, "first arrival is fully novel")
+    } finally q.stop()
+  }
+
   test("streaming curation equals the batch curate operator at every " +
     "micro-batch prefix") {
     // The kmvStream discipline applied to the widest-surface twin: after
