@@ -121,4 +121,31 @@ object Paths {
       .orderBy(desc("n_users"), asc("path"))
       .limit(topK)
   }
+
+  /** First-order Markov transition matrix over the time-ordered event
+    * stream: for every (current, next) event-type pair, the transition
+    * count and probability P(next | current). The "what do users do
+    * after X" rollup that generalizes the fixed-sequence funnel.
+    *
+    * Scale shape: one per-USER window (the sessionization bound — a
+    * partition is one user's events, never the corpus) pairs each event
+    * with its successor via `lead`; everything after is hash aggregates
+    * bounded by |event types|². Ties in ts break by event_id, so the
+    * successor — and the whole matrix — is deterministic. The per-row
+    * normalizer join is a broadcast of the |event types|-row totals.
+    */
+  def markov(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("nxt", lead("event_type", 1).over(w))
+      .filter(col("nxt").isNotNull)
+    val n = pairs.groupBy(col("event_type").as("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = n.groupBy("cur").agg(sum("n").as("tot"))
+    n.join(broadcast(tot), "cur")
+      .select(col("cur"), col("nxt"), col("n"),
+        graft.functions.Stable.stab(
+          col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+  }
 }

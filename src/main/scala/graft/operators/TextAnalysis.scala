@@ -529,4 +529,62 @@ object TextAnalysis {
         .as("ws_tokens"),
       size(filter(split(lower(col("text")), "[^a-z0-9]+"), w => length(w) > 0)).cast("long")
         .as("alnum_tokens"))
+
+  /** Per-source Zipf fit: OLS of ln(freq) on ln(rank) over the source's
+    * term-frequency table — slope ≈ −1 is the healthy-natural-text
+    * signature; a flat slope flags template/boilerplate floods and a
+    * cliff flags deduped-to-death or synthetic sources. One row per
+    * source: (source, n_terms, slope, intercept).
+    *
+    * Rank is the classic distributed dense-rank decomposition (the
+    * vocabulary word-id trick, Search.vocabularyFrom): per-source global
+    * rank by (freq DESC, word) without a source-vocabulary-sized window —
+    * row_number runs per (source, freq, first-char) group and each
+    * group's start offset is a running sum over the aggregated group-size
+    * table, so the only unbounded-ish window sees |distinct (freq, pfx)|
+    * aggregate rows (grows ~√corpus), never the vocabulary. Within one
+    * freq, (first-char, word) ordering IS word ordering, so ranks equal
+    * the single-window formulation exactly (ZipfSpec pins this).
+    *
+    * Numerics ride the stab/dsum discipline: per-term stab(6) logs and
+    * products, exact DECIMAL sums (order-independent), one fixed IEEE op
+    * sequence for the closed-form slope — bit-identical in both engines.
+    */
+  def zipfSlope(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable.{dsum, stab}
+    val tf = docs
+      .select(col("source"),
+        explode(TextOps.splitWords(TextOps.normalize(col("text")))).as("word"))
+      .filter(TextOps.isKeptToken(col("word")))
+      .groupBy("source", "word").agg(count(lit(1)).as("freq"))
+      .withColumn("pfx", substring(col("word"), 1, 1))
+    val offsets = tf.groupBy("source", "freq", "pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(Window.partitionBy("source")
+          .orderBy(desc("freq"), asc("pfx"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "freq", "pfx", "off")
+    val ranked = tf.join(offsets, Seq("source", "freq", "pfx"))
+      .withColumn("rank",
+        col("off") + row_number().over(
+          Window.partitionBy("source", "freq", "pfx").orderBy("word")))
+    val terms = ranked
+      .select(col("source"),
+        stab(log(col("rank").cast("double")), 6).as("lx"),
+        stab(log(col("freq").cast("double")), 6).as("ly"))
+      .select(col("source"), col("lx"), col("ly"),
+        stab(col("lx") * col("ly"), 6).as("pxy"),
+        stab(col("lx") * col("lx"), 6).as("pxx"))
+    val sums = terms.groupBy("source").agg(
+      count(lit(1)).as("n_terms"),
+      dsum(col("lx"), 6).as("sx"), dsum(col("ly"), 6).as("sy"),
+      dsum(col("pxy"), 6).as("sxy"), dsum(col("pxx"), 6).as("sxx"))
+    // raw (un-stab'd) slope feeds the intercept so both engines run the
+    // identical op sequence; only the PROJECTED columns are stab'd
+    val slope = (col("n_terms") * col("sxy") - col("sx") * col("sy")) /
+      (col("n_terms") * col("sxx") - col("sx") * col("sx"))
+    sums.select(col("source"), col("n_terms"),
+      stab(slope, 6).as("slope"),
+      stab((col("sy") - slope * col("sx")) / col("n_terms"), 6).as("intercept"))
+  }
 }

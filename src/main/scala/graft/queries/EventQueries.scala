@@ -332,6 +332,27 @@ object EventQueries {
            |FROM p GROUP BY path
            |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
 
+    // First-order Markov transition matrix: P(next event type | current),
+    // successor by (ts, event_id) per user — the open-ended companion to
+    // the fixed-sequence funnel. Per-user lead window, |types|²-bounded
+    // aggregates, broadcast normalizer.
+    GraftQuery("events_markov",
+      (s, d) => graft.operators.Paths.markov(Tables.events(s, d))
+        .orderBy("cur", "nxt"),
+      Some(
+        s"""WITH $evCte,
+           |pr AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |  FROM ev),
+           |n AS (
+           |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+           |  FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM n GROUP BY cur)
+           |SELECT n.cur, n.nxt, n.n,
+           |  floor(CAST(n.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p
+           |FROM n JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
+
     GraftQuery("events_retention",
       (s, d) => graft.operators.Retention.matrix(Tables.events(s, d), 7)
         .orderBy("cohort_day", "day_offset"),

@@ -1022,7 +1022,47 @@ object TextAnalysisQueries {
            |tot AS (SELECT count(*) AS n FROM ztok)
            |SELECT tok AS token, count(*) AS cnt FROM ztok
            |GROUP BY tok HAVING count(*) > 0.02 * (SELECT n FROM tot)
-           |ORDER BY token""".stripMargin))
+           |ORDER BY token""".stripMargin)),
+
+    // Per-source Zipf fit: OLS slope/intercept of ln(freq) on ln(rank) —
+    // the distributional-health gauge (≈ −1 on natural text; flat =
+    // template flood, cliff = synthetic). Rank via the decomposed
+    // dense-rank (no vocabulary-sized window); sums via stab(6)+DECIMAL,
+    // so the oracle's single-window rank formulation hash-matches.
+    GraftQuery("text_zipf_slope",
+      (s, d) => TextAnalysis.zipfSlope(Tables.documents(s, d))
+        .orderBy("source"),
+      Some(
+        """WITH stok AS (
+           |  SELECT d.source, w AS word
+           |  FROM documents d, unnest(regexp_split_to_array(lower(d.text), '\s+')) t(w)
+           |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')),
+           |tf AS (SELECT source, word, count(*) AS freq FROM stok GROUP BY 1, 2),
+           |r AS (
+           |  SELECT source, freq,
+           |    row_number() OVER (PARTITION BY source ORDER BY freq DESC, word) AS rank
+           |  FROM tf),
+           |l AS (
+           |  SELECT source,
+           |    floor(ln(rank)*1000000.0+0.5)/1000000.0 AS lx,
+           |    floor(ln(freq)*1000000.0+0.5)/1000000.0 AS ly
+           |  FROM r),
+           |q AS (
+           |  SELECT source, lx, ly,
+           |    floor(lx*ly*1000000.0+0.5)/1000000.0 AS pxy,
+           |    floor(lx*lx*1000000.0+0.5)/1000000.0 AS pxx
+           |  FROM l),
+           |s AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+           |    CAST(sum(CAST(lx AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+           |    CAST(sum(CAST(ly AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+           |    CAST(sum(CAST(pxy AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+           |    CAST(sum(CAST(pxx AS DECIMAL(18,6))) AS DOUBLE) AS sxx
+           |  FROM q GROUP BY source)
+           |SELECT source, n_terms,
+           |  floor(((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx))*1000000.0+0.5)/1000000.0 AS slope,
+           |  floor(((sy - ((n_terms*sxy - sx*sy) / (n_terms*sxx - sx*sx))*sx) / n_terms)*1000000.0+0.5)/1000000.0 AS intercept
+           |FROM s ORDER BY source""".stripMargin))
   )
 
   /** DuckDB twin of Curation.curate: the per-signal oracles' CTEs composed

@@ -60,4 +60,26 @@ class EngagementSpec extends AnyFunSuite {
     }
     assert(got.keySet == days.toSet, "only active days emit rows")
   }
+
+  test("markov: transition counts, row-normalized probs, ts-tie by event_id") {
+    // user 1: a -> b -> b -> c ; user 2: a -> c (tie at t=0 broken by
+    // event_id: 20 before 21) ; user 3: single event -> no transition
+    val ev = Seq(
+      (10L, ts(0), 1L, "a", 0.0), (11L, ts(1), 1L, "b", 0.0),
+      (12L, ts(2), 1L, "b", 0.0), (13L, ts(3), 1L, "c", 0.0),
+      (20L, ts(0), 2L, "a", 0.0), (21L, ts(0), 2L, "c", 0.0),
+      (30L, ts(5), 3L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val got = graft.operators.Paths.markov(ev)
+      .select("cur", "nxt", "n", "p")
+      .as[(String, String, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> ((t._3, t._4))).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 0.5)), ("a", "c") -> ((1L, 0.5)),
+      ("b", "b") -> ((1L, 0.5)), ("b", "c") -> ((1L, 0.5))))
+    // each row's probabilities sum to 1
+    got.groupBy(_._1._1).foreach { case (_, m) =>
+      assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-9)
+    }
+  }
 }

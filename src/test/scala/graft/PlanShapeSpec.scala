@@ -310,6 +310,26 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("text_zipf_slope: rank decomposition never global-sorts the vocabulary") {
+    val docs = graft.sources.Tables.documents(spark, d)
+    val p = opPlan(graft.operators.TextAnalysis.zipfSlope(docs))
+    // the per-source rank must ride the (source, freq, pfx) group windows
+    // + the aggregated offset table — a range exchange would mean the
+    // decomposition regressed to sorting the vocabulary through one task
+    assert(!p.contains("Exchange rangepartitioning"), "vocabulary global-sorted")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("events_markov: per-user lead window, broadcast normalizer, no nested loop") {
+    val p = opPlan(graft.operators.Paths.markov(
+      graft.sources.Tables.events(spark, d)))
+    assert(p.contains("BroadcastHashJoin"), "the |types|-row normalizer must broadcast")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("Exchange rangepartitioning"), "no global sort in the matrix build")
+  }
+
   test("text_source_overlap: distinct + equi-join only, no nested loop") {
     val p = plan("text_source_overlap")
     assert(!p.contains("BroadcastNestedLoopJoin"))
