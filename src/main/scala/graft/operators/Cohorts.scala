@@ -134,13 +134,24 @@ object Paths {
     * successor — and the whole matrix — is deterministic. The per-row
     * normalizer join is a broadcast of the |event types|-row totals.
     */
-  def markov(events: DataFrame): DataFrame = {
+  /** The (cur → next) adjacency stream the matrix aggregates: one row per
+    * consecutive event pair in each user's (ts, event_id)-ordered stream.
+    * Factored out so the streaming twin (EventStreams.transitionsEventTime)
+    * can prefix-equality-pin against the exact batch pair set.
+    */
+  def transitionPairs(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val pairs = events
+    events
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
       .withColumn("nxt", lead("event_type", 1).over(w))
+      .withColumn("nxt_id", lead("event_id", 1).over(w))
       .filter(col("nxt").isNotNull)
-    val n = pairs.groupBy(col("event_type").as("cur"), col("nxt"))
+      .select(col("user_id"), col("event_id").as("cur_id"), col("nxt_id"),
+        col("event_type").as("cur"), col("nxt"))
+  }
+
+  def markov(events: DataFrame): DataFrame = {
+    val n = transitionPairs(events).groupBy("cur", "nxt")
       .agg(count(lit(1)).as("n"))
     val tot = n.groupBy("cur").agg(sum("n").as("tot"))
     n.join(broadcast(tot), "cur")

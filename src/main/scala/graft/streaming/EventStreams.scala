@@ -489,6 +489,68 @@ object EventStreams {
       })
   }
 
+  case class TransBufState(buf: Seq[BufEv])
+  case class TransitionOut(user_id: Long, cur_id: Long, nxt_id: Long,
+                           cur: String, nxt: String)
+
+  /** Streaming twin of the Markov adjacency stream
+    * (graft.operators.Paths.transitionPairs): emits each user's
+    * consecutive (cur → next) event pair exactly once, in event-time
+    * order, robust to reordering inside the watermark delay.
+    *
+    * Finalization rule: a pair is emitted once the watermark reaches its
+    * SUCCESSOR — at that point no late row can insert between the two or
+    * tie with the successor: flatMapGroupsWithState's late-event filter
+    * drops arrivals at-or-below the watermark before they reach the
+    * operator (TransitionStreamSpec pins that boundary empirically), so
+    * settled adjacency is final. The last
+    * settled event stays in state as the tail: a future arrival with
+    * ts ≥ watermark may still become ITS successor. State per user is
+    * therefore tail + the inside-horizon pending buffer — the same bound
+    * as the sessionize twin — with `maxBuffered` keeping the EARLIEST
+    * events under spam (the contiguous prefix preserves emitted-pair
+    * adjacency; drops can only fabricate one adjacency across the
+    * dropped gap, the documented cap trade). TransitionStreamSpec pins
+    * prefix equality against the batch pair set at every micro-batch.
+    */
+  def transitionsEventTime(events: Dataset[Ev],
+                           maxBuffered: Int = 10000): Dataset[TransitionOut] = {
+    import events.sparkSession.implicits._
+    require(maxBuffered > 0, "maxBuffered must be positive")
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id).flatMapGroupsWithState(
+      OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+      (userId: Long, evs: Iterator[Ev], state: GroupState[TransBufState]) => {
+        val buf = (state.getOption.map(_.buf).getOrElse(Nil) ++
+          evs.map(e => BufEv(e.ts.getTime, e.event_id, e.event_type)))
+          .sortBy(e => (e.ms, e.id))
+        val wm = state.getCurrentWatermarkMs()
+        val nSettled = buf.count(_.ms <= wm)
+        val out = (1 until nSettled).map { i =>
+          TransitionOut(userId, buf(i - 1).id, buf(i).id,
+            buf(i - 1).tpe, buf(i).tpe)
+        }
+        // keep the last settled event (the tail) + everything pending
+        val remaining = buf.drop(math.max(nSettled - 1, 0))
+        val kept =
+          if (remaining.length <= maxBuffered) remaining
+          else remaining.take(maxBuffered)
+        if (kept.isEmpty) { if (state.exists) state.remove() }
+        else {
+          state.update(TransBufState(kept))
+          // re-finalize when the watermark reaches the earliest pending
+          // event; a tail-only state needs no trigger (nothing can
+          // finalize without a new arrival) and is one row — the
+          // |users| bound
+          val pendingMs = kept.collect { case e if e.ms > wm => e.ms }
+          if (pendingMs.nonEmpty)
+            state.setTimeoutTimestamp(math.max(pendingMs.min + 1, wm + 1))
+        }
+        out.iterator
+      })
+  }
+
   def sessions(events: Dataset[Ev], gapMinutes: Int): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     val gapMs = gapMinutes * 60000L
