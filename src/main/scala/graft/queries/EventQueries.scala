@@ -332,6 +332,23 @@ object EventQueries {
            |FROM p GROUP BY path
            |ORDER BY n_users DESC, path LIMIT 20""".stripMargin)),
 
+    // The raw adjacency stream the Markov matrix aggregates — registered
+    // on its own so the streaming twin's batch anchor
+    // (EventStreams.transitionsEventTime ≡ this, TransitionStreamSpec)
+    // is itself driver-gated. Corpus-sized output, per-user window only.
+    GraftQuery("events_transitions",
+      (s, d) => graft.operators.Paths.transitionPairs(Tables.events(s, d))
+        .orderBy("user_id", "cur_id"),
+      Some(
+        s"""WITH $evCte,
+           |pr AS (
+           |  SELECT user_id, event_id AS cur_id, event_type AS cur,
+           |    lead(event_id) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt_id,
+           |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+           |  FROM ev)
+           |SELECT user_id, cur_id, nxt_id, cur, nxt FROM pr
+           |WHERE nxt IS NOT NULL ORDER BY user_id, cur_id""".stripMargin)),
+
     // First-order Markov transition matrix: P(next event type | current),
     // successor by (ts, event_id) per user — the open-ended companion to
     // the fixed-sequence funnel. Per-user lead window, |types|²-bounded
