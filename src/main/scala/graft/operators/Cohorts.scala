@@ -159,4 +159,57 @@ object Paths {
         graft.functions.Stable.stab(
           col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
   }
+
+  /** Stationary distribution of the event-type Markov chain: the long-run
+    * fraction of time the stream spends in each event type, by `iters`
+    * rounds of power iteration pi' = normalize(pi * P) starting from the
+    * uniform distribution over observed states.
+    *
+    * Determinism contract (the k-means/BPE playbook): every probability is
+    * stab(6)-quantized, each iteration's mass products are summed as
+    * DECIMAL(28,12) (exact, order-free) and only then divided as doubles,
+    * so an oracle that unrolls the same `iters` steps computes the
+    * IDENTICAL sequence — the gate is a hash match, not a tolerance.
+    * States with no outgoing edges leak mass; the per-step renormalize
+    * redistributes it, and states never reached converge to 0 (kept as
+    * explicit rows via the left join against the state set).
+    *
+    * Scale shape: the only corpus-scale work is the transition-count
+    * aggregate inside `markov` (per-user lead window + hash agg) — run
+    * ONCE. The matrix is |event types|^2-bounded metadata, so it is
+    * collected to the driver under the k-means centroid contract
+    * (Similarity.kmeansCentroidsPrepared), and each round is LocalRelation
+    * algebra materialized by a bounded collect: lineage stays O(1) per
+    * round. Leaving the rounds lazy is NOT an option here — mass feeds
+    * both tot and pi', so the unrolled plan triples per round (3^iters
+    * nodes) and Catalyst analysis never terminates.
+    */
+  def stationary(events: DataFrame, iters: Int = 24): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // |event types|^2-bounded metadata (the centroid contract): corpus is
+    // scanned exactly once, here.
+    val mRows = markov(events).select(col("cur"), col("nxt"), col("p"))
+      .as[(String, String, Double)].collect().toSeq
+    val m = mRows.toDF("m_cur", "m_nxt", "m_p")
+    val stateNames = (mRows.map(_._1) ++ mRows.map(_._2)).distinct.sorted
+    val states = stateNames.toDF("state")
+    val k = stateNames.size.toDouble
+    var pi = states
+      .select(col("state"), graft.functions.Stable.stab(lit(1.0) / lit(k), 6).as("p"))
+    for (_ <- 1 to iters) {
+      val mass = pi.join(m, col("state") === col("m_cur"))
+        .select(col("m_nxt").as("state"),
+          (col("p") * col("m_p")).cast("decimal(28,12)").as("w"))
+        .groupBy("state").agg(sum("w").as("w"))
+      val tot = mass.agg(sum("w").cast("double").as("t"))
+      val next = states.join(mass, Seq("state"), "left").crossJoin(tot)
+        .select(col("state"), graft.functions.Stable.stab(
+          coalesce(col("w").cast("double"), lit(0.0)) / col("t"), 6).as("p"))
+      // Materialize the |event types|-row round as a LocalRelation so the
+      // next round's plan starts from scratch (O(1) lineage per round).
+      pi = next.as[(String, Double)].collect().toSeq.toDF("state", "p")
+    }
+    pi
+  }
 }

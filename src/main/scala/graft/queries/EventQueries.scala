@@ -23,6 +23,51 @@ object EventQueries {
       |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value, props
       |  FROM events)""".stripMargin
 
+  /** Unrolled power-iteration oracle for `events_stationary`: the same
+    * fixed `iters` rounds as Paths.stationary, every probability stab(6)'d,
+    * every mass sum in DECIMAL(28,12) so the sequence is order-free and
+    * bit-identical across engines (all divisions happen in DOUBLE on both
+    * sides — DuckDB literals are DECIMAL, hence the explicit casts).
+    * Every step CTE is MATERIALIZED: DuckDB inlines plain CTEs, and since
+    * step i references step i-1 twice (the mass join and the renormalizer
+    * subquery) inlining doubles the expression tree per step — 2^iters
+    * parquet scans (the same blowup the operator avoids with its per-round
+    * LocalRelation collect).
+    */
+  private def stationaryOracle(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      val prev = s"p${i - 1}"
+      s"""w$i AS MATERIALIZED (
+         |  SELECT m.nxt AS state, sum(CAST($prev.p * m.p AS DECIMAL(28,12))) AS w
+         |  FROM $prev JOIN m ON $prev.state = m.cur GROUP BY 1),
+         |p$i AS MATERIALIZED (
+         |  SELECT st.state,
+         |    floor(CAST(COALESCE(w$i.w, 0) AS DOUBLE)
+         |          / CAST((SELECT sum(w) FROM w$i) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p
+         |  FROM st LEFT JOIN w$i USING (state))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $evCte,
+       |pr AS (
+       |  SELECT event_type AS cur,
+       |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+       |  FROM ev),
+       |n AS (
+       |  SELECT cur, nxt, CAST(count(*) AS BIGINT) AS n
+       |  FROM pr WHERE nxt IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT cur, CAST(sum(n) AS BIGINT) AS tot FROM n GROUP BY cur),
+       |m AS MATERIALIZED (
+       |  SELECT n.cur, n.nxt,
+       |    floor(CAST(n.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM n JOIN t USING (cur)),
+       |st AS MATERIALIZED (SELECT cur AS state FROM m UNION SELECT nxt AS state FROM m),
+       |p0 AS MATERIALIZED (
+       |  SELECT state,
+       |    floor(CAST(1.0 AS DOUBLE) / CAST((SELECT count(*) FROM st) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p
+       |  FROM st),
+       |$steps
+       |SELECT state, p FROM p$iters ORDER BY state""".stripMargin
+  }
+
   def all: Seq[GraftQuery] = Seq(
 
     // Tumbling 1-hour event-time window aggregate.
@@ -369,6 +414,18 @@ object EventQueries {
            |SELECT n.cur, n.nxt, n.n,
            |  floor(CAST(n.n AS DOUBLE) / CAST(t.tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS p
            |FROM n JOIN t USING (cur) ORDER BY cur, nxt""".stripMargin)),
+
+    // Stationary distribution of the event-type Markov chain — 24 unrolled
+    // power-iteration rounds over the stab(6)-quantized matrix (24 because
+    // the slowest observed mixing rate ~0.63 needs ~20 rounds for 1e-4
+    // accuracy), mass sums as DECIMAL(28,12) (exact, order-free) so the
+    // oracle's identical unroll hash-matches step for step (the k-means
+    // fixed-round discipline). The oracle CTE chain below is generated by
+    // the same loop count as the operator's `iters`.
+    GraftQuery("events_stationary",
+      (s, d) => graft.operators.Paths.stationary(Tables.events(s, d))
+        .orderBy("state"),
+      Some(stationaryOracle(24))),
 
     GraftQuery("events_retention",
       (s, d) => graft.operators.Retention.matrix(Tables.events(s, d), 7)

@@ -82,4 +82,42 @@ class EngagementSpec extends AnyFunSuite {
       assert(math.abs(m.values.map(_._2).sum - 1.0) < 1e-9)
     }
   }
+
+  test("stationary: converges to the analytic fixed point, dangling mass renormalized") {
+    // matrix from the markov fixture: a->b .5, a->c .5, b->b .5, b->c .5;
+    // c is dangling (no outgoing), a is never a target. Analytically the
+    // renormalized power iteration reaches (a,b,c) = (0, .5, .5) after two
+    // steps and stays there (all values exact at stab(6)).
+    val ev = Seq(
+      (10L, ts(0), 1L, "a", 0.0), (11L, ts(1), 1L, "b", 0.0),
+      (12L, ts(2), 1L, "b", 0.0), (13L, ts(3), 1L, "c", 0.0),
+      (20L, ts(0), 2L, "a", 0.0), (21L, ts(0), 2L, "c", 0.0),
+      (30L, ts(5), 3L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pi = graft.operators.Paths.stationary(ev)
+      .as[(String, Double)].collect().toMap
+    assert(pi == Map("a" -> 0.0, "b" -> 0.5, "c" -> 0.5))
+  }
+
+  test("stationary: invariants and agreement with an unquantized reference") {
+    // asymmetric chain: a->b twice, b->a once, b->c once, c->a twice.
+    // P = a:{b:1}, b:{a:.5, c:.5}, c:{a:1} — irreducible, so pi solves
+    // pi = pi P: pi(a)=pi(b)/2+pi(c), pi(b)=pi(a), pi(c)=pi(b)/2
+    // → (.4, .4, .2).
+    val ev = Seq(
+      (1L, ts(0), 1L, "a", 0.0), (2L, ts(1), 1L, "b", 0.0),
+      (3L, ts(2), 1L, "a", 0.0), (4L, ts(3), 1L, "b", 0.0),
+      (5L, ts(4), 1L, "c", 0.0), (6L, ts(5), 1L, "a", 0.0),
+      (7L, ts(0), 2L, "c", 0.0), (8L, ts(1), 2L, "a", 0.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val pi = graft.operators.Paths.stationary(ev)
+      .as[(String, Double)].collect().toMap
+    assert(pi.keySet == Set("a", "b", "c"))
+    assert(pi.values.forall(p => p >= 0.0 && p <= 1.0))
+    assert(math.abs(pi.values.sum - 1.0) < 5e-6, s"mass not conserved: $pi")
+    // 24 rounds at mixing rate ~0.63 + stab(6) drift: within 1e-4
+    assert(math.abs(pi("a") - 0.4) < 1e-4, s"pi=$pi")
+    assert(math.abs(pi("b") - 0.4) < 1e-4, s"pi=$pi")
+    assert(math.abs(pi("c") - 0.2) < 1e-4, s"pi=$pi")
+  }
 }
