@@ -29,5 +29,6 @@ object Registry {
       graft.queries.BpeQueries.all ++
       graft.queries.SemDedupQueries.all ++
       graft.queries.SelectionQueries.all ++
-      graft.queries.QualityQueries.all
+      graft.queries.QualityQueries.all ++
+      graft.queries.PiiQueries.all
 }
