@@ -45,7 +45,16 @@ object Stable {
     s"floor(($expr)*$p+0.5)/$p"
   }
 
-  /** SQL twin of `dsum`. */
+  /** SQL twin of `dsum`. The final decimal→double hop goes through VARCHAR:
+    * DuckDB's direct DECIMAL→DOUBLE cast computes (double)int128 / 10^scale
+    * — TWO rounding steps, which can land one ulp off the correctly-rounded
+    * value once the sum's integer representation exceeds 2^53 (first seen
+    * at sf1.0, where q1_agg's sum_charge ≈ 2.8e16 in units of 1e-6).
+    * Spark's Decimal.toDouble (BigDecimal.doubleValue) and DuckDB's
+    * VARCHAR→DOUBLE (strtod) are both correctly rounded single steps, so
+    * the string hop makes the twin exact at every magnitude — and is a
+    * no-op wherever the direct cast already agreed.
+    */
   def dsumSql(expr: String, scale: Int = 2): String =
-    s"CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS DOUBLE)"
+    s"CAST(CAST(sum(CAST(($expr) AS DECIMAL(18,$scale))) AS VARCHAR) AS DOUBLE)"
 }
