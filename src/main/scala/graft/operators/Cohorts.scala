@@ -131,8 +131,9 @@ object Paths {
     * partition is one user's events, never the corpus) pairs each event
     * with its successor via `lead`; everything after is hash aggregates
     * bounded by |event types|². Ties in ts break by event_id, so the
-    * successor — and the whole matrix — is deterministic. The per-row
-    * normalizer join is a broadcast of the |event types|-row totals.
+    * successor — and the whole matrix — is deterministic. The normalizer
+    * is a window over the aggregated matrix itself (per-`cur` partitions,
+    * |event types|-bounded), so the corpus is scanned exactly once.
     */
   /** The (cur → next) adjacency stream the matrix aggregates: one row per
     * consecutive event pair in each user's (ts, event_id)-ordered stream.
@@ -153,11 +154,15 @@ object Paths {
   def markov(events: DataFrame): DataFrame = {
     val n = transitionPairs(events).groupBy("cur", "nxt")
       .agg(count(lit(1)).as("n"))
-    val tot = n.groupBy("cur").agg(sum("n").as("tot"))
-    n.join(broadcast(tot), "cur")
-      .select(col("cur"), col("nxt"), col("n"),
-        graft.functions.Stable.stab(
-          col("n").cast("double") / col("tot").cast("double"), 6).as("p"))
+    // Normalizer as a window over the AGGREGATED matrix, not a second
+    // aggregate branch: a groupBy("cur") + join-back would re-derive the
+    // whole corpus scan→window→agg chain in the static plan (the two
+    // exchanges only merge if runtime reuse kicks in). The window's
+    // partitions are |event types|-bounded — metadata-sized by contract.
+    val w = Window.partitionBy("cur")
+    n.select(col("cur"), col("nxt"), col("n"),
+      graft.functions.Stable.stab(
+        col("n").cast("double") / sum("n").over(w).cast("double"), 6).as("p"))
   }
 
   /** Stationary distribution of the event-type Markov chain: the long-run

@@ -397,7 +397,8 @@ object EventQueries {
     // First-order Markov transition matrix: P(next event type | current),
     // successor by (ts, event_id) per user — the open-ended companion to
     // the fixed-sequence funnel. Per-user lead window, |types|²-bounded
-    // aggregates, broadcast normalizer.
+    // aggregates; the normalizer is a window over the aggregated matrix
+    // (one corpus pass, PlanShapeSpec-locked).
     GraftQuery("events_markov",
       (s, d) => graft.operators.Paths.markov(Tables.events(s, d))
         .orderBy("cur", "nxt"),

@@ -321,12 +321,13 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("events_markov: per-user lead window, broadcast normalizer, no nested loop") {
+  test("events_markov: ONE corpus pass — normalizer is a window over the matrix") {
     val p = opPlan(graft.operators.Paths.markov(
       graft.sources.Tables.events(spark, d)))
-    assert(p.contains("BroadcastHashJoin"), "the |types|-row normalizer must broadcast")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
+    // a groupBy+join-back normalizer re-derives the corpus scan→window→agg
+    // chain as a second plan branch; the matrix-window form scans once
+    assert("Scan parquet".r.findAllIn(p).size <= 2, "events scanned more than once")
+    assert(!p.contains("Join"), "normalizer regressed to a join-back branch")
     assert(!p.contains("Exchange rangepartitioning"), "no global sort in the matrix build")
   }
 
@@ -475,4 +476,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
     assert(!p.contains("SortAggregate"))
   }
+
+  test("text_pii family: row-local regex projections — no UDF, no join, no early exchange") {
+    // detect/redact must be pure scan→project before the gate sort: a
+    // shuffle or Scala UDF here would put per-row driver-visible work on
+    // the 100-TB scrub path
+    for (q <- Seq("text_pii_detect", "text_pii_redact")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q: regex work left codegen")
+      assert(!p.contains("Join"), s"$q: unexpected join")
+      assert(!p.contains("HashAggregate"), s"$q: unexpected aggregate")
+      // the only exchange is the gate sort's range partitioning — a hash
+      // exchange would mean a join/agg crept upstream of it
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: extra shuffle")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: single-task funnel")
+    }
+    val s = plan("text_pii_stats")
+    assert(!s.contains("ScalaUDF"))
+    assert(s.contains("HashAggregate"), "audit rollup must hash-aggregate")
+    assert(!s.contains("SortAggregate"))
+  }
+
 }
