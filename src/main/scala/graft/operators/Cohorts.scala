@@ -183,38 +183,43 @@ object Paths {
     * aggregate inside `markov` (per-user lead window + hash agg) — run
     * ONCE. The matrix is |event types|^2-bounded metadata, so it is
     * collected to the driver under the k-means centroid contract
-    * (Similarity.kmeansCentroidsPrepared), and each round is LocalRelation
-    * algebra materialized by a bounded collect: lineage stays O(1) per
-    * round. Leaving the rounds lazy is NOT an option here — mass feeds
-    * both tot and pi', so the unrolled plan triples per round (3^iters
-    * nodes) and Catalyst analysis never terminates.
+    * (Similarity.kmeansCentroidsPrepared) and the rounds run as plain
+    * driver arithmetic over it — zero Spark jobs per round. (Two rejected
+    * shapes, both measured: leaving the rounds lazy triples the unrolled
+    * plan per round — 3^iters nodes, Catalyst analysis never terminates;
+    * materializing each round as a LocalRelation job costs ~0.7 s of
+    * scheduler overhead × iters ≈ 16+ s for 5-row data.)
+    *
+    * The driver arithmetic replicates the SQL expression semantics
+    * bit-for-bit so the unrolled DuckDB oracle still hash-matches:
+    * `BigDecimal.valueOf(double)` IS Spark's double→DECIMAL cast path
+    * (shortest-decimal-string, then HALF_UP to scale 12), BigDecimal adds
+    * are the exact order-free decimal sum, `doubleValue` is the correctly
+    * rounded DECIMAL→DOUBLE cast, and stab6 is the same floor expression
+    * on the same IEEE doubles. The 3-SF hash gates verify the replication.
     */
   def stationary(events: DataFrame, iters: Int = 24): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
+    import java.math.{BigDecimal => JBig, RoundingMode}
     // |event types|^2-bounded metadata (the centroid contract): corpus is
     // scanned exactly once, here.
     val mRows = markov(events).select(col("cur"), col("nxt"), col("p"))
-      .as[(String, String, Double)].collect().toSeq
-    val m = mRows.toDF("m_cur", "m_nxt", "m_p")
-    val stateNames = (mRows.map(_._1) ++ mRows.map(_._2)).distinct.sorted
-    val states = stateNames.toDF("state")
-    val k = stateNames.size.toDouble
-    var pi = states
-      .select(col("state"), graft.functions.Stable.stab(lit(1.0) / lit(k), 6).as("p"))
+      .as[(String, String, Double)].collect()
+    val states = (mRows.map(_._1) ++ mRows.map(_._2)).distinct.sorted
+    def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val k = states.length.toDouble
+    var pi: Map[String, Double] = states.map(s => s -> stab6(1.0 / k)).toMap
     for (_ <- 1 to iters) {
-      val mass = pi.join(m, col("state") === col("m_cur"))
-        .select(col("m_nxt").as("state"),
-          (col("p") * col("m_p")).cast("decimal(28,12)").as("w"))
-        .groupBy("state").agg(sum("w").as("w"))
-      val tot = mass.agg(sum("w").cast("double").as("t"))
-      val next = states.join(mass, Seq("state"), "left").crossJoin(tot)
-        .select(col("state"), graft.functions.Stable.stab(
-          coalesce(col("w").cast("double"), lit(0.0)) / col("t"), 6).as("p"))
-      // Materialize the |event types|-row round as a LocalRelation so the
-      // next round's plan starts from scratch (O(1) lineage per round).
-      pi = next.as[(String, Double)].collect().toSeq.toDF("state", "p")
+      val mass = scala.collection.mutable.Map.empty[String, JBig]
+      for ((cur, nxt, mp) <- mRows) {
+        val w = JBig.valueOf(pi(cur) * mp).setScale(12, RoundingMode.HALF_UP)
+        mass.update(nxt, mass.getOrElse(nxt, JBig.ZERO).add(w))
+      }
+      val tot = mass.values.foldLeft(JBig.ZERO)(_.add(_)).doubleValue
+      pi = states.map(s =>
+        s -> stab6(mass.get(s).fold(0.0)(_.doubleValue) / tot)).toMap
     }
-    pi
+    states.map(s => (s, pi(s))).toSeq.toDF("state", "p")
   }
 }
