@@ -180,6 +180,37 @@ object DedupQueries {
       |  FROM shk a JOIN shk b ON a.shk = b.shk AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** Prefix-filtered twin of `jaccardTail` — same (sz, inter) interface,
+    * same pair set BY THE PREFIX-FILTER THEOREM (see Dedup.prefixKeys: for
+    * J ≥ t the globally-first common shingle sits in both docs' rare-first
+    * prefixes, and verification computes the true intersection for
+    * candidates only), mirroring the Spark tier's exact prefix bound
+    * including the epsilon-nudged ceil. Used for the zipf-corpus oracles:
+    * the plain `inter` self-join is Σ df² — ≈5×10⁸ grouped pairs at the
+    * 50k-doc zipf corpus (sf1.0), which overflows DuckDB's out-of-core
+    * hash aggregate past 96 GB; the prefix form's candidate join is ≈N.
+    * An oracle states the expected OUTPUT — it owes the plain tier's
+    * semantics, not its cost profile.
+    */
+  def jaccardPrefixTail(threshold: Double): String =
+    s"""sz AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM shk GROUP BY doc_id),
+       |dfq AS (SELECT shk, count(*) AS df FROM shk GROUP BY shk),
+       |pref AS (
+       |  SELECT doc_id, shk FROM (
+       |    SELECT s.doc_id, s.shk, z.n_sh,
+       |      row_number() OVER (PARTITION BY s.doc_id ORDER BY d.df, s.shk) AS rnk
+       |    FROM shk s JOIN dfq d ON s.shk = d.shk JOIN sz z ON s.doc_id = z.doc_id) r
+       |  WHERE rnk <= n_sh - ceil($threshold * n_sh - 1e-9) + 1),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM pref a JOIN pref b ON a.shk = b.shk AND a.doc_id < b.doc_id),
+       |inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |  FROM cand c
+       |  JOIN shk x ON c.doc_a = x.doc_id
+       |  JOIN shk y ON c.doc_b = y.doc_id AND x.shk = y.shk
+       |  GROUP BY 1, 2)""".stripMargin
+
   /** DuckDB twin of Dedup.minhashLshPairsFrom: CTE chain ending in
     * `p(doc_a, doc_b, jaccard)` — banded md5 MinHash candidates, exact
     * Jaccard >= threshold on candidates only. Same signature layout as
@@ -253,11 +284,16 @@ object DedupQueries {
        |ORDER BY doc_a, doc_b""".stripMargin
 
   /** Same Jaccard tail over the Zipf corpus's shingles (threshold 0.8 —
-    * the planted near-dup pairs sit at ≈0.97). Shared by the plain and
-    * prefix-filtered queries: identical output is the whole point.
+    * the planted near-dup pairs sit at ≈0.97). Shared by the plain,
+    * prefix-filtered, and auto-routed queries: identical output is the
+    * whole point. The oracle uses the PREFIX tail (exact by theorem) and
+    * materializes shk — five references would otherwise re-derive the
+    * corpus synthesis per reference under DuckDB's CTE inlining.
     */
   lazy val zipfJaccardOracle: String =
-    s"""WITH ${graft.sources.ZipfCorpus.shingleCte}, $shkCte, $jaccardTail
+    s"""WITH ${graft.sources.ZipfCorpus.shingleCte},
+       |${shkCte.replaceFirst("AS \\(", "AS MATERIALIZED (")},
+       |${jaccardPrefixTail(0.8)}
        |SELECT doc_a, doc_b,
        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
@@ -266,7 +302,9 @@ object DedupQueries {
 
   /** Same tail over the MUTATED corpus derivation. */
   lazy val zipfMutJaccardOracle: String =
-    s"""WITH ${graft.sources.ZipfCorpus.mutatedShingleCte}, $shkCte, $jaccardTail
+    s"""WITH ${graft.sources.ZipfCorpus.mutatedShingleCte},
+       |${shkCte.replaceFirst("AS \\(", "AS MATERIALIZED (")},
+       |${jaccardPrefixTail(0.8)}
        |SELECT doc_a, doc_b,
        |  CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
        |FROM inter JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
