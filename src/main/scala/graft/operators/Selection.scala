@@ -154,4 +154,35 @@ object Selection {
         row_number().over(Window.orderBy(desc("logw"), asc("doc_id"))).cast("long"))
       .select("rank", "doc_id", "n_grams", "logw")
   }
+
+  /** Contrastive training-pair mining over a verified candidate-pair
+    * table `pairs(doc_a, doc_b, jaccard)` (an LSH pair generator run with
+    * threshold 0): positives are pairs at or above `posT`; HARD negatives
+    * are same-bucket pairs in [negLo, negHi] — lexically overlapping but
+    * non-duplicate, exactly the negatives an embedding model learns most
+    * from — capped at the `kNeg` highest-Jaccard per anchor. The
+    * (posT, negHi) gray zone is dropped (ambiguous supervision, the
+    * standard contrastive hygiene).
+    *
+    * Scale shape: candidates are LSH-banding-bounded per anchor, so the
+    * per-(doc_a,label) rank window has bounded partitions — never a
+    * corpus-wide key. Everything upstream is the already-locked banded
+    * equi-join machinery; this stage adds one projection + one bounded
+    * window. Ties in jaccard break by doc_b, so the kept negative set is
+    * deterministic in both engines.
+    */
+  def contrastivePairs(pairs: DataFrame, posT: Double = 0.8,
+                       negLo: Double = 0.05, negHi: Double = 0.5,
+                       kNeg: Int = 5): DataFrame = {
+    val labeled = pairs
+      .withColumn("label",
+        when(col("jaccard") >= posT, lit("pos"))
+          .when(col("jaccard") >= negLo && col("jaccard") <= negHi, lit("neg")))
+      .filter(col("label").isNotNull)
+    val w = Window.partitionBy("doc_a", "label")
+      .orderBy(desc("jaccard"), asc("doc_b"))
+    labeled.withColumn("rnk", row_number().over(w))
+      .filter(col("label") === "pos" || col("rnk") <= kNeg)
+      .select("doc_a", "doc_b", "jaccard", "label")
+  }
 }

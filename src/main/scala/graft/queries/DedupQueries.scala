@@ -690,6 +690,32 @@ object DedupQueries {
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Contrastive training-pair mining (Selection.contrastivePairs) over
+    // the graded-Jaccard mutated-zipf fixture: the same 6×2-banded LSH
+    // candidate machinery run open (threshold 0), positives at ≥ 0.8 and
+    // the ≤ 5 hardest same-bucket negatives per anchor in [0.05, 0.5] —
+    // the embedding-model data miner, all bounded windows.
+    GraftQuery("text_contrastive_pairs",
+      (s, d) => graft.operators.Selection.contrastivePairs(
+        Dedup.minhashLshPairsFromSigKeys(persistedZipfMutSignatures(s, d),
+          persistedZipfMutShingleKeys(s, d), 6, 2, 0.0))
+        .orderBy("doc_a", "label", "doc_b"),
+      Some(
+        s"""WITH ${lshPairCtes(6, 2, 0.0, graft.sources.ZipfCorpus.mutatedShingleCte)},
+           |lab AS (
+           |  SELECT doc_a, doc_b, jaccard,
+           |    CASE WHEN jaccard >= 0.8 THEN 'pos'
+           |         WHEN jaccard >= 0.05 AND jaccard <= 0.5 THEN 'neg' END AS label
+           |  FROM p),
+           |r AS (
+           |  SELECT doc_a, doc_b, jaccard, label,
+           |    row_number() OVER (PARTITION BY doc_a, label
+           |                       ORDER BY jaccard DESC, doc_b) AS rnk
+           |  FROM lab WHERE label IS NOT NULL)
+           |SELECT doc_a, doc_b, jaccard, label FROM r
+           |WHERE label = 'pos' OR rnk <= 5
+           |ORDER BY doc_a, label, doc_b""".stripMargin)),
+
     GraftQuery("dedup_minhash_lsh",
       (s, d) => Dedup.minhashLshPairsFromSigKeys(persistedSignatures(s, d),
           persistedShingleKeys(s, d), 3, 4, 0.5)

@@ -60,4 +60,27 @@ class SelectionSpec extends AnyFunSuite {
     assert(top.map(_._1).toSeq == (1L to k).toSeq)
     assert(top.sortBy(_._1).map(_._2).toSeq == full.toSeq)
   }
+
+  test("contrastivePairs: labels, gray-zone drop, hardest-k negative cap, tie determinism") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 10L, 0.90), // pos
+      (1L, 11L, 0.85), // pos (positives are never capped)
+      (1L, 12L, 0.60), // gray zone — dropped
+      (1L, 20L, 0.50), (1L, 21L, 0.40), (1L, 22L, 0.30),
+      (1L, 23L, 0.20), (1L, 24L, 0.10), (1L, 25L, 0.05), // 6 negs → top 5 kept
+      (1L, 26L, 0.04), // below floor — dropped
+      (2L, 30L, 0.30), (2L, 31L, 0.30)) // tie → doc_b ascending decides rank
+      .toDF("doc_a", "doc_b", "jaccard")
+    val r = Selection.contrastivePairs(pairs)
+      .as[(Long, Long, Double, String)].collect()
+    val byA = r.groupBy(_._1)
+    assert(byA(1L).count(_._4 == "pos") == 2)
+    val negs1 = byA(1L).filter(_._4 == "neg").map(_._2).sorted
+    assert(negs1.toSeq == Seq(20L, 21L, 22L, 23L, 24L), s"negs=$negs1")
+    assert(!r.exists(t => t._2 == 12L || t._2 == 26L))
+    // a tie inside the cap keeps both, deterministically
+    assert(byA(2L).map(_._2).sorted.toSeq == Seq(30L, 31L))
+    assert(r.forall(t => t._4 == "pos" || (t._3 >= 0.05 && t._3 <= 0.5)))
+  }
 }
