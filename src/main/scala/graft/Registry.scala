@@ -30,5 +30,7 @@ object Registry {
       graft.queries.SemDedupQueries.all ++
       graft.queries.SelectionQueries.all ++
       graft.queries.QualityQueries.all ++
-      graft.queries.PiiQueries.all
+      graft.queries.PiiQueries.all ++
+      graft.queries.PcaQueries.all ++
+      graft.queries.ClassifierQueries.all
 }
