@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** A trained linear quality scorer for the corpus — the model-based stage
+  * every large pretraining pipeline runs after the rule batteries
+  * (GPT-3's WebText-vs-CommonCrawl LR filter, CCNet's fasttext scorer,
+  * LLaMA's Wikipedia-reference classifier): cheap surface features, a
+  * linear model, a smooth rankable score instead of a hard keep bit.
+  *
+  * Here the training labels DISTILL the Gopher rule battery
+  * (QualityRules.gopherQuality's `keep`): the rules are the supervisor,
+  * the model learns a soft margin over the same surface signals — so the
+  * whole pipeline (features → labels → moments → gradient rounds →
+  * score) is derivable from the corpus bytes alone, and the DuckDB twin
+  * re-trains it exactly.
+  *
+  * Determinism contract (the events_stationary discipline, minus libm):
+  * the link is the RATIONAL sigmoid p = 0.5 + (0.5·z)/(1+|z|) — add,
+  * multiply, divide, abs are all correctly-rounded IEEE ops both engines
+  * execute bit-identically, so unlike exp() there is NO cross-engine ulp
+  * hazard anywhere in training. Every corpus sum is a Stable.fixMean
+  * (exact order-free scale-8 int64), every derived scalar is stab(6)'d,
+  * and the weight recurrence w ← stab6(w − lr·g) runs over identical
+  * doubles in both engines — the gate is a hash match on the weights
+  * themselves.
+  *
+  * Scale shape: ONE tokenize pass builds the per-doc feature table
+  * (hash aggregate, map-side partials), localCheckpoint'd; then one
+  * moments aggregate and `iters` gradient aggregates run over that
+  * |docs|-row, 6-column table — each round a single 5-value-bounded
+  * reduction (the MLlib full-batch GD shape; at 100 TB the feature table
+  * is what you'd persist, and rounds cost one columnar scan each). The
+  * driver holds 5 weights; nothing corpus-sized is ever collected.
+  */
+object QualityClassifier {
+
+  /** Means, stds (zero-variance features pinned to std=1, so their
+    * centered value 0 stays 0), and the trained weights
+    * [bias, len_sat, mean_wlen, alpha_frac, stop_density].
+    */
+  final case class Model(means: Array[Double], stds: Array[Double], w: Array[Double])
+
+  val FeatureNames: Seq[String] =
+    Seq("bias", "len_sat", "mean_wlen", "alpha_frac", "stop_density")
+
+  private def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+  /** Per-doc raw features + label from the Gopher signal aggregate:
+    * x1 saturating length n/(n+100), x2 mean word length /10,
+    * x3 alphabetic fraction, x4 stopword density ×10 — all stab(6)'d
+    * into the same O(1) range; y = the rule battery's keep bit.
+    */
+  def features(docs: DataFrame): DataFrame = {
+    val g = QualityRules.gopherQuality(docs)
+    val nw = col("n_words").cast("double")
+    g.select(col("doc_id"),
+      Stable.stab(nw / (nw + lit(100.0)), 6).as("x1"),
+      Stable.stab(col("mean_wlen") / lit(10.0), 6).as("x2"),
+      Stable.stab(col("alpha_frac"), 6).as("x3"),
+      Stable.stab(lit(10.0) * col("n_stop").cast("double") / nw, 6).as("x4"),
+      when(col("keep"), 1.0).otherwise(0.0).as("y"),
+      col("keep"))
+  }
+
+  /** Feature moments in ONE aggregate: stab'd fixed-point means of x and
+    * x², std = stab6(√max(E[x²]−m², 0)) with the zero-variance guard.
+    */
+  def moments(feats: DataFrame): (Array[Double], Array[Double]) = {
+    val n = count(lit(1))
+    val aggs = (1 to 4).flatMap { j =>
+      Seq(Stable.fixMean(col(s"x$j"), n).as(s"m$j"),
+        Stable.fixMean(col(s"x$j") * col(s"x$j"), n).as(s"q$j"))
+    }
+    val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val means = Array.tabulate(4)(j => r.getDouble(2 * j))
+    val stds = Array.tabulate(4) { j =>
+      val v = stab6(math.sqrt(math.max(r.getDouble(2 * j + 1) - means(j) * means(j), 0.0)))
+      if (v == 0.0) 1.0 else v
+    }
+    (means, stds)
+  }
+
+  /** Row-local z-scoring against plan-literal moments. */
+  def standardized(feats: DataFrame, means: Array[Double], stds: Array[Double]): DataFrame = {
+    val cols = (1 to 4).map(j =>
+      Stable.stab((col(s"x$j") - lit(means(j - 1))) / lit(stds(j - 1)), 6).as(s"s$j"))
+    feats.select(col("doc_id") +: cols :+ col("y") :+ col("keep"): _*)
+  }
+
+  /** The margin w·s with the left-to-right fold both engines share. */
+  private def margin(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("s1") + lit(w(2)) * col("s2") +
+      lit(w(3)) * col("s3") + lit(w(4)) * col("s4")
+
+  /** Rational-sigmoid probability of the margin, stab(6)'d. */
+  private def prob(z: Column): Column =
+    Stable.stab(lit(0.5) + (lit(0.5) * z) / (lit(1.0) + abs(z)), 6)
+
+  /** Full-batch gradient descent: `iters` rounds of
+    * w ← stab6(w − lr·stab6(mean((p−y)·s))) over the checkpointed
+    * standardized features — one 5-value aggregate per round.
+    */
+  def train(docs: DataFrame, lr: Double = 0.5, iters: Int = 24): Model = {
+    val f = features(docs).localCheckpoint() // one tokenize pass, reused by every round
+    val (means, stds) = moments(f)
+    val s = standardized(f, means, stds)
+    var w = Array.fill(5)(0.0)
+    for (_ <- 1 to iters) {
+      val r = prob(margin(w)) - col("y")
+      val n = count(lit(1))
+      val g = s.agg(
+        Stable.fixMean(r, n).as("g0"),
+        Stable.fixMean(r * col("s1"), n).as("g1"),
+        Stable.fixMean(r * col("s2"), n).as("g2"),
+        Stable.fixMean(r * col("s3"), n).as("g3"),
+        Stable.fixMean(r * col("s4"), n).as("g4")).collect()(0)
+      w = Array.tabulate(5)(j => stab6(w(j) - lr * g.getDouble(j)))
+    }
+    Model(means, stds, w)
+  }
+
+  /** Per-doc soft quality score under a fitted model (row-local,
+    * plan-literal weights) alongside the rule battery's hard keep bit.
+    */
+  def score(docs: DataFrame, m: Model): DataFrame =
+    standardized(features(docs), m.means, m.stds)
+      .select(col("doc_id"), prob(margin(m.w)).as("score"), col("keep"))
+
+  /** One-row confusion card of score ≥ 0.5 against the distilled rule
+    * labels — the agreement number that says whether the soft scorer can
+    * stand in for the battery.
+    */
+  def evaluate(scored: DataFrame): DataFrame = {
+    val pred = col("score") >= 0.5
+    scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(pred && col("keep"), 1L).otherwise(0L)).as("tp"),
+      sum(when(pred && !col("keep"), 1L).otherwise(0L)).as("fp"),
+      sum(when(!pred && col("keep"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!pred && !col("keep"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+        ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
+  }
+
+  /** The model card as rows: (feature, mean, std, weight) — bias carries
+    * the identity moments.
+    */
+  def modelDf(spark: SparkSession, m: Model): DataFrame = {
+    import spark.implicits._
+    FeatureNames.zipWithIndex.map { case (name, j) =>
+      if (j == 0) (name, 0.0, 1.0, m.w(0))
+      else (name, m.means(j - 1), m.stds(j - 1), m.w(j))
+    }.toDF("feature", "mean", "std", "weight")
+  }
+}
