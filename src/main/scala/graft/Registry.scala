@@ -32,5 +32,6 @@ object Registry {
       graft.queries.QualityQueries.all ++
       graft.queries.PiiQueries.all ++
       graft.queries.PcaQueries.all ++
-      graft.queries.ClassifierQueries.all
+      graft.queries.ClassifierQueries.all ++
+      graft.queries.QuantizeQueries.all
 }
