@@ -33,5 +33,6 @@ object Registry {
       graft.queries.PiiQueries.all ++
       graft.queries.PcaQueries.all ++
       graft.queries.ClassifierQueries.all ++
-      graft.queries.QuantizeQueries.all
+      graft.queries.QuantizeQueries.all ++
+      graft.queries.RpQueries.all
 }
