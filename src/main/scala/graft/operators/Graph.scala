@@ -143,4 +143,46 @@ object Graph {
     }
     pr
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) for community
+    * detection — a DIFFERENT partition than connected components: LPA
+    * groups by edge density (a sparse bridge between two dense blobs
+    * keeps them separate communities; components would merge them).
+    *
+    * Made deterministic and hence hash-gatable (the published algorithm
+    * breaks ties randomly and updates asynchronously): fixed `iters`
+    * SYNCHRONOUS rounds, each node adopting its neighbors' modal label
+    * with ties to the SMALLEST label — the modal pick is one
+    * `min(struct(−count, label))` aggregate (the gopherRepetition move),
+    * so per-node state through the shuffle is one struct, never the
+    * label histogram. Isolated nodes keep their own label.
+    *
+    * Per round: one equi-join of the checkpointed neighbor table to the
+    * labels, two hash aggregates, one left join back — linear in edges,
+    * no collect, localCheckpoint per round to cut the lineage (the
+    * Dedup.clusters discipline). Neighbors are the undirected SIMPLE
+    * graph (self-loops dropped, parallel edges collapsed), so the mode
+    * is over distinct neighbors.
+    */
+  def labelPropagation(docs: DataFrame, edges: DataFrame, iters: Int = 6): DataFrame = {
+    val nodes = docs.select(col("doc_id").as("v"))
+    val und = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b")).distinct()
+    val nbrs = und.select(col("a").as("v"), col("b").as("u"))
+      .union(und.select(col("b").as("v"), col("a").as("u")))
+      .localCheckpoint() // reused by every round
+    var lab = nodes.select(col("v"), col("v").as("lab")).localCheckpoint()
+    for (_ <- 1 to iters) {
+      val cnt = nbrs.join(lab.withColumnRenamed("v", "u").withColumnRenamed("lab", "ulab"), "u")
+        .groupBy(col("v"), col("ulab")).agg(count(lit(1)).as("c"))
+      val pick = cnt.groupBy("v")
+        .agg(min(struct((-col("c")).as("nc"), col("ulab").as("l"))).as("m"))
+        .select(col("v"), col("m.l").as("plab"))
+      lab = lab.join(pick, Seq("v"), "left")
+        .select(col("v"), coalesce(col("plab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    lab.select(col("v").as("doc_id"), col("lab").as("label"))
+  }
 }

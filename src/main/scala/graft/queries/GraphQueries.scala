@@ -87,6 +87,46 @@ object GraphQueries {
            |SELECT node AS doc_id, min(label) AS component
            |FROM lbl GROUP BY node ORDER BY doc_id""".stripMargin)),
 
+    // Synchronous label-propagation communities over the block-local
+    // graph — 6 deterministic rounds (modal neighbor label, ties to the
+    // smallest; see Graph.labelPropagation on how the published
+    // random-tie/async algorithm is made hash-gatable). The oracle
+    // unrolls the rounds; each round's modal pick is the same
+    // (count DESC, label ASC) rule as the Spark min(struct) aggregate.
+    GraftQuery("graph_labelprop",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        Graph.labelPropagation(docs, Graph.blockEdges(docs), 6)
+          .orderBy("doc_id")
+      },
+      Some {
+        val rounds = (1 to 6).map { r =>
+          s"""c$r AS (
+             |  SELECT nb.v, l.lab, count(*) AS c
+             |  FROM nb JOIN l${r - 1} l ON l.v = nb.u GROUP BY nb.v, l.lab),
+             |k$r AS (
+             |  SELECT v, lab FROM (
+             |    SELECT v, lab, row_number() OVER (PARTITION BY v ORDER BY c DESC, lab ASC) AS rn
+             |    FROM c$r) WHERE rn = 1),
+             |l$r AS MATERIALIZED (
+             |  SELECT l.v, COALESCE(k.lab, l.lab) AS lab
+             |  FROM l${r - 1} l LEFT JOIN k$r k ON k.v = l.v)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH eb AS (
+           |  SELECT d.doc_id AS src,
+           |    d.doc_id - d.doc_id % 10 +
+           |      CAST(CONCAT('0x', substr(md5('b:' || CAST(d.doc_id AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 12)) AS BIGINT) % 10 AS dst
+           |  FROM documents d, range(0, 2) t(j)),
+           |p AS (
+           |  SELECT DISTINCT least(src, dst) AS doc_a, greatest(src, dst) AS doc_b
+           |  FROM eb WHERE src <> dst),
+           |nb AS (SELECT doc_a AS v, doc_b AS u FROM p
+           |       UNION ALL SELECT doc_b AS v, doc_a AS u FROM p),
+           |l0 AS (SELECT doc_id AS v, doc_id AS lab FROM documents),
+           |$rounds
+           |SELECT v AS doc_id, lab AS label FROM l6 ORDER BY doc_id""".stripMargin
+      }),
+
     // Exact triangle count (ordered-wedge join, integer arithmetic — no
     // numeric stabilization anywhere in the gate).
     GraftQuery("graph_triangles",

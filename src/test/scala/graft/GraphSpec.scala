@@ -99,4 +99,27 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().sortBy(_._1)
     assert(a.sameElements(b))
   }
+
+  test("labelPropagation: labels stay in-component, refine components, deterministic") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val edges = Graph.blockEdges(docs)
+    val lpa = Graph.labelPropagation(docs, edges, 6)
+    // block-local edges ⇒ components ⊆ blocks ⇒ every LPA label (always
+    // a node id reachable through edges) stays inside the node's block
+    val crossBlock = lpa.filter(expr("label DIV 10 <> doc_id DIV 10")).count()
+    assert(crossBlock == 0L, "a label escaped its block — labels crossed an edge cut")
+    // LPA never merges components, so it yields at least as many groups
+    val pairs = edges.filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("doc_a"),
+        greatest(col("src"), col("dst")).as("doc_b")).distinct()
+    val nComponents = graft.operators.Dedup.clusters(pairs)
+      .select("keep_id").distinct().count()
+    val nCommunities = lpa.select("label").distinct().count()
+    assert(nCommunities >= nComponents,
+      s"$nCommunities communities < $nComponents components")
+    // fixed-round synchronous LPA is run-to-run deterministic
+    val again = Graph.labelPropagation(docs, edges, 6)
+    assert(lpa.exceptAll(again).count() == 0L && again.exceptAll(lpa).count() == 0L)
+  }
 }
