@@ -16,7 +16,11 @@ import graft.functions.TimeOps
   */
 object Sessionize {
 
-  def sessions(events: DataFrame, gapMinutes: Int): DataFrame = {
+  /** Every event with its gap-session id attached — the pre-rollup
+    * projection `sessions` aggregates and session-scoped analytics
+    * (Affinity.cooccurPmi) consume directly.
+    */
+  def eventSessions(events: DataFrame, gapMinutes: Int): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     val gapMs = gapMinutes * 60000L
     val ms = TimeOps.epochMs(col("ts")) // NTZ-safe: parquet ts may read as TIMESTAMP_NTZ
@@ -24,8 +28,11 @@ object Sessionize {
       .withColumn("new_s",
         when(ms - lag(ms, 1).over(byUser) <= gapMs, 0L).otherwise(1L))
       .withColumn("session_id", sum("new_s").over(byUser))
+  }
+
+  def sessions(events: DataFrame, gapMinutes: Int): DataFrame =
+    eventSessions(events, gapMinutes)
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         min("ts").as("session_start"), max("ts").as("session_end"))
-  }
 }

@@ -518,7 +518,42 @@ object EventQueries {
            |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
            |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
            |       WHERE e.event_type = 'purchase' GROUP BY 1)
-           |SELECT user_id, t AS t_last FROM s4 ORDER BY user_id""".stripMargin))
+           |SELECT user_id, t AS t_last FROM s4 ORDER BY user_id""".stripMargin)),
+
+    // Session-scoped co-occurrence PMI over event types — the
+    // related-items affinity statistic (Affinity.cooccurPmi): session
+    // incidence via the same gap sessionizer as events_sessionize, pairs
+    // by a session-keyed self-join (≤ |types|² per session), PMI
+    // stab(6)'d over the exact incidence counts.
+    GraftQuery("events_cooccur_pmi",
+      (s, d) => graft.operators.Affinity.cooccurPmi(Tables.events(s, d), 30)
+        .orderBy("type_a", "type_b"),
+      Some(
+        s"""WITH $evCte,
+           |e AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER
+           |           (PARTITION BY user_id ORDER BY ts, event_id) <= 1800000
+           |         THEN 0 ELSE 1 END AS new_s
+           |  FROM ev),
+           |st AS MATERIALIZED (
+           |  SELECT DISTINCT user_id, session_id, event_type FROM (
+           |    SELECT user_id, event_type,
+           |      CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT) AS session_id
+           |    FROM e)),
+           |ns AS (SELECT count(*) AS n FROM (SELECT DISTINCT user_id, session_id FROM st)),
+           |sg AS (SELECT event_type, count(*) AS n FROM st GROUP BY event_type),
+           |pr AS (
+           |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_ab
+           |  FROM st a JOIN st b ON a.user_id = b.user_id AND a.session_id = b.session_id
+           |    AND a.event_type < b.event_type
+           |  GROUP BY 1, 2)
+           |SELECT pr.type_a, pr.type_b, pr.n_ab, na.n AS n_a, nb.n AS n_b,
+           |  floor(ln((CAST(pr.n_ab AS DOUBLE) * CAST((SELECT n FROM ns) AS DOUBLE))
+           |    / (CAST(na.n AS DOUBLE) * CAST(nb.n AS DOUBLE)))*1000000.0+0.5)/1000000.0 AS pmi
+           |FROM pr JOIN sg na ON na.event_type = pr.type_a
+           |        JOIN sg nb ON nb.event_type = pr.type_b
+           |ORDER BY type_a, type_b""".stripMargin))
   )
 
   /** Sliding 2h/1h window via explicit window-start enumeration: event at t

@@ -120,4 +120,25 @@ class EngagementSpec extends AnyFunSuite {
     assert(math.abs(pi("b") - 0.4) < 1e-4, s"pi=$pi")
     assert(math.abs(pi("c") - 0.2) < 1e-4, s"pi=$pi")
   }
+
+  test("cooccurPmi: hand-counted incidence, signs, and the n_ab <= min bound") {
+    // one session per user (all events within the gap): sessions
+    // u1={A,B}, u2={A,B}, u3={A}, u4={B}, u5={C,D}, u6={C,D} → N=6;
+    // n_AB=2, n_A=3, n_B=3 → pmi=ln(12/9)>0; n_CD=2=n_C=n_D → ln(6/2)
+    val rows = Seq(
+      (1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"), (3L, "A"), (4L, "B"),
+      (5L, "C"), (5L, "D"), (6L, "C"), (6L, "D")
+    ).zipWithIndex.map { case ((u, t), i) =>
+      (i.toLong, ts(i % 2), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = graft.operators.Affinity.cooccurPmi(rows, 30)
+      .orderBy("type_a", "type_b")
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2, r._3, r._4, r._5)) ==
+      Seq(("A", "B", 2L, 3L, 3L), ("C", "D", 2L, 2L, 2L)))
+    val pmi = out.map(r => ((r._1, r._2), r._6)).toMap
+    assert(math.abs(pmi(("A", "B")) - math.log(12.0 / 9.0)) < 1e-5)
+    assert(math.abs(pmi(("C", "D")) - math.log(3.0)) < 1e-5)
+    assert(out.forall(r => r._3 <= math.min(r._4, r._5)))
+  }
 }
