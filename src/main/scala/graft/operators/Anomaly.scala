@@ -49,4 +49,53 @@ object Anomaly {
       .filter(dev * dev > lit(k.toLong * k) * (col("n") * col("s2") - col("s1") * col("s1")))
       .select("event_id", "user_id", "value")
   }
+
+  /** One-sided CUSUM drift detection over per-type DAILY event counts
+    * (Page 1954) — the classic "volume shifted upward" monitor a
+    * pipeline runs on its ingest rates. The textbook recursion
+    * S_t = max(0, S_{t−1} + (x_t − μ − k·σ)) is not a plain window
+    * function, but it has the exact prefix closed form
+    *
+    *   S_t = P_t − min(0, min_{j≤t} P_j),   P_t = Σ_{i≤t} d_i
+    *
+    * (P₀ = 0), which IS two ordered windows — a running sum and a
+    * running min. Flag when S_t > h·σ.
+    *
+    * Determinism: the drift term d_t is quantized to a scale-6
+    * fixed-point LONG before the windows, so the running sum is exact
+    * integer arithmetic under ANY evaluation tree — this matters
+    * because DuckDB computes window aggregates over segment trees, not
+    * left folds, and a double running sum could differ in the last ulp
+    * from Spark's streaming frame. μ and σ come from exact integer
+    * moment sums (one division / one sqrt, identical ops both engines).
+    *
+    * Shape: a daily hash aggregate, a |types|-row moment rollup
+    * broadcast back, and two windows whose partitions are per-type DAY
+    * series — bounded by the calendar, never by corpus size.
+    */
+  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = events
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("x"))
+    val base = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("x").as("s1"),
+        sum(col("x") * col("x")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("nd")).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("nd") -
+            (col("s1").cast("double") / col("nd")) * (col("s1").cast("double") / col("nd")),
+          lit(0.0))).as("sig"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    daily.join(broadcast(base), "event_type")
+      .withColumn("dq",
+        floor(((col("x").cast("double") - col("mu")) - lit(k) * col("sig")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .withColumn("p", sum("dq").over(w))
+      .withColumn("m", least(lit(0L), min("p").over(w)))
+      .select(col("event_type"), col("day"), col("x"),
+        ((col("p") - col("m")).cast("double") / lit(1e6)).as("cusum"),
+        (((col("p") - col("m")).cast("double") / lit(1e6)) > lit(h) * col("sig")).as("flag"))
+  }
 }

@@ -520,6 +520,44 @@ object EventQueries {
            |       WHERE e.event_type = 'purchase' GROUP BY 1)
            |SELECT user_id, t AS t_last FROM s4 ORDER BY user_id""".stripMargin)),
 
+    // One-sided CUSUM drift monitor over per-type daily counts — the
+    // clamped recursion via its exact prefix-min closed form (two
+    // ordered windows), drift terms quantized to fixed-point longs so
+    // the running sum is exact under DuckDB's segment-tree window
+    // evaluation as much as Spark's streaming frame (Anomaly.cusum).
+    GraftQuery("events_cusum",
+      (s, d) => graft.operators.Anomaly.cusum(Tables.events(s, d))
+        .orderBy("event_type", "day"),
+      Some(
+        s"""WITH $evCte,
+           |daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+           |  FROM ev GROUP BY 1, 2),
+           |st AS (
+           |  SELECT event_type, count(*) AS nd, sum(x) AS s1, sum(x*x) AS s2
+           |  FROM daily GROUP BY 1),
+           |bs AS (
+           |  SELECT event_type, CAST(s1 AS DOUBLE)/nd AS mu,
+           |    sqrt(greatest(CAST(s2 AS DOUBLE)/nd
+           |      - (CAST(s1 AS DOUBLE)/nd)*(CAST(s1 AS DOUBLE)/nd), 0.0)) AS sig
+           |  FROM st),
+           |j AS (
+           |  SELECT d.event_type, d.day, d.x, b.sig,
+           |    CAST(floor(((CAST(d.x AS DOUBLE) - b.mu) - 0.5*b.sig)*1000000.0 + 0.5) AS BIGINT) AS dq
+           |  FROM daily d JOIN bs b USING (event_type)),
+           |pw AS (
+           |  SELECT event_type, day, x, sig,
+           |    sum(dq) OVER (PARTITION BY event_type ORDER BY day) AS p
+           |  FROM j),
+           |mw AS (
+           |  SELECT event_type, day, x, sig, p,
+           |    least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day)) AS m
+           |  FROM pw)
+           |SELECT event_type, day, CAST(x AS BIGINT) AS x,
+           |  CAST(p - m AS DOUBLE) / 1000000.0 AS cusum,
+           |  (CAST(p - m AS DOUBLE) / 1000000.0 > 4.0*sig) AS flag
+           |FROM mw ORDER BY event_type, day""".stripMargin)),
+
     // Session-scoped co-occurrence PMI over event types — the
     // related-items affinity statistic (Affinity.cooccurPmi): session
     // incidence via the same gap sessionizer as events_sessionize, pairs

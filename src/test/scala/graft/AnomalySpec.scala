@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.Anomaly
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Anomaly-family semantics: the prefix-min CUSUM closed form equals the
+  * textbook recursion, a planted level shift is flagged after (and only
+  * after) the shift, and the sigma rule flags exactly the planted spike.
+  */
+class AnomalySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def dayTs(day: Int) = // midnight UTC day offsets
+    new java.sql.Timestamp(1700006400000L - 1700006400000L % 86400000L + day * 86400000L)
+
+  /** counts-per-day fixture → one event row per unit of count. */
+  private def series(counts: Seq[Int], tpe: String = "view") =
+    counts.zipWithIndex.flatMap { case (c, day) =>
+      (0 until c).map(i =>
+        ((day * 1000 + i).toLong, dayTs(day), (i % 7).toLong, tpe, 1.0, "{}"))
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+
+  test("prefix-min closed form equals the textbook clamped recursion") {
+    val counts = Seq(10, 12, 8, 11, 9, 30, 31, 29, 33, 10)
+    val out = Anomaly.cusum(series(counts), k = 0.5, h = 4.0)
+      .orderBy("day").select("x", "cusum").as[(Long, Double)].collect()
+    // replicate: μ, σ from exact integer moments, then the recursion
+    val n = counts.length.toDouble
+    val s1 = counts.map(_.toLong).sum.toDouble
+    val s2 = counts.map(c => c.toLong * c).sum.toDouble
+    val mu = s1 / n
+    val sig = math.sqrt(math.max(s2 / n - (s1 / n) * (s1 / n), 0.0))
+    var s = 0.0
+    val want = counts.map { x =>
+      val dq = math.floor(((x - mu) - 0.5 * sig) * 1e6 + 0.5) / 1e6
+      s = math.max(0.0, s + dq); s
+    }
+    out.map(_._2).zip(want).foreach { case (got, w) =>
+      assert(math.abs(got - w) < 1e-9, s"closed form $got vs recursion $w")
+    }
+  }
+
+  test("a planted level shift is flagged after the shift, never before") {
+    // 20 quiet days then a sustained jump — classic drift
+    val counts = Seq.fill(20)(10) ++ Seq.fill(10)(25)
+    val out = Anomaly.cusum(series(counts), k = 0.5, h = 4.0)
+      .orderBy("day").select("flag").as[Boolean].collect()
+    assert(!out.take(20).exists(identity), "false alarm in the quiet period")
+    assert(out.drop(20).count(identity) >= 5, "sustained shift not caught")
+  }
+
+  test("sigmaOutliers flags exactly the planted spike") {
+    val ev = ((1 to 40).map(i => (i.toLong, dayTs(0), 1L, "view", 10.0 + (i % 3), "{}")) :+
+      (99L, dayTs(0), 1L, "view", 500.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = Anomaly.sigmaOutliers(ev, 3).select("event_id").as[Long].collect().toSeq
+    assert(got == Seq(99L))
+  }
+}
