@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Per-entity outlier flagging over an event stream — the 3σ rule, but
@@ -73,12 +73,15 @@ object Anomaly {
     * broadcast back, and two windows whose partitions are per-type DAY
     * series — bounded by the calendar, never by corpus size.
     */
-  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 4.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val daily = events
-      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+  def dailyCounts(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
-    val base = daily.groupBy("event_type")
+
+  /** Per-type (μ, σ) calibration from exact integer moments over the
+    * daily series — the offline step of a production CUSUM monitor.
+    */
+  def cusumBaseline(daily: DataFrame): DataFrame =
+    daily.groupBy("event_type")
       .agg(count(lit(1)).as("nd"), sum("x").as("s1"),
         sum(col("x") * col("x")).as("s2"))
       .select(col("event_type"),
@@ -87,15 +90,33 @@ object Anomaly {
           col("s2").cast("double") / col("nd") -
             (col("s1").cast("double") / col("nd")) * (col("s1").cast("double") / col("nd")),
           lit(0.0))).as("sig"))
+
+  /** The fixed-point drift term floor(((x−μ) − k·σ)·10⁶ + 0.5) — shared
+    * verbatim by the batch windows and the streaming fold, so their
+    * parity is by construction.
+    */
+  def driftQ(x: Column, mu: Column, sig: Column, k: Double): Column =
+    floor(((x.cast("double") - mu) - lit(k) * sig) * lit(1e6) + lit(0.5)).cast("long")
+
+  /** CUSUM over an already-calibrated baseline — the online half; the
+    * streaming twin (EventStreams.cusumStream) folds the same recursion
+    * over the same drift terms.
+    */
+  def cusumFrom(daily: DataFrame, base: DataFrame,
+                k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")
     daily.join(broadcast(base), "event_type")
-      .withColumn("dq",
-        floor(((col("x").cast("double") - col("mu")) - lit(k) * col("sig")) * lit(1e6) + lit(0.5))
-          .cast("long"))
+      .withColumn("dq", driftQ(col("x"), col("mu"), col("sig"), k))
       .withColumn("p", sum("dq").over(w))
       .withColumn("m", least(lit(0L), min("p").over(w)))
       .select(col("event_type"), col("day"), col("x"),
         ((col("p") - col("m")).cast("double") / lit(1e6)).as("cusum"),
         (((col("p") - col("m")).cast("double") / lit(1e6)) > lit(h) * col("sig")).as("flag"))
+  }
+
+  def cusum(events: DataFrame, k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val daily = dailyCounts(events).localCheckpoint() // reused: baseline + windows
+    cusumFrom(daily, cusumBaseline(daily), k, h)
   }
 }

@@ -180,6 +180,32 @@ object QualityRules {
       .select("source", "rk", "word", "score")
   }
 
+  /** Per-doc distinctive keywords by TF-IDF over the corpus:
+    * score(d, w) = tf(d, w) · ln(N / df(w)), top-`k` per doc (ties to
+    * the smaller word) — the keyword panel a search/data-card UI shows
+    * per document (sourceTerms' shape, per-DOC granularity). One token
+    * aggregate (localCheckpoint'd — reused for df), a word-keyed df
+    * aggregate joined back on the word, a 1-row doc count cross, and a
+    * doc-partitioned top-k window (WindowGroupLimit; partitions are
+    * per-doc word-type lists, never the token stream).
+    */
+  def docKeywords(docs: DataFrame, k: Int = 3): DataFrame = {
+    import graft.functions.Stable
+    val t = tok(docs)
+    val tf = t.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // reused: df derivation + scoring
+    val dfw = tf.groupBy("word").agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(dfw, "word").crossJoin(broadcast(nDocs))
+      .withColumn("score", Stable.stab(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("word"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .select("doc_id", "rk", "word", "score")
+  }
+
   /** Group-consistent split: every doc of a source lands in the same
     * split, decided by the source's md5 (threshold `trainHex` on the
     * first 4 hex chars ≈ the train fraction). A per-doc hash split lets

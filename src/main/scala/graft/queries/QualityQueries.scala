@@ -128,6 +128,29 @@ object QualityQueries {
     // top-5, ties to the smaller word) — the "what characterizes this
     // slice" panel of a data card. Source-partitioned top-k window over
     // word-type tables, never the token stream.
+    // Per-doc TF-IDF keywords, top-3 (ties to the smaller word) — the
+    // document-granular sibling of text_source_terms; window partitions
+    // are per-doc word-type lists, never the token stream.
+    GraftQuery("text_keywords",
+      (s, d) => QualityRules.docKeywords(Tables.documents(s, d))
+        .orderBy("doc_id", "rk"),
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+           |dft AS (SELECT word, count(*) AS df FROM tf GROUP BY word),
+           |nd AS (SELECT count(*) AS n_docs FROM documents),
+           |sc AS (
+           |  SELECT tf.doc_id, tf.word,
+           |    floor((tf * ln((SELECT n_docs FROM nd) * 1.0 / df))
+           |      * 1000000.0 + 0.5) / 1000000.0 AS score
+           |  FROM tf JOIN dft USING (word)),
+           |r AS (
+           |  SELECT doc_id, word, score,
+           |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, word) AS rk
+           |  FROM sc)
+           |SELECT doc_id, CAST(rk AS BIGINT) AS rk, word, score
+           |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin)),
+
     GraftQuery("text_source_terms",
       (s, d) => QualityRules.sourceTerms(Tables.documents(s, d))
         .orderBy("source", "rk"),

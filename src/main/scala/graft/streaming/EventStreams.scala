@@ -588,4 +588,50 @@ object EventStreams {
         }
       })
   }
+
+  case class CusumState(s: Long, lastDayMs: Long)
+  case class CusumRow(event_type: String, day_ms: Long, x: Long,
+                      cusum: Double, flag: Boolean)
+
+  /** Streaming twin of the CUSUM monitor's ONLINE half
+    * (Anomaly.cusumFrom): per-type state is ONE long — the clamped
+    * statistic itself, folded as s ← max(0, s + dq) over daily counts
+    * arriving in day order (out-of-order days within a micro-batch are
+    * sorted; a day earlier than the high-water mark is rejected loudly —
+    * a drift monitor silently folding late days would corrupt every
+    * subsequent statistic). The drift quantization floor(((x−μ)−kσ)·10⁶)
+    * is computed JVM-side with the same IEEE sequence as the in-plan
+    * Anomaly.driftQ, and the baseline (μ, σ) is the offline calibration
+    * handed in as a map — exactly how a production monitor deploys:
+    * calibrate offline, fold online. CusumStreamSpec pins prefix
+    * equality against the batch windows at every micro-batch.
+    */
+  def cusumStream(daily: DataFrame, baseline: Map[String, (Double, Double)],
+                  k: Double = 0.5, h: Double = 4.0): Dataset[CusumRow] = {
+    import daily.sparkSession.implicits._
+    daily
+      .select(col("event_type").cast("string"), col("day_ms").cast("long"),
+        col("x").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) => {
+          val (mu, sig) = baseline.getOrElse(tpe,
+            throw new IllegalArgumentException(s"no CUSUM baseline for type $tpe"))
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
+          val rows = it.toArray.sortBy(_._2)
+          val out = rows.map { case (_, dayMs, x) =>
+            require(dayMs > st.lastDayMs,
+              s"day $dayMs arrived at or before the folded high-water mark ${st.lastDayMs} for $tpe")
+            val dq = math.floor(((x.toDouble - mu) - k * sig) * 1e6 + 0.5).toLong
+            st = CusumState(math.max(0L, st.s + dq), dayMs)
+            CusumRow(tpe, dayMs, x, st.s.toDouble / 1e6, st.s.toDouble / 1e6 > h * sig)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }
