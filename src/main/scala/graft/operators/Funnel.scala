@@ -69,6 +69,43 @@ object Funnel {
     }.reduce(_.unionAll(_)).orderBy("stage")
   }
 
+  /** Per-transition conversion rate with a Wilson score interval
+    * (Wilson 1927) — the uncertainty band a growth dashboard needs
+    * before reading a small funnel step as a real change (a plain ±z√pq/n
+    * Wald band collapses/explodes near p = 0 or 1; Wilson stays inside
+    * [0, 1]). Output per transition k→k+1: (stage, step, next_step, n,
+    * n_next, rate, lo, hi), stab(6)'d doubles.
+    *
+    * Determinism: every term is add/mul/div/sqrt of correctly-rounded
+    * IEEE ops mirrored textually in the oracle; z² is computed once
+    * DRIVER-side and inlined via shortest-decimal string on both sides —
+    * DuckDB would otherwise evaluate 1.96*1.96 in exact DECIMAL, one ulp
+    * off the double product. The stats ride the stage-count table
+    * (|steps| rows), so this is metadata arithmetic on top of
+    * `conversion`'s one pass per stage.
+    */
+  def conversionCi(events: DataFrame, steps: Seq[String],
+                   z: Double = 1.96): DataFrame = {
+    import graft.functions.Stable
+    val zz = z * z
+    val conv = conversion(events, steps).localCheckpoint() // |steps| rows
+    val nxt = conv.select((col("stage") - 1).as("stage"),
+      col("step").as("next_step"), col("n_users").as("n_next"))
+    val j = conv.join(nxt, "stage")
+      .select(col("stage"), col("step"), col("next_step"),
+        col("n_users").as("n"), col("n_next"))
+      .filter(col("n") > 0)
+    val nD = col("n").cast("double")
+    val ph = col("n_next").cast("double") / nD
+    val den = lit(1.0) + lit(zz) / nD
+    val ctr = ph + lit(zz) / (lit(2.0) * nD)
+    val rad = lit(z) * sqrt(ph * (lit(1.0) - ph) / nD + lit(zz) / ((lit(4.0) * nD) * nD))
+    j.select(col("stage"), col("step"), col("next_step"), col("n"), col("n_next"),
+        Stable.stab(ph, 6).as("rate"),
+        Stable.stab((ctr - rad) / den, 6).as("lo"),
+        Stable.stab((ctr + rad) / den, 6).as("hi"))
+  }
+
   /** The users who completed the whole funnel, with each stage's
     * first-touch timestamp of the FINAL step — the cohort extraction twin
     * of `conversion`. Returns (user_id, t_last).

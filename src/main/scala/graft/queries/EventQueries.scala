@@ -277,6 +277,47 @@ object EventQueries {
            |UNION ALL SELECT 4, 'purchase', count(*) FROM s4
            |ORDER BY stage""".stripMargin)),
 
+    // Per-transition funnel conversion with a Wilson 95% score interval
+    // (Funnel.conversionCi) — z² inlined driver-side on both engines
+    // (DuckDB's DECIMAL 1.96*1.96 is an ulp off the double product).
+    GraftQuery("events_funnel_ci",
+      (s, d) => graft.operators.Funnel.conversionCi(Tables.events(s, d),
+          Seq("signup", "view", "click", "purchase"))
+        .orderBy("stage"),
+      Some {
+        val z = 1.96
+        val zz = (z * z).toString
+        val nD = "CAST(a.n AS DOUBLE)"
+        val ph = s"(CAST(b.n AS DOUBLE) / $nD)"
+        val den = s"(1.0 + $zz / $nD)"
+        val ctr = s"($ph + $zz / (2.0 * $nD))"
+        val rad = s"($z * sqrt($ph * (1.0 - $ph) / $nD + $zz / ((4.0 * $nD) * $nD)))"
+        def s6(x: String) = graft.functions.Stable.stabSql(x, 6)
+        s"""WITH $evCte,
+           |s1 AS (SELECT user_id, min(ts) AS t FROM ev WHERE event_type = 'signup' GROUP BY 1),
+           |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+           |       WHERE e.event_type = 'view' GROUP BY 1),
+           |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+           |       WHERE e.event_type = 'click' GROUP BY 1),
+           |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM ev e
+           |       JOIN s3 ON e.user_id = s3.user_id AND e.ts > s3.t
+           |       WHERE e.event_type = 'purchase' GROUP BY 1),
+           |c AS (SELECT 1 AS stage, 'signup' AS step, count(*) AS n FROM s1
+           |      UNION ALL SELECT 2, 'view', count(*) FROM s2
+           |      UNION ALL SELECT 3, 'click', count(*) FROM s3
+           |      UNION ALL SELECT 4, 'purchase', count(*) FROM s4)
+           |SELECT a.stage, a.step, b.step AS next_step,
+           |  a.n, b.n AS n_next,
+           |  ${s6(ph)} AS rate,
+           |  ${s6(s"($ctr - $rad) / $den")} AS lo,
+           |  ${s6(s"($ctr + $rad) / $den")} AS hi
+           |FROM c a JOIN c b ON b.stage = a.stage + 1
+           |WHERE a.n > 0
+           |ORDER BY a.stage""".stripMargin
+      }),
+
     // Cohort retention matrix: users bucketed by first-event day, distinct
     // actives per (cohort, day offset ≤ 7). One user-keyed min + equi-join
     // + distinct + count — no window over the event corpus

@@ -89,4 +89,30 @@ class FunnelSpec extends AnyFunSuite {
       .as[(Long, java.sql.Timestamp)].collect().toSeq
     assert(cu == Seq((1L, ts(6))))
   }
+
+  test("conversionCi: Wilson interval brackets the rate, matches the textbook numbers") {
+    import spark.implicits._
+    // 100 users sign up, exactly 50 view afterwards: p̂ = 0.5, n = 100 →
+    // the Wilson 95% interval is [0.40383, 0.59617] (textbook value)
+    val ev = ((1 to 100).map(u =>
+      (u.toLong, ts(0), u.toLong, "signup", 1.0, "{}")) ++
+      (1 to 50).map(u => (1000L + u, ts(10), u.toLong, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Funnel.conversionCi(ev, Seq("signup", "view")).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    val (n, nNext) = (r.getLong(3), r.getLong(4))
+    val (rate, lo, hi) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    assert((n, nNext) == ((100L, 50L)))
+    assert(rate == 0.5)
+    assert(lo >= 0.0 && lo <= rate && rate <= hi && hi <= 1.0)
+    assert(math.abs(lo - 0.40383) < 5e-4 && math.abs(hi - 0.59617) < 5e-4,
+      s"[$lo, $hi] vs the textbook Wilson interval")
+    // degenerate p̂ = 1 stays inside [0, 1] (the Wald band would not)
+    val all = ((1 to 20).map(u => (u.toLong, ts(0), u.toLong, "signup", 1.0, "{}")) ++
+      (1 to 20).map(u => (100L + u, ts(10), u.toLong, "view", 1.0, "{}")))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val r2 = Funnel.conversionCi(all, Seq("signup", "view")).collect()(0)
+    assert(r2.getDouble(5) == 1.0 && r2.getDouble(7) <= 1.0 && r2.getDouble(6) < 1.0)
+  }
 }
