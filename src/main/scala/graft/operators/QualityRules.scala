@@ -206,6 +206,39 @@ object QualityRules {
       .select("doc_id", "rk", "word", "score")
   }
 
+  /** Per-source distribution drift: KL(source ‖ corpus) over unigram
+    * distributions — the data-card number that says WHICH slice's
+    * language diverges from the blend (rising KL on an ingest source is
+    * the classic silent-drift symptom; DSIR uses the same quantity with
+    * the roles reversed). No smoothing is needed: the corpus
+    * distribution dominates every source (p_C(w) > 0 wherever
+    * p_s(w) > 0), so every term is finite by construction.
+    *
+    * Determinism: each term p_s·ln(p_s/p_C) is stab(6)'d, and the
+    * per-source sum over word types rides the dsum discipline (exact
+    * DECIMAL, order-free) — the wordEntropy treatment. One token
+    * aggregate (localCheckpoint'd, reused for all three rollups), a
+    * word-keyed join for corpus counts, |sources|-row output.
+    */
+  def sourceKlDrift(docs: DataFrame): DataFrame = {
+    import graft.functions.Stable
+    val t = docs.select(col("source"),
+        explode(TextOps.splitWords(lower(col("text")))).as("word"))
+      .filter(TextOps.isKeptToken(col("word")))
+    val tf = t.groupBy("source", "word").agg(count(lit(1)).as("c"))
+      .localCheckpoint() // reused: per-source totals, corpus counts, terms
+    val ns = tf.groupBy("source").agg(sum("c").as("n_s"))
+    val cw = tf.groupBy("word").agg(sum("c").as("c_w"))
+    val nc = tf.agg(sum("c").as("n_c"))
+    val ps = col("c").cast("double") / col("n_s").cast("double")
+    val pc = col("c_w").cast("double") / col("n_c").cast("double")
+    tf.join(broadcast(ns), "source").join(cw, "word").crossJoin(broadcast(nc))
+      .withColumn("term", Stable.stab(ps * log(ps / pc), 6))
+      .groupBy(col("source"), col("n_s").as("n_tokens"))
+      .agg(Stable.dsum(col("term"), 6).as("kl"))
+      .select("source", "n_tokens", "kl")
+  }
+
   /** Group-consistent split: every doc of a source lands in the same
     * split, decided by the source's md5 (threshold `trainHex` on the
     * first 4 hex chars ≈ the train fraction). A per-doc hash split lets

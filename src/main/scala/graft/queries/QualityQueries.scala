@@ -128,6 +128,32 @@ object QualityQueries {
     // top-5, ties to the smaller word) — the "what characterizes this
     // slice" panel of a data card. Source-partitioned top-k window over
     // word-type tables, never the token stream.
+    // Per-source KL(source ‖ corpus) unigram drift — the "which slice
+    // diverges from the blend" data-card number; finite without
+    // smoothing because the corpus dominates every source.
+    GraftQuery("text_kl_drift",
+      (s, d) => QualityRules.sourceKlDrift(Tables.documents(s, d))
+        .orderBy("source"),
+      Some(
+        """WITH tok2 AS (
+          |  SELECT source, w AS word FROM documents,
+          |    unnest(regexp_split_to_array(lower(text), '\s+')) t(w)
+          |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$')),
+          |tf AS (SELECT source, word, count(*) AS c FROM tok2 GROUP BY 1, 2),
+          |ns AS (SELECT source, sum(c) AS n_s FROM tf GROUP BY 1),
+          |cw AS (SELECT word, sum(c) AS c_w FROM tf GROUP BY 1),
+          |nc AS (SELECT sum(c) AS n_c FROM tf),
+          |tm AS (
+          |  SELECT tf.source, CAST(ns.n_s AS BIGINT) AS n_tokens,
+          |    floor((CAST(tf.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+          |      * ln((CAST(tf.c AS DOUBLE) / CAST(ns.n_s AS DOUBLE))
+          |        / (CAST(cw.c_w AS DOUBLE) / CAST((SELECT n_c FROM nc) AS DOUBLE)))
+          |      * 1000000.0 + 0.5) / 1000000.0 AS term
+          |  FROM tf JOIN ns USING (source) JOIN cw USING (word))
+          |SELECT source, n_tokens,
+          |  CAST(CAST(sum(CAST(term AS DECIMAL(18,6))) AS VARCHAR) AS DOUBLE) AS kl
+          |FROM tm GROUP BY source, n_tokens ORDER BY source""".stripMargin)),
+
     // Per-doc TF-IDF keywords, top-3 (ties to the smaller word) — the
     // document-granular sibling of text_source_terms; window partitions
     // are per-doc word-type lists, never the token stream.

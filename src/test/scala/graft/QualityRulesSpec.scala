@@ -105,4 +105,38 @@ class QualityRulesSpec extends AnyFunSuite {
     // and the split is stable across invocations (pure hash, no RNG)
     assert(QualityRules.splitBySource(d).exceptAll(s).count() == 0)
   }
+
+  test("sourceKlDrift: zero for identical slices, positive for a skewed one, Gibbs bound") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", "en", "same1", 0),
+      (2L, "alpha beta gamma alpha beta", "en", "same2", 0),
+      (3L, "zeta zeta zeta zeta zeta", "en", "skewed", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kl = QualityRules.sourceKlDrift(docs).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // a slice with the blend's own distribution still has kl > 0 when
+    // OTHER slices pull the corpus away; but two identical slices share
+    // the same value, and every kl obeys Gibbs (≥ 0 up to stab noise)
+    assert(kl("same1") == kl("same2"))
+    assert(kl.values.forall(_ >= -1e-5), s"Gibbs violated: $kl")
+    assert(kl("skewed") > kl("same1"),
+      "the disjoint-vocabulary slice must diverge more than the majority slices")
+    // single-source corpus: the slice IS the corpus → exactly 0
+    val one = QualityRules.sourceKlDrift(
+      docs.filter($"source" === "same1")).collect()
+    assert(one.length == 1 && math.abs(one(0).getDouble(2)) < 1e-9)
+  }
+
+  test("docKeywords: the planted distinctive term ranks first for its doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common words here plus xylophone xylophone", "en", "s", 0),
+      (2L, "common words here plus another thing", "en", "s", 0),
+      (3L, "common words here plus more filler", "en", "s", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val top = QualityRules.docKeywords(docs, 1).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(top(1L) == "xylophone", s"got $top")
+  }
 }
