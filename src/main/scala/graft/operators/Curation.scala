@@ -406,4 +406,30 @@ object Curation {
       .orderBy(col("skey"), col("doc_id"))
       .limit(k)
   }
+
+  /** Snapshot diff card between two corpus versions — the dataset-
+    * versioning rollup (added / removed / changed / unchanged with doc
+    * and byte deltas) a pipeline logs per release so a silent 30%-drop
+    * regression can't ship. Change detection compares md5 fingerprints,
+    * not raw bytes, through the comparator (at 100 TB you join the
+    * PERSISTED per-doc fingerprint tables of each snapshot instead of
+    * the text columns; the shape — one full outer equi-join on doc_id +
+    * a 4-row rollup — is the same). Integer-exact: counts and length
+    * sums only, no stabilizer anywhere.
+    */
+  def snapshotDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val o = oldDocs.select(col("doc_id"), col("text").as("ot"))
+    val n = newDocs.select(col("doc_id"), col("text").as("nt"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .select(
+        when(col("ot").isNull, "added")
+          .when(col("nt").isNull, "removed")
+          .when(md5(col("ot")) =!= md5(col("nt")), "changed")
+          .otherwise("unchanged").as("change"),
+        coalesce(length(col("ot")), lit(0)).as("c_old"),
+        coalesce(length(col("nt")), lit(0)).as("c_new"))
+      .groupBy("change")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("c_old").as("chars_old"), sum("c_new").as("chars_new"))
+  }
 }

@@ -973,6 +973,41 @@ object TextAnalysisQueries {
            |  min(q_micro) AS q_lo, max(q_micro) AS q_hi
            |FROM dd GROUP BY decile ORDER BY decile""".stripMargin)),
 
+    // Snapshot diff card between two corpus versions (derived in-plan:
+    // old = docs without the %10==0 slice, with the %10==5 slice's text
+    // carrying an OLD-marker prefix; new = docs without the %10==9
+    // slice) — added/removed/changed/unchanged with doc + byte deltas,
+    // one full outer equi-join + a 4-row rollup, integer-exact
+    // (Curation.snapshotDiff).
+    GraftQuery("text_snapshot_diff",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        val old = docs.filter(col("doc_id") % 10 =!= 0)
+          .withColumn("text", when(col("doc_id") % 10 === 5,
+            concat(lit("OLD "), col("text"))).otherwise(col("text")))
+        val nw = docs.filter(col("doc_id") % 10 =!= 9)
+        graft.operators.Curation.snapshotDiff(old, nw).orderBy("change")
+      },
+      Some(
+        """WITH o AS (
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id % 10 = 5 THEN 'OLD ' || text ELSE text END AS ot
+          |  FROM documents WHERE doc_id % 10 <> 0),
+          |n AS (SELECT doc_id, text AS nt FROM documents WHERE doc_id % 10 <> 9),
+          |j AS (SELECT o.ot, n.nt FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id),
+          |c AS (
+          |  SELECT CASE WHEN ot IS NULL THEN 'added'
+          |              WHEN nt IS NULL THEN 'removed'
+          |              WHEN md5(ot) <> md5(nt) THEN 'changed'
+          |              ELSE 'unchanged' END AS change,
+          |    COALESCE(length(ot), 0) AS c_old, COALESCE(length(nt), 0) AS c_new
+          |  FROM j)
+          |SELECT change, count(*) AS n_docs,
+          |  CAST(sum(c_old) AS BIGINT) AS chars_old,
+          |  CAST(sum(c_new) AS BIGINT) AS chars_new
+          |FROM c GROUP BY change ORDER BY change""".stripMargin)),
+
     // Per-source data card: volume, language spread, quality/diversity
     // means — the release artifact of a curation run. Hash-gated through
     // the dsum/stab double-aggregation discipline (per-doc stab(6) →
