@@ -339,6 +339,85 @@ object Multimodal {
     hash
   }
 
+  /** Orthonormal DCT-II basis b(u)(x) = α(u)·cos((2x+1)uπ/16), computed
+    * ONCE driver-side: the Spark hash folds these exact doubles, and the
+    * oracle receives the same values as shortest-decimal literals — so
+    * cos() never runs inside either engine and there is no libm hazard.
+    */
+  val dctBasis: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val a = if (u == 0) math.sqrt(1.0 / 8.0) else math.sqrt(2.0 / 8.0)
+    a * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** The 15 low-frequency (u, v) pairs of the 4×4 DCT block minus the DC
+    * term, with bit index k = v·4 + u − 1 — shared with the oracle.
+    */
+  val phashPairs: Seq[(Int, Int, Int)] =
+    for (v <- 0 to 3; u <- 0 to 3 if !(u == 0 && v == 0))
+      yield (u, v, v * 4 + u - 1)
+
+  /** DCT low-frequency perceptual hash (the pHash family, miniature:
+    * 8×8 gray grid → 8×8 DCT-II → 4×4 low block minus DC → median
+    * threshold → 15 bits). Robust to uniform brightness AND contrast
+    * changes (both shift/scale every low-frequency coefficient together,
+    * and the median moves with them), where aHash only survives
+    * brightness. Deterministic: integer grid, fixed-order double folds
+    * against the driver-computed basis, median = the 8th smallest
+    * coefficient, strict > at the threshold.
+    */
+  private[graft] def gridPHash(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth.toLong
+    val h = img.getHeight.toLong
+    val g = new Array[Double](64)
+    var j = 0
+    while (j < 64) {
+      val gx = j % 8
+      val gy = j / 8
+      val x = ((gx * w) / 8).toInt
+      val y = ((gy * h) / 8).toInt
+      g(j) = (img.getRGB(x, y) & 0xff).toDouble
+      j += 1
+    }
+    // stab(6) collapses summation-tree noise (DuckDB's list_sum is not a
+    // strict left fold) BEFORE the median/threshold comparisons — the
+    // same reason every cosine in the repo is stab'd
+    val coefs = phashPairs.map { case (u, v, _) =>
+      var acc = 0.0
+      var jj = 0
+      while (jj < 64) {
+        acc += (g(jj) * dctBasis(u)(jj % 8)) * dctBasis(v)(jj / 8)
+        jj += 1
+      }
+      math.floor(acc * 1e6 + 0.5) / 1e6
+    }.toArray
+    val sorted = coefs.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(7)
+    var hash = 0L
+    phashPairs.zipWithIndex.foreach { case ((_, _, k), i) =>
+      if (coefs(i) > med) hash |= 1L << k
+    }
+    hash
+  }
+
+  def decodeImagePHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("phash", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.getLong(0), null)
+        else Row(r.getLong(0), gridPHash(img))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

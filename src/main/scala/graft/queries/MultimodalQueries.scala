@@ -159,6 +159,17 @@ object MultimodalQueries {
       Some(ahashCte +
         "\nSELECT media_id, ahash FROM ah ORDER BY media_id")),
 
+    // DCT low-frequency perceptual hash (pHash family) from REAL pixel
+    // decode — robust to brightness AND contrast, where aHash only
+    // survives brightness; the oracle replays the pixels from the
+    // synthesis contract and the DCT from driver-inlined basis literals.
+    GraftQuery("multimodal_phash",
+      (s, d) => Multimodal.decodeImagePHash(
+        persistedMedia(s, d).filter(col("modality") === "image"))
+        .orderBy("media_id"),
+      Some(phashCte +
+        "\nSELECT media_id, phash FROM ph ORDER BY media_id")),
+
     // Image near-dup pairs at hamming <= 2 over the perceptual hash,
     // riding the SAME pigeonhole 20-bit-chunk banding as the 60-bit
     // SimHash text tier (equi-join candidates, exact hamming verify) —
@@ -285,6 +296,43 @@ object MultimodalQueries {
     * pixel formula sampled on the same 6×10 integer grid, mean-threshold
     * bits packed identically.
     */
+  /** DuckDB twin of Multimodal.gridPHash: pixel replay from the
+    * synthesis contract (integer arithmetic), the driver-computed DCT
+    * basis inlined as CAST(... AS DOUBLE) literals (shortest-decimal
+    * round-trip — cos() never runs in either engine; a bare decimal
+    * literal would parse as exact DECIMAL and drift an ulp), fixed-order
+    * list_sum folds, median by row_number.
+    */
+  val phashCte: String = {
+    val bas = graft.operators.Multimodal.dctBasis.zipWithIndex.map { case (row, u) =>
+      s"($u, [${row.map(x => s"CAST($x AS DOUBLE)").mkString(", ")}])"
+    }.mkString(", ")
+    val prs = graft.operators.Multimodal.phashPairs
+      .map { case (u, v, k) => s"($u, $v, $k)" }.mkString(", ")
+    s"""WITH img AS (
+       |  SELECT doc_id, CAST(4 + doc_id % 16 AS BIGINT) AS w,
+       |    CAST(4 + (doc_id // 16) % 16 AS BIGINT) AS h
+       |  FROM documents WHERE doc_id % 3 = 0),
+       |bas AS (SELECT * FROM (VALUES $bas) t(u, b)),
+       |pr AS (SELECT * FROM (VALUES $prs) t(u, v, k)),
+       |co AS MATERIALIZED (
+       |  SELECT i.doc_id, p.k,
+       |    floor(list_sum(list_transform(range(0, 64), j ->
+       |      (CAST((((j % 8) * i.w // 8) * 31 + ((j // 8) * i.h // 8) * 7 + i.doc_id) % 256 AS DOUBLE)
+       |        * ub.b[CAST(j % 8 AS INT) + 1]) * vb.b[CAST(j // 8 AS INT) + 1]))*1000000.0+0.5)/1000000.0 AS coef
+       |  FROM img i, pr p, bas ub, bas vb
+       |  WHERE ub.u = p.u AND vb.u = p.v),
+       |md AS (
+       |  SELECT doc_id, coef AS med FROM (
+       |    SELECT doc_id, coef, row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+       |    FROM co) WHERE rn = 8),
+       |ph AS (
+       |  SELECT co.doc_id AS media_id,
+       |    CAST(sum(CASE WHEN co.coef > md.med
+       |             THEN CAST(1 AS BIGINT) << CAST(co.k AS INT) ELSE 0 END) AS BIGINT) AS phash
+       |  FROM co JOIN md USING (doc_id) GROUP BY co.doc_id)""".stripMargin
+  }
+
   val ahashCte: String =
     """WITH img AS (
       |  SELECT doc_id, CAST(4 + doc_id % 16 AS BIGINT) AS w,

@@ -168,4 +168,32 @@ class MultimodalSpec extends AnyFunSuite {
       .orderBy("media_id").collect().map(_.toString).toSeq
     assert(a == b)
   }
+
+  test("gridPHash: exactly invariant to brightness shift and contrast scale, unlike content change") {
+    def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
+      val im = new java.awt.image.BufferedImage(16, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until 16; y <- 0 until 16) {
+        val g = f(x, y) & 0xff
+        im.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      im
+    }
+    // non-separable term gives a full low-frequency spectrum (a pure
+    // linear gradient has exactly-zero interior DCT coefficients);
+    // values ≤ 91, so both +30 and ×2 stay clip-free under & 0xff
+    def f(x: Int, y: Int) = 10 + 2 * x + 3 * y + ((x * y) % 7)
+    val base = img(f)
+    val bright = img((x, y) => f(x, y) + 30)
+    val contrast = img((x, y) => f(x, y) * 2)
+    val other = img((x, y) => 10 + 3 * x + 2 * y + ((x + y) % 5))
+    val h = Multimodal.gridPHash(base)
+    // +c moves only the (excluded) DC coefficient; ×a scales coefs AND
+    // median together — both preserve every threshold comparison EXACTLY
+    assert(Multimodal.gridPHash(bright) == h, "brightness shift changed the pHash")
+    assert(Multimodal.gridPHash(contrast) == h, "contrast scale changed the pHash")
+    assert(Multimodal.gridPHash(other) != h, "a different image collided")
+    // 15-bit domain, median split ⇒ exactly 7 bits set (no coef ties here)
+    assert(java.lang.Long.bitCount(h) == 7)
+  }
 }
