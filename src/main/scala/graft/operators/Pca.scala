@@ -156,6 +156,24 @@ object Pca {
     prep.select(col("vec_id") +: cols: _*)
   }
 
+  /** Whitened projection: pcₖ/√λₖ — unit variance per component, the
+    * normalization semantic-dedup pipelines apply before cosine
+    * thresholds so one dominant direction can't swamp the metric. Same
+    * row-local literal-dot plan as `project`, one extra division per
+    * component (λ from the driver fit, √ correctly rounded both
+    * engines).
+    */
+  def whiten(prep: DataFrame, mu: Array[Double], comps: Seq[Component]): DataFrame = {
+    val ec = centered(col("e"), mu)
+    val cols = comps.map { cp =>
+      val pc = graftglue.column(graft.functions.ArrayDot(
+        graftglue.expression(ec),
+        graftglue.expression(typedLit(cp.v.toSeq))))
+      Stable.stab(pc / lit(math.sqrt(cp.lambda)), 6).as(s"w${cp.comp}")
+    }
+    prep.select(col("vec_id") +: cols: _*)
+  }
+
   /** The explained-variance card: (component, eigenvalue, var_frac) with
     * var_frac = stab6(λ / trace(C)), trace an exact decimal sum of the
     * stab'd diagonal. One-row-per-component local result — the artifact a

@@ -125,6 +125,26 @@ object PcaQueries {
            |SELECT CAST(2 AS INTEGER), l.l, ${s6("l.l / tr.t")} FROM lb l, tr
            |ORDER BY component""".stripMargin)),
 
+    // Whitened projection pcₖ/√λₖ — unit variance per component, the
+    // normalization semantic-dedup applies before cosine thresholds.
+    GraftQuery("emb_pca_whiten",
+      (s, d) => {
+        val p = prepE(s, d)
+        val (mu, comps) = Pca.fit(p, k = 2, iters = ITERS)
+        Pca.whiten(p, mu, comps).orderBy("vec_id")
+      },
+      Some(
+        s"""WITH $covCtes,
+           |$eigenCtes,
+           |mul AS (SELECT list(m ORDER BY i) AS m FROM mu),
+           |c1 AS (SELECT list(v ORDER BY i) AS v FROM av$ITERS),
+           |c2 AS (SELECT list(v ORDER BY i) AS v FROM bv$ITERS)
+           |SELECT s.vec_id,
+           |  ${s6(s"list_sum(list_transform(range(1, ${D + 1}), q -> (s.e[q] - m.m[q]) * c1.v[q])) / sqrt((SELECT l FROM la))")} AS w1,
+           |  ${s6(s"list_sum(list_transform(range(1, ${D + 1}), q -> (s.e[q] - m.m[q]) * c2.v[q])) / sqrt((SELECT l FROM lb))")} AS w2
+           |FROM pv s, mul m, c1, c2
+           |ORDER BY vec_id""".stripMargin)),
+
     // Row-local projection of the corpus onto the fitted top-2
     // components (plan-literal loadings, codegen'd centered dot) — the
     // reduced representation downstream clustering / visualization /

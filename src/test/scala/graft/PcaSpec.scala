@@ -92,6 +92,19 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(pc.getDouble(2)) < 1e-4)
   }
 
+  test("whiten: unit population variance per component on the planted fixture") {
+    val (df, _, _) = planted
+    val p = prep(df)
+    val (mu, comps) = Pca.fit(p, k = 2, iters = 32)
+    val r = Pca.whiten(p, mu, comps)
+      .agg(variance(col("w1")).as("v1"), variance(col("w2")).as("v2"),
+        count(lit(1)).as("n")).collect()(0)
+    val n = r.getLong(2).toDouble
+    assert(math.abs(r.getDouble(0) * (n - 1) / n - 1.0) < 1e-3,
+      s"whitened var ${r.getDouble(0) * (n - 1) / n}")
+    assert(math.abs(r.getDouble(1) * (n - 1) / n - 1.0) < 1e-2)
+  }
+
   test("real embeddings: eigenvalue ordering and sane fractions at sf0.001") {
     val p = prep(graft.sources.Tables.embeddings(spark, TestSpark.sf0001))
     val mu = p.select(posexplode(col("e"))).groupBy("pos").count().count()
