@@ -119,4 +119,51 @@ object Anomaly {
     val daily = dailyCounts(events).localCheckpoint() // reused: baseline + windows
     cusumFrom(daily, cusumBaseline(daily), k, h)
   }
+
+  /** EWMA smoothing of the per-type daily counts — the forecast baseline
+    * of a rate monitor (CUSUM answers "has the level shifted"; EWMA
+    * answers "what did we expect today", and dev = today − expectation
+    * is the residual an alert thresholds). α = 1/alphaDen with the
+    * recursion run ENTIRELY in scale-6 fixed-point int64,
+    *
+    *   s₁ = 10⁶·x₁,   s_t = s_{t−1} + trunc((10⁶·x_t − s_{t−1}) / alphaDen)
+    *
+    * — TRUNCATING division on both sides (JVM long `/` here, DuckDB's
+    * BIGINT `//` in the twin; measured: −41//8 = −5, i.e. toward zero —
+    * floorDiv would drift one fixed-point unit on negative residuals),
+    * so every step is exact integer arithmetic and the oracle's
+    * RECURSIVE CTE reproduces the sequence bit-for-bit. A true EWMA
+    * recursion is not window-expressible (unlike CUSUM it has no prefix
+    * closed form — the weights decay geometrically), so this runs as
+    * driver arithmetic over the collected daily series: |types|×days
+    * rows, calendar-bounded metadata regardless of corpus scale (the
+    * events_stationary contract). The corpus-scale work is only the
+    * daily hash aggregate.
+    */
+  def ewma(events: DataFrame, alphaDen: Long = 8L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val rows = dailyCounts(events)
+      .select(col("event_type"), col("day"), col("x"))
+      .collect()
+      .map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2)))
+      .sortBy(t => (t._1, t._2.getTime))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, java.sql.Timestamp, Long, Double, Double)]
+    var curType: String = null
+    var s = 0L
+    for ((tpe, day, x) <- rows) {
+      val x6 = x * 1000000L
+      if (tpe != curType) {
+        curType = tpe
+        s = x6
+        out += ((tpe, day, x, s.toDouble / 1e6, 0.0))
+      } else {
+        val dev6 = x6 - s
+        s = s + dev6 / alphaDen // truncating, = DuckDB BIGINT //
+        out += ((tpe, day, x, s.toDouble / 1e6, dev6.toDouble / 1e6))
+      }
+    }
+    out.toSeq.toDF("event_type", "day", "x", "ewma", "dev")
+  }
 }

@@ -599,6 +599,37 @@ object EventQueries {
            |  (CAST(p - m AS DOUBLE) / 1000000.0 > 4.0*sig) AS flag
            |FROM mw ORDER BY event_type, day""".stripMargin)),
 
+    // EWMA forecast baseline + residuals over per-type daily counts
+    // (Anomaly.ewma) — exact fixed-point integer recursion (α = 1/8,
+    // truncating division both engines), oracle as a RECURSIVE CTE stepping
+    // the identical sequence. The recursion has no prefix closed form
+    // (geometric weights), so the driver folds the calendar-bounded
+    // daily series — the events_stationary metadata contract.
+    GraftQuery("events_ewma",
+      (s, d) => graft.operators.Anomaly.ewma(Tables.events(s, d))
+        .orderBy("event_type", "day"),
+      Some(
+        s"""WITH RECURSIVE ${evCte.stripPrefix("")},
+           |daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+           |  FROM ev GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT event_type, day, CAST(x AS BIGINT) AS x,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM daily),
+           |ew AS (
+           |  SELECT event_type, day, x, rn, x * 1000000 AS s, CAST(0 AS BIGINT) AS dev6
+           |  FROM rk WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.day, r.x, r.rn,
+           |    e.s + ((r.x * 1000000 - e.s) // 8) AS s,
+           |    r.x * 1000000 - e.s AS dev6
+           |  FROM rk r JOIN ew e ON e.event_type = r.event_type AND r.rn = e.rn + 1)
+           |SELECT event_type, day, x,
+           |  CAST(s AS DOUBLE) / 1000000.0 AS ewma,
+           |  CAST(dev6 AS DOUBLE) / 1000000.0 AS dev
+           |FROM ew ORDER BY event_type, day""".stripMargin)),
+
     // Session-scoped co-occurrence PMI over event types — the
     // related-items affinity statistic (Affinity.cooccurPmi): session
     // incidence via the same gap sessionizer as events_sessionize, pairs

@@ -51,6 +51,21 @@ class AnomalySpec extends AnyFunSuite {
     assert(out.drop(20).count(identity) >= 5, "sustained shift not caught")
   }
 
+  test("ewma: constant series is a fixed point, a step converges geometrically") {
+    val flat = Anomaly.ewma(series(Seq.fill(10)(12)))
+      .orderBy("day").select("ewma", "dev").as[(Double, Double)].collect()
+    assert(flat.forall { case (e, d) => e == 12.0 && d == 0.0 })
+    // step 8 → 16 with α = 1/8: residual shrinks by 7/8 per day
+    val step = Anomaly.ewma(series(Seq.fill(5)(8) ++ Seq.fill(10)(16)))
+      .orderBy("day").select("ewma").as[Double].collect()
+    val resid = step.drop(5).map(16.0 - _)
+    assert(resid.head == 7.0) // 16 − (8 + (16−8)/8)
+    resid.sliding(2).foreach { case Array(a, b) =>
+      assert(b < a && b >= a * 0.85 - 1e-6, s"residuals $a → $b not ~7/8 decay")
+    }
+    assert(resid.last < 2.5, "EWMA failed to track the step")
+  }
+
   test("sigmaOutliers flags exactly the planted spike") {
     val ev = ((1 to 40).map(i => (i.toLong, dayTs(0), 1L, "view", 10.0 + (i % 3), "{}")) :+
       (99L, dayTs(0), 1L, "view", 500.0, "{}"))
