@@ -129,6 +129,30 @@ object QualityClassifier {
     standardized(features(docs), m.means, m.stds)
       .select(col("doc_id"), prob(margin(m.w)).as("score"), col("keep"))
 
+  /** "Keep the best P%" by the LEARNED score — the model-based sibling
+    * of TextAnalysis.qualityTopP, same scalable shape: micro-unit
+    * scores → ONE score histogram → a bounded-cardinality cumulative
+    * window picks the threshold, ties at the bar kept whole. The smooth
+    * score makes the band placement much finer-grained than the rule
+    * battery's boolean (score cardinality ≤ 10⁶ by stab(6) contract, so
+    * the histogram window is constant-bounded, never corpus-scale).
+    */
+  def selectTopP(scored: DataFrame, p: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val s = scored.select(col("doc_id"),
+        floor(col("score") * lit(1000000.0) + lit(0.5)).cast("long").as("s_micro"))
+      .localCheckpoint()
+    val hist = s.groupBy("s_micro").agg(count(lit(1)).as("c"))
+    val cum = hist.withColumn("cum", sum("c").over(w.orderBy(desc("s_micro"))))
+    val tot = hist.agg(sum("c").as("n"))
+    val thresh = cum.crossJoin(broadcast(tot))
+      .filter(col("cum") >= floor(lit(p) * col("n") + lit(1e-9)))
+      .agg(max("s_micro").as("s_star"))
+    s.crossJoin(broadcast(thresh))
+      .filter(col("s_micro") >= col("s_star"))
+      .select("doc_id", "s_micro")
+  }
+
   /** One-row confusion card of score ≥ 0.5 against the distilled rule
     * labels — the agreement number that says whether the soft scorer can
     * stand in for the battery.

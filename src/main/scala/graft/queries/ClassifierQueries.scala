@@ -120,6 +120,30 @@ object ClassifierQueries {
            |SELECT sf.doc_id, ${pExpr("sf.")} AS score, sf.keep
            |FROM sf, w$ITERS w ORDER BY sf.doc_id""".stripMargin)),
 
+    // "Keep the best 30%" by the learned score — the model-based
+    // text_quality_topp: histogram threshold over micro-unit scores,
+    // ties at the bar kept whole, window bounded by score cardinality.
+    GraftQuery("text_quality_lr_select",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        QualityClassifier.selectTopP(
+          QualityClassifier.score(docs, QualityClassifier.train(docs)), 0.3)
+          .orderBy("doc_id")
+      },
+      Some(
+        s"""WITH $lrCtes,
+           |sc AS (SELECT sf.doc_id,
+           |         CAST(floor((${pExpr("sf.")}) * 1000000.0 + 0.5) AS BIGINT) AS s_micro
+           |       FROM sf, w$ITERS w),
+           |h AS (SELECT s_micro, count(*) AS c FROM sc GROUP BY s_micro),
+           |cm AS (SELECT s_micro, sum(c) OVER (ORDER BY s_micro DESC) AS cum FROM h),
+           |t AS (
+           |  SELECT max(s_micro) AS s_star
+           |  FROM cm, (SELECT count(*) AS n FROM sc) tot
+           |  WHERE cum >= floor(0.3 * n + 1e-9))
+           |SELECT doc_id, s_micro FROM sc, t
+           |WHERE s_micro >= s_star ORDER BY doc_id""".stripMargin)),
+
     // Confusion card of score ≥ 0.5 vs the distilled rule labels — the
     // number that says whether the soft scorer can stand in for the
     // battery (a linear model tops out near 0.9 on an AND-of-bands

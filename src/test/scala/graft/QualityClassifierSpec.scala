@@ -66,6 +66,29 @@ class QualityClassifierSpec extends AnyFunSuite {
     assert(ev.getLong(3) + ev.getLong(4) > 0L, "never predicts drop")
   }
 
+  test("selectTopP: keeps ~p of the corpus, entirely the highest scores, ties whole") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val scored = QualityClassifier.score(docs, QualityClassifier.train(docs))
+      .localCheckpoint()
+    val n = scored.count()
+    val kept = QualityClassifier.selectTopP(scored, 0.3)
+    val k = kept.count()
+    // at least p·n kept; overshoot only by the tie band at the threshold
+    assert(k >= (0.3 * n).floor.toLong, s"$k of $n")
+    val minKept = kept.agg(min("s_micro")).collect()(0).getLong(0)
+    // nothing ABOVE the threshold was dropped
+    val droppedAbove = scored
+      .withColumn("m", floor(col("score") * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("m") > minKept).count()
+    val keptAbove = kept.filter(col("s_micro") > minKept).count()
+    assert(droppedAbove == keptAbove, "a higher-scored doc was dropped")
+    // ties at the bar kept whole
+    val tiesTotal = scored
+      .withColumn("m", floor(col("score") * lit(1e6) + lit(0.5)).cast("long"))
+      .filter(col("m") === minKept).count()
+    assert(kept.filter(col("s_micro") === minKept).count() == tiesTotal)
+  }
+
   test("training cost: one bounded aggregate job per round over the checkpointed features") {
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
     @volatile var jobs = 0
