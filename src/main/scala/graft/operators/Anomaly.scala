@@ -120,6 +120,42 @@ object Anomaly {
     cusumFrom(daily, cusumBaseline(daily), k, h)
   }
 
+  /** Per-user inter-event-gap regularity — the classic bot signal
+    * (machine traffic fires on a clock; human gaps are bursty). Scored
+    * as the coefficient of variation over the user's gap sequence,
+    *
+    *   cv = σ/μ = √(n·S₂ − S₁²) / S₁
+    *
+    * with S₁ = Σ gap, S₂ = Σ gap² in exact DECIMAL(38,0) integers (the
+    * sigmaOutliers carrier: ms gaps square past int64 at production
+    * spans; n·S₂ ≥ S₁² exactly by Cauchy–Schwarz, so the radicand is
+    * never negative). One sqrt + one division on correctly-rounded
+    * doubles (VARCHAR-hop DECIMAL→DOUBLE in the twin), stab(6)'d;
+    * `is_regular` flags cv < cvMax. Users need ≥ 2 gaps. Shape: one
+    * per-user lag window + one moment aggregate — the sessionize scan.
+    */
+  def botScore(events: DataFrame, cvMax: Double = 0.3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ms = graft.functions.TimeOps.epochMs(col("ts"))
+    val gaps = events
+      .select(col("user_id"), (ms - lag(ms, 1).over(w)).as("gap"))
+      .filter(col("gap").isNotNull)
+    val d38 = DecimalType(38, 0)
+    val st = gaps.groupBy("user_id").agg(
+        count(lit(1)).as("n_gaps"),
+        sum(col("gap").cast(d38)).as("s1"),
+        sum(col("gap").cast(d38) * col("gap").cast(d38)).as("s2"))
+      .filter(col("n_gaps") >= 2)
+    val cv = graft.functions.Stable.stab(
+      sqrt((col("n_gaps").cast(d38) * col("s2") - col("s1") * col("s1")).cast("double"))
+        / col("s1").cast("double"), 6)
+    st.select(col("user_id"), col("n_gaps"), cv.as("cv"))
+      .select(col("user_id"), col("n_gaps"), col("cv"),
+        (col("cv") < lit(cvMax)).as("is_regular"))
+  }
+
   /** EWMA smoothing of the per-type daily counts — the forecast baseline
     * of a rate monitor (CUSUM answers "has the level shifted"; EWMA
     * answers "what did we expect today", and dev = today − expectation

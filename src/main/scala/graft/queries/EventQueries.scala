@@ -599,6 +599,31 @@ object EventQueries {
            |  (CAST(p - m AS DOUBLE) / 1000000.0 > 4.0*sig) AS flag
            |FROM mw ORDER BY event_type, day""".stripMargin)),
 
+    // Per-user gap-regularity bot score: cv = √(n·S₂ − S₁²)/S₁ over
+    // exact DECIMAL(38,0) inter-event-gap moments (Anomaly.botScore) —
+    // machine traffic fires on a clock, so low cv flags it.
+    GraftQuery("events_bot_score",
+      (s, d) => graft.operators.Anomaly.botScore(Tables.events(s, d))
+        .orderBy("user_id"),
+      Some(
+        s"""WITH $evCte,
+           |e2 AS (SELECT user_id, ts, event_id, epoch_ms(ts) AS ms FROM ev),
+           |gp AS (
+           |  SELECT user_id,
+           |    ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+           |  FROM e2),
+           |st AS (
+           |  SELECT user_id, CAST(count(*) AS HUGEINT) AS n,
+           |    sum(CAST(gap AS HUGEINT)) AS s1, sum(CAST(gap AS HUGEINT) * gap) AS s2
+           |  FROM gp WHERE gap IS NOT NULL GROUP BY 1 HAVING count(*) >= 2),
+           |sc AS (
+           |  SELECT user_id, CAST(n AS BIGINT) AS n_gaps,
+           |    floor(sqrt(CAST(CAST(n * s2 - s1 * s1 AS VARCHAR) AS DOUBLE))
+           |      / CAST(CAST(s1 AS VARCHAR) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS cv
+           |  FROM st)
+           |SELECT user_id, n_gaps, cv, (cv < 0.3) AS is_regular
+           |FROM sc ORDER BY user_id""".stripMargin)),
+
     // EWMA forecast baseline + residuals over per-type daily counts
     // (Anomaly.ewma) — exact fixed-point integer recursion (α = 1/8,
     // truncating division both engines), oracle as a RECURSIVE CTE stepping

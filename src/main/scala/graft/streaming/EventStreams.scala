@@ -589,6 +589,46 @@ object EventStreams {
       })
   }
 
+  case class EwmaState(s: Long, lastDayMs: Long)
+  case class EwmaRow(event_type: String, day_ms: Long, x: Long,
+                     ewma: Double, dev: Double)
+
+  /** Streaming twin of Anomaly.ewma's fold: per-type state is the
+    * fixed-point smoothed level (one long), stepped with the identical
+    * truncating-division recursion over daily counts in day order —
+    * first observed day seeds the level (dev 0), later-or-equal days
+    * are rejected loudly (the cusumStream discipline). EwmaStreamSpec
+    * pins prefix equality against the batch fold at every micro-batch.
+    */
+  def ewmaStream(daily: DataFrame, alphaDen: Long = 8L): Dataset[EwmaRow] = {
+    import daily.sparkSession.implicits._
+    daily
+      .select(col("event_type").cast("string"), col("day_ms").cast("long"),
+        col("x").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[EwmaState]) => {
+          var st = state.getOption.getOrElse(EwmaState(0L, Long.MinValue))
+          val rows = it.toArray.sortBy(_._2)
+          val out = rows.map { case (_, dayMs, x) =>
+            require(dayMs > st.lastDayMs,
+              s"day $dayMs arrived at or before the folded high-water mark ${st.lastDayMs} for $tpe")
+            val x6 = x * 1000000L
+            val first = st.lastDayMs == Long.MinValue
+            val dev6 = if (first) 0L else x6 - st.s
+            val s2 = if (first) x6 else st.s + dev6 / alphaDen // truncating, = batch fold
+            st = EwmaState(s2, dayMs)
+            EwmaRow(tpe, dayMs, x, s2.toDouble / 1e6, dev6.toDouble / 1e6)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
+
   case class CusumState(s: Long, lastDayMs: Long)
   case class CusumRow(event_type: String, day_ms: Long, x: Long,
                       cusum: Double, flag: Boolean)

@@ -66,6 +66,25 @@ class AnomalySpec extends AnyFunSuite {
     assert(resid.last < 2.5, "EWMA failed to track the step")
   }
 
+  test("botScore: a metronome user scores cv = 0, a bursty one does not") {
+    val base = 1700000000000L
+    val ev = ((0 until 20).map(i => // bot: exact 60 s clock
+      (i.toLong, new java.sql.Timestamp(base + i * 60000L), 1L, "view", 1.0, "{}")) ++
+      Seq(0L, 1000L, 2000L, 200000L, 201000L, 500000L).zipWithIndex.map { case (o, i) =>
+        (100L + i, new java.sql.Timestamp(base + o), 2L, "view", 1.0, "{}")
+      } :+ // a 2-event user has 1 gap — excluded by the n >= 2 bar
+      (900L, new java.sql.Timestamp(base), 3L, "view", 1.0, "{}") :+
+      (901L, new java.sql.Timestamp(base + 5000L), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val out = Anomaly.botScore(ev).orderBy("user_id")
+      .as[(Long, Long, Double, Boolean)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L), "the 1-gap user must be excluded")
+    val bot = out.find(_._1 == 1L).get
+    val human = out.find(_._1 == 2L).get
+    assert(bot._3 == 0.0 && bot._4, s"metronome cv ${bot._3}")
+    assert(human._3 > 0.3 && !human._4, s"bursty cv ${human._3}")
+  }
+
   test("sigmaOutliers flags exactly the planted spike") {
     val ev = ((1 to 40).map(i => (i.toLong, dayTs(0), 1L, "view", 10.0 + (i % 3), "{}")) :+
       (99L, dayTs(0), 1L, "view", 500.0, "{}"))
