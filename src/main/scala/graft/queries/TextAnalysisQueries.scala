@@ -136,6 +136,35 @@ object TextAnalysisQueries {
            |FROM r JOIN documents d ON r.doc_id = d.doc_id
            |ORDER BY r.doc_id""".stripMargin)),
 
+    // Confusion matrix of the langid heuristic against the table's true
+    // labels, with per-cell doc counts — the evaluation card any
+    // classifier stage publishes (the heuristic is honest here: the
+    // synthetic corpus shares its vocabulary across langs, so the card
+    // QUANTIFIES how much the stopword signal can and cannot see).
+    GraftQuery("text_langid_eval",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        TextAnalysis.langId(Tables.documents(s, d))
+          .groupBy("lang", "lang_pred")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("is_match"), 1L).otherwise(0L)).as("n_match"))
+          .orderBy("lang", "lang_pred")
+      },
+      Some(
+        s"""WITH ${SearchQueries.tokCte},
+           |r AS (
+           |  SELECT doc_id,
+           |    CAST(sum(CASE WHEN word IN $stopListSql THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS stopword_ratio
+           |  FROM tok GROUP BY doc_id),
+           |p AS (
+           |  SELECT d.lang,
+           |    CASE WHEN r.stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+           |  FROM r JOIN documents d ON r.doc_id = d.doc_id)
+           |SELECT lang, lang_pred, count(*) AS n,
+           |  CAST(sum(CASE WHEN lang = lang_pred THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+           |FROM p GROUP BY lang, lang_pred ORDER BY lang, lang_pred""".stripMargin)),
+
     GraftQuery("text_fingerprint",
       (s, d) => TextAnalysis.fingerprintFrom(DedupQueries.persistedShingles(s, d))
         .orderBy("doc_id"),
