@@ -373,6 +373,46 @@ object TextAnalysis {
         Stable.stab(Stable.dsum(col("nll"), 6) / count(lit(1)), 6).as("avg_nll"))
   }
 
+  /** Per-document NLL under an interpolated Kneser–Ney bigram LM
+    * (Kneser & Ney 1995; Chen & Goodman 1998's fixed-discount form,
+    * D = 0.75) — the production smoothing the add-one scorer
+    * (bigramNll) approximates: continuation probability counts HOW MANY
+    * contexts a word follows, not how often, so boilerplate tokens that
+    * appear a lot in ONE context stop looking probable everywhere.
+    *
+    *   P(w₂|w₁) = max(c(w₁w₂)−D, 0)/c(w₁·)
+    *            + (D·N1+(w₁·)/c(w₁·)) · (N1+(·w₂)/|bigram types|)
+    *
+    * Scored on the training corpus every bigram is observed, so P > 0
+    * with no unseen-context branch. D = 0.75 is an exact binary
+    * fraction — every term is mul/div/greatest of identical doubles,
+    * −ln stab(6)'d, the per-doc mean under the dsum discipline.
+    * Shape: the bigram stream feeds four bounded aggregates (bigram
+    * types, first-word totals, continuation/predecessor type counts);
+    * scoring is one model equi-join — the bigramNll plan plus two
+    * |type|-bounded joins.
+    */
+  def bigramNllKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
+    import graft.functions.Stable
+    val b = bigramStream(docs).localCheckpoint() // reused: counts + scoring
+    val cb = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // reused: model + both type counts + the total
+    val cf = b.groupBy("w1").agg(count(lit(1)).as("cf"))
+    val n1f = cb.groupBy("w1").agg(count(lit(1)).as("n1f"))
+    val n1p = cb.groupBy("w2").agg(count(lit(1)).as("n1p"))
+    val nb = cb.agg(count(lit(1)).cast("double").as("nbig"))
+    val lm = cb.join(cf, Seq("w1")).join(n1f, Seq("w1"))
+      .join(n1p, Seq("w2")).crossJoin(broadcast(nb))
+    val p = greatest(col("cb").cast("double") - lit(discount), lit(0.0)) / col("cf").cast("double") +
+      ((lit(discount) * col("n1f").cast("double")) / col("cf").cast("double")) *
+        (col("n1p").cast("double") / col("nbig"))
+    b.join(lm, Seq("w1", "w2"))
+      .select(col("doc_id"), Stable.stab(-log(p), 6).as("nll"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        Stable.stab(Stable.dsum(col("nll"), 6) / count(lit(1)), 6).as("avg_nll"))
+  }
+
   /** Per-document repeated-n-gram ratio — the repetition quality signal
     * (boilerplate, keyword stuffing, and degenerate generations repeat
     * n-grams; curation rules threshold on this). Over ALL n-gram

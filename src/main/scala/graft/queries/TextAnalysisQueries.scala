@@ -527,6 +527,38 @@ object TextAnalysisQueries {
           |  floor((CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*))*1000000.0+0.5)/1000000.0 AS avg_nll
           |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Interpolated Kneser–Ney bigram perplexity (D = 0.75, the Chen &
+    // Goodman fixed-discount form) — the production smoothing next to
+    // the add-one scorer; continuation/predecessor TYPE counts make
+    // one-context boilerplate stop looking probable everywhere.
+    GraftQuery("text_perplexity_kn",
+      (s, d) => graft.operators.TextAnalysis
+        .bigramNllKn(Tables.documents(s, d))
+        .orderBy("doc_id"),
+      Some(
+        """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
+          |b AS (
+          |  SELECT doc_id, arr[i] AS w1, arr[i+1] AS w2
+          |  FROM d, unnest(range(1, len(arr))) t(i)
+          |  WHERE len(arr) >= 2),
+          |cb AS (SELECT w1, w2, count(*) AS cb FROM b GROUP BY 1, 2),
+          |cf AS (SELECT w1, count(*) AS cf FROM b GROUP BY 1),
+          |n1f AS (SELECT w1, count(*) AS n1f FROM cb GROUP BY 1),
+          |n1p AS (SELECT w2, count(*) AS n1p FROM cb GROUP BY 1),
+          |nb AS (SELECT CAST(count(*) AS DOUBLE) AS nbig FROM cb),
+          |nll AS (
+          |  SELECT b.doc_id,
+          |    floor(-ln(
+          |      greatest(CAST(cb.cb AS DOUBLE) - 0.75, 0.0) / CAST(cf.cf AS DOUBLE)
+          |      + ((0.75 * CAST(n1f.n1f AS DOUBLE)) / CAST(cf.cf AS DOUBLE))
+          |        * (CAST(n1p.n1p AS DOUBLE) / (SELECT nbig FROM nb))
+          |    )*1000000.0+0.5)/1000000.0 AS nll
+          |  FROM b JOIN cb USING (w1, w2) JOIN cf USING (w1)
+          |         JOIN n1f USING (w1) JOIN n1p USING (w2))
+          |SELECT doc_id, count(*) AS n_bigrams,
+          |  floor((CAST(sum(CAST(nll AS DECIMAL(18,6))) AS DOUBLE) / count(*))*1000000.0+0.5)/1000000.0 AS avg_nll
+          |FROM nll GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // Repeated-3-gram ratio per doc — the repetition quality signal
     // curation rules threshold on (boilerplate / stuffing / degenerate
     // text repeats n-grams).

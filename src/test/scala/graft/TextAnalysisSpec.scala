@@ -311,4 +311,57 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("a>b>c", 2L), ("z", 1L)))
   }
+
+  test("bigramNllKn: KN scores the diverse continuation above the one-context boilerplate") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 'spam' follows ONLY 'buy' (many times); 'the' follows many
+    // different words (few times each). Under add-one, P(spam|buy) is
+    // huge; under KN the continuation term demotes it. Compare the NLL
+    // of a doc that is pure "buy spam" repetitions against one that uses
+    // 'the' in a FRESH context — KN must penalize the boilerplate doc
+    // RELATIVE to add-one more than the diverse doc.
+    val corpus = Seq(
+      (1L, ("buy spam " * 20).trim, "en", "s", 0),
+      (2L, "a the b the c the d the e the", "en", "s", 0),
+      (3L, "f the g the h the i the j the", "en", "s", 0),
+      (4L, "k the l the m the n the o the", "en", "s", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    val kn = graft.operators.TextAnalysis.bigramNllKn(corpus)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    val add1 = graft.operators.TextAnalysis.bigramNll(corpus)
+      .select("doc_id", "avg_nll").as[(Long, Double)].collect().toMap
+    // all finite and positive
+    assert((kn.values ++ add1.values).forall(v => v > 0 && !v.isNaN && !v.isInfinite))
+    // KN's relative penalty on the boilerplate doc exceeds add-one's:
+    // nll_kn(boiler) − nll_kn(diverse) > nll_add1(boiler) − nll_add1(diverse)
+    val knGap = kn(1L) - kn(2L)
+    val addGap = add1(1L) - add1(2L)
+    assert(knGap > addGap,
+      s"KN gap $knGap should exceed add-one gap $addGap — continuation counts not biting")
+  }
+
+  test("bigramNllKn: conditional probabilities sum to 1 over the vocabulary") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a b a c a b d c a d", "en", "s", 0)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    // re-derive the model pieces by hand and check Σ_w2 P_KN(w2|'a') = 1
+    // including the continuation mass for unseen pairs
+    val b = graft.operators.TextAnalysis.bigramStream(corpus)
+      .select("w1", "w2").as[(String, String)].collect().toSeq
+    val cb = b.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val cf = b.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n1f = cb.keys.toSeq.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n1p = cb.keys.toSeq.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    val nbig = cb.size.toDouble
+    val vocab = (b.map(_._1) ++ b.map(_._2)).distinct
+    val d = 0.75
+    val total = vocab.map { w2 =>
+      math.max(cb.getOrElse(("a", w2), 0.0) - d, 0.0) / cf("a") +
+        ((d * n1f("a")) / cf("a")) * (n1p.getOrElse(w2, 0.0) / nbig)
+    }.sum
+    // sums to 1 up to the predecessor-type normalization (Σ n1p = nbig)
+    assert(math.abs(total - 1.0) < 1e-12, s"KN mass $total")
+  }
 }
