@@ -223,3 +223,67 @@ object Paths {
     states.map(s => (s, pi(s))).toSeq.toDF("state", "p")
   }
 }
+
+/** Kaplan–Meier survival over the signup→conversion delay — "how long
+  * until users convert, honestly accounting for the ones who haven't
+  * yet" (right-censoring at the stream's end; naively averaging only
+  * converters' delays is the classic survivorship bias). Discrete at
+  * DAY granularity.
+  *
+  * Output per conversion-day step t: the at-risk count n_t (users whose
+  * observed time ≥ t), conversions d_t, and the LOG survival
+  * ln S(t) = Σ_{t_j ≤ t} ln(1 − d_j/n_j) — emitted as the log, not
+  * exp'd: the cumulative sum runs over scale-6 fixed-point longs
+  * (exact under any window evaluation tree — the CUSUM lesson), while
+  * an exp() per row would reopen the cross-engine libm gap the rational
+  * sigmoid closed. Consumers exponentiate client-side.
+  *
+  * A step with d = n (everyone still at risk converts) can only be the
+  * LAST step — a later conversion would contradict n = d — and its
+  * ln S = −∞, so that terminal-zero row is dropped (documented, not
+  * silently null'd).
+  *
+  * Shape: two user-keyed min aggregates + one broadcast max, then
+  * everything runs over DAY histograms — the at-risk counts come from a
+  * descending cumulative over the observed-time histogram, never a
+  * per-user inequality join; windows are calendar-bounded.
+  */
+object Survival {
+  import graft.functions.TimeOps
+
+  def kaplanMeier(events: DataFrame, from: String = "signup",
+                  to: String = "purchase"): DataFrame = {
+    val ms = TimeOps.epochMs(col("ts"))
+    val s0 = events.filter(col("event_type") === from)
+      .select(col("user_id"), ms.as("ems"))
+      .groupBy("user_id").agg(min("ems").as("t0"))
+      .localCheckpoint() // reused: conversion join + censor times
+    val conv = events.filter(col("event_type") === to)
+      .select(col("user_id"), ms.as("ems"))
+      .join(s0, "user_id").filter(col("ems") >= col("t0"))
+      .groupBy("user_id").agg(min("ems").as("tp"))
+    val mx = events.agg(max(ms).as("mxms"))
+    val obs = s0.join(conv, Seq("user_id"), "left").crossJoin(broadcast(mx))
+      .select(col("user_id"),
+        when(col("tp").isNotNull, expr("(tp - t0) div 86400000"))
+          .otherwise(expr("(mxms - t0) div 86400000")).as("obs_day"),
+        col("tp").isNotNull.as("converted"))
+      .localCheckpoint() // reused: at-risk histogram + step counts
+    // at-risk n(t) = #users with obs_day >= t, from a DESC cumulative
+    // over the |days|-bounded observed-time histogram
+    val w = org.apache.spark.sql.expressions.Window
+    val hist = obs.groupBy("obs_day").agg(count(lit(1)).as("c"))
+    val atRisk = hist.withColumn("n", sum("c").over(w.orderBy(desc("obs_day"))))
+      .select(col("obs_day").as("t"), col("n"))
+    val steps = obs.filter(col("converted"))
+      .groupBy(col("obs_day").as("t")).agg(count(lit(1)).as("d"))
+    val term = steps.join(atRisk, "t")
+      .filter(col("d") < col("n")) // the only possible d = n step is terminal
+      .withColumn("term6",
+        floor(log((col("n") - col("d")).cast("double") / col("n").cast("double"))
+          * lit(1e6) + lit(0.5)).cast("long"))
+    term.withColumn("ln6", sum("term6").over(w.orderBy("t")))
+      .select(col("t"), col("n").as("n_at_risk"), col("d").as("n_converted"),
+        (col("ln6").cast("double") / lit(1e6)).as("ln_s"))
+  }
+}

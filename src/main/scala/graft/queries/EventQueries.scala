@@ -599,6 +599,40 @@ object EventQueries {
            |  (CAST(p - m AS DOUBLE) / 1000000.0 > 4.0*sig) AS flag
            |FROM mw ORDER BY event_type, day""".stripMargin)),
 
+    // Kaplan–Meier signup→purchase survival (Survival.kaplanMeier):
+    // right-censored at stream end, day-granular, emitted as ln S(t)
+    // with the cumulative over fixed-point longs (the CUSUM window
+    // discipline); an exp() per row would reopen the libm gap.
+    GraftQuery("events_survival",
+      (s, d) => graft.operators.Survival.kaplanMeier(Tables.events(s, d))
+        .orderBy("t"),
+      Some(
+        s"""WITH $evCte,
+           |s0 AS (SELECT user_id, min(epoch_ms(ts)) AS t0 FROM ev
+           |       WHERE event_type = 'signup' GROUP BY 1),
+           |cv AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS tp FROM ev e
+           |       JOIN s0 ON e.user_id = s0.user_id AND epoch_ms(e.ts) >= s0.t0
+           |       WHERE e.event_type = 'purchase' GROUP BY 1),
+           |mx AS (SELECT max(epoch_ms(ts)) AS mxms FROM ev),
+           |obs AS (
+           |  SELECT s0.user_id,
+           |    CASE WHEN cv.tp IS NOT NULL THEN (cv.tp - s0.t0) // 86400000
+           |         ELSE ((SELECT mxms FROM mx) - s0.t0) // 86400000 END AS obs_day,
+           |    cv.tp IS NOT NULL AS converted
+           |  FROM s0 LEFT JOIN cv USING (user_id)),
+           |h AS (SELECT obs_day, count(*) AS c FROM obs GROUP BY 1),
+           |ar AS (SELECT obs_day AS t,
+           |         CAST(sum(c) OVER (ORDER BY obs_day DESC) AS BIGINT) AS n FROM h),
+           |sp AS (SELECT obs_day AS t, count(*) AS d FROM obs WHERE converted GROUP BY 1),
+           |tm AS (
+           |  SELECT sp.t, ar.n, sp.d,
+           |    CAST(floor(ln(CAST(ar.n - sp.d AS DOUBLE) / CAST(ar.n AS DOUBLE))
+           |      * 1000000.0 + 0.5) AS BIGINT) AS term6
+           |  FROM sp JOIN ar USING (t) WHERE sp.d < ar.n)
+           |SELECT t, n AS n_at_risk, d AS n_converted,
+           |  CAST(CAST(sum(term6) OVER (ORDER BY t) AS BIGINT) AS DOUBLE) / 1000000.0 AS ln_s
+           |FROM tm ORDER BY t""".stripMargin)),
+
     // Per-user gap-regularity bot score: cv = √(n·S₂ − S₁²)/S₁ over
     // exact DECIMAL(38,0) inter-event-gap moments (Anomaly.botScore) —
     // machine traffic fires on a clock, so low cv flags it.

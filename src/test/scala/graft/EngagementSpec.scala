@@ -121,6 +121,35 @@ class EngagementSpec extends AnyFunSuite {
     assert(math.abs(pi("c") - 0.2) < 1e-4, s"pi=$pi")
   }
 
+  test("kaplanMeier: uncensored curve equals the empirical fraction; censoring hand-checked") {
+    import org.apache.spark.sql.functions._
+    def ev(rows: Seq[(Long, Int, String)]) = rows.zipWithIndex.map {
+      case ((u, day, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1700006400000L -
+          1700006400000L % 86400000L + day * 86400000L), u, t, 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // 5 users signup day 0; conversions at days 1,1,2,3; user 5 never
+    // converts (censored at the stream max = day 3)
+    val rows = (1L to 5L).map(u => (u, 0, "signup")) ++
+      Seq((1L, 1, "purchase"), (2L, 1, "purchase"), (3L, 2, "purchase"), (4L, 3, "purchase"))
+    val km = graft.operators.Survival.kaplanMeier(ev(rows))
+      .orderBy("t").select("t", "n_at_risk", "n_converted", "ln_s")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // step 1: n=5, d=2 → S=3/5; step 2: n=3, d=1 → S=3/5·2/3=2/5;
+    // step 3: n=2 (user 5 censored AT day 3 still at risk), d=1 → S=1/5
+    assert(km.map(r => (r._1, r._2, r._3)) == Seq((1L, 5L, 2L), (2L, 3L, 1L), (3L, 2L, 1L)))
+    val s = km.map(r => math.exp(r._4))
+    Seq(0.6, 0.4, 0.2).zip(s).foreach { case (want, got) =>
+      assert(math.abs(got - want) < 1e-4, s"S=$got want $want")
+    }
+    // a terminal d = n step (everyone converts) is dropped, earlier kept
+    val all = (1L to 3L).map(u => (u, 0, "signup")) ++
+      Seq((1L, 1, "purchase"), (2L, 2, "purchase"), (3L, 2, "purchase"))
+    val km2 = graft.operators.Survival.kaplanMeier(ev(all))
+      .orderBy("t").select("t").as[Long].collect().toSeq
+    assert(km2 == Seq(1L), s"terminal-zero step must drop, got $km2")
+  }
+
   test("cooccurPmi: hand-counted incidence, signs, and the n_ab <= min bound") {
     // one session per user (all events within the gap): sessions
     // u1={A,B}, u2={A,B}, u3={A}, u4={B}, u5={C,D}, u6={C,D} → N=6;
