@@ -407,6 +407,46 @@ object Curation {
       .limit(k)
   }
 
+  /** Population Stability Index between two corpus versions over
+    * doc-length buckets — the standard production drift score for a
+    * model-input distribution (PSI < 0.1 stable, 0.1–0.25 watch,
+    * > 0.25 shifted), computed per bucket so the card shows WHERE the
+    * mass moved, with the total alongside:
+    *
+    *   PSI = Σ_b (p_new(b) − p_old(b)) · ln(p_new(b)/p_old(b))
+    *
+    * Add-1 smoothing over the UNION bucket set keeps every term finite
+    * (an empty bucket on one side is exactly the signal PSI exists to
+    * price, not a division to dodge). Each term is stab(6)'d and the
+    * total rides an exact-decimal window sum (order-free, so DuckDB's
+    * window evaluation can't drift). Shape: two bounded bucket
+    * histograms, one full outer equi-join, one window over ≤ |buckets|
+    * rows — length buckets are range-bounded, never corpus-bounded.
+    */
+  def psiDrift(oldDocs: DataFrame, newDocs: DataFrame,
+               bucketWidth: Int = 50): DataFrame = {
+    import graft.functions.Stable
+    def hist(d: DataFrame, n: String) = d
+      .select(expr(s"n_chars DIV $bucketWidth").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as(n))
+    val j = hist(oldDocs, "c_old_r").join(hist(newDocs, "c_new_r"), Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("c_old_r"), lit(0L)).as("c_old"),
+        coalesce(col("c_new_r"), lit(0L)).as("c_new"))
+      .localCheckpoint() // reused: totals + terms
+    val tot = j.agg(sum("c_old").as("n_old"), sum("c_new").as("n_new"),
+      count(lit(1)).as("nb"))
+    val po = (col("c_old") + 1).cast("double") / (col("n_old") + col("nb")).cast("double")
+    val pn = (col("c_new") + 1).cast("double") / (col("n_new") + col("nb")).cast("double")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    j.crossJoin(broadcast(tot))
+      .withColumn("term", Stable.stab((pn - po) * log(pn / po), 6))
+      .select(col("bucket"), col("c_old"), col("c_new"), col("term"),
+        Stable.stab(sum(col("term").cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"), 6).as("psi_total"))
+  }
+
   /** Snapshot diff card between two corpus versions — the dataset-
     * versioning rollup (added / removed / changed / unchanged with doc
     * and byte deltas) a pipeline logs per release so a silent 30%-drop

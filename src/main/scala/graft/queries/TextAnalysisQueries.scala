@@ -1069,6 +1069,45 @@ object TextAnalysisQueries {
           |  CAST(sum(c_new) AS BIGINT) AS chars_new
           |FROM c GROUP BY change ORDER BY change""".stripMargin)),
 
+    // PSI drift between the two snapshot versions over doc-length
+    // buckets (Curation.psiDrift) — per-bucket terms + the total; add-1
+    // smoothing over the union bucket set keeps empty-side buckets
+    // finite (that asymmetry is PSI's whole signal).
+    GraftQuery("text_psi_drift",
+      (s, d) => {
+        import org.apache.spark.sql.functions._
+        val docs = Tables.documents(s, d)
+        graft.operators.Curation.psiDrift(
+          docs.filter(col("doc_id") % 10 =!= 0),
+          docs.filter(col("doc_id") % 10 =!= 9)).orderBy("bucket")
+      },
+      Some(
+        """WITH ho AS (
+          |  SELECT n_chars // 50 AS bucket, count(*) AS c_old
+          |  FROM documents WHERE doc_id % 10 <> 0 GROUP BY 1),
+          |hn AS (
+          |  SELECT n_chars // 50 AS bucket, count(*) AS c_new
+          |  FROM documents WHERE doc_id % 10 <> 9 GROUP BY 1),
+          |j AS (
+          |  SELECT COALESCE(ho.bucket, hn.bucket) AS bucket,
+          |    CAST(COALESCE(c_old, 0) AS BIGINT) AS c_old,
+          |    CAST(COALESCE(c_new, 0) AS BIGINT) AS c_new
+          |  FROM ho FULL OUTER JOIN hn ON ho.bucket = hn.bucket),
+          |t AS (SELECT CAST(sum(c_old) AS BIGINT) AS n_old,
+          |        CAST(sum(c_new) AS BIGINT) AS n_new, count(*) AS nb FROM j),
+          |tm AS (
+          |  SELECT j.bucket, j.c_old, j.c_new,
+          |    floor((
+          |      (CAST(j.c_new + 1 AS DOUBLE) / CAST(t.n_new + t.nb AS DOUBLE)
+          |       - CAST(j.c_old + 1 AS DOUBLE) / CAST(t.n_old + t.nb AS DOUBLE))
+          |      * ln((CAST(j.c_new + 1 AS DOUBLE) / CAST(t.n_new + t.nb AS DOUBLE))
+          |           / (CAST(j.c_old + 1 AS DOUBLE) / CAST(t.n_old + t.nb AS DOUBLE)))
+          |    )*1000000.0+0.5)/1000000.0 AS term
+          |  FROM j, t)
+          |SELECT bucket, c_old, c_new, term,
+          |  floor(CAST(sum(CAST(term AS DECIMAL(18,6))) OVER () AS DOUBLE)*1000000.0+0.5)/1000000.0 AS psi_total
+          |FROM tm ORDER BY bucket""".stripMargin)),
+
     // Per-source data card: volume, language spread, quality/diversity
     // means — the release artifact of a curation run. Hash-gated through
     // the dsum/stab double-aggregation discipline (per-doc stab(6) →

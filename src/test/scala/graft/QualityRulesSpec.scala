@@ -128,6 +128,25 @@ class QualityRulesSpec extends AnyFunSuite {
     assert(one.length == 1 && math.abs(one(0).getDouble(2)) < 1e-9)
   }
 
+  test("psiDrift: identical snapshots score 0, a planted shift scores positive, totals consistent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val docs = (0 until 100).map(i =>
+      (i.toLong, "t", "en", "s", 40 + (i % 5) * 60)).toDF(
+      "doc_id", "text", "lang", "source", "n_chars")
+    val same = graft.operators.Curation.psiDrift(docs, docs).collect()
+    assert(same.forall(r => r.getDouble(3) == 0.0 && r.getDouble(4) == 0.0))
+    // shift: the new snapshot loses all long docs
+    val shifted = graft.operators.Curation.psiDrift(
+      docs, docs.filter($"n_chars" < 200)).collect()
+    val total = shifted.head.getDouble(4)
+    assert(shifted.forall(r => r.getDouble(4) == total), "total must be constant")
+    assert(total > 0.25, s"a planted mass shift must cross PSI's alert bar, got $total")
+    // per-bucket terms of a PSI are individually non-negative:
+    // (pn − po) and ln(pn/po) always share a sign
+    assert(shifted.forall(_.getDouble(3) >= 0.0))
+  }
+
   test("docKeywords: the planted distinctive term ranks first for its doc") {
     import spark.implicits._
     val docs = Seq(
