@@ -418,6 +418,29 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Near-dup image pairs at hamming ≤ 1 over the 15-bit pHash by
+    * single-bit-flip pigeonhole blocking: every image emits its hash
+    * plus the 15 one-bit-flipped variants as join keys, so two hashes
+    * within hamming 1 share at least one key and the candidate stage is
+    * a pure EQUI-join (16 keys/image — constant blowup; no banding
+    * machinery needed at this hash width). Exact bit_count verify +
+    * distinct on the (a < b) pairs.
+    */
+  def phashPairs1(hashes: DataFrame): DataFrame = {
+    val keys = hashes.filter(col("phash").isNotNull)
+      .select(col("media_id"), col("phash"),
+        explode(typedLit((-1 until 15).toList)).as("k"))
+      .select(col("media_id"), col("phash"),
+        when(col("k") === -1, col("phash"))
+          .otherwise(expr("phash ^ shiftleft(CAST(1 AS BIGINT), k)")).as("key"))
+    keys.as("a").join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        expr("bit_count(a.phash ^ b.phash)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
+      .distinct()
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

@@ -170,6 +170,21 @@ object MultimodalQueries {
       Some(phashCte +
         "\nSELECT media_id, phash FROM ph ORDER BY media_id")),
 
+    // pHash near-dup pairs at hamming <= 1 via single-bit-flip
+    // pigeonhole keys — pure equi-join blocking at 16 keys/image
+    // (Multimodal.phashPairs1); exact bit_count verify.
+    GraftQuery("multimodal_phash_pairs",
+      (s, d) => Multimodal.phashPairs1(Multimodal.decodeImagePHash(
+        persistedMedia(s, d).filter(col("modality") === "image")))
+        .orderBy("doc_a", "doc_b"),
+      Some(phashCte +
+        """
+          |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+          |  CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+          |FROM ph a JOIN ph b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.phash, b.phash)) <= 1
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Image near-dup pairs at hamming <= 2 over the perceptual hash,
     // riding the SAME pigeonhole 20-bit-chunk banding as the 60-bit
     // SimHash text tier (equi-join candidates, exact hamming verify) —

@@ -169,6 +169,23 @@ class MultimodalSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("phashPairs1: pigeonhole blocking is exhaustive — equals the brute pair set") {
+    import org.apache.spark.sql.functions._
+    val media = Multimodal.withRealMedia(
+      graft.sources.Tables.documents(spark, TestSpark.sf0001))
+      .filter(col("modality") === "image")
+    val hashes = Multimodal.decodeImagePHash(media).localCheckpoint()
+    val blocked = Multimodal.phashPairs1(hashes)
+      .select("doc_a", "doc_b").orderBy("doc_a", "doc_b").collect().toSeq
+    val brute = hashes.as("a").join(hashes.as("b"),
+        col("a.media_id") < col("b.media_id"))
+      .filter(expr("bit_count(a.phash ^ b.phash)") <= 1)
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"))
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(blocked == brute, s"${blocked.size} blocked vs ${brute.size} brute")
+    assert(brute.nonEmpty, "fixture should contain hamming<=1 pairs")
+  }
+
   test("gridPHash: exactly invariant to brightness shift and contrast scale, unlike content change") {
     def img(f: (Int, Int) => Int): java.awt.image.BufferedImage = {
       val im = new java.awt.image.BufferedImage(16, 16,
