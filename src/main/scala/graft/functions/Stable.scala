@@ -39,6 +39,15 @@ object Stable {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** Driver-side twin of `stab(c, 6)` — THE canonical JVM copy: every
+    * driver-arithmetic replication (stationary, PCA eigen rounds, LR
+    * weight updates, pHash coefficients) must fold the same IEEE
+    * sequence as the Column expression, so they all call this instead of
+    * re-spelling it (a divergent copy would silently desynchronize a
+    * gate — closing-review finding).
+    */
+  def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
   /** SQL twin of `stab` for oracle strings. */
   def stabSql(expr: String, digits: Int): String = {
     val p = "1" + ("0" * digits) + ".0"

@@ -36,12 +36,17 @@ object Rfm {
       // histogram at the value range (the micro-unit-histogram argument
       // the deciles family already makes)
       .withColumn("m_c", round(col("total_value") * 100).cast("long"))
-      // FLOOR division, not `div` (which truncates toward zero): the
-      // DuckDB oracle's `//` floors, so a user with a NEGATIVE monetary
-      // total (refund-heavy) would land in different dollar buckets across
-      // engines under truncation. pmod is non-negative, so subtracting it
-      // makes the numerator exactly divisible and `div` exact = floor.
-      .withColumn("m_v", expr("(m_c - pmod(m_c, 100)) div 100"))
+      // TRUNCATING division, matching the oracle's BIGINT `//` exactly:
+      // DuckDB's integer `//` truncates toward zero (measured in the
+      // vendored 1.0.0: -41//8 = -5, -48//8 = -6 — the EWMA finding), so
+      // Spark's `div` (also truncating) is the faithful twin. The round-12
+      // advice asserted `//` floors and a floor-div spelling briefly
+      // landed here — that would have diverged for refund-heavy users
+      // with NEGATIVE totals, the very case it meant to fix. Truncation
+      // on both sides buckets negatives identically; semantically, a
+      // -$1.50 user landing in bucket -1 (with -$0.99ers) is as
+      // defensible as -2, and cross-engine identity is the contract.
+      .withColumn("m_v", expr("m_c div 100"))
       .localCheckpoint() // |users| rows; consumed by three histogram joins
     def quantile(metric: String, out: String): DataFrame = {
       val h = agg.groupBy(metric).agg(count(lit(1)).as("c"))
@@ -207,7 +212,7 @@ object Paths {
     val mRows = markov(events).select(col("cur"), col("nxt"), col("p"))
       .as[(String, String, Double)].collect()
     val states = (mRows.map(_._1) ++ mRows.map(_._2)).distinct.sorted
-    def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def stab6(x: Double): Double = graft.functions.Stable.stab6(x)
     val k = states.length.toDouble
     var pi: Map[String, Double] = states.map(s => s -> stab6(1.0 / k)).toMap
     for (_ <- 1 to iters) {

@@ -291,7 +291,11 @@ object Dedup {
         sum(expr("b * (b - 1) div 2")).as("cand"))
       .collect()(0)
     val nDocs = shk.agg(countDistinct("doc_id")).collect()(0).getLong(0)
-    BucketProfile(nDocs, b.getLong(0), b.getLong(1), b.getLong(2))
+    // an EMPTY key table (every doc shorter than the shingle width)
+    // leaves max/sum null — route as the all-zeros profile (either tier
+    // returns an empty pair set) instead of NPE'ing on getLong
+    if (b.isNullAt(1)) BucketProfile(nDocs, b.getLong(0), 0L, 0L)
+    else BucketProfile(nDocs, b.getLong(0), b.getLong(1), b.getLong(2))
   }
 
   /** The routing rule, exposed separately so specs pin the DECISION on

@@ -388,7 +388,7 @@ object Multimodal {
         acc += (g(jj) * dctBasis(u)(jj % 8)) * dctBasis(v)(jj / 8)
         jj += 1
       }
-      math.floor(acc * 1e6 + 0.5) / 1e6
+      graft.functions.Stable.stab6(acc)
     }.toArray
     val sorted = coefs.clone()
     java.util.Arrays.sort(sorted)

@@ -101,7 +101,7 @@ object Pca {
     // JBig.valueOf = Double.toString (shortest decimal) then setScale —
     // the verified double→DECIMAL(28,12) cast path of both engines.
     def dec(x: Double): JBig = JBig.valueOf(x).setScale(12, RoundingMode.HALF_UP)
-    def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def stab6(x: Double): Double = graft.functions.Stable.stab6(x)
     val c = Array.ofDim[Double](d, d)
     covRows.foreach { case (i, j, v) => c(i - 1)(j - 1) = v }
     val v0 = stab6(1.0 / math.sqrt(d.toDouble))
@@ -181,7 +181,7 @@ object Pca {
     */
   def varianceProfile(covRows: Array[(Int, Int, Double)], comps: Seq[Component]): Seq[(Int, Double, Double)] = {
     import java.math.{BigDecimal => JBig, RoundingMode}
-    def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def stab6(x: Double): Double = graft.functions.Stable.stab6(x)
     var t = JBig.ZERO
     covRows.foreach { case (i, j, v) =>
       if (i == j) t = t.add(JBig.valueOf(v).setScale(12, RoundingMode.HALF_UP))

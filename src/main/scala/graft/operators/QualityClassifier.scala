@@ -46,7 +46,7 @@ object QualityClassifier {
   val FeatureNames: Seq[String] =
     Seq("bias", "len_sat", "mean_wlen", "alpha_frac", "stop_density")
 
-  private def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def stab6(x: Double): Double = graft.functions.Stable.stab6(x)
 
   /** Per-doc raw features + label from the Gopher signal aggregate:
     * x1 saturating length n/(n+100), x2 mean word length /10,

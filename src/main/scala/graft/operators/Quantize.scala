@@ -30,19 +30,21 @@ import org.apache.spark.sql.graftglue
   */
 object Quantize {
 
-  /** Per-dimension (lo, hi), collected in dimension order. */
-  def bounds(prep: DataFrame): (Array[Double], Array[Double]) = {
-    val r = prep.select(posexplode(col("e")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
-      .orderBy("pos").select("lo", "hi").collect()
-    (r.map(_.getDouble(0)), r.map(_.getDouble(1)))
-  }
-
-  /** The bounds table itself, gate-shaped: (i, lo, hi), 1-based. */
+  /** The bounds table, gate-shaped: (i, lo, hi), 1-based — the single
+    * aggregate both the gated query and the collected form share (two
+    * spellings drifted apart would quantize against bounds the bounds
+    * query never showed — closing-review finding).
+    */
   def boundsDf(prep: DataFrame): DataFrame =
     prep.select(posexplode(col("e")).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("lo"), max("x").as("hi"))
       .select((col("pos") + 1).cast("int").as("i"), col("lo"), col("hi"))
+
+  /** Per-dimension (lo, hi), collected in dimension order. */
+  def bounds(prep: DataFrame): (Array[Double], Array[Double]) = {
+    val r = boundsDf(prep).orderBy("i").select("lo", "hi").collect()
+    (r.map(_.getDouble(0)), r.map(_.getDouble(1)))
+  }
 
   /** Per-element int code floor((x−lo)·255/(hi−lo)+0.5) as a double-typed
     * intermediate (the dequant math consumes it; the codes query casts).

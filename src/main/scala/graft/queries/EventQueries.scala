@@ -286,7 +286,12 @@ object EventQueries {
         .orderBy("stage"),
       Some {
         val z = 1.96
-        val zz = (z * z).toString
+        // VARCHAR→DOUBLE (strtod, single-step correctly rounded): the bare
+        // 17-digit decimal literal parses as DECIMAL(17,16) whose int repr
+        // exceeds 2^53, and DuckDB's direct DECIMAL→DOUBLE double-rounds
+        // one ulp above Spark's lit(1.96*1.96) — verified in the closing
+        // self-review against the vendored DuckDB 1.0.0
+        val zz = s"CAST('${z * z}' AS DOUBLE)"
         val nD = "CAST(a.n AS DOUBLE)"
         val ph = s"(CAST(b.n AS DOUBLE) / $nD)"
         val den = s"(1.0 + $zz / $nD)"

@@ -319,8 +319,12 @@ object MultimodalQueries {
     * list_sum folds, median by row_number.
     */
   val phashCte: String = {
+    // VARCHAR→DOUBLE, not a bare-literal cast: 17-digit decimals parse as
+    // DECIMAL with an int repr past 2^53, and the direct DECIMAL→DOUBLE
+    // conversion double-rounds (exact only by per-value luck — the Wilson
+    // z² finding); strtod is single-step correctly rounded for every value
     val bas = graft.operators.Multimodal.dctBasis.zipWithIndex.map { case (row, u) =>
-      s"($u, [${row.map(x => s"CAST($x AS DOUBLE)").mkString(", ")}])"
+      s"($u, [${row.map(x => s"CAST('$x' AS DOUBLE)").mkString(", ")}])"
     }.mkString(", ")
     val prs = graft.operators.Multimodal.phashPairs
       .map { case (u, v, k) => s"($u, $v, $k)" }.mkString(", ")

@@ -27,11 +27,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object NaturalCorpus {
 
-  /** Absolute committed-fixture path — the repo root is fixed by the
-    * build environment, and an absolute path keeps Verify/Bench
-    * CWD-independent.
+  /** Committed-fixture path, resolved from the process working directory
+    * (sbt and both driver mains run at the repo root) and overridable via
+    * -Dgraft.fixtures.dir for checkouts rooted elsewhere — hardcoding the
+    * build box's absolute root pinned every other checkout to its layout
+    * (closing-review finding).
     */
-  val Path = "/root/repo/fixtures/natural_docs.parquet"
+  val Path: String = {
+    val dir = sys.props.getOrElse("graft.fixtures.dir",
+      new java.io.File("fixtures").getAbsolutePath)
+    new java.io.File(dir, "natural_docs.parquet").getAbsolutePath
+  }
 
   def docs(s: SparkSession): DataFrame = s.read.parquet(Path)
 

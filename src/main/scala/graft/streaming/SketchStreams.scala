@@ -48,7 +48,7 @@ object SketchStreams {
     new java.math.BigDecimal(java.lang.Long.toUnsignedString(h)).doubleValue
 
   /** floor(x·10⁶ + 0.5)/10⁶ — the Stable.stab IEEE sequence, JVM-side. */
-  private def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def stab6(x: Double): Double = graft.functions.Stable.stab6(x)
 
   private[graft] def foldState(prev: Array[Long], incoming: Iterator[Long],
                                k: Int): Array[Long] =

@@ -66,6 +66,12 @@ class DedupSpec extends AnyFunSuite {
     val p = Dedup.bucketProfile(shk)
     assert(p == Dedup.BucketProfile(nDocs = 4, nBuckets = 3, maxBucket = 3, candPairs = 4))
     assert(math.abs(p.headFraction - 0.75) < 1e-12)
+    // EMPTY key table (every doc shorter than the shingle width): the
+    // null max/sum must route as the all-zeros profile, not NPE
+    // (closing-review finding)
+    val empty = Dedup.bucketProfile(shk.filter($"doc_id" < 0))
+    assert(empty == Dedup.BucketProfile(0, 0, 0, 0))
+    assert(!Dedup.usePrefixTier(empty))
   }
 
   test("auto tier routing: plain on the documents profile, prefix on the zipf profile") {
