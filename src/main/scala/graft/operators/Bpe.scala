@@ -223,4 +223,84 @@ object Bpe {
     Search.docWordCounts(docs).join(broadcast(nSym), "word")
       .groupBy("doc_id").agg(sum(col("tf") * col("n_sym")).as("bpe_tokens"))
   }
+
+  /** Dense id table of the trained subword vocabulary: (symbol, id), ids
+    * row-numbered in symbol order (binary collation — the same total
+    * order both engines sort strings by). The vocabulary is the tokenizer
+    * ARTIFACT, bounded by |alphabet| + numMerges by construction (each
+    * merge mints exactly one new symbol), so the single-partition window
+    * is metadata-sized at any corpus size (~32k rows for a production
+    * vocabulary) — unlike the corpus-scale word vocabulary, which needs
+    * the distributed dense-rank (Search.vocabularyFrom).
+    */
+  def symbolIds(wt: DataFrame, merges: Seq[Merge]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    applyMerges(wt, merges)
+      .select(explode(split(trim(col("sym")), "  ")).as("symbol")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("symbol")))
+  }
+
+  /** Per-word-TYPE encoding under the trained tokenizer: (word, ids,
+    * n_sym) where `ids` is the word's space-joined subword-id sequence.
+    * This is the half of encode that is vocabulary-shaped: the merge
+    * chain runs over |types| rows once, then each word's symbol list maps
+    * through the broadcast id table and reassembles in symbol order via
+    * array_sort over (pos, id) structs — no window over the corpus.
+    */
+  def wordIds(wt: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val enc = applyMerges(wt, merges)
+      .select(col("word"), split(trim(col("sym")), "  ").as("syms"))
+    val vocab = symbolIds(wt, merges)
+    enc.select(col("word"), posexplode(col("syms")).as(Seq("pos", "symbol")))
+      .join(broadcast(vocab), "symbol")
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x("id").cast("string")), " ").as("ids"),
+        count(lit(1)).cast("long").as("n_sym"))
+  }
+
+  /** ENCODE: the corpus as subword-id sequences — (doc_id, ids,
+    * n_bpe_tokens), `ids` the doc's full space-joined token-id stream in
+    * document order. The corpus-scale work is one tokenize with position
+    * + one broadcast join against the word→ids type table (types are
+    * bounded even when the corpus is not — the docTokenCounts contract)
+    * + one per-doc reassembly aggregate; nothing shuffles twice and no
+    * driver collect touches the data path. This is the operator a
+    * training pipeline runs LAST — text in, model-ready token ids out.
+    */
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val wids = wordIds(wordTypes(docs), merges)
+    val toks = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextOps.splitWords(
+          graft.functions.TextOps.normalize(col("text")))).as(Seq("pos", "word")))
+      .filter(graft.functions.TextOps.isKeptToken(col("word")))
+    toks.join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x("ids")), " ").as("ids"),
+        sum(col("n_sym")).as("n_bpe_tokens"))
+  }
+
+  /** Tokenizer fertility by source: subword tokens per whitespace word —
+    * the compression diagnostic that decides whether a vocabulary suits a
+    * corpus slice (a source the tokenizer fragments pays more of the
+    * training budget per word). Both sides are per-doc aggregates joined
+    * on doc_id (doc-count-sized, never |doc×word|-sized), then one
+    * per-source sum; the ratio is stab(6)'d for the cross-engine gate.
+    */
+  def sourceFertility(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
+    val perDoc = docTokenCounts(docs, merges)
+    val words = Search.tokens(docs).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"))
+    docs.select("doc_id", "source")
+      .join(words, "doc_id").join(perDoc, "doc_id")
+      .groupBy("source")
+      .agg(sum("n_words").as("n_words"), sum("bpe_tokens").as("n_bpe_tokens"))
+      .withColumn("fertility", graft.functions.Stable.stab(
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"), 6))
+  }
 }

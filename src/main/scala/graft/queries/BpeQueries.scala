@@ -202,6 +202,67 @@ object BpeQueries {
            |nsym AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$NumMerges),
            |dwc AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word)
            |SELECT d.doc_id, CAST(sum(tf * n_sym) AS BIGINT) AS bpe_tokens
-           |FROM dwc d JOIN nsym USING (word) GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin))
+           |FROM dwc d JOIN nsym USING (word) GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin)),
+
+    // ENCODE — the tokenizer loop closed: text in, model-ready subword-id
+    // sequences out. Ids are dense row-numbers over the final vocabulary
+    // in symbol order (binary collation, engine-exact); each doc's id
+    // stream reassembles in token order. The oracle replays the merge
+    // chain, mints the same id table, and string_aggs in the same
+    // positions — a wrong merge, id collision, or order bug all
+    // hash-fail on the full concatenated stream.
+    GraftQuery("bpe_encode",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        Bpe.encode(docs, merges).orderBy("doc_id")
+      },
+      Some(
+        s"""WITH ${chainCtes(NumMerges)},
+           |syms AS (SELECT word, string_split(trim(sym), '  ') AS syms FROM w$NumMerges),
+           |vocab AS (
+           |  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS id
+           |  FROM (SELECT DISTINCT t.s AS symbol FROM syms, unnest(syms.syms) t(s))),
+           |wsym AS (
+           |  SELECT s.word, t.i, s.syms[t.i] AS symbol, len(s.syms) AS n_sym
+           |  FROM syms s, unnest(range(1, len(s.syms) + 1)) t(i)),
+           |wids AS (
+           |  SELECT w.word, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+           |    CAST(max(w.n_sym) AS BIGINT) AS n_sym
+           |  FROM wsym w JOIN vocab v ON v.symbol = w.symbol GROUP BY w.word),
+           |tokp AS (
+           |  SELECT doc_id, t.i AS pos, arr[t.i] AS word
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents) d,
+           |    unnest(range(1, len(arr) + 1)) t(i)
+           |  WHERE length(arr[t.i]) > 0 AND NOT regexp_matches(arr[t.i], '^[0-9]+$$'))
+           |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
+           |  CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens
+           |FROM tokp k JOIN wids w USING (word)
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Tokenizer fertility by source — subword tokens per whitespace word,
+    // the per-slice compression diagnostic (a fragmenting source pays
+    // more budget per word; the mixing planner reads this next to
+    // text_mix_tokens). Doc-count-sized joins only; ratio stab(6)'d.
+    GraftQuery("bpe_fertility",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        Bpe.sourceFertility(docs, merges).orderBy("source")
+      },
+      Some(
+        s"""WITH ${chainCtes(NumMerges)},
+           |nsym AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$NumMerges),
+           |dwc AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+           |perdoc AS (
+           |  SELECT d.doc_id, sum(tf * n_sym) AS bpe
+           |  FROM dwc d JOIN nsym USING (word) GROUP BY d.doc_id),
+           |wrd AS (SELECT doc_id, count(*) AS n_words FROM tok GROUP BY doc_id)
+           |SELECT d.source, CAST(sum(w.n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(p.bpe) AS BIGINT) AS n_bpe_tokens,
+           |  ${graft.functions.Stable.stabSql(
+                 "CAST(sum(p.bpe) AS DOUBLE) / CAST(sum(w.n_words) AS DOUBLE)", 6)} AS fertility
+           |FROM documents d JOIN wrd w USING (doc_id) JOIN perdoc p USING (doc_id)
+           |GROUP BY d.source ORDER BY source""".stripMargin))
   )
 }
