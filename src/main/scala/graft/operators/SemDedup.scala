@@ -160,4 +160,26 @@ object SemDedup {
     val w = Window.partitionBy("component").orderBy(asc("ccos"), asc("vec_id"))
     scored.withColumn("keep", row_number().over(w) === 1)
   }
+
+  /** Cluster-balanced sample: the gated k-means cells with a
+    * deterministic per-cell content-hash rank, keeping `perCell` members
+    * of each — the curation move behind density-aware selection (D4 /
+    * SSL-prototype style): a head-heavy corpus region gets the SAME
+    * budget as a sparse one, so the sample is diverse by construction
+    * instead of mirroring the corpus density. The rank is
+    * (md5(vec_id), vec_id) — the repo's deterministic-uniform pick
+    * (text_sample_hash discipline), so both engines draw the identical
+    * sample. Scale: the window partitions by cell (k-way parallel); with
+    * k ∝ N/cell-size the per-cell sort stays partition-local, the same
+    * contract as the stratified sampler's per-lang window.
+    */
+  def clusterSample(embeddings: DataFrame, perCell: Int,
+                    k: Int = 8, iters: Int = 3): DataFrame = {
+    val w = Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    cells(embeddings, k, iters)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= perCell)
+      .select(col("cell"), col("rn"), col("vec_id"))
+  }
 }

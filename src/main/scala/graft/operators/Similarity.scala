@@ -49,6 +49,35 @@ object Similarity {
   def cosine(digits: Int = 6): Column =
     Stable.stab(dot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), digits)
 
+  /** Semantic decontamination: corpus vectors whose max cosine against
+    * any EVAL vector reaches `threshold` — the embedding-space sibling of
+    * the n-gram decontaminate family (an eval answer paraphrased into
+    * training data has no shingle overlap but a near-identical
+    * embedding). Eval sets are bounded by construction (benchmark suites
+    * are thousands of rows, not corpora), so the right scale shape is the
+    * knn_pq_batch contract: broadcast the eval side and stream the corpus
+    * through ONE narrow pass — a bounded-side BroadcastNestedLoopJoin,
+    * linear in the corpus, no shuffle until the per-vector max (which is
+    * a partial-aggregating groupBy on vec_id, already co-partitioned with
+    * nothing — one exchange of |corpus| skinny rows).
+    *
+    * `evalBound` marks vec_id < evalBound as the eval suite (the
+    * text_decontaminate convention); output is the contamination list
+    * (vec_id, max_cos) at stab(6).
+    */
+  def evalContamination(embeddings: DataFrame, evalBound: Long,
+                        threshold: Double): DataFrame = {
+    val p = prepared(embeddings)
+    val ev = p.filter(col("vec_id") < evalBound)
+      .select(col("e").as("ee"), col("nrm").as("enrm"))
+    p.filter(col("vec_id") >= evalBound)
+      .crossJoin(broadcast(ev))
+      .select(col("vec_id"),
+        Stable.stab(dot(col("e"), col("ee")) / (col("nrm") * col("enrm")), 6).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("max_cos"))
+      .filter(col("max_cos") >= threshold)
+  }
+
   /** Near-duplicate pairs: all (a < b) with cosine >= threshold. O(n²) —
     * the exact-verify twin; the scale path is cosinePairsLsh below.
     */

@@ -15,6 +15,7 @@ object SemDedupQueries {
   val K = 8
   val Iters = 3
   val Threshold = 0.45
+  val PerCell = 25
 
   /** stab(6) cosine between a row alias with (e, nrm) and a centroid
     * alias with (c, cnrm).
@@ -115,6 +116,22 @@ object SemDedupQueries {
       Some(
         s"""WITH $chainCtes
            |SELECT cell, CAST(count(*) AS BIGINT) AS members
-           |FROM af GROUP BY cell ORDER BY cell""".stripMargin))
+           |FROM af GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // Cluster-balanced sample — equal per-cell budgets over the gated
+    // k-means cells with a deterministic (md5, id) rank: the
+    // density-aware curation pick (D4-style), hash-gated THROUGH the
+    // trainer like the other semantic queries.
+    GraftQuery("emb_cluster_sample",
+      (s, d) => SemDedup.clusterSample(Tables.embeddings(s, d), PerCell, K, Iters)
+        .orderBy("cell", "rn"),
+      Some(
+        s"""WITH $chainCtes
+           |SELECT cell, rn, vec_id FROM (
+           |  SELECT cell, vec_id,
+           |    row_number() OVER (PARTITION BY cell
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+           |  FROM af)
+           |WHERE rn <= $PerCell ORDER BY cell, rn""".stripMargin))
   )
 }

@@ -73,6 +73,25 @@ object SimilarityQueries {
            |ORDER BY vec_a, vec_b""".stripMargin),
       bench = false),
 
+    // Semantic decontamination — the embedding-space sibling of
+    // text_decontaminate: corpus vectors whose max cosine against any
+    // eval vector (vec_id < 10, the same eval stand-in convention)
+    // reaches 0.35. A paraphrased eval answer shares no shingles but a
+    // near-identical embedding, so a production pipeline runs BOTH gates.
+    // Scale shape is the knn_pq_batch contract: broadcast the bounded
+    // eval side, one narrow corpus pass, one skinny-row max aggregate.
+    GraftQuery("text_decontaminate_semantic",
+      (s, d) => Similarity.evalContamination(Tables.embeddings(s, d), 10, 0.35)
+        .orderBy("vec_id"),
+      Some(
+        s"""WITH $prepCte,
+           |ev AS (SELECT e, nrm FROM n WHERE vec_id < 10),
+           |c AS (
+           |  SELECT a.vec_id, ${cosSql("a", "b")} AS cos
+           |  FROM n a, ev b WHERE a.vec_id >= 10)
+           |SELECT vec_id, max(cos) AS max_cos FROM c GROUP BY vec_id
+           |HAVING max(cos) >= 0.35 ORDER BY vec_id""".stripMargin)),
+
     // Embedding-quality QA: bottom-5 per label by cosine to the label's
     // own centroid — mislabeled/outlier candidates. Centroids are the
     // stab(6) per-dim averages the IVF oracles already pin; the affinity
