@@ -441,6 +441,54 @@ object Multimodal {
       .distinct()
   }
 
+  /** 60-bit PCM sign fingerprint from REAL audio decode: bit i (of
+    * samples 1..60) is set iff the decoded 16-bit sample is strictly
+    * positive. The sign structure of a waveform is its coarsest
+    * content signature — amplitude-invariant (any gain > 0 preserves
+    * it), and two clips whose rate-normalized pitch is close differ in
+    * only a few sign bits, so the fingerprint drops straight into the
+    * simhashPairs60 pigeonhole machinery for near-dup blocking. The
+    * fixture's synthesis contract makes each bit EXACTLY re-derivable
+    * by integer arithmetic — sign(sin(2π·f·i/rate)) is decided by
+    * (f·i) mod rate vs rate/2, with |sin|·12000 ≥ 3.4 whenever the
+    * residue is nonzero — so the oracle replays the fingerprint with
+    * no floating point at all (MultimodalQueries.audioFpCte).
+    */
+  def decodeAudioSignFp(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val fp = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val buf = new Array[Byte](2 * 61) // samples 0..60, 16-bit mono LE
+          var off = 0
+          var n = 0
+          while (off < buf.length && n >= 0) {
+            n = ais.read(buf, off, buf.length - off)
+            if (n > 0) off += n
+          }
+          if (off < buf.length) null
+          else {
+            var bits = 0L
+            var i = 1
+            while (i <= 60) {
+              val s = ((buf(2 * i + 1).toInt << 8) | (buf(2 * i) & 0xff)).toShort
+              bits = (bits << 1) | (if (s > 0) 1L else 0L)
+              i += 1
+            }
+            java.lang.Long.valueOf(bits)
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+        Row(r.getLong(0), fp)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

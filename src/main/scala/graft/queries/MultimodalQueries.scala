@@ -147,6 +147,40 @@ object MultimodalQueries {
           |  CAST(1 AS INT) AS channels
           |FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""".stripMargin)),
 
+    // Audio CONTENT fingerprint from real PCM decode: the 60-bit sign
+    // signature of the first 60 samples (amplitude-invariant, pitch-
+    // sensitive). Spark decodes the WAV bytes through javax.sound and
+    // reads actual samples; the oracle replays every bit with pure
+    // integer arithmetic from the synthesis contract (audioFpCte) — an
+    // endianness flip, off-by-one frame, or header mis-parse all
+    // hash-fail.
+    GraftQuery("multimodal_audio_fp",
+      (s, d) => Multimodal.decodeAudioSignFp(
+        persistedMedia(s, d).filter(col("modality") === "audio"))
+        .orderBy("media_id"),
+      Some(audioFpCte +
+        "\nSELECT media_id, fp FROM afp ORDER BY media_id")),
+
+    // Audio near-dup pairs at hamming <= 2 over the sign fingerprint,
+    // riding the SAME 20-bit pigeonhole banding as the SimHash text tier
+    // and the image ahash pairs — cross-modality reuse of one blocking
+    // engine. Hamming-close fingerprints are clips whose rate-normalized
+    // pitch nearly coincides (the sign pattern is f/rate's trace), the
+    // raw-PCM analogue of "same track, different gain".
+    GraftQuery("multimodal_audio_neardup",
+      (s, d) => graft.operators.Dedup.simhashPairs60(
+        Multimodal.decodeAudioSignFp(
+            persistedMedia(s, d).filter(col("modality") === "audio"))
+          .select(col("media_id").as("doc_id"), col("fp").as("simhash")), 2)
+        .orderBy("doc_a", "doc_b"),
+      Some(audioFpCte +
+        """
+          |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          |FROM afp a JOIN afp b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Perceptual hash from REAL pixel decode: Spark reads the PNG bytes
     // and samples a fixed 6×10 gray grid; the oracle re-derives the
     // identical 60-bit mean-threshold hash from the synthesis contract
@@ -367,4 +401,24 @@ object MultimodalQueries {
       |    CAST(sum(CASE WHEN 60 * g > tot
       |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
       |  FROM px JOIN s USING (doc_id) GROUP BY px.doc_id)""".stripMargin
+
+  /** Integer replay of the audio sign fingerprint: the fixture's WAV is
+    * sin(2π·f·i/rate)·12000 truncated to int16 with f = 220 + id%110 and
+    * rate from the audioParams table, so sample i is strictly positive
+    * iff 0 < (f·i) mod rate < rate/2 — whenever the residue is nonzero
+    * the sample's magnitude is ≥ 3 (|sin| ≥ sin(2π/22050), ×12000), and
+    * at residue 0 (or rate/2) the FP argument error (~1e-14 rad) puts
+    * the truncated sample at exactly 0. No floating point anywhere.
+    */
+  val audioFpCte: String =
+    """WITH audio AS (
+      |  SELECT doc_id, 220 + doc_id % 110 AS f,
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |         WHEN 2 THEN 16000 ELSE 22050 END AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |afp AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(CASE WHEN (f * t.i) % rate > 0 AND 2 * ((f * t.i) % rate) < rate
+      |             THEN CAST(1 AS BIGINT) << CAST(60 - t.i AS INT) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM audio, range(1, 61) t(i) GROUP BY doc_id)""".stripMargin
 }
