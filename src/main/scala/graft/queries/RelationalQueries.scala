@@ -167,6 +167,32 @@ object RelationalQueries {
           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
           |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // Full outer join — the one join shape the suite lacked: BUILDING
+    // customers vs high-volume order books (n ≥ 10), preserving
+    // unmatched rows on BOTH sides (at sf0.01: 148 left-only, 654
+    // right-only, 154 matched — all three cases exercised). The count
+    // threshold keeps the filter integer-exact; the sort key is the
+    // coalesced join key, never null.
+    GraftQuery("q_full_outer_join",
+      (s, d) => {
+        val cust = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+          .select(col("c_custkey"), col("c_acctbal"))
+        val agg = orders(s, d).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders")).filter(col("n_orders") >= 10)
+        cust.join(agg, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_acctbal"), col("n_orders"))
+          .orderBy("custkey")
+      },
+      Some(
+        """WITH c AS (SELECT c_custkey, c_acctbal FROM customer
+          |           WHERE c_mktsegment = 'BUILDING'),
+          |a AS (SELECT o_custkey, count(*) AS n_orders FROM orders
+          |      GROUP BY o_custkey HAVING count(*) >= 10)
+          |SELECT coalesce(c_custkey, o_custkey) AS custkey, c_acctbal, n_orders
+          |FROM c FULL OUTER JOIN a ON c_custkey = o_custkey
+          |ORDER BY custkey""".stripMargin)),
+
     // Left-anti join (NOT EXISTS): orders with no returned ('R') line.
     GraftQuery("q_anti_join",
       (s, d) => orders(s, d)
