@@ -68,10 +68,21 @@ object Similarity {
   def evalContamination(embeddings: DataFrame, evalBound: Long,
                         threshold: Double): DataFrame = {
     val p = prepared(embeddings)
-    val ev = p.filter(col("vec_id") < evalBound)
-      .select(col("e").as("ee"), col("nrm").as("enrm"))
-    p.filter(col("vec_id") >= evalBound)
-      .crossJoin(broadcast(ev))
+    contaminationAgainst(p.filter(col("vec_id") >= evalBound),
+      p.filter(col("vec_id") < evalBound), threshold)
+  }
+
+  /** The contamination core, on prepared sides: corpus rows (vec_id, e,
+    * nrm) whose max stab(6) cosine against any eval row reaches the
+    * threshold. Per-vector and stateless — each verdict depends only on
+    * the vector and the (fixed) eval set — which is what makes the
+    * streaming twin (VectorStreams.contaminationIngest) exactly equal to
+    * the batch gate on any prefix.
+    */
+  def contaminationAgainst(corpus: DataFrame, evalSet: DataFrame,
+                           threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("e").as("ee"), col("nrm").as("enrm"))
+    corpus.crossJoin(broadcast(ev))
       .select(col("vec_id"),
         Stable.stab(dot(col("e"), col("ee")) / (col("nrm") * col("enrm")), 6).as("cos"))
       .groupBy("vec_id").agg(max("cos").as("max_cos"))

@@ -98,6 +98,43 @@ object VectorStreams {
       }
       .start()
 
+  /** Screen one micro-batch of arriving embeddings against the FIXED
+    * broadcast eval set and append the flagged rows to the contamination
+    * ledger as a committed `batch=<id>` dir. The eval set only changes
+    * between benchmark releases — the same fixed-artifact discipline as
+    * IVF centroids and PQ codebooks (a mid-stream eval change would make
+    * the ledger a mix of two gates; swap it with a batch re-screen).
+    * Contamination is per-vector and stateless, so the ledger's union
+    * over batches EQUALS the batch gate (Similarity.evalContamination)
+    * on the ingested prefix — StreamingSpec pins the equality and the
+    * crash-replay no-op.
+    */
+  def contaminationBatch(batch: DataFrame, evalSet: DataFrame,
+                         outDir: String, batchId: Long,
+                         threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.BatchCommit.writeBatch(
+      Similarity.contaminationAgainst(Similarity.prepared(batch), evalSet, threshold),
+      outDir, batchId)
+    graft.operators.BatchCommit.requireIntact(spark, outDir, batchId)
+  }
+
+  /** Always-on semantic decontamination: embeddings stream in, flagged
+    * (vec_id, max_cos) rows accumulate in the batch-keyed ledger a
+    * pipeline anti-joins before training.
+    */
+  def contaminationIngest(vectors: DataFrame, evalSet: DataFrame,
+                          outDir: String,
+                          threshold: Double): StreamingQuery = {
+    val ev = evalSet.persist() // tiny by contract; re-broadcast per batch
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) contaminationBatch(batch, ev, outDir, batchId, threshold)
+      }
+      .start()
+  }
+
   /** Retrain the PQ codebooks on the CURRENT corpus and re-encode — the
     * PQ twin of `retrainIndex` (as streamed vectors drift from the
     * distribution the codebooks were trained on, quantization error grows

@@ -1058,4 +1058,46 @@ class StreamingSpec extends AnyFunSuite {
       }
     } finally q.stop()
   }
+
+  test("streaming semantic decontamination equals the batch gate on every prefix; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val evalSet = graft.operators.Similarity.prepared(emb.filter(col("vec_id") < 10))
+    val corpus = emb.filter(col("vec_id") >= 10)
+      .as[(Long, Array[Float], Int)].collect()
+    val out = java.nio.file.Files.createTempDirectory("contamout").toString
+    val tau = 0.30
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.streaming.VectorStreams.contaminationIngest(
+      mem.toDF.toDF("vec_id", "embedding", "label"), evalSet, out, tau)
+    def ledger: Map[Long, Double] =
+      graft.operators.BatchCommit.readCommitted(spark, out)
+        .map(_.select("vec_id", "max_cos").as[(Long, Double)].collect().toMap)
+        .getOrElse(Map.empty)
+    try {
+      val batches = corpus.grouped(math.max(1, corpus.length / 3)).toSeq
+      var prefix = Vector.empty[(Long, Array[Float], Int)]
+      batches.zipWithIndex.foreach { case (b, i) =>
+        mem.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+        prefix = prefix ++ b
+        // batch twin over the SAME prefix: per-vector verdicts, so the
+        // ledger union must equal it exactly (values included)
+        val want = graft.operators.Similarity.contaminationAgainst(
+            graft.operators.Similarity.prepared(
+              prefix.toDF("vec_id", "embedding", "label")), evalSet, tau)
+          .as[(Long, Double)].collect().toMap
+        assert(ledger == want, s"after micro-batch $i")
+      }
+      val before = ledger
+      // crash-replay of the last micro-batch id: batch-keyed overwrite of
+      // identical content — the ledger must not change
+      graft.streaming.VectorStreams.contaminationBatch(
+        batches.last.toIndexedSeq.toDF("vec_id", "embedding", "label"),
+        evalSet, out, batchId = batches.size - 1L, tau)
+      assert(ledger == before)
+      assert(before.nonEmpty, "fixture should flag at least one vector at tau=0.30")
+    } finally q.stop()
+  }
 }
