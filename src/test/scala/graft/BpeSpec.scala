@@ -108,4 +108,30 @@ class BpeSpec extends AnyFunSuite {
       .agg(sum(length(col("word")) * col("freq"))).as[Long].head()
     assert(total > 0 && total <= charTotal - 256) // each merge fired ≥ once
   }
+
+  test("encode round-trips: ids decode through the inverse vocab back to the exact text") {
+    import spark.implicits._
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val merges = Bpe.trainBatched(docs, 8, batch = 1)
+    val wt = Bpe.wordTypes(docs)
+    val idToSym = Bpe.symbolIds(wt, merges)
+      .as[(String, Int)].collect().map(_.swap).toMap
+    val enc = Bpe.encode(docs, merges)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val counts = Bpe.docTokenCounts(docs, merges).as[(Long, Long)].collect().toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(enc.keySet == counts.keySet)
+    enc.foreach { case (id, (ids, n)) =>
+      val seq = ids.split(" ").map(_.toInt)
+      // the id stream's length is the doc's token budget
+      assert(seq.length.toLong == n && n == counts(id))
+      // decoding: concatenated symbols reproduce the tokenized text
+      // (symbols never span word boundaries, so word joins are lossless
+      // up to the whitespace the tokenizer normalized away)
+      val decoded = seq.map(idToSym).mkString
+      val want = texts(id).toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !w.matches("^[0-9]+$")).mkString
+      assert(decoded == want, s"doc $id")
+    }
+  }
 }

@@ -497,4 +497,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("SortAggregate"))
   }
 
+  test("text_decontaminate_semantic: bounded-eval broadcast pass, corpus never cartesians itself") {
+    // the knn_pq_batch contract: the ONLY nested loop is against the
+    // broadcast eval side (bounded by the benchmark suite, not the
+    // corpus), and the per-vector max is a partial-aggregating hash agg
+    val p = plan("text_decontaminate_semantic")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "eval side should broadcast (bounded-side contract)")
+    assert(!p.contains("CartesianProduct"), "corpus-side cartesian crept in")
+    assert(p.contains("HashAggregate"))
+    assert(!p.contains("SortAggregate"))
+  }
+
+  test("multimodal_audio_neardup: pigeonhole banding keeps audio pairs an equi-join") {
+    val p = plan("multimodal_audio_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bpe_encode / bpe_fertility: type-table joins broadcast; corpus side never shuffles twice") {
+    // encode's corpus-scale work is tokenize → broadcast join → one
+    // per-doc aggregate; the word→ids map rides the broadcast (the
+    // docTokenCounts contract)
+    val p = plan("bpe_encode")
+    assert(p.contains("BroadcastHashJoin"), "word→ids map should broadcast")
+    assert(!p.contains("CartesianProduct"))
+    val f = plan("bpe_fertility")
+    assert(f.contains("BroadcastHashJoin"))
+    assert(!f.contains("SortAggregate"))
+  }
 }

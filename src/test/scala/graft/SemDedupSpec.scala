@@ -58,4 +58,26 @@ class SemDedupSpec extends AnyFunSuite {
       assert(members.map(_._1).min == members.head._2)
     }
   }
+
+  test("clusterSample: per-cell budget respected, members drawn from the cell, deterministic") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val perCell = 7
+    val got = SemDedup.clusterSample(emb, perCell)
+      .select("cell", "rn", "vec_id").as[(Int, Long, Long)].collect()
+    val cells = SemDedup.cells(emb).select("vec_id", "cell")
+      .as[(Long, Int)].collect().toMap
+    // every sampled row really lives in its claimed cell
+    got.foreach { case (cell, _, id) => assert(cells(id) == cell) }
+    // budget: min(perCell, |cell|) rows per cell, ranks 1..n
+    val sizes = cells.groupBy(_._2).map { case (c, m) => c -> m.size }
+    got.groupBy(_._1).foreach { case (cell, rows) =>
+      assert(rows.length == math.min(perCell, sizes(cell)))
+      assert(rows.map(_._2).sorted.toSeq == (1L to rows.length).toSeq)
+    }
+    // deterministic: a second draw is identical
+    val again = SemDedup.clusterSample(emb, perCell)
+      .select("cell", "rn", "vec_id").as[(Int, Long, Long)].collect()
+    assert(got.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+  }
 }
