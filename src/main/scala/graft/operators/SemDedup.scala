@@ -161,6 +161,28 @@ object SemDedup {
     scored.withColumn("keep", row_number().over(w) === 1)
   }
 
+  /** Incremental SemDeDup — the per-snapshot production operation: train
+    * (or load) the cell layout on the EXISTING corpus, assign the
+    * arriving batch to those FIXED centroids (the vectorIngest
+    * discipline: cells must agree with the layout queries probe), and
+    * search new×old pairs within cells only. No old×old work is
+    * repeated, and the candidate bound is Σ|cell_new|·|cell_old| — the
+    * incremental analogue of the Σ|cell|² batch bound.
+    */
+  def incrementalPairs(oldEmb: DataFrame, newEmb: DataFrame,
+                       threshold: Double,
+                       k: Int = 8, iters: Int = 3): DataFrame = {
+    val (oldAsg, cent) = model(oldEmb, k, iters)
+    val pOld = Similarity.prepared(oldEmb)
+    val pNew = Similarity.prepared(newEmb)
+    val newSide = assign(pNew, cent).join(pNew, "vec_id")
+    val oldSide = oldAsg.join(pOld, "vec_id")
+    newSide.as("a").join(oldSide.as("b"), col("a.cell") === col("b.cell"))
+      .select(col("a.vec_id").as("new_vec"), col("b.vec_id").as("old_vec"),
+        col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Cluster-balanced sample: the gated k-means cells with a
     * deterministic per-cell content-hash rank, keeping `perCell` members
     * of each — the curation move behind density-aware selection (D4 /

@@ -16,6 +16,7 @@ object SemDedupQueries {
   val Iters = 3
   val Threshold = 0.45
   val PerCell = 25
+  val IncThreshold = 0.40
 
   /** stab(6) cosine between a row alias with (e, nrm) and a centroid
     * alias with (c, cnrm).
@@ -24,40 +25,45 @@ object SemDedupQueries {
     s"floor(list_sum(list_transform(range(1, len($a.e)+1), i -> $a.e[i]*$c.c[i]))" +
       s"/($a.nrm*$c.cnrm)*1000000.0+0.5)/1000000.0"
 
-  /** One assignment CTE `name` against centroids `cent`: argmax stab(6)
-    * cosine, ties to the lower cell id.
+  /** One assignment CTE `name` of corpus alias `src` against centroids
+    * `cent`: argmax stab(6) cosine, ties to the lower cell id.
     */
-  private def assignCte(name: String, cent: String): String =
+  private def assignCte(name: String, cent: String, src: String = "n"): String =
     s"""$name AS MATERIALIZED (
        |  SELECT vec_id, cell FROM (
-       |    SELECT n.vec_id, c.cell,
-       |      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${cosC("n", "c")} DESC, c.cell ASC) AS rn
-       |    FROM n, $cent c) WHERE rn = 1)""".stripMargin
+       |    SELECT $src.vec_id, c.cell,
+       |      row_number() OVER (PARTITION BY $src.vec_id ORDER BY ${cosC(src, "c")} DESC, c.cell ASC) AS rn
+       |    FROM $src, $cent c) WHERE rn = 1)""".stripMargin
 
-  /** The full trainer chain: prep, md5-ordered seeds, Iters gated Lloyd
-    * rounds, final assignment `af`, pair side `s`.
+  /** The full trainer chain over corpus CTE `src`: md5-ordered seeds,
+    * Iters gated Lloyd rounds, final assignment `af`, pair side `s`.
+    * (Callers prepend SimilarityQueries.prepCte and, when `src != "n"`,
+    * the CTE that defines `src`.)
     */
-  def chainCtes: String = {
+  def chainCtesOn(src: String): String = {
     val head =
-      s"""${SimilarityQueries.prepCte},
-         |seed AS MATERIALIZED (
+      s"""seed AS MATERIALIZED (
          |  SELECT CAST(rn - 1 AS INTEGER) AS cell, e FROM (
-         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, e FROM n) WHERE rn <= $K),
+         |    SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn, e FROM $src) WHERE rn <= $K),
          |c0 AS MATERIALIZED (SELECT cell, e AS c, sqrt(list_sum(list_transform(e, x -> x*x))) AS cnrm FROM seed)""".stripMargin
     val rounds = (1 to Iters).map { r =>
-      s"""${assignCte(s"a$r", s"c${r - 1}")},
+      s"""${assignCte(s"a$r", s"c${r - 1}", src)},
          |c$r AS MATERIALIZED (
          |  SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x*x))) AS cnrm FROM (
          |    SELECT cell, list(cd ORDER BY i) AS c FROM (
-         |      SELECT a.cell, t.i, floor(avg(n.e[t.i])*1000000.0+0.5)/1000000.0 AS cd
-         |      FROM a$r a JOIN n ON n.vec_id = a.vec_id, unnest(range(1, len(n.e)+1)) t(i)
+         |      SELECT a.cell, t.i, floor(avg($src.e[t.i])*1000000.0+0.5)/1000000.0 AS cd
+         |      FROM a$r a JOIN $src ON $src.vec_id = a.vec_id, unnest(range(1, len($src.e)+1)) t(i)
          |      GROUP BY a.cell, t.i) GROUP BY cell))""".stripMargin
     }
     val tail =
-      s"""${assignCte("af", s"c$Iters")},
-         |s AS (SELECT a.vec_id, a.cell, n.e, n.nrm FROM af a JOIN n ON n.vec_id = a.vec_id)""".stripMargin
+      s"""${assignCte("af", s"c$Iters", src)},
+         |s AS (SELECT a.vec_id, a.cell, $src.e, $src.nrm FROM af a JOIN $src ON $src.vec_id = a.vec_id)""".stripMargin
     (head +: rounds :+ tail).mkString(",\n")
   }
+
+  /** The whole-corpus chain the three core semantic oracles use. */
+  def chainCtes: String =
+    s"${SimilarityQueries.prepCte},\n${chainCtesOn("n")}"
 
   def all: Seq[GraftQuery] = Seq(
 
@@ -117,6 +123,35 @@ object SemDedupQueries {
         s"""WITH $chainCtes
            |SELECT cell, CAST(count(*) AS BIGINT) AS members
            |FROM af GROUP BY cell ORDER BY cell""".stripMargin)),
+
+    // Incremental SemDeDup — the snapshot ingest path: cells trained on
+    // the EXISTING corpus (vec_id % 10 ≠ 0), the arriving batch assigned
+    // to those fixed centroids, new×old pairs within cells only. The
+    // oracle replays the old-only trainer and the fixed-centroid
+    // assignment of the batch, so the whole ingest decision is
+    // hash-gated like the batch trainer.
+    GraftQuery("dedup_semantic_incremental",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val emb = Tables.embeddings(s, d)
+        SemDedup.incrementalPairs(
+            emb.filter(col("vec_id") % 10 =!= 0),
+            emb.filter(col("vec_id") % 10 === 0),
+            IncThreshold, K, Iters)
+          .orderBy("new_vec", "old_vec")
+      },
+      Some {
+        val pc = SimilarityQueries.cosSql("x", "y")
+        s"""WITH ${SimilarityQueries.prepCte},
+           |no AS (SELECT * FROM n WHERE vec_id % 10 <> 0),
+           |${chainCtesOn("no")},
+           |nw AS (SELECT * FROM n WHERE vec_id % 10 = 0),
+           |${assignCte("na", s"c$Iters", "nw")},
+           |x0 AS (SELECT a.vec_id, a.cell, nw.e, nw.nrm FROM na a JOIN nw ON nw.vec_id = a.vec_id)
+           |SELECT x.vec_id AS new_vec, y.vec_id AS old_vec, x.cell AS cell, $pc AS cos
+           |FROM x0 x JOIN s y ON x.cell = y.cell
+           |WHERE $pc >= $IncThreshold ORDER BY new_vec, old_vec""".stripMargin
+      }),
 
     // Cluster-balanced sample — equal per-cell budgets over the gated
     // k-means cells with a deterministic (md5, id) rank: the
