@@ -185,4 +185,34 @@ object Graph {
     }
     lab.select(col("v").as("doc_id"), col("lab").as("label"))
   }
+
+  /** Common-neighbor link prediction (Jaccard over out-neighborhoods):
+    * candidate pairs are generated by the shared-successor equi-join —
+    * (u,v) appear together once per common neighbor, so the candidate
+    * count is Σ_w indeg(w)², never |V|² (the LSH-banding argument, with
+    * graph structure as the blocking key). Existing edges (either
+    * direction) are anti-joined away; the remainder ranked by Jaccard =
+    * |N(u)∩N(v)| / |N(u)∪N(v)|. Small-integer division is engine-exact,
+    * so no stabilizer is needed. At 100 TB the one skew hazard is a hub
+    * node with corpus-scale indegree (indeg² candidates through it) —
+    * production drops neighbors above an indegree cap first, the
+    * standard mitigation; the md5 fixture graph is near-uniform so the
+    * bound is tight here.
+    */
+  def linkPrediction(edges: DataFrame, topK: Int): DataFrame = {
+    val e = edges.select("src", "dst").distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    e.as("a").join(e.as("b"),
+        col("a.dst") === col("b.dst") && col("a.src") < col("b.src"))
+      .groupBy(col("a.src").as("u"), col("b.src").as("v"))
+      .agg(count(lit(1)).as("common"))
+      .join(deg.select(col("src").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("src").as("v"), col("deg").as("dv")), "v")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("du") + col("dv") - col("common")).cast("double"))
+      .join(e.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+      .join(e.select(col("dst").as("u"), col("src").as("v")), Seq("u", "v"), "left_anti")
+      .select(col("u"), col("v"), col("common"), col("jaccard"))
+      .orderBy(desc("jaccard"), asc("u"), asc("v")).limit(topK)
+  }
 }

@@ -140,6 +140,30 @@ object GraphQueries {
            |  SELECT x.a, x.b, y.b AS c
            |  FROM und x JOIN und y ON y.a = x.b)
            |SELECT count(*) AS n_triangles
-           |FROM w JOIN und z ON z.a = w.a AND z.b = w.c""".stripMargin))
+           |FROM w JOIN und z ON z.a = w.a AND z.b = w.c""".stripMargin)),
+
+    // Link prediction — top-20 non-edges by common-successor Jaccard.
+    // Candidates come from the shared-neighbor equi-join (Σ indeg²
+    // bounded, the structural analogue of LSH banding); existing edges
+    // anti-joined away; small-integer division is engine-exact.
+    GraftQuery("graph_linkpred",
+      (s, d) => Graph.linkPrediction(
+        Graph.syntheticEdges(Tables.documents(s, d)), 20),
+      Some(
+        s"""WITH $edgeCtes,
+           |ed AS (SELECT DISTINCT src, dst FROM e0),
+           |dg AS (SELECT src, count(*) AS deg FROM ed GROUP BY src),
+           |cand AS (
+           |  SELECT a.src AS u, b.src AS v, count(*) AS common
+           |  FROM ed a JOIN ed b ON a.dst = b.dst AND a.src < b.src
+           |  GROUP BY a.src, b.src),
+           |sc AS (
+           |  SELECT c.u, c.v, CAST(c.common AS BIGINT) AS common,
+           |    CAST(c.common AS DOUBLE) / (du.deg + dv.deg - c.common) AS jaccard
+           |  FROM cand c JOIN dg du ON du.src = c.u JOIN dg dv ON dv.src = c.v
+           |  WHERE NOT EXISTS (SELECT 1 FROM ed WHERE src = c.u AND dst = c.v)
+           |    AND NOT EXISTS (SELECT 1 FROM ed WHERE src = c.v AND dst = c.u))
+           |SELECT u, v, common, jaccard FROM sc
+           |ORDER BY jaccard DESC, u, v LIMIT 20""".stripMargin))
   )
 }
