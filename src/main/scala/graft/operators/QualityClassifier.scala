@@ -169,6 +169,22 @@ object QualityClassifier {
         ((col("tp") + col("tn")).cast("double") / col("n")).as("accuracy"))
   }
 
+  /** Reliability (calibration) card: scores bucketed into `bins`
+    * equal-width bands, each with its observed positive rate — the
+    * diagnostic that says whether "score 0.8" MEANS 80% (miscalibration
+    * makes every threshold-based selection quota wrong, silently). One
+    * hash aggregate over bounded-cardinality bins; mean score per bin
+    * through the fixMean fixed-point path so both engines agree.
+    */
+  def calibration(scored: DataFrame, bins: Int = 10): DataFrame =
+    scored
+      .withColumn("bin", least(floor(col("score") * bins), lit(bins - 1)).cast("int"))
+      .groupBy("bin").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_pos"),
+        Stable.fixMean(col("score"), count(lit(1))).as("mean_score"))
+      .withColumn("frac_pos", col("n_pos").cast("double") / col("n"))
+
   /** The model card as rows: (feature, mean, std, weight) — bias carries
     * the identity moments.
     */

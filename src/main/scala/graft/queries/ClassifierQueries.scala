@@ -163,6 +163,27 @@ object ClassifierQueries {
            |  CAST(sum(CASE WHEN score < 0.5 AND keep THEN 1 ELSE 0 END) AS BIGINT) AS fn,
            |  CAST(sum(CASE WHEN score < 0.5 AND NOT keep THEN 1 ELSE 0 END) AS BIGINT) AS tn,
            |  CAST(sum(CASE WHEN (score >= 0.5) = keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS accuracy
-           |FROM sc""".stripMargin))
+           |FROM sc""".stripMargin)),
+
+    // Reliability card — observed positive rate per score decile: the
+    // calibration diagnostic behind every threshold-based quota (if
+    // "score 0.8" doesn't mean ~80%, top-P selection budgets are wrong).
+    // Bounded-cardinality aggregate; bin means ride the fixMean path.
+    GraftQuery("text_quality_lr_calibration",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        QualityClassifier.calibration(
+          QualityClassifier.score(docs, QualityClassifier.train(docs)))
+          .orderBy("bin")
+      },
+      Some(
+        s"""WITH $lrCtes,
+           |sc AS (SELECT ${pExpr("sf.")} AS score, sf.keep FROM sf, w$ITERS w),
+           |b AS (SELECT CAST(least(floor(score * 10), 9) AS INT) AS bin, score, keep FROM sc)
+           |SELECT bin, count(*) AS n,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+           |  ${fixMeanSql("score")} AS mean_score,
+           |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS frac_pos
+           |FROM b GROUP BY bin ORDER BY bin""".stripMargin))
   )
 }
