@@ -296,14 +296,29 @@ object Curation {
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
 
+  /** [[packSequences]] over a caller-supplied (doc_id, n_tok) table. */
+  def packSequencesFrom(counts: DataFrame, budget: Long): DataFrame =
+    packAssignmentsFrom(counts, budget)
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"))
+
   /** Per-doc packing frame behind [[packSequences]] — the layout a data
     * loader actually consumes: each doc's chunk id and its global token
     * offset in the concatenated stream. (doc_id, n_tok, start, seq_id).
     */
-  def packAssignments(docs: DataFrame, budget: Long): DataFrame = {
+  def packAssignments(docs: DataFrame, budget: Long): DataFrame =
+    packAssignmentsFrom(
+      TextAnalysis.tokenCounts(docs)
+        .select(col("doc_id"), col("alnum_tokens").as("n_tok")), budget)
+
+  /** [[packAssignments]] over a caller-supplied (doc_id, n_tok) budget
+    * table — the hook that lets packing consume the REAL tokenizer's
+    * counts (Bpe.docTokenCounts) instead of whitespace proxies; same
+    * distributed prefix-sum, same layout out.
+    */
+  def packAssignmentsFrom(counts: DataFrame, budget: Long): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
-    val t = TextAnalysis.tokenCounts(docs)
-      .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+    val t = counts
       .withColumn("h", md5(col("doc_id").cast("string")))
       .withColumn("pfx", substring(col("h"), 1, 1))
     val offsets = t.groupBy("pfx").agg(sum("n_tok").as("n"))

@@ -263,6 +263,37 @@ object BpeQueries {
            |  ${graft.functions.Stable.stabSql(
                  "CAST(sum(p.bpe) AS DOUBLE) / CAST(sum(w.n_words) AS DOUBLE)", 6)} AS fertility
            |FROM documents d JOIN wrd w USING (doc_id) JOIN perdoc p USING (doc_id)
-           |GROUP BY d.source ORDER BY source""".stripMargin))
+           |GROUP BY d.source ORDER BY source""".stripMargin)),
+
+    // Sequence packing by the TRAINED tokenizer's budget — what the data
+    // loader actually consumes (text_pack's whitespace counts are a
+    // planning proxy; training frames are cut in bpe tokens). Same
+    // distributed 16-bucket prefix sum; counts come from the merge chain
+    // both gates already pin.
+    GraftQuery("bpe_pack",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        graft.operators.Curation.packSequencesFrom(
+          Bpe.docTokenCounts(docs, merges)
+            .select(col("doc_id"), col("bpe_tokens").as("n_tok")), 500L)
+          .orderBy("seq_id")
+      },
+      Some(
+        s"""WITH ${chainCtes(NumMerges)},
+           |nsym AS (SELECT word, len(string_split(trim(sym), '  ')) AS n_sym FROM w$NumMerges),
+           |dwc AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY doc_id, word),
+           |t AS (
+           |  SELECT d.doc_id, CAST(sum(tf * n_sym) AS BIGINT) AS n_tok,
+           |    md5(CAST(d.doc_id AS VARCHAR)) AS h
+           |  FROM dwc d JOIN nsym USING (word) GROUP BY d.doc_id),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |    COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           |  FROM t)
+           |SELECT CAST(start // 500 AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin))
   )
 }
