@@ -77,6 +77,29 @@ object Anomaly {
     events.groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
       .agg(count(lit(1)).as("x"))
 
+  /** Day-of-week seasonality profile per event type: the mean daily
+    * count by ISO weekday against the type's overall mean — the
+    * multiplicative index a monitor divides out BEFORE running
+    * CUSUM/EWMA on a weekly-patterned series (without it, every Sunday
+    * fires a dip alarm). All arithmetic is exact-integer sums with
+    * single IEEE divisions, so the doubles are engine-identical with no
+    * stabilizer. Output is calendar-bounded (|types|×7), the aggregates
+    * are one daily hash agg + one 7-way rollup.
+    */
+  def seasonality(events: DataFrame): DataFrame = {
+    val daily = dailyCounts(events)
+      .withColumn("dow", ((dayofweek(col("day")) + lit(5)) % 7 + lit(1)).cast("int"))
+    val perDow = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
+    val overall = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("ndg"), sum("x").as("sg"))
+    perDow.join(overall, "event_type")
+      .select(col("event_type"), col("dow"), col("n_days"),
+        (col("sx").cast("double") / col("n_days")).as("mean_count"),
+        ((col("sx").cast("double") / col("n_days")) /
+          (col("sg").cast("double") / col("ndg"))).as("dow_index"))
+  }
+
   /** Per-type (μ, σ) calibration from exact integer moments over the
     * daily series — the offline step of a production CUSUM monitor.
     */

@@ -566,6 +566,29 @@ object EventQueries {
            |       WHERE e.event_type = 'purchase' GROUP BY 1)
            |SELECT user_id, t AS t_last FROM s4 ORDER BY user_id""".stripMargin)),
 
+    // Day-of-week seasonality index per type — the profile a monitor
+    // divides out before CUSUM/EWMA on weekly-patterned series. Exact
+    // integer sums + single IEEE divisions: engine-identical doubles
+    // with no stabilizer; output |types|×7.
+    GraftQuery("events_seasonality",
+      (s, d) => graft.operators.Anomaly.seasonality(Tables.events(s, d))
+        .orderBy("event_type", "dow"),
+      Some(
+        s"""WITH $evCte,
+           |daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+           |  FROM ev GROUP BY 1, 2),
+           |dw AS (SELECT event_type, CAST(isodow(day) AS INT) AS dow, x FROM daily),
+           |pd AS (
+           |  SELECT event_type, dow, count(*) AS n_days, sum(x) AS sx
+           |  FROM dw GROUP BY 1, 2),
+           |ov AS (SELECT event_type, count(*) AS ndg, sum(x) AS sg FROM daily GROUP BY 1)
+           |SELECT p.event_type, p.dow, CAST(p.n_days AS BIGINT) AS n_days,
+           |  CAST(p.sx AS DOUBLE) / p.n_days AS mean_count,
+           |  (CAST(p.sx AS DOUBLE) / p.n_days) / (CAST(o.sg AS DOUBLE) / o.ndg) AS dow_index
+           |FROM pd p JOIN ov o USING (event_type)
+           |ORDER BY event_type, dow""".stripMargin)),
+
     // One-sided CUSUM drift monitor over per-type daily counts — the
     // clamped recursion via its exact prefix-min closed form (two
     // ordered windows), drift terms quantized to fixed-point longs so
