@@ -489,6 +489,50 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Zero-crossing-rate pitch estimate over the FULL decoded PCM stream
+    * (the sign fingerprint reads 60 samples; this walks every frame):
+    * zcr counts strict sign flips between consecutive samples, and
+    * pitch ≈ zcr·rate / (2·(n−1)) — the classic time-domain pitch
+    * detector. Same exactness argument as the fingerprint: each
+    * sample's sign is decided by an integer residue, so the oracle
+    * replays zcr and the rounded pitch with no trig; meanwhile Spark
+    * derives them from the REAL decoded bytes, so a codec bug anywhere
+    * in the stream (not just the head) hash-fails.
+    */
+  def decodeAudioZcr(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType),
+      StructField("zcr", LongType),
+      StructField("pitch_hz", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val res = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var zcr = 0L
+          var prev = 0
+          var i = 0
+          while (i < n) {
+            val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+            if (prev * s < 0) zcr += 1
+            if (s != 0) prev = s else prev = 0
+            i += 1
+          }
+          val pitch = math.floor(zcr.toDouble * rate / (2.0 * (n - 1)) + 0.5).toLong
+          (n.toLong, zcr, pitch)
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (res == null) Row(r.getLong(0), null, null, null)
+        else Row(r.getLong(0), res._1, res._2, res._3)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

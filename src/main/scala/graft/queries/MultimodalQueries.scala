@@ -161,6 +161,36 @@ object MultimodalQueries {
       Some(audioFpCte +
         "\nSELECT media_id, fp FROM afp ORDER BY media_id")),
 
+    // Time-domain pitch from the FULL decoded PCM stream: zero-crossing
+    // count and the rounded pitch estimate zcr·rate/(2·(n−1)). Spark
+    // walks every real decoded frame; the oracle replays each sample's
+    // sign from the integer residue contract — a codec bug anywhere in
+    // the stream hash-fails, not just in the head the fingerprint reads.
+    GraftQuery("multimodal_audio_pitch",
+      (s, d) => Multimodal.decodeAudioZcr(
+        persistedMedia(s, d).filter(col("modality") === "audio"))
+        .orderBy("media_id"),
+      Some(
+        """WITH audio AS (
+          |  SELECT doc_id, 220 + doc_id % 110 AS f,
+          |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+          |         WHEN 2 THEN 16000 ELSE 22050 END AS rate,
+          |    64 + doc_id % 256 AS n
+          |  FROM documents WHERE doc_id % 3 = 1),
+          |sg AS (
+          |  SELECT doc_id, rate, n, t.i AS i,
+          |    CASE WHEN (f * t.i) % rate = 0 OR 2 * ((f * t.i) % rate) = rate THEN 0
+          |         WHEN 2 * ((f * t.i) % rate) < rate THEN 1 ELSE -1 END AS s
+          |  FROM audio, unnest(range(0, n)) t(i)),
+          |z AS (
+          |  SELECT a.doc_id, max(a.rate) AS rate, max(a.n) AS n,
+          |    CAST(sum(CASE WHEN a.s * b.s = -1 THEN 1 ELSE 0 END) AS BIGINT) AS zcr
+          |  FROM sg a JOIN sg b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+          |  GROUP BY a.doc_id)
+          |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_frames, zcr,
+          |  CAST(floor(CAST(zcr AS DOUBLE) * rate / (2.0 * (n - 1)) + 0.5) AS BIGINT) AS pitch_hz
+          |FROM z ORDER BY media_id""".stripMargin)),
+
     // Audio near-dup pairs at hamming <= 2 over the sign fingerprint,
     // riding the SAME 20-bit pigeonhole banding as the SimHash text tier
     // and the image ahash pairs — cross-modality reuse of one blocking
