@@ -143,6 +143,54 @@ object Anomaly {
     cusumFrom(daily, cusumBaseline(daily), k, h)
   }
 
+  /** CUSUM over DESEASONALIZED daily counts — the [[seasonality]]
+    * profile in action: each day's count divides by its weekday index
+    * before calibration and monitoring, so a weekly-patterned series
+    * stops firing a dip alarm every quiet Sunday and a genuine drift is
+    * no longer hidden inside the weekly swing.
+    *
+    * Exactness: the adjusted count is quantized to micro-units ONCE
+    * (floor(x/idx·10⁶ + 0.5) — one deterministic IEEE division on exact
+    * integers), and every downstream moment runs on those longs: s1 is
+    * an exact long sum, s2 an exact DECIMAL(38,0) sum (the botScore
+    * carrier — micro-unit squares pass int64), μ/σ come off them with
+    * a fixed division chain, and the drift recursion is the same
+    * prefix-min closed form as [[cusumFrom]]. Same shape: two hash
+    * aggregates + two calendar-bounded windows.
+    */
+  def cusumDeseasonal(events: DataFrame,
+                      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val daily = dailyCounts(events).localCheckpoint()
+    val idx = seasonality(events).select("event_type", "dow", "dow_index")
+    val adj = daily
+      .withColumn("dow", ((dayofweek(col("day")) + lit(5)) % 7 + lit(1)).cast("int"))
+      .join(broadcast(idx), Seq("event_type", "dow"))
+      .withColumn("xq",
+        floor(col("x").cast("double") / col("dow_index") * lit(1e6) + lit(0.5)).cast("long"))
+    val d38 = DecimalType(38, 0)
+    val base = adj.groupBy("event_type").agg(
+        count(lit(1)).as("nd"), sum("xq").as("s1"),
+        sum(col("xq").cast(d38) * col("xq").cast(d38)).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("nd") / lit(1e6)).as("mu"),
+        sqrt(greatest(
+          col("s2").cast("double") / col("nd") / lit(1e12) -
+            (col("s1").cast("double") / col("nd") / lit(1e6)) *
+              (col("s1").cast("double") / col("nd") / lit(1e6)),
+          lit(0.0))).as("sig"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    adj.join(broadcast(base), "event_type")
+      .withColumn("xa", col("xq").cast("double") / lit(1e6))
+      .withColumn("dq", driftQ(col("xa"), col("mu"), col("sig"), k))
+      .withColumn("p", sum("dq").over(w))
+      .withColumn("m", least(lit(0L), min("p").over(w)))
+      .select(col("event_type"), col("day"), col("x"), col("xa").as("x_adj"),
+        ((col("p") - col("m")).cast("double") / lit(1e6)).as("cusum"),
+        (((col("p") - col("m")).cast("double") / lit(1e6)) > lit(h) * col("sig")).as("flag"))
+  }
+
   /** Per-user inter-event-gap regularity — the classic bot signal
     * (machine traffic fires on a clock; human gaps are bursty). Scored
     * as the coefficient of variation over the user's gap sequence,

@@ -589,6 +589,59 @@ object EventQueries {
            |FROM pd p JOIN ov o USING (event_type)
            |ORDER BY event_type, dow""".stripMargin)),
 
+    // The seasonality profile IN ACTION: CUSUM over weekday-adjusted
+    // counts (x/dow_index, micro-unit-quantized once, then the exact
+    // integer/decimal moment machinery and the same prefix-min
+    // recursion). The composition is hash-gated end to end — profile,
+    // adjustment, calibration, recursion.
+    GraftQuery("events_cusum_deseasonal",
+      (s, d) => graft.operators.Anomaly.cusumDeseasonal(Tables.events(s, d))
+        .orderBy("event_type", "day"),
+      Some(
+        s"""WITH $evCte,
+           |daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+           |  FROM ev GROUP BY 1, 2),
+           |dw AS (SELECT event_type, CAST(isodow(day) AS INT) AS dow, x FROM daily),
+           |pd AS (
+           |  SELECT event_type, dow, count(*) AS n_days, sum(x) AS sx
+           |  FROM dw GROUP BY 1, 2),
+           |ov AS (SELECT event_type, count(*) AS ndg, sum(x) AS sg FROM daily GROUP BY 1),
+           |idx AS (
+           |  SELECT p.event_type, p.dow,
+           |    (CAST(p.sx AS DOUBLE) / p.n_days) / (CAST(o.sg AS DOUBLE) / o.ndg) AS dow_index
+           |  FROM pd p JOIN ov o USING (event_type)),
+           |adj AS (
+           |  SELECT d.event_type, d.day, d.x,
+           |    CAST(floor(CAST(d.x AS DOUBLE) / i.dow_index * 1000000.0 + 0.5) AS BIGINT) AS xq
+           |  FROM daily d JOIN idx i
+           |    ON i.event_type = d.event_type AND i.dow = CAST(isodow(d.day) AS INT)),
+           |st AS (
+           |  SELECT event_type, count(*) AS nd, sum(xq) AS s1,
+           |    sum(CAST(xq AS DECIMAL(38,0)) * CAST(xq AS DECIMAL(38,0))) AS s2
+           |  FROM adj GROUP BY 1),
+           |bs AS (
+           |  SELECT event_type, CAST(s1 AS DOUBLE)/nd/1000000.0 AS mu,
+           |    sqrt(greatest(CAST(CAST(s2 AS VARCHAR) AS DOUBLE)/nd/1000000000000.0
+           |      - (CAST(s1 AS DOUBLE)/nd/1000000.0)*(CAST(s1 AS DOUBLE)/nd/1000000.0), 0.0)) AS sig
+           |  FROM st),
+           |j AS (
+           |  SELECT a.event_type, a.day, a.x, CAST(a.xq AS DOUBLE)/1000000.0 AS xa, b.sig,
+           |    CAST(floor(((CAST(a.xq AS DOUBLE)/1000000.0 - b.mu) - 0.5*b.sig)*1000000.0 + 0.5) AS BIGINT) AS dq
+           |  FROM adj a JOIN bs b USING (event_type)),
+           |pw AS (
+           |  SELECT event_type, day, x, xa, sig,
+           |    sum(dq) OVER (PARTITION BY event_type ORDER BY day) AS p
+           |  FROM j),
+           |mw AS (
+           |  SELECT event_type, day, x, xa, sig, p,
+           |    least(CAST(0 AS BIGINT), min(p) OVER (PARTITION BY event_type ORDER BY day)) AS m
+           |  FROM pw)
+           |SELECT event_type, day, x, xa AS x_adj,
+           |  CAST(p - m AS DOUBLE)/1000000.0 AS cusum,
+           |  (CAST(p - m AS DOUBLE)/1000000.0) > 4.0 * sig AS flag
+           |FROM mw ORDER BY event_type, day""".stripMargin)),
+
     // One-sided CUSUM drift monitor over per-type daily counts — the
     // clamped recursion via its exact prefix-min closed form (two
     // ordered windows), drift terms quantized to fixed-point longs so
