@@ -446,6 +446,37 @@ object Dedup {
     verifyCandidates(cand, shk, threshold)
   }
 
+  /** MinHash estimator-quality card — the sketch analogue of ann_recall:
+    * for every LSH candidate pair, the signature ESTIMATE (matching
+    * components / k) next to the exact shingle Jaccard and their signed
+    * error. This is the number that justifies the banding math (the
+    * 1−(1−s^r)^b recall curves assume the estimator is unbiased with
+    * √(s(1−s)/k) noise — here both quantities are measured, per pair).
+    * Same shapes as the pair generator: banded equi-join candidates, one
+    * signature self-join (k integer equality tests, row-local), one
+    * candidates-only exact verify. est = m/k and exact = c/(u) are single
+    * exact-integer IEEE divisions — engine-identical, no stabilizer.
+    */
+  def minhashEstimates(sig: DataFrame, shk: DataFrame,
+                       bands: Int, rowsPerBand: Int): DataFrame = {
+    val br = bandRows(sig, bands, rowsPerBand,
+      cols => md5(concat_ws(":", cols.map(_.cast("string")): _*)))
+    val cand = lshCandidates(br)
+    val k = bands * rowsPerBand
+    val matches = (0 until k)
+      .map(i => when(col(s"a.h$i") === col(s"b.h$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches.cast("double") / lit(k.toDouble)).as("est_j"))
+    est.join(verifyCandidates(cand, shk, 0.0), Seq("doc_a", "doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("est_j"),
+        col("jaccard").as("exact_j"),
+        (col("est_j") - col("jaccard")).as("err"))
+  }
+
   /** xxhash64 tier of the same LSH shape: signatures, band hashes, and
     * verify keys all via xxhash64. The scale/production path — no
     * cross-engine digest, so it carries a rows-only driver check; its

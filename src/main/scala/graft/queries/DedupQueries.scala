@@ -725,6 +725,31 @@ object DedupQueries {
            |SELECT doc_a, doc_b, jaccard FROM p
            |ORDER BY doc_a, doc_b""".stripMargin)),
 
+    // Estimator-quality card for the MinHash sketch — the dedup analogue
+    // of ann_recall: per LSH candidate, the 12-component signature
+    // estimate next to the exact shingle Jaccard and the signed error.
+    // The banding recall curves (1−(1−s^r)^b) assume an unbiased
+    // estimator with √(s(1−s)/k) noise; this query MEASURES both
+    // quantities pairwise under the hash gate.
+    GraftQuery("dedup_minhash_est",
+      (s, d) => Dedup.minhashEstimates(persistedSignatures(s, d),
+          persistedShingleKeys(s, d), 3, 4)
+        .orderBy("doc_a", "doc_b"),
+      Some {
+        val terms = (0 until 12)
+          .map(i => s"(CASE WHEN a.h$i = b.h$i THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH ${lshPairCtes(3, 4, 0.0)},
+           |est AS (
+           |  SELECT c.doc_a, c.doc_b, CAST($terms AS DOUBLE) / 12.0 AS est_j
+           |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
+           |    JOIN sig b ON c.doc_b = b.doc_id)
+           |SELECT p.doc_a, p.doc_b, e.est_j, p.jaccard AS exact_j,
+           |  e.est_j - p.jaccard AS err
+           |FROM p JOIN est e USING (doc_a, doc_b)
+           |ORDER BY doc_a, doc_b""".stripMargin
+      }),
+
     // NATURAL-LANGUAGE fixture tiers (round 13 — SURVEY §2.9's "all
     // measurements ride the synthetic zipf corpus" caveat narrowed): the
     // committed fixtures/natural_docs.parquet corpus (40 original
