@@ -558,6 +558,24 @@ object Multimodal {
     * trip pixel-exact, which is what lets the DuckDB twin re-derive
     * every frame hash from the synthesis contract.
     */
+  /** Scene-cut detection over the per-frame fingerprint sequence: each
+    * consecutive-frame transition scored by hash hamming distance, cuts
+    * flagged at `tau` bits (adjacent frames of one shot share most of
+    * their perceptual hash; a cut rewrites it). One per-video window
+    * (partitions bounded by frames-per-video, never corpus size) over
+    * the REAL decoded frame hashes.
+    */
+  def videoSceneCuts(frameHashes: DataFrame, tau: Int = 30): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame")
+    frameHashes
+      .withColumn("prev", lag(col("ahash"), 1).over(w))
+      .filter(col("prev").isNotNull)
+      .select(col("media_id"), col("frame"),
+        bit_count(col("prev").bitwiseXOR(col("ahash"))).cast("long").as("hamming"))
+      .withColumn("is_cut", col("hamming") >= tau)
+  }
+
   def decodeVideoFrameHashes(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

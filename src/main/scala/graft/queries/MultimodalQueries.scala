@@ -299,6 +299,39 @@ object MultimodalQueries {
           |  GROUP BY px.doc_id, px.f)
           |SELECT media_id, frame, ahash FROM fh ORDER BY media_id, frame""".stripMargin)),
 
+    // Scene cuts from the decoded fingerprint sequence: consecutive
+    // frames scored by hash hamming (measured transition profile 0–43
+    // bits, median 25 on the fixture), cuts flagged at ≥ 30. Spark runs
+    // a per-video lag window over REAL decoded frames; the oracle
+    // re-derives every transition from the synthesis contract.
+    GraftQuery("multimodal_video_cuts",
+      (s, d) => Multimodal.videoSceneCuts(Multimodal.decodeVideoFrameHashes(
+        persistedMedia(s, d).filter(col("modality") === "video")))
+        .orderBy("media_id", "frame"),
+      Some(
+        """WITH vid AS (
+          |  SELECT doc_id, CAST(6 + doc_id % 10 AS BIGINT) AS w,
+          |    CAST(6 + (doc_id // 10) % 10 AS BIGINT) AS h,
+          |    CAST(2 + doc_id % 7 AS BIGINT) AS nf
+          |  FROM documents WHERE doc_id % 3 = 2),
+          |px AS (
+          |  SELECT doc_id, f, gy * 6 + gx AS j,
+          |    ((gx * w // 6) * 31 + (gy * h // 10) * 7 + f * 53 + doc_id) % 256 AS g
+          |  FROM vid, unnest(range(0, nf)) t0(f),
+          |    unnest(range(0, 6)) t1(gx), unnest(range(0, 10)) t2(gy)),
+          |s AS (SELECT doc_id, f, sum(g) AS tot FROM px GROUP BY doc_id, f),
+          |fh AS (
+          |  SELECT px.doc_id AS media_id, CAST(px.f AS INT) AS frame,
+          |    CAST(sum(CASE WHEN 60 * g > tot
+          |             THEN CAST(1 AS BIGINT) << CAST(j AS INT) ELSE 0 END) AS BIGINT) AS ahash
+          |  FROM px JOIN s ON px.doc_id = s.doc_id AND px.f = s.f
+          |  GROUP BY px.doc_id, px.f)
+          |SELECT a.media_id, b.frame,
+          |  CAST(bit_count(xor(a.ahash, b.ahash)) AS BIGINT) AS hamming,
+          |  bit_count(xor(a.ahash, b.ahash)) >= 30 AS is_cut
+          |FROM fh a JOIN fh b ON a.media_id = b.media_id AND b.frame = a.frame + 1
+          |ORDER BY a.media_id, b.frame""".stripMargin)),
+
     // Video-level near-dup: directed frame-set containment over the
     // fingerprints — C(A→B) = |H_A ∩ H_B| / |H_A| ≥ 0.8 on DISTINCT
     // frame hashes, the same containment semantics as the text tier.
