@@ -86,8 +86,15 @@ object Anomaly {
     * stabilizer. Output is calendar-bounded (|types|×7), the aggregates
     * are one daily hash agg + one 7-way rollup.
     */
-  def seasonality(events: DataFrame): DataFrame = {
-    val daily = dailyCounts(events)
+  def seasonality(events: DataFrame): DataFrame =
+    seasonalityFrom(dailyCounts(events))
+
+  /** [[seasonality]] over an already-aggregated (event_type, day, x)
+    * series — the calibration-window entry point the streaming monitor's
+    * offline half uses.
+    */
+  def seasonalityFrom(daily0: DataFrame): DataFrame = {
+    val daily = daily0
       .withColumn("dow", ((dayofweek(col("day")) + lit(5)) % 7 + lit(1)).cast("int"))
     val perDow = daily.groupBy("event_type", "dow")
       .agg(count(lit(1)).as("n_days"), sum("x").as("sx"))
@@ -158,19 +165,24 @@ object Anomaly {
     * prefix-min closed form as [[cusumFrom]]. Same shape: two hash
     * aggregates + two calendar-bounded windows.
     */
-  def cusumDeseasonal(events: DataFrame,
-                      k: Double = 0.5, h: Double = 4.0): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    import org.apache.spark.sql.types.DecimalType
-    val daily = dailyCounts(events).localCheckpoint()
-    val idx = seasonality(events).select("event_type", "dow", "dow_index")
-    val adj = daily
+  /** Weekday-adjusted daily series against a seasonality profile:
+    * xq = floor(x/idx·10⁶ + 0.5) — micro-unit longs, quantized ONCE.
+    */
+  def deseasonalAdjusted(daily: DataFrame, idx: DataFrame): DataFrame =
+    daily
       .withColumn("dow", ((dayofweek(col("day")) + lit(5)) % 7 + lit(1)).cast("int"))
       .join(broadcast(idx), Seq("event_type", "dow"))
       .withColumn("xq",
         floor(col("x").cast("double") / col("dow_index") * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** (μ, σ) calibration over the micro-unit adjusted series — exact long
+    * s1, exact DECIMAL(38,0) s2 (the botScore carrier), fixed division
+    * chain back to unit scale.
+    */
+  def deseasonalBaseline(adj: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val d38 = DecimalType(38, 0)
-    val base = adj.groupBy("event_type").agg(
+    adj.groupBy("event_type").agg(
         count(lit(1)).as("nd"), sum("xq").as("s1"),
         sum(col("xq").cast(d38) * col("xq").cast(d38)).as("s2"))
       .select(col("event_type"),
@@ -180,6 +192,14 @@ object Anomaly {
             (col("s1").cast("double") / col("nd") / lit(1e6)) *
               (col("s1").cast("double") / col("nd") / lit(1e6)),
           lit(0.0))).as("sig"))
+  }
+
+  /** The monitor half over an adjusted+calibrated series — the batch
+    * twin EventStreams.cusumDeseasonalStream folds online.
+    */
+  def cusumDeseasonalFrom(adj: DataFrame, base: DataFrame,
+                          k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("event_type").orderBy("day")
     adj.join(broadcast(base), "event_type")
       .withColumn("xa", col("xq").cast("double") / lit(1e6))
@@ -189,6 +209,14 @@ object Anomaly {
       .select(col("event_type"), col("day"), col("x"), col("xa").as("x_adj"),
         ((col("p") - col("m")).cast("double") / lit(1e6)).as("cusum"),
         (((col("p") - col("m")).cast("double") / lit(1e6)) > lit(h) * col("sig")).as("flag"))
+  }
+
+  def cusumDeseasonal(events: DataFrame,
+                      k: Double = 0.5, h: Double = 4.0): DataFrame = {
+    val daily = dailyCounts(events).localCheckpoint()
+    val idx = seasonality(events).select("event_type", "dow", "dow_index")
+    val adj = deseasonalAdjusted(daily, idx)
+    cusumDeseasonalFrom(adj, deseasonalBaseline(adj), k, h)
   }
 
   /** Per-user inter-event-gap regularity — the classic bot signal

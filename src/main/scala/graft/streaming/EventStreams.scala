@@ -674,4 +674,56 @@ object EventStreams {
           out.iterator
         })
   }
+
+  case class CusumAdjRow(event_type: String, day_ms: Long, x: Long,
+                         x_adj: Double, cusum: Double, flag: Boolean)
+
+  /** Streaming twin of the DESEASONALIZED monitor's online half
+    * (Anomaly.cusumDeseasonalFrom): same one-long fold as cusumStream,
+    * but each arriving day first divides by its weekday's profile index
+    * — with the profile AND the (μ, σ) baseline handed in as the fixed
+    * offline calibration (the eval-set/centroid discipline: a profile
+    * changing mid-stream would make the ledger a mix of two monitors).
+    * The ISO weekday comes from epoch-day arithmetic ((days+3)%7+1 —
+    * day 0 is a Thursday), the adjustment is the same single
+    * floor(x/idx·10⁶+0.5) quantization as the batch column, and the
+    * drift fold reuses the exact driftQ IEEE sequence. CusumStreamSpec
+    * pins prefix equality at every micro-batch.
+    */
+  def cusumDeseasonalStream(daily: DataFrame,
+                            profile: Map[(String, Int), Double],
+                            baseline: Map[String, (Double, Double)],
+                            k: Double = 0.5, h: Double = 4.0): Dataset[CusumAdjRow] = {
+    import daily.sparkSession.implicits._
+    daily
+      .select(col("event_type").cast("string"), col("day_ms").cast("long"),
+        col("x").cast("long"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(
+        org.apache.spark.sql.streaming.OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(
+        (tpe: String, it: Iterator[(String, Long, Long)],
+         state: GroupState[CusumState]) => {
+          val (mu, sig) = baseline.getOrElse(tpe,
+            throw new IllegalArgumentException(s"no baseline for type $tpe"))
+          var st = state.getOption.getOrElse(CusumState(0L, Long.MinValue))
+          val rows = it.toArray.sortBy(_._2)
+          val out = rows.map { case (_, dayMs, x) =>
+            require(dayMs > st.lastDayMs,
+              s"day $dayMs arrived at or before the folded high-water mark ${st.lastDayMs} for $tpe")
+            val dow = (((dayMs / 86400000L) + 3) % 7 + 1).toInt
+            val idx = profile.getOrElse((tpe, dow),
+              throw new IllegalArgumentException(s"no profile for ($tpe, $dow)"))
+            val xq = math.floor(x.toDouble / idx * 1e6 + 0.5).toLong
+            val xa = xq.toDouble / 1e6
+            val dq = math.floor(((xa - mu) - k * sig) * 1e6 + 0.5).toLong
+            st = CusumState(math.max(0L, st.s + dq), dayMs)
+            CusumAdjRow(tpe, dayMs, x, xa, st.s.toDouble / 1e6,
+              st.s.toDouble / 1e6 > h * sig)
+          }
+          state.update(st)
+          out.iterator
+        })
+  }
 }

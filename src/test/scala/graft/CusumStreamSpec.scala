@@ -85,4 +85,61 @@ class CusumStreamSpec extends AnyFunSuite {
         Option(ex.getCause).exists(_.getMessage.contains("high-water mark")))
     } finally q.stop()
   }
+
+  test("deseasonalized stream fold equals the batch monitor at every prefix; weekend dips stop alarming") {
+    implicit val sqlCtx = spark.sqlContext
+    // 14 days with a weekly pattern: weekdays ~20, weekends ~10; a real
+    // level shift (+12) arrives in week 2. An unadjusted monitor would
+    // see every weekend as drift; the adjusted one must flag only the
+    // genuine shift.
+    def weekly(d: Int): Long = { val dow = ((ms(d) / 86400000L + 3) % 7 + 1).toInt
+      if (dow >= 6) 10L else 20L }
+    val counts = (0 until 14).map(d => weekly(d) + (if (d >= 10) 12L else 0L))
+    val allDaily = counts.zipWithIndex
+      .map { case (x, d) => ("view", new java.sql.Timestamp(ms(d)), x) }
+      .toSeq.toDF("event_type", "day", "x")
+    // offline calibration on week 1 only (the pre-drift window)
+    val calib = allDaily.filter(col("day") <= new java.sql.Timestamp(ms(6)))
+    val idxDf = graft.operators.Anomaly.seasonalityFrom(calib)
+      .select("event_type", "dow", "dow_index")
+    val baseDf = graft.operators.Anomaly.deseasonalBaseline(
+      graft.operators.Anomaly.deseasonalAdjusted(calib, idxDf))
+    val profile = idxDf.collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val base = baseDf.collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+
+    val mem = MemoryStream[(String, Long, Long)]
+    val ds = graft.streaming.EventStreams.cusumDeseasonalStream(
+      mem.toDF.toDF("event_type", "day_ms", "x"), profile, base)
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Double, Double, Boolean)]
+    val q = ds.writeStream.outputMode("append")
+      .foreachBatch {
+        (b: org.apache.spark.sql.Dataset[graft.streaming.EventStreams.CusumAdjRow], _: Long) =>
+          got ++= b.collect().map(r => (r.event_type, r.day_ms, r.x_adj, r.cusum, r.flag))
+          ()
+      }.start()
+    try {
+      for (chunkDays <- Seq(0 to 4, 5 to 9, 10 to 13)) {
+        mem.addData(chunkDays.map(d => ("view", ms(d), counts(d))): _*)
+        q.processAllAvailable()
+        val fedDays = got.map(_._2).max
+        val prefix = allDaily.filter(col("day") <= new java.sql.Timestamp(fedDays))
+        val want = graft.operators.Anomaly.cusumDeseasonalFrom(
+            graft.operators.Anomaly.deseasonalAdjusted(prefix, idxDf), baseDf)
+          .collect()
+          .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getDouble(3),
+            r.getDouble(4), r.getBoolean(5)))
+          .sortBy(t => (t._1, t._2))
+        assert(got.sortBy(t => (t._1, t._2)).toSeq == want.toSeq,
+          s"deseasonalized stream diverged from batch after day $fedDays")
+      }
+      // week 1 (the seasonal-but-stationary window) never alarms;
+      // the week-2 level shift does
+      val flagsByDay = got.map(t => (t._2, t._5)).toMap
+      assert((0 to 6).forall(d => !flagsByDay(ms(d))), "weekend dip false-alarmed")
+      assert((10 to 13).exists(d => flagsByDay(ms(d))), "genuine level shift missed")
+    } finally q.stop()
+  }
 }
