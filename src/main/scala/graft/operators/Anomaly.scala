@@ -301,4 +301,26 @@ object Anomaly {
     }
     out.toSeq.toDF("event_type", "day", "x", "ewma", "dev")
   }
+
+  /** EWMA forecast backtest card: `dev` IS the one-step-ahead error
+    * (x_t − ewma_{t−1}), so the baseline's forecast quality rolls up
+    * from the recursion the gate already pins — per type, MAE (how far
+    * off) and bias (systematically high/low — nonzero means the series
+    * trends faster than α tracks). The first day of each series is
+    * excluded (dev=0 is definitional, not a forecast). Micro-unit longs
+    * sum exactly; one fixed division chain to unit scale.
+    */
+  def ewmaBacktest(events: DataFrame, alphaDen: Long = 8L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("day")
+    ewma(events, alphaDen)
+      .withColumn("rn", row_number().over(w)).filter(col("rn") >= 2)
+      .withColumn("dev6", floor(col("dev") * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy("event_type").agg(
+        count(lit(1)).as("n_days"),
+        sum(abs(col("dev6"))).as("sa"), sum(col("dev6")).as("sb"))
+      .select(col("event_type"), col("n_days"),
+        (col("sa").cast("double") / col("n_days") / lit(1e6)).as("mae"),
+        (col("sb").cast("double") / col("n_days") / lit(1e6)).as("bias"))
+  }
 }

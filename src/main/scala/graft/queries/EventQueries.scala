@@ -770,6 +770,36 @@ object EventQueries {
            |  CAST(dev6 AS DOUBLE) / 1000000.0 AS dev
            |FROM ew ORDER BY event_type, day""".stripMargin)),
 
+    // EWMA backtest card — the forecast-quality rollup over the same
+    // recursion events_ewma pins: dev IS the one-step-ahead error, so
+    // per-type MAE and bias come off exact micro-unit sums (first day
+    // excluded: its dev=0 is definitional, not a forecast).
+    GraftQuery("events_ewma_backtest",
+      (s, d) => graft.operators.Anomaly.ewmaBacktest(Tables.events(s, d))
+        .orderBy("event_type"),
+      Some(
+        s"""WITH RECURSIVE ${evCte.stripPrefix("")},
+           |daily AS (
+           |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS x
+           |  FROM ev GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT event_type, day, CAST(x AS BIGINT) AS x,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn
+           |  FROM daily),
+           |ew AS (
+           |  SELECT event_type, day, x, rn, x * 1000000 AS s, CAST(0 AS BIGINT) AS dev6
+           |  FROM rk WHERE rn = 1
+           |  UNION ALL
+           |  SELECT r.event_type, r.day, r.x, r.rn,
+           |    e.s + ((r.x * 1000000 - e.s) // 8) AS s,
+           |    r.x * 1000000 - e.s AS dev6
+           |  FROM rk r JOIN ew e ON e.event_type = r.event_type AND r.rn = e.rn + 1)
+           |SELECT event_type, count(*) AS n_days,
+           |  CAST(sum(abs(dev6)) AS DOUBLE) / count(*) / 1000000.0 AS mae,
+           |  CAST(sum(dev6) AS DOUBLE) / count(*) / 1000000.0 AS bias
+           |FROM ew WHERE rn >= 2
+           |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // Session-scoped co-occurrence PMI over event types — the
     // related-items affinity statistic (Affinity.cooccurPmi): session
     // incidence via the same gap sessionizer as events_sessionize, pairs
