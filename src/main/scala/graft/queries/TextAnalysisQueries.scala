@@ -709,6 +709,43 @@ object TextAnalysisQueries {
         .orderBy("doc_id"),
       Some(curateOracle)),
 
+    // The composite widened to BOTH decontamination modalities: the
+    // n-gram gate inside curate AND the embedding-space gate
+    // (text_decontaminate_semantic) anti-joined on top — a paraphrased
+    // eval answer passes shingles but not cosine, so a production
+    // pipeline runs both. Oracle = the curate composition plus the
+    // semantic CTE under the same hash gate.
+    GraftQuery("text_curate_full",
+      (s, d) => {
+        import org.apache.spark.sql.functions.col
+        val semContam = graft.operators.Similarity
+          .evalContamination(Tables.embeddings(s, d), 10, 0.35)
+          .select(col("vec_id").as("doc_id"))
+        graft.operators.Curation.curate(
+            Tables.documents(s, d),
+            DedupQueries.persistedShingles(s, d),
+            persistedBigramLm(s, d),
+            DedupQueries.lshKeepPairs(s, d))
+          .join(semContam, Seq("doc_id"), "left_anti")
+          .orderBy("doc_id")
+      },
+      Some {
+        val cos = SimilarityQueries.cosSql("a", "b")
+        val semCtes =
+          s"""semv AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+             |semn AS (SELECT vec_id, e, sqrt(list_sum(list_transform(e, x -> x*x))) AS nrm FROM semv),
+             |semev AS (SELECT e, nrm FROM semn WHERE vec_id < 10),
+             |semc AS (
+             |  SELECT a.vec_id AS doc_id FROM semn a, semev b
+             |  WHERE a.vec_id >= 10
+             |  GROUP BY a.vec_id
+             |  HAVING max($cos) >= 0.35),""".stripMargin
+        curateOracle
+          .replace("bench AS (", semCtes + "\nbench AS (")
+          .replace("ORDER BY q.doc_id",
+            "  AND q.doc_id NOT IN (SELECT doc_id FROM semc)\nORDER BY q.doc_id")
+      }),
+
     // Weighted source mixing — the post-curation data-mixing step:
     // deterministic per-source quotas drawn in content-hash order (same
     // reproducible-shuffle discipline as text_sample_hash; one window
