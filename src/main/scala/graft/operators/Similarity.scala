@@ -625,6 +625,37 @@ object Similarity {
     * deterministic (hash-seeded, stab'd means), so codebook and code
     * tables rebuilt independently from the same corpus always agree.
     */
+  /** PQ reconstruction card — the emb_sq8_error sibling for the product
+    * quantizer: per vector, the L2 error and cosine between the original
+    * and its codebook reconstruction (each subspace's assigned centroid,
+    * concatenated). THE "is m×k codes enough for this corpus" QA number
+    * next to the ADC serving tiers. Per-subspace terms are row-local
+    * ArrayDot folds against the broadcast codebook; the per-vector
+    * rollup sums m=8 doubles (stab(6) absorbs reassociation noise, the
+    * adc_cos discipline).
+    */
+  def pqReconError(embeddings: DataFrame,
+                   cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
+    val p = prepared(embeddings)
+    val sub = cbs.head.head._2.length
+    val cbDf = pqCodebooksToDf(p.sparkSession, cbs)
+    val diff = zip_with(col("es"), col("c"), (a, b) => a - b)
+    val terms = pqEncode(p.select("vec_id", "e"), cbs)
+      .select(col("vec_id"), posexplode(col("codes")).as(Seq("j", "code")))
+      .join(p, "vec_id")
+      .withColumn("es", slice(col("e"), col("j") * sub + 1, lit(sub)))
+      .join(broadcast(cbDf), Seq("j", "code"))
+      .select(col("vec_id"), col("nrm"),
+        dot(diff, diff).as("sq"), dot(col("es"), col("c")).as("dt"),
+        dot(col("c"), col("c")).as("rn2"))
+    terms.groupBy("vec_id").agg(
+        first("nrm").as("nrm"), sum("sq").as("ssq"),
+        sum("dt").as("sdt"), sum("rn2").as("srn"))
+      .select(col("vec_id"),
+        Stable.stab(sqrt(col("ssq")), 6).as("l2_err"),
+        Stable.stab(col("sdt") / (col("nrm") * sqrt(col("srn"))), 6).as("cos"))
+  }
+
   def pqCodebooksToDf(spark: org.apache.spark.sql.SparkSession,
                       cbs: Seq[Seq[(Int, Seq[Double])]]): DataFrame = {
     import spark.implicits._

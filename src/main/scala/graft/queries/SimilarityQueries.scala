@@ -293,6 +293,48 @@ object SimilarityQueries {
         .orderBy("query_id", "rank"),
       Some(knnPqOracle(8, 16, 5, 8, 10, 5, 10))),
 
+    // PQ reconstruction card — emb_sq8_error's sibling for the product
+    // quantizer: per-vector L2 error and original↔reconstruction cosine
+    // against the SAME persisted codebooks the ADC tiers serve from.
+    // The oracle replays the per-subspace trainers (the knn_pq chains)
+    // and reconstructs from the assigned centroids.
+    GraftQuery("emb_pq_error",
+      (s, d) => {
+        val cbs = Similarity.pqCodebooksFromDf(
+          s.read.parquet(pqIndexDir(s, d) + "/codebooks"))
+        Similarity.pqReconError(Tables.embeddings(s, d), cbs).orderBy("vec_id")
+      },
+      Some {
+        val (m, kCodes, iters, sub) = (8, 16, 5, 8)
+        val subs = 0 until m
+        val preps = subs.map(j =>
+          s"p$j AS MATERIALIZED (SELECT vec_id, e[${j * sub + 1}:${j * sub + sub}] AS e FROM n)")
+          .mkString(",\n")
+        val chains = subs.map(j => kmeansChain(s"s$j", s"p$j", kCodes, iters)).mkString(",\n")
+        val encs = subs.map(j => kmAssignCte(s"enc$j", s"p$j", s"s${j}c$iters")).mkString(",\n")
+        val rng = s"range(1, ${sub + 1})"
+        val parts = subs.map(j =>
+          s"""  SELECT p.vec_id,
+             |    list_sum(list_transform($rng, i -> (p.e[i]-c.c[i])*(p.e[i]-c.c[i]))) AS sq,
+             |    list_sum(list_transform($rng, i -> p.e[i]*c.c[i])) AS dt,
+             |    list_sum(list_transform($rng, i -> c.c[i]*c.c[i])) AS rn2
+             |  FROM p$j p JOIN enc$j e ON e.vec_id = p.vec_id
+             |    JOIN s${j}c$iters c ON c.cell = e.cell""".stripMargin)
+          .mkString("\n  UNION ALL\n")
+        s"""WITH $prepCte,
+           |$preps,
+           |$chains,
+           |$encs,
+           |tj AS (
+           |$parts),
+           |agg AS (SELECT vec_id, sum(sq) AS ssq, sum(dt) AS sdt, sum(rn2) AS srn
+           |        FROM tj GROUP BY vec_id)
+           |SELECT a.vec_id,
+           |  ${stabSql("sqrt(a.ssq)")} AS l2_err,
+           |  ${stabSql("a.sdt / (n.nrm * sqrt(a.srn))")} AS cos
+           |FROM agg a JOIN n USING (vec_id) ORDER BY vec_id""".stripMargin
+      }),
+
     // BATCH ANN routing, IVF tier: a query TABLE routed with zero driver
     // collects — centroid aggregation, probe routing, and the cell
     // equi-join all in one lazy plan (the corpus×corpus shape a semantic
