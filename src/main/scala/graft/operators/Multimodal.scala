@@ -489,6 +489,50 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** ABSOLUTE-pitch variant of the sign fingerprint: the PCM is first
+    * nearest-neighbor resampled to a common 22050 Hz grid (src index
+    * (i·rate)/22050, integer division — still pure integer arithmetic
+    * for the oracle), so bit i traces sin's sign at a fixed WALL-CLOCK
+    * instant instead of a fixed sample ordinal. Two clips with the same
+    * frequency at DIFFERENT sample rates now collide (the rate-relative
+    * tier's documented blind spot, SURVEY §2.9); truncation of the
+    * source index flips only bits near crossings, which the hamming-2
+    * verify absorbs.
+    */
+  def decodeAudioSignFpCommon(media: DataFrame,
+                              commonRate: Int = 22050): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val fp = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val rate = ais.getFormat.getSampleRate.toInt
+          val bytes = ais.readAllBytes()
+          val n = bytes.length / 2
+          var bits = 0L
+          var i = 1
+          var ok = true
+          while (i <= 60 && ok) {
+            val src = (i.toLong * rate / commonRate).toInt
+            if (src >= n) ok = false
+            else {
+              val s = ((bytes(2 * src + 1).toInt << 8) | (bytes(2 * src) & 0xff)).toShort
+              bits = (bits << 1) | (if (s > 0) 1L else 0L)
+            }
+            i += 1
+          }
+          if (!ok) null else java.lang.Long.valueOf(bits)
+        } catch { case scala.util.control.NonFatal(_) => null }
+        Row(r.getLong(0), fp)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** Zero-crossing-rate pitch estimate over the FULL decoded PCM stream
     * (the sign fingerprint reads 60 samples; this walks every frame):
     * zcr counts strict sign flips between consecutive samples, and

@@ -161,6 +161,35 @@ object MultimodalQueries {
       Some(audioFpCte +
         "\nSELECT media_id, fp FROM afp ORDER BY media_id")),
 
+    // Absolute-pitch fingerprint: the PCM resampled (nearest-neighbor,
+    // integer index map) onto a common 22050 Hz grid before the sign
+    // read, so same-frequency clips at DIFFERENT rates collide — the
+    // rate-relative tier's documented blind spot closed. Still pure
+    // integer arithmetic in the oracle.
+    GraftQuery("multimodal_audio_fp_abs",
+      (s, d) => Multimodal.decodeAudioSignFpCommon(
+        persistedMedia(s, d).filter(col("modality") === "audio"))
+        .orderBy("media_id"),
+      Some(audioFpAbsCte +
+        "\nSELECT media_id, fp FROM afpa ORDER BY media_id")),
+
+    // Cross-rate audio near-dup at hamming <= 2 over the absolute-pitch
+    // fingerprint — same pigeonhole banding; at sf0.01 this recovers 50
+    // genuine same-frequency pairs the rate-relative tier cannot see.
+    GraftQuery("multimodal_audio_neardup_abs",
+      (s, d) => graft.operators.Dedup.simhashPairs60(
+        Multimodal.decodeAudioSignFpCommon(
+            persistedMedia(s, d).filter(col("modality") === "audio"))
+          .select(col("media_id").as("doc_id"), col("fp").as("simhash")), 2)
+        .orderBy("doc_a", "doc_b"),
+      Some(audioFpAbsCte +
+        """
+          |SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+          |  CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+          |FROM afpa a JOIN afpa b ON a.media_id < b.media_id
+          |WHERE bit_count(xor(a.fp, b.fp)) <= 2
+          |ORDER BY doc_a, doc_b""".stripMargin)),
+
     // Time-domain pitch from the FULL decoded PCM stream: zero-crossing
     // count and the rounded pitch estimate zcr·rate/(2·(n−1)). Spark
     // walks every real decoded frame; the oracle replays each sample's
@@ -482,6 +511,23 @@ object MultimodalQueries {
       |afp AS (
       |  SELECT doc_id AS media_id,
       |    CAST(sum(CASE WHEN (f * t.i) % rate > 0 AND 2 * ((f * t.i) % rate) < rate
+      |             THEN CAST(1 AS BIGINT) << CAST(60 - t.i AS INT) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM audio, range(1, 61) t(i) GROUP BY doc_id)""".stripMargin
+
+  /** Absolute-pitch twin of [[audioFpCte]]: bit i reads the sign at
+    * source index (i·rate)//22050 — the nearest-neighbor resample's
+    * integer index map, replayed exactly.
+    */
+  val audioFpAbsCte: String =
+    """WITH audio AS (
+      |  SELECT doc_id, 220 + doc_id % 110 AS f,
+      |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
+      |         WHEN 2 THEN 16000 ELSE 22050 END AS rate
+      |  FROM documents WHERE doc_id % 3 = 1),
+      |afpa AS (
+      |  SELECT doc_id AS media_id,
+      |    CAST(sum(CASE WHEN (f * ((t.i * rate) // 22050)) % rate > 0
+      |               AND 2 * ((f * ((t.i * rate) // 22050)) % rate) < rate
       |             THEN CAST(1 AS BIGINT) << CAST(60 - t.i AS INT) ELSE 0 END) AS BIGINT) AS fp
       |  FROM audio, range(1, 61) t(i) GROUP BY doc_id)""".stripMargin
 }
