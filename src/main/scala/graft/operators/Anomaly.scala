@@ -167,11 +167,21 @@ object Anomaly {
     */
   /** Weekday-adjusted daily series against a seasonality profile:
     * xq = floor(x/idx·10⁶ + 0.5) — micro-unit longs, quantized ONCE.
+    * A day whose (type, weekday) has no profile row FAILS LOUDLY
+    * (raise_error), matching the streaming twin's contract — an inner
+    * join would silently drop the day from the monitor, which for a
+    * drift detector is the worst possible failure mode (self-review
+    * finding, round 14).
     */
   def deseasonalAdjusted(daily: DataFrame, idx: DataFrame): DataFrame =
     daily
       .withColumn("dow", ((dayofweek(col("day")) + lit(5)) % 7 + lit(1)).cast("int"))
-      .join(broadcast(idx), Seq("event_type", "dow"))
+      .join(broadcast(idx), Seq("event_type", "dow"), "left")
+      .withColumn("dow_index",
+        when(col("dow_index").isNull, raise_error(concat(
+          lit("no seasonality profile for ("), col("event_type"),
+          lit(", "), col("dow").cast("string"), lit(")"))))
+          .otherwise(col("dow_index")))
       .withColumn("xq",
         floor(col("x").cast("double") / col("dow_index") * lit(1e6) + lit(0.5)).cast("long"))
 
@@ -214,7 +224,9 @@ object Anomaly {
   def cusumDeseasonal(events: DataFrame,
                       k: Double = 0.5, h: Double = 4.0): DataFrame = {
     val daily = dailyCounts(events).localCheckpoint()
-    val idx = seasonality(events).select("event_type", "dow", "dow_index")
+    // profile from the SAME checkpointed daily frame — the corpus-scale
+    // scan+aggregate runs once, not once per consumer
+    val idx = seasonalityFrom(daily).select("event_type", "dow", "dow_index")
     val adj = deseasonalAdjusted(daily, idx)
     cusumDeseasonalFrom(adj, deseasonalBaseline(adj), k, h)
   }

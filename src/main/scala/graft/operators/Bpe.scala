@@ -233,10 +233,13 @@ object Bpe {
     * vocabulary) — unlike the corpus-scale word vocabulary, which needs
     * the distributed dense-rank (Search.vocabularyFrom).
     */
-  def symbolIds(wt: DataFrame, merges: Seq[Merge]): DataFrame = {
+  def symbolIds(wt: DataFrame, merges: Seq[Merge]): DataFrame =
+    symbolIdsFrom(applyMerges(wt, merges)
+      .select(col("word"), split(trim(col("sym")), "  ").as("syms")))
+
+  private def symbolIdsFrom(enc: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    applyMerges(wt, merges)
-      .select(explode(split(trim(col("sym")), "  ")).as("symbol")).distinct()
+    enc.select(explode(col("syms")).as("symbol")).distinct()
       .withColumn("id", row_number().over(Window.orderBy("symbol")))
   }
 
@@ -248,9 +251,13 @@ object Bpe {
     * array_sort over (pos, id) structs — no window over the corpus.
     */
   def wordIds(wt: DataFrame, merges: Seq[Merge]): DataFrame = {
+    // one merge-chain evaluation: the encoded type table is cut here and
+    // feeds BOTH the vocabulary and the per-word id strings (previously
+    // symbolIds re-ran the whole chain — self-review finding, round 14)
     val enc = applyMerges(wt, merges)
       .select(col("word"), split(trim(col("sym")), "  ").as("syms"))
-    val vocab = symbolIds(wt, merges)
+      .localCheckpoint()
+    val vocab = symbolIdsFrom(enc)
     enc.select(col("word"), posexplode(col("syms")).as(Seq("pos", "symbol")))
       .join(broadcast(vocab), "symbol")
       .groupBy("word")

@@ -712,7 +712,9 @@ object EventStreams {
           val out = rows.map { case (_, dayMs, x) =>
             require(dayMs > st.lastDayMs,
               s"day $dayMs arrived at or before the folded high-water mark ${st.lastDayMs} for $tpe")
-            val dow = (((dayMs / 86400000L) + 3) % 7 + 1).toInt
+            // floorDiv/floorMod: plain / and % truncate toward zero, so a
+            // pre-epoch day would yield dow <= 0 (self-review finding)
+            val dow = (Math.floorMod(Math.floorDiv(dayMs, 86400000L) + 3, 7L) + 1).toInt
             val idx = profile.getOrElse((tpe, dow),
               throw new IllegalArgumentException(s"no profile for ($tpe, $dow)"))
             val xq = math.floor(x.toDouble / idx * 1e6 + 0.5).toLong

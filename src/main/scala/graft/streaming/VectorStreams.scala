@@ -125,15 +125,17 @@ object VectorStreams {
     */
   def contaminationIngest(vectors: DataFrame, evalSet: DataFrame,
                           outDir: String,
-                          threshold: Double): StreamingQuery = {
-    val ev = evalSet.persist() // tiny by contract; re-broadcast per batch
+                          threshold: Double): StreamingQuery =
+    // the eval set is re-evaluated per micro-batch (tiny by contract —
+    // one small scan); no persist: a cached frame here would outlive
+    // the query with no handle for the caller to unpersist it
+    // (self-review finding, round 14)
     vectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (!batch.isEmpty) contaminationBatch(batch, ev, outDir, batchId, threshold)
+        if (!batch.isEmpty) contaminationBatch(batch, evalSet, outDir, batchId, threshold)
       }
       .start()
-  }
 
   /** Retrain the PQ codebooks on the CURRENT corpus and re-encode — the
     * PQ twin of `retrainIndex` (as streamed vectors drift from the

@@ -92,4 +92,26 @@ class AnomalySpec extends AnyFunSuite {
     val got = Anomaly.sigmaOutliers(ev, 3).select("event_id").as[Long].collect().toSeq
     assert(got == Seq(99L))
   }
+
+  test("deseasonalAdjusted fails loudly on an unprofiled weekday — never silently drops the day") {
+    // batch/stream contract parity: the streaming twin throws on a
+    // missing (type, dow) profile row; an inner join here would instead
+    // silently remove the day from the monitor (self-review finding)
+    val base = 1700006400000L - 1700006400000L % 86400000L
+    val daily = (0 until 9).map(d =>
+        ("view", new java.sql.Timestamp(base + d * 86400000L), 10L + d))
+      .toDF("event_type", "day", "x")
+    // profile from a 7-day window: covers all weekdays — adjusts fine
+    val idxFull = Anomaly.seasonalityFrom(daily.limit(7))
+      .select("event_type", "dow", "dow_index")
+    assert(Anomaly.deseasonalAdjusted(daily, idxFull).count() == 9)
+    // profile from a 3-day window: days on uncovered weekdays must throw
+    val idxShort = Anomaly.seasonalityFrom(daily.limit(3))
+      .select("event_type", "dow", "dow_index")
+    val ex = intercept[Exception] {
+      Anomaly.deseasonalAdjusted(daily, idxShort).collect()
+    }
+    assert(ex.getMessage.contains("no seasonality profile") ||
+      Option(ex.getCause).exists(_.getMessage.contains("no seasonality profile")))
+  }
 }
