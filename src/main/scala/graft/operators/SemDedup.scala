@@ -173,10 +173,25 @@ object SemDedup {
                        threshold: Double,
                        k: Int = 8, iters: Int = 3): DataFrame = {
     val (oldAsg, cent) = model(oldEmb, k, iters)
-    val pOld = Similarity.prepared(oldEmb)
-    val pNew = Similarity.prepared(newEmb)
+    val oldSide = oldAsg.join(Similarity.prepared(oldEmb), "vec_id")
+    incrementalPairsFrom(oldSide, Similarity.prepared(newEmb), cent, threshold)
+  }
+
+  /** Assign prepared vectors to FIXED centroids — the ingest-time
+    * operation (cells must agree with the trained layout; the trainer
+    * never runs mid-stream).
+    */
+  def assignTo(p: DataFrame, cent: DataFrame): DataFrame = assign(p, cent)
+
+  /** The new×old half of incremental SemDeDup against an EXISTING
+    * corpus side (vec_id, cell, e, nrm) and fixed centroids — shared
+    * verbatim by the batch operator above and the streaming ingest
+    * (VectorStreams.semanticDedupIngest), so their parity is by
+    * construction, not by test alone.
+    */
+  def incrementalPairsFrom(oldSide: DataFrame, pNew: DataFrame,
+                           cent: DataFrame, threshold: Double): DataFrame = {
     val newSide = assign(pNew, cent).join(pNew, "vec_id")
-    val oldSide = oldAsg.join(pOld, "vec_id")
     newSide.as("a").join(oldSide.as("b"), col("a.cell") === col("b.cell"))
       .select(col("a.vec_id").as("new_vec"), col("b.vec_id").as("old_vec"),
         col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))

@@ -137,6 +137,72 @@ object VectorStreams {
       }
       .start()
 
+  /** Seed the incremental-SemDeDup state from the EXISTING corpus: the
+    * gated trainer's centroids plus the corpus's (vec_id, cell, e, nrm)
+    * side as `cells/batch=base` — the layout `semanticDedupIngest` then
+    * grows one committed batch dir at a time.
+    */
+  def buildSemanticState(oldEmb: DataFrame, stateDir: String,
+                         k: Int = 8, iters: Int = 3): Unit = {
+    val (asg, cent) = graft.operators.SemDedup.model(oldEmb, k, iters)
+    cent.write.mode("overwrite").parquet(s"$stateDir/centroids")
+    asg.join(Similarity.prepared(oldEmb), "vec_id")
+      .write.mode("overwrite").parquet(s"$stateDir/cells/batch=base")
+  }
+
+  /** One micro-batch of incremental SemDeDup: assign the batch to the
+    * state's FIXED centroids, emit new×existing near-dup pairs within
+    * cells (SemDedup.incrementalPairsFrom — the same code path as the
+    * batch operator, so parity is by construction), append them to the
+    * batch-keyed `pairs` ledger, then fold the batch's own rows into
+    * `cells`. Crash-replay safety is the dedupNearIngest discipline:
+    * the prior state is read EXCLUDING this batch's own dir, so a
+    * replayed batch recomputes identical pairs instead of matching
+    * against itself.
+    */
+  def semanticIngestBatch(batch: DataFrame, stateDir: String,
+                          batchId: Long, threshold: Double): Unit = {
+    val spark = batch.sparkSession
+    graft.operators.Lease.check(stateDir)
+    val cent = spark.read.parquet(s"$stateDir/centroids")
+    val pNew = Similarity.prepared(batch).localCheckpoint()
+    val cellsRoot = s"$stateDir/cells"
+    val prior = graft.operators.BatchCommit.committedBatchDirs(
+      spark, cellsRoot, exclude = Some(batchId))
+    val oldSide =
+      if (prior.isEmpty) // first batch: empty state with the right shape
+        graft.operators.SemDedup.assignTo(pNew.limit(0), cent).join(pNew.limit(0), "vec_id")
+      else spark.read.option("basePath", cellsRoot).parquet(prior: _*).drop("batch")
+    graft.operators.BatchCommit.writeBatch(
+      graft.operators.SemDedup.incrementalPairsFrom(oldSide, pNew, cent, threshold),
+      s"$stateDir/pairs", batchId)
+    graft.operators.BatchCommit.writeBatch(
+      graft.operators.SemDedup.assignTo(pNew, cent).join(pNew, "vec_id"),
+      cellsRoot, batchId)
+    graft.operators.Lease.check(stateDir)
+    graft.operators.BatchCommit.requireIntact(spark, cellsRoot, batchId)
+  }
+
+  /** Always-on incremental SemDeDup: vectors stream in, near-dup pairs
+    * against everything already ingested accumulate in the `pairs`
+    * ledger (what a pipeline's keep/prune step consumes), and the
+    * corpus side grows per committed batch — the vector-space sibling
+    * of DocStreams.dedupNearIngest.
+    */
+  def semanticDedupIngest(vectors: DataFrame, stateDir: String,
+                          threshold: Double): StreamingQuery =
+    vectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) semanticIngestBatch(batch, stateDir, batchId, threshold)
+      }
+      .start()
+
+  /** The accumulated near-dup pairs ledger (None before any commit). */
+  def semanticPairsLedger(spark: org.apache.spark.sql.SparkSession,
+                          stateDir: String): Option[DataFrame] =
+    graft.operators.BatchCommit.readCommitted(spark, s"$stateDir/pairs")
+
   /** Retrain the PQ codebooks on the CURRENT corpus and re-encode — the
     * PQ twin of `retrainIndex` (as streamed vectors drift from the
     * distribution the codebooks were trained on, quantization error grows

@@ -1100,4 +1100,54 @@ class StreamingSpec extends AnyFunSuite {
       assert(before.nonEmpty, "fixture should flag at least one vector at tau=0.30")
     } finally q.stop()
   }
+
+  test("streaming incremental SemDeDup: pairs ledger equals the batch operator at every prefix; replay is a no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    val old = emb.filter(col("vec_id") % 2 === 0)
+    val rest = emb.filter(col("vec_id") % 2 === 1)
+      .as[(Long, Array[Float], Int)].collect()
+    val state = java.nio.file.Files.createTempDirectory("semstate").toString
+    val tau = 0.35
+    graft.streaming.VectorStreams.buildSemanticState(old, state)
+    val cent = spark.read.parquet(s"$state/centroids")
+    def sideOf(df: org.apache.spark.sql.DataFrame) = {
+      val p = graft.operators.Similarity.prepared(df)
+      graft.operators.SemDedup.assignTo(p, cent).join(p, "vec_id")
+    }
+    def ledger: Set[(Long, Long, Double)] =
+      graft.streaming.VectorStreams.semanticPairsLedger(spark, state)
+        .map(_.select("new_vec", "old_vec", "cos")
+          .as[(Long, Long, Double)].collect().toSet)
+        .getOrElse(Set.empty)
+    val mem = MemoryStream[(Long, Array[Float], Int)]
+    val q = graft.streaming.VectorStreams.semanticDedupIngest(
+      mem.toDF.toDF("vec_id", "embedding", "label"), state, tau)
+    try {
+      val batches = rest.grouped(math.max(1, rest.length / 2)).toSeq
+      var ingested = old
+      var want = Set.empty[(Long, Long, Double)]
+      batches.foreach { b =>
+        val bDf = b.toIndexedSeq.toDF("vec_id", "embedding", "label")
+        // expected: this batch against everything ingested BEFORE it,
+        // through the same fixed centroids (the batch operator's core)
+        want = want ++ graft.operators.SemDedup.incrementalPairsFrom(
+            sideOf(ingested), graft.operators.Similarity.prepared(bDf), cent, tau)
+          .select("new_vec", "old_vec", "cos")
+          .as[(Long, Long, Double)].collect().toSet
+        mem.addData(b.toIndexedSeq)
+        q.processAllAvailable()
+        assert(ledger == want)
+        ingested = ingested.unionByName(bDf)
+      }
+      assert(want.nonEmpty, "fixture should produce at least one incremental pair")
+      // crash-replay of the last batch id: prior state excludes the
+      // batch's own dir, so identical pairs are rewritten — ledger unchanged
+      graft.streaming.VectorStreams.semanticIngestBatch(
+        batches.last.toIndexedSeq.toDF("vec_id", "embedding", "label"),
+        state, batches.size - 1L, tau)
+      assert(ledger == want)
+    } finally q.stop()
+  }
 }
