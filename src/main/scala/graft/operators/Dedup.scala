@@ -471,10 +471,15 @@ object Dedup {
       .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (matches.cast("double") / lit(k.toDouble)).as("est_j"))
-    est.join(verifyCandidates(cand, shk, 0.0), Seq("doc_a", "doc_b"))
+    // LEFT join + coalesce-to-0: an LSH candidate with ZERO shared
+    // shingles has no row in the exact-verify side (the shingle-key
+    // equi-join produces nothing), and an inner join would silently drop
+    // exactly the worst-error pairs (est_j > 0, exact_j = 0) this card
+    // exists to surface (round-14 advice).
+    est.join(verifyCandidates(cand, shk, 0.0), Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_j"),
-        col("jaccard").as("exact_j"),
-        (col("est_j") - col("jaccard")).as("err"))
+        coalesce(col("jaccard"), lit(0.0)).as("exact_j"),
+        (col("est_j") - coalesce(col("jaccard"), lit(0.0))).as("err"))
   }
 
   /** xxhash64 tier of the same LSH shape: signatures, band hashes, and

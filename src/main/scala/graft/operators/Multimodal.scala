@@ -454,6 +454,17 @@ object Multimodal {
     * residue is nonzero — so the oracle replays the fingerprint with
     * no floating point at all (MultimodalQueries.audioFpCte).
     */
+  /** All three audio decoders below read raw frames as 16-bit mono
+    * little-endian signed PCM; a VALID WAV in any other layout (stereo,
+    * 8-bit, big-endian, float) would decode into a silently wrong
+    * signature rather than fail, so the frame format is checked up front
+    * and a mismatch surfaces as the null row every corrupt-payload path
+    * already uses (round-14 advice).
+    */
+  private def isPcm16MonoLe(f: javax.sound.sampled.AudioFormat): Boolean =
+    f.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+      f.getSampleSizeInBits == 16 && f.getChannels == 1 && !f.isBigEndian
+
   def decodeAudioSignFp(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
@@ -467,7 +478,7 @@ object Multimodal {
           val buf = new Array[Byte](2 * 61) // samples 0..60, 16-bit mono LE
           var off = 0
           var n = 0
-          while (off < buf.length && n >= 0) {
+          while (isPcm16MonoLe(ais.getFormat) && off < buf.length && n >= 0) {
             n = ais.read(buf, off, buf.length - off)
             if (n > 0) off += n
           }
@@ -515,7 +526,7 @@ object Multimodal {
           val n = bytes.length / 2
           var bits = 0L
           var i = 1
-          var ok = true
+          var ok = isPcm16MonoLe(ais.getFormat)
           while (i <= 60 && ok) {
             val src = (i.toLong * rate / commonRate).toInt
             if (src >= n) ok = false
@@ -556,19 +567,22 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
           val rate = ais.getFormat.getSampleRate.toInt
-          val bytes = ais.readAllBytes()
-          val n = bytes.length / 2
-          var zcr = 0L
-          var prev = 0
-          var i = 0
-          while (i < n) {
-            val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
-            if (prev * s < 0) zcr += 1
-            if (s != 0) prev = s else prev = 0
-            i += 1
+          if (!isPcm16MonoLe(ais.getFormat)) null
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            var zcr = 0L
+            var prev = 0
+            var i = 0
+            while (i < n) {
+              val s = ((bytes(2 * i + 1).toInt << 8) | (bytes(2 * i) & 0xff)).toShort.toInt
+              if (prev * s < 0) zcr += 1
+              if (s != 0) prev = s else prev = 0
+              i += 1
+            }
+            val pitch = math.floor(zcr.toDouble * rate / (2.0 * (n - 1)) + 0.5).toLong
+            (n.toLong, zcr, pitch)
           }
-          val pitch = math.floor(zcr.toDouble * rate / (2.0 * (n - 1)) + 0.5).toLong
-          (n.toLong, zcr, pitch)
         } catch { case scala.util.control.NonFatal(_) => null }
         if (res == null) Row(r.getLong(0), null, null, null)
         else Row(r.getLong(0), res._1, res._2, res._3)

@@ -744,9 +744,10 @@ object DedupQueries {
            |  SELECT c.doc_a, c.doc_b, CAST($terms AS DOUBLE) / 12.0 AS est_j
            |  FROM cand c JOIN sig a ON c.doc_a = a.doc_id
            |    JOIN sig b ON c.doc_b = b.doc_id)
-           |SELECT p.doc_a, p.doc_b, e.est_j, p.jaccard AS exact_j,
-           |  e.est_j - p.jaccard AS err
-           |FROM p JOIN est e USING (doc_a, doc_b)
+           |SELECT e.doc_a, e.doc_b, e.est_j,
+           |  COALESCE(p.jaccard, 0.0) AS exact_j,
+           |  e.est_j - COALESCE(p.jaccard, 0.0) AS err
+           |FROM est e LEFT JOIN p USING (doc_a, doc_b)
            |ORDER BY doc_a, doc_b""".stripMargin
       }),
 

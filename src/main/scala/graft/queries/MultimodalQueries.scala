@@ -516,18 +516,27 @@ object MultimodalQueries {
 
   /** Absolute-pitch twin of [[audioFpCte]]: bit i reads the sign at
     * source index (i·rate)//22050 — the nearest-neighbor resample's
-    * integer index map, replayed exactly.
+    * integer index map, replayed exactly. The Scala side nulls the
+    * fingerprint when any source index runs past the clip (src ≥ n,
+    * monotone in i, so the i=60 index decides); the oracle models the
+    * SAME guard against the synthesis contract's n = 64 + id%256
+    * rather than relying on the fixture invariant n ≥ 61 holding
+    * forever (round-14 advice — a shorter-clip fixture would otherwise
+    * hash-fail confusingly as null-vs-non-null).
     */
   val audioFpAbsCte: String =
     """WITH audio AS (
       |  SELECT doc_id, 220 + doc_id % 110 AS f,
+      |    64 + doc_id % 256 AS n,
       |    CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 11025
       |         WHEN 2 THEN 16000 ELSE 22050 END AS rate
       |  FROM documents WHERE doc_id % 3 = 1),
       |afpa AS (
       |  SELECT doc_id AS media_id,
+      |    CASE WHEN (60 * max(rate)) // 22050 >= max(n) THEN NULL ELSE
       |    CAST(sum(CASE WHEN (f * ((t.i * rate) // 22050)) % rate > 0
       |               AND 2 * ((f * ((t.i * rate) // 22050)) % rate) < rate
-      |             THEN CAST(1 AS BIGINT) << CAST(60 - t.i AS INT) ELSE 0 END) AS BIGINT) AS fp
+      |             THEN CAST(1 AS BIGINT) << CAST(60 - t.i AS INT) ELSE 0 END) AS BIGINT)
+      |    END AS fp
       |  FROM audio, range(1, 61) t(i) GROUP BY doc_id)""".stripMargin
 }

@@ -740,6 +740,15 @@ object TextAnalysisQueries {
              |  WHERE a.vec_id >= 10
              |  GROUP BY a.vec_id
              |  HAVING max($cos) >= 0.35),""".stripMargin
+        // Anchor guard (round-14 advice): this composes by string surgery
+        // on curateOracle, and a harmless rewording there would turn a
+        // .replace into a silent no-op — yielding an oracle MISSING the
+        // semantic anti-join that still parses and runs. Fail loudly at
+        // registry construction instead.
+        require(curateOracle.contains("bench AS (") &&
+          curateOracle.contains("ORDER BY q.doc_id"),
+          "text_curate_full: curateOracle lost a splice anchor " +
+            "('bench AS (' / 'ORDER BY q.doc_id') — update the surgery")
         curateOracle
           .replace("bench AS (", semCtes + "\nbench AS (")
           .replace("ORDER BY q.doc_id",
