@@ -59,7 +59,9 @@ object Bench {
       "media" -> (() => graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()),
       "bigram_lm" -> (() => graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()),
       "embedding_bands" -> (() => graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()),
-      "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)))
+      "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)),
+      "bpe_model" -> (() => graft.queries.BpeQueries.persistedMerges(spark, sfDir).count()),
+      "bpe_model_deep" -> (() => graft.queries.BpeQueries.persistedMergesDeep(spark, sfDir).count()))
     // SPARK_GRAFT_SKIP_SETUP=1: skip the persisted-artifact pre-build —
     // for filtered runs (SPARK_GRAFT_ONLY) against ad-hoc corpora (the
     // DecadeSynth tier) where building every shingle/signature artifact

@@ -17,6 +17,58 @@ object BpeQueries {
 
   val NumMerges = 8
 
+  /** Production-depth merge count for the persisted deep tier: crosses
+    * Bpe.ChunkMerges (64), so the multi-chunk applyMerges path (chunked
+    * replace chains with a mid-chain lineage cut) runs under the hash
+    * gate, not just in specs.
+    */
+  val DeepMerges = 80
+
+  /** The trained tokenizer as a PERSISTED SETUP ARTIFACT (round-14
+    * verdict #1): the merge ledger (step, pair, cnt) is a pure function
+    * of the corpus, trained ONCE per SF dir through the same
+    * fingerprint-gated cache every other shared intermediate uses, and
+    * every downstream query (vocab, token counts, encode, fertility,
+    * packing) READS it — the real train-once/encode-many deployment
+    * shape. Before this, five queries each re-ran the trainer inline
+    * (~8 s of redundant driver-round-trip loops per bench; unrunnable at
+    * a 32k-merge production vocabulary).
+    */
+  def persistedMerges(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "bpemodel", "documents.parquet", s"_m${NumMerges}b1") {
+      import s.implicits._
+      Bpe.trainBatched(Tables.documents(s, d), NumMerges, batch = 1)
+        .map(m => (m.step, m.pair, m.cnt)).toDF("step", "pair", "cnt")
+    }
+
+  /** Deep tier of the same artifact: DeepMerges merges via the BATCHED
+    * trainer (batch = 64 — a handful of driver round-trips, the
+    * production cadence), persisted once per corpus. Feeds
+    * bpe_merges_deep / bpe_encode_deep.
+    */
+  def persistedMergesDeep(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "bpemodel", "documents.parquet", s"_m${DeepMerges}b64") {
+      import s.implicits._
+      Bpe.trainBatched(Tables.documents(s, d), DeepMerges, batch = 64)
+        .map(m => (m.step, m.pair, m.cnt)).toDF("step", "pair", "cnt")
+    }
+
+  /** The ledger as the driver-side Seq the encode/apply APIs take. The
+    * collect is the tokenizer MODEL — |ledger| = numMerges rows by
+    * construction (each merge is one row), metadata-scale at any corpus
+    * size: the same bounded-collect contract as the k-means centroid
+    * table.
+    */
+  private def ledgerMerges(df: org.apache.spark.sql.DataFrame): Seq[Bpe.Merge] =
+    df.orderBy("step").collect()
+      .map(r => Bpe.Merge(r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+
+  def trainedMerges(s: org.apache.spark.sql.SparkSession, d: String): Seq[Bpe.Merge] =
+    ledgerMerges(persistedMerges(s, d))
+
+  def trainedMergesDeep(s: org.apache.spark.sql.SparkSession, d: String): Seq[Bpe.Merge] =
+    ledgerMerges(persistedMergesDeep(s, d))
+
   /** tok / w0 plus (p_k, c_k, m_k, w_k) per round — the DuckDB twin of
     * Bpe.train's round k: pair extraction (constant range + length guard
     * instead of zip_with; 256 bounds symbols-per-word, far above any
@@ -56,22 +108,38 @@ object BpeQueries {
     * passes bw through unchanged, so the unroll is exact for ANY fill
     * pattern from one-per-round to all-in-round-1.
     */
-  def batchedChainSql(n: Int): String = {
-    val accept = s"s.picks < (SELECT rem FROM remR) AND len(list_intersect(" +
+  def batchedChainSql(n: Int, batch: Int = 64): String =
+    s"""WITH RECURSIVE ${batchedChainCtes(n, batch)}
+       |SELECT CAST(row_number() OVER (ORDER BY rnd, ord) AS INT) AS step,
+       |       pair, CAST(cnt AS BIGINT) AS cnt
+       |FROM allp$n ORDER BY step""".stripMargin
+
+  /** The CTE chain of [[batchedChainSql]] without the final SELECT, for
+    * oracles that consume the trained SYMBOL TABLE (bw$n) rather than the
+    * ledger — the deep-encode twin. Generalized to n > batch (round 15):
+    * per-round budget is want = least(batch, rem) — both the rank cutoff
+    * (4·want over-fetch) and the greedy accept cap — exactly
+    * Bpe.trainBatched's `math.min(batch, numMerges - done)`; and each
+    * round's recount scans nothing once the budget is spent (the
+    * `rem > 0` guard), so unrolling n worst-case rounds costs only the
+    * rounds the trainer actually ran.
+    */
+  def batchedChainCtes(n: Int, batch: Int = 64): String = {
+    val accept = s"s.picks < least($batch, (SELECT rem FROM remR)) AND len(list_intersect(" +
       "string_split(s.used, ' '), [string_split(c.pair, ' ')[1], " +
       "string_split(c.pair, ' ')[2], replace(c.pair, ' ', '')])) = 0"
     val rounds = (1 to n).map { r =>
       val acc = accept.replace("remR", s"rem$r")
-      s"""cr$r AS MATERIALIZED (
+      s"""rem$r AS (SELECT $n - (SELECT count(*) FROM allp${r - 1}) AS rem),
+         |cr$r AS MATERIALIZED (
          |  SELECT pair, sum(freq) AS cnt FROM (
          |    SELECT a.arr[g.i] || ' ' || a.arr[g.i+1] AS pair, w.freq
          |    FROM bw${r - 1} w, LATERAL (SELECT string_split(trim(w.sym), '  ') AS arr) a, range(1, 256) g(i)
-         |    WHERE g.i + 1 <= len(a.arr)) GROUP BY pair),
-         |rem$r AS (SELECT $n - (SELECT count(*) FROM allp${r - 1}) AS rem),
+         |    WHERE g.i + 1 <= len(a.arr) AND (SELECT rem FROM rem$r) > 0) GROUP BY pair),
          |cand$r AS MATERIALIZED (
          |  SELECT pair, cnt, rn FROM (
          |    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rn FROM cr$r)
-         |  WHERE rn <= 4 * (SELECT rem FROM rem$r)),
+         |  WHERE rn <= 4 * least($batch, (SELECT rem FROM rem$r))),
          |sel$r AS (
          |  SELECT 0 AS rn, '' AS used, 0 AS picks, false AS take
          |  UNION ALL
@@ -97,30 +165,24 @@ object BpeQueries {
          |bw$r AS MATERIALIZED (
          |  SELECT word, freq, sym FROM apl$r WHERE j = (SELECT count(*) FROM pick$r))""".stripMargin
     }
-    s"""WITH RECURSIVE ${chainCtes(0)},
+    s"""${chainCtes(0)},
        |bw0 AS (SELECT word, freq, sym FROM w0),
        |allp0 AS (SELECT 0 AS rnd, CAST(0 AS BIGINT) AS ord, '' AS pair,
        |          CAST(0 AS HUGEINT) AS cnt WHERE 1 = 0),
-       |${rounds.mkString(",\n")}
-       |SELECT CAST(row_number() OVER (ORDER BY rnd, ord) AS INT) AS step,
-       |       pair, CAST(cnt AS BIGINT) AS cnt
-       |FROM allp$n ORDER BY step""".stripMargin
+       |${rounds.mkString(",\n")}""".stripMargin
   }
 
   def all: Seq[GraftQuery] = Seq(
 
     // The trained merge table itself — the tokenizer artifact. 8 rounds
     // of (argmax over corpus pair counts, merge) hash-matched end to end.
-    // Runs the BATCHED trainer at batch=1 (round-11 demotion: classic
-    // Bpe.train is spec-contrast only; batch=1 reproduces it verbatim,
-    // so the classic-chain oracle still gates the semantics).
+    // Since round 15 this READS the persisted ledger (train-once), so the
+    // gate covers the artifact every downstream query consumes — a stale
+    // or wrongly-built cache entry hash-fails here. (The trainer itself
+    // stays separately pinned by bpe_merges_batched/_batch64, which run
+    // it inline.)
     GraftQuery("bpe_merges",
-      (s, d) => {
-        import s.implicits._
-        Bpe.trainBatched(Tables.documents(s, d), NumMerges, batch = 1)
-          .map(m => (m.step, m.pair, m.cnt))
-          .toDF("step", "pair", "cnt").orderBy("step")
-      },
+      (s, d) => persistedMerges(s, d).orderBy("step"),
       Some {
         val unions = (1 to NumMerges)
           .map(k => s"SELECT $k AS step, pair, CAST(cnt AS BIGINT) AS cnt FROM m$k")
@@ -179,7 +241,7 @@ object BpeQueries {
     GraftQuery("bpe_vocab",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        val merges = trainedMerges(s, d)
         Bpe.symbolVocab(Bpe.wordTypes(docs), merges).orderBy("symbol")
       },
       Some(
@@ -194,7 +256,7 @@ object BpeQueries {
     GraftQuery("bpe_token_count",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        val merges = trainedMerges(s, d)
         Bpe.docTokenCounts(docs, merges).orderBy("doc_id")
       },
       Some(
@@ -214,7 +276,7 @@ object BpeQueries {
     GraftQuery("bpe_encode",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        val merges = trainedMerges(s, d)
         Bpe.encode(docs, merges).orderBy("doc_id")
       },
       Some(
@@ -247,7 +309,7 @@ object BpeQueries {
     GraftQuery("bpe_fertility",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        val merges = trainedMerges(s, d)
         Bpe.sourceFertility(docs, merges).orderBy("source")
       },
       Some(
@@ -273,7 +335,7 @@ object BpeQueries {
     GraftQuery("bpe_pack",
       (s, d) => {
         val docs = Tables.documents(s, d)
-        val merges = Bpe.trainBatched(docs, NumMerges, batch = 1)
+        val merges = trainedMerges(s, d)
         graft.operators.Curation.packSequencesFrom(
           Bpe.docTokenCounts(docs, merges)
             .select(col("doc_id"), col("bpe_tokens").as("n_tok")), 500L)
@@ -294,6 +356,50 @@ object BpeQueries {
            |  FROM t)
            |SELECT CAST(start // 500 AS BIGINT) AS seq_id,
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
-           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin))
+           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
+
+    // PRODUCTION-DEPTH merge ledger (round 15): DeepMerges = 80 merges
+    // trained by the batched trainer at its production batch (64) and
+    // served from the persisted artifact. 80 > batch exercises the
+    // multi-round budget arithmetic (round 1 wants 64, round 2 wants the
+    // remainder) that every ≤64-merge gate structurally couldn't, and
+    // 80 > ChunkMerges means downstream applyMerges runs its multi-chunk
+    // path. The oracle unrolls 80 worst-case rounds, each a no-op once
+    // the budget is spent (rem-guard in batchedChainCtes).
+    GraftQuery("bpe_merges_deep",
+      (s, d) => persistedMergesDeep(s, d).orderBy("step"),
+      Some(batchedChainSql(DeepMerges, batch = 64))),
+
+    // ENCODE at production depth — the registered train-once/encode-many
+    // shape: the 80-merge persisted ledger applied to the corpus, ids
+    // minted over the deep vocabulary. Crosses the ChunkMerges boundary,
+    // so the chunked replace chain (with its mid-chain lineage cut) is
+    // hash-gated end to end; the oracle replays the batched chain to the
+    // final symbol table bw80 and re-derives every doc's full id stream.
+    GraftQuery("bpe_encode_deep",
+      (s, d) => Bpe.encode(Tables.documents(s, d), trainedMergesDeep(s, d))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH RECURSIVE ${batchedChainCtes(DeepMerges, batch = 64)},
+           |syms AS (SELECT word, string_split(trim(sym), '  ') AS syms FROM bw$DeepMerges),
+           |vocab AS (
+           |  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS id
+           |  FROM (SELECT DISTINCT t.s AS symbol FROM syms, unnest(syms.syms) t(s))),
+           |wsym AS (
+           |  SELECT s.word, t.i, s.syms[t.i] AS symbol, len(s.syms) AS n_sym
+           |  FROM syms s, unnest(range(1, len(s.syms) + 1)) t(i)),
+           |wids AS (
+           |  SELECT w.word, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+           |    CAST(max(w.n_sym) AS BIGINT) AS n_sym
+           |  FROM wsym w JOIN vocab v ON v.symbol = w.symbol GROUP BY w.word),
+           |tokp AS (
+           |  SELECT doc_id, t.i AS pos, arr[t.i] AS word
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents) d,
+           |    unnest(range(1, len(arr) + 1)) t(i)
+           |  WHERE length(arr[t.i]) > 0 AND NOT regexp_matches(arr[t.i], '^[0-9]+$$'))
+           |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
+           |  CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens
+           |FROM tokp k JOIN wids w USING (word)
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

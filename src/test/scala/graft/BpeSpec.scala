@@ -109,6 +109,33 @@ class BpeSpec extends AnyFunSuite {
     assert(total > 0 && total <= charTotal - 256) // each merge fired ≥ once
   }
 
+  test("persisted ledger: trainedMerges round-trips the inline trainer; deep tier is dense and round-trips encode") {
+    import spark.implicits._
+    val d = TestSpark.sf0001
+    val docs = graft.sources.Tables.documents(spark, d)
+    // the setup artifact serves EXACTLY what the inline trainer produces
+    assert(graft.queries.BpeQueries.trainedMerges(spark, d) ==
+      Bpe.trainBatched(docs, graft.queries.BpeQueries.NumMerges, batch = 1))
+    // deep tier: dense steps, budget respected, first pick = global argmax
+    val deep = graft.queries.BpeQueries.trainedMergesDeep(spark, d)
+    assert(deep.map(_.step) == (1 to graft.queries.BpeQueries.DeepMerges))
+    assert(deep.head == Bpe.train(docs, 1).head)
+    // encode under the deep ledger (crosses ChunkMerges → multi-chunk
+    // applyMerges) still round-trips: id streams decode to the exact
+    // tokenized text
+    val idToSym = Bpe.symbolIds(Bpe.wordTypes(docs), deep)
+      .as[(String, Int)].collect().map(_.swap).toMap
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect().toMap
+    Bpe.encode(docs, deep).as[(Long, String, Long)].collect().foreach {
+      case (id, ids, n) =>
+        val seq = ids.split(" ").map(_.toInt)
+        assert(seq.length.toLong == n)
+        val want = texts(id).toLowerCase.split("\\s+")
+          .filter(w => w.nonEmpty && !w.matches("^[0-9]+$")).mkString
+        assert(seq.map(idToSym).mkString == want, s"doc $id")
+    }
+  }
+
   test("encode round-trips: ids decode through the inverse vocab back to the exact text") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
