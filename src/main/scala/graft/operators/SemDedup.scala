@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Stable
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -206,16 +206,33 @@ object SemDedup {
     * instead of mirroring the corpus density. The rank is
     * (md5(vec_id), vec_id) — the repo's deterministic-uniform pick
     * (text_sample_hash discipline), so both engines draw the identical
-    * sample. Scale: the window partitions by cell (k-way parallel); with
-    * k ∝ N/cell-size the per-cell sort stays partition-local, the same
-    * contract as the stratified sampler's per-lang window.
+    * sample.
+    *
+    * Skew-safe two-phase shape (round-15; the Curation.capBySource
+    * playbook): at FIXED k a single window partitioned by cell sorts
+    * corpus/k rows per task — a straggler at 100× scale. Phase 1 ranks
+    * within (cell, hash-bucket) — k·nBuckets-way parallel regardless of
+    * cell sizes, bounded even when a degenerate clustering concentrates
+    * one cell — and keeps each bucket's top perCell, a superset of the
+    * per-cell top perCell by containment. Phase 2 ranks the
+    * ≤ perCell·nBuckets survivors per cell — aggregate-sized input.
+    * Output is identical to the one-window form (the oracle runs that),
+    * pinned by SemDedupSpec at nBuckets 1/4/16 and on an all-one-cell
+    * corpus.
     */
   def clusterSample(embeddings: DataFrame, perCell: Int,
-                    k: Int = 8, iters: Int = 3): DataFrame = {
-    val w = Window.partitionBy("cell")
-      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+                    k: Int = 8, iters: Int = 3, nBuckets: Int = 16): DataFrame = {
+    val ord: Seq[Column] =
+      Seq(md5(col("vec_id").cast("string")), col("vec_id"))
+    val bkt = conv(substring(md5(concat(lit("cs:"),
+      col("vec_id").cast("string"))), 1, 4), 16, 10).cast("long") % nBuckets
     cells(embeddings, k, iters)
-      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bkt", bkt)
+      .withColumn("prk", row_number().over(
+        Window.partitionBy("cell", "bkt").orderBy(ord: _*)))
+      .filter(col("prk") <= perCell)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("cell").orderBy(ord: _*)).cast("long"))
       .filter(col("rn") <= perCell)
       .select(col("cell"), col("rn"), col("vec_id"))
   }

@@ -80,4 +80,30 @@ class SemDedupSpec extends AnyFunSuite {
       .select("cell", "rn", "vec_id").as[(Int, Long, Long)].collect()
     assert(got.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
   }
+
+  test("clusterSample: two-phase bucket rank is invariant in nBuckets and survives an all-one-cell corpus") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    def draw(nb: Int) = SemDedup.clusterSample(emb, 7, nBuckets = nb)
+      .select("cell", "rn", "vec_id").as[(Int, Long, Long)].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    // the SourceCap containment playbook: phase-1 bucketing at any width
+    // keeps a superset of the per-cell top-k, so the final sample is
+    // bucket-count-invariant (nBuckets=1 IS the single-window form)
+    val one = draw(1)
+    assert(draw(4) == one && draw(16) == one)
+    // degenerate skew: every vector in ONE cell (all-identical
+    // embeddings → k-means collapses) — the shape phase 1 exists for;
+    // output must still be the deterministic hash-order top-k
+    val deg = (0L until 200L)
+      .map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = SemDedup.clusterSample(deg, 5, nBuckets = 16)
+      .select("cell", "rn", "vec_id").as[(Int, Long, Long)].collect()
+    assert(got.length == 5)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val want = (0L until 200L).sortBy(i => (md5hex(i.toString), i)).take(5)
+    assert(got.sortBy(_._2).map(_._3).toSeq == want)
+  }
 }
