@@ -526,6 +526,76 @@ object DocStreams {
       }
       .start()
 
+  /** One micro-batch of streaming FULL curation — the streaming twin of
+    * the batch `text_curate_full` composite: every [[curateBatch]] stage
+    * (clean gates, repetition, LM NLL, n-gram decontamination, stateful
+    * near-dup) PLUS the embedding-cosine decontamination gate n-gram
+    * overlap cannot see (a paraphrased eval answer). The batch carries
+    * its embedding next to the text (the real ingest shape — the embedder
+    * runs upstream in the same stream); the eval vectors are a FIXED
+    * prepared side input (Similarity.prepared layout), versioned with
+    * the model like the LM and the eval shingle set.
+    *
+    * Gate placement mirrors the batch composite exactly: the semantic
+    * verdict anti-joins the OUTPUT, while the signature state still
+    * accumulates every quality survivor — so a later near-dup of a
+    * semantically contaminated doc is suppressed as a duplicate in both
+    * engines (were the contaminated doc kept out of state, its near-dups
+    * would re-enter through the stream). The verdict itself is per-doc
+    * and stateless (contaminationAgainst), so batch-prefix equality
+    * holds whether it is computed at arrival or over the prefix.
+    */
+  def curateFullBatch(batch: DataFrame, lm: DataFrame, benchShingles: DataFrame,
+                      evalVecs: DataFrame, stateDir: String,
+                      bands: Int = 6, rowsPerBand: Int = 2,
+                      minAgree: Double = 0.5, maxRep: Double = 0.05,
+                      maxNll: Double = 3.45, maxContam: Long = 4,
+                      cosThreshold: Double = 0.35,
+                      batchId: Long = Long.MinValue): (DataFrame, DataFrame) = {
+    val (novel, novelState) = curateBatch(batch.drop("embedding"), lm,
+      benchShingles, stateDir, bands, rowsPerBand, minAgree, maxRep,
+      maxNll, maxContam, batchId)
+    val semContam = graft.operators.Similarity.contaminationAgainst(
+        graft.operators.Similarity.prepared(
+          batch.select(col("doc_id").as("vec_id"), col("embedding"))),
+        evalVecs, cosThreshold)
+      .select(col("vec_id").as("doc_id"))
+    (novel.join(semContam, Seq("doc_id"), "left_anti"), novelState)
+  }
+
+  /** Always-on FULL streaming curation: [[curateIngest]] widened to both
+    * decontamination modalities — same batch-keyed idempotent replay
+    * contract, same state layout (a deployment can switch ingests
+    * without a state migration).
+    */
+  def curateFullIngest(docs: DataFrame, lm: DataFrame, benchShingles: DataFrame,
+                       evalVecs: DataFrame, stateDir: String, outDir: String,
+                       bands: Int = 6, rowsPerBand: Int = 2, minAgree: Double = 0.5,
+                       maxRep: Double = 0.05, maxNll: Double = 3.45,
+                       maxContam: Long = 4, cosThreshold: Double = 0.35,
+                       compactEvery: Int = 0): StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.Lease.check(stateDir)
+          DirSwap.recover(stateDir)
+          val (novel, novelState) = curateFullBatch(batch, lm, benchShingles,
+            evalVecs, stateDir, bands, rowsPerBand, minAgree, maxRep, maxNll,
+            maxContam, cosThreshold, batchId)
+          BatchCommit.writeBatch(novel, outDir, batchId)
+          BatchCommit.writeBatch(novelState, bandsRoot(stateDir), batchId,
+            partitionCols = Seq("band", "bkt"))
+          writeManifestIfAbsent(batch.sparkSession, stateDir, bands, rowsPerBand)
+          if (compactEvery > 0 && batchId % compactEvery == (compactEvery - 1).toLong)
+            compactState(batch.sparkSession, stateDir)
+          graft.operators.Lease.check(stateDir)
+          BatchCommit.requireIntact(batch.sparkSession, outDir, batchId)
+          BatchCommit.requireIntact(batch.sparkSession, bandsRoot(stateDir), batchId)
+        }
+      }
+      .start()
+
   /** One micro-batch of streaming token-budget mixing: a greedy fill of
     * per-source token quotas against the strictly-prior committed totals
     * (own batch excluded, so a crash-replay recomputes the identical

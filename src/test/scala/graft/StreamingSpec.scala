@@ -1059,6 +1059,112 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming FULL curation (both decontamination gates) equals the batch composite at every prefix; replay is a no-op") {
+    // The curateIngest prefix discipline widened to the text_curate_full
+    // shape: the want side is Curation.curate over the prefix ANTI-JOINED
+    // with the per-doc semantic contamination verdict — exactly the
+    // registered composite. The planted case the n-gram gate cannot see:
+    // doc 14 is textually clean (no eval shingles) but its embedding is
+    // nearly the eval vector — only the cosine gate drops it.
+    import spark.implicits._
+    import graft.operators.{Curation, Dedup, Similarity}
+    implicit val sc = spark.sqlContext
+    def ws(prefix: String, n: Int) = (0 until n)
+      .map(i => s"$prefix${('a' + i / 26).toChar}${('a' + i % 26).toChar}")
+    val stop = Seq("the", "and", "of")
+    val evalSpan = ws("ev", 12)
+    val a = (stop ++ ws("w", 32)).mkString(" ")
+    val aDup = a.split(" ").dropRight(1).mkString(" ") + " zzz"
+    val b = "short text only"
+    val c = (stop ++ ws("c", 20) ++ evalSpan).mkString(" ")
+    val d = (stop ++ ws("d", 32)).mkString(" ")
+    val g = (stop ++ ws("g", 32)).mkString(" ")
+    val evalDoc = (0L, evalSpan.mkString(" "))
+    val lm = graft.operators.TextAnalysis.bigramLm(
+      Seq((100L, a), (101L, c), (102L, d), (103L, g))
+        .toDF("doc_id", "text")).localCheckpoint()
+    val bench = Dedup.shingles(Seq(evalDoc).toDF("doc_id", "text"))
+      .localCheckpoint()
+    // eval vector [1,0,0]; far embeddings for everyone except doc 14
+    val far = Array(0.0f, 1.0f, 0.0f)
+    val near = Array(0.98f, 0.05f, 0.0f) // cos ≈ 0.999 vs eval
+    val evalVecs = Similarity.prepared(
+      Seq((0L, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+      .localCheckpoint()
+    val tau = 0.9
+    val mem = MemoryStream[(Long, String, Array[Float])]
+    val state = java.nio.file.Files.createTempDirectory("curfull").toString + "/sigs"
+    val out = java.nio.file.Files.createTempDirectory("curfullout").toString + "/docs"
+    val q = graft.streaming.DocStreams.curateFullIngest(
+      mem.toDF.toDF("doc_id", "text", "embedding"), lm, bench, evalVecs,
+      state, out, maxNll = 10.0, cosThreshold = tau)
+    val batches = Seq(
+      Seq((10L, a, far), (11L, b, far), (12L, c, far)), // clean/short/n-gram-contam
+      Seq((13L, aDup, far), (14L, d, near)),            // near-dup / SEMANTIC contam
+      Seq((15L, g, far)))                               // clean
+    try {
+      var prefix = Vector.empty[(Long, String, Array[Float])]
+      batches.zipWithIndex.foreach { case (bdocs, i) =>
+        mem.addData(bdocs: _*)
+        q.processAllAvailable()
+        prefix = prefix ++ bdocs
+        val docsAll = (Seq((evalDoc._1, evalDoc._2, far)) ++ prefix)
+          .toDF("doc_id", "text", "embedding").localCheckpoint()
+        val sh = Dedup.shingles(docsAll).localCheckpoint()
+        // near-dup pairs by the stream's own criterion (band collision +
+        // signature agreement), over the quality survivors — as in the
+        // curateIngest prefix test
+        val noPairs = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+        val qSurv = Curation.curate(docsAll, sh, lm, noPairs,
+            evalMax = 10, maxNll = 10.0)
+          .select("doc_id").as[Long].collect().toSet
+        val sig = Dedup.minhashSignaturesFast(
+          Dedup.shingles(docsAll.filter(col("doc_id").isin(qSurv.toSeq: _*))), 12)
+          .localCheckpoint()
+        val bandsDf = Dedup.bandRows(sig, 6, 2, cols => xxhash64(cols: _*))
+        val cand = bandsDf.as("x").join(bandsDf.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+              col("x.doc_id") < col("y.doc_id"))
+          .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+          .distinct()
+        val agree = (0 until 12).map(j =>
+            when(col(s"a.h$j") === col(s"b.h$j"), 1).otherwise(0)).reduce(_ + _)
+          .cast("double") / 12
+        val pairs = cand.join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+          .filter(agree >= 0.5).select("doc_a", "doc_b")
+        val semContam = Similarity.contaminationAgainst(
+            Similarity.prepared(prefix
+              .map(r => (r._1, r._3)).toDF("vec_id", "embedding")),
+            evalVecs, tau)
+          .select(col("vec_id").as("doc_id"))
+        val want = Curation.curate(docsAll, sh, lm, pairs,
+            evalMax = 10, maxNll = 10.0)
+          .join(semContam, Seq("doc_id"), "left_anti")
+          .select("doc_id").as[Long].collect().toSet
+        val got = graft.streaming.DocStreams.readOutput(spark, out).get
+          .select("doc_id").as[Long].collect().toSet
+        assert(got == want, s"after micro-batch $i: stream kept $got, batch composite kept $want")
+        if (i >= 1) assert(!got.contains(14L),
+          "semantically contaminated doc must be gated despite clean text")
+      }
+      // crash-replay of the last micro-batch: batch-keyed overwrite of
+      // identical content — output and state must not change
+      val before = graft.streaming.DocStreams.readOutput(spark, out).get
+        .select("doc_id").as[Long].collect().toSet
+      val (novel, novelState) = graft.streaming.DocStreams.curateFullBatch(
+        batches.last.toDF("doc_id", "text", "embedding"), lm, bench, evalVecs,
+        state, maxNll = 10.0, cosThreshold = tau, batchId = batches.size - 1L)
+      graft.operators.BatchCommit.writeBatch(novel, out, batches.size - 1L)
+      graft.operators.BatchCommit.writeBatch(novelState,
+        s"$state/bands", batches.size - 1L,
+        partitionCols = Seq("band", "bkt"))
+      val after = graft.streaming.DocStreams.readOutput(spark, out).get
+        .select("doc_id").as[Long].collect().toSet
+      assert(after == before)
+    } finally q.stop()
+  }
+
   test("streaming semantic decontamination equals the batch gate on every prefix; replay is a no-op") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
