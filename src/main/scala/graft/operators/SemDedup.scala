@@ -126,8 +126,8 @@ object SemDedup {
     pairsFrom(model(embeddings, k, iters)._1,
       Similarity.prepared(embeddings), threshold)
 
-  private def pairsFrom(asg: DataFrame, p: DataFrame,
-                        threshold: Double): DataFrame = {
+  private[graft] def pairsFrom(asg: DataFrame, p: DataFrame,
+                               threshold: Double): DataFrame = {
     val side = asg.join(p, "vec_id")
     side.as("a").join(side.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
@@ -135,6 +135,48 @@ object SemDedup {
         col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Salted escape hatch for the within-cell self-join (round-15): a
+    * DEGENERATE clustering (boilerplate-heavy corpora collapse most
+    * vectors into one cell) concentrates one join key, and past what AQE
+    * skew-split can stage, a single task owns the whole |cell|² block.
+    * The triangle-salt decomposition splits each cell into `salt` hash
+    * buckets and covers every unordered pair exactly once: a row in
+    * bucket u joins as the LEFT side under keys (u, j) for j ≥ u and as
+    * the RIGHT side under keys (i, u) for i ≤ u, so bucket pair (u, v),
+    * u ≤ v, is one equi-join key and the diagonal (u = u) dedupes with
+    * the usual vec_id order. One giant cell becomes salt·(salt+1)/2
+    * independently-scheduled blocks at a replication cost of (salt+1)×
+    * rows — the pair COUNT is unchanged, only its scheduling. Output is
+    * exactly [[pairsFrom]] (SemDedupSpec pins salt 1/4/16 and the
+    * all-one-cell corpus; BASELINE.md carries the measured degenerate
+    * wall-clock).
+    */
+  private[graft] def pairsFromSalted(asg: DataFrame, p: DataFrame,
+                                     threshold: Double, salt: Int): DataFrame = {
+    require(salt >= 1, "salt must be >= 1")
+    val side = asg.join(p, "vec_id")
+      .withColumn("sb", pmod(xxhash64(col("vec_id")), lit(salt.toLong)).cast("int"))
+    val aSide = side.withColumn("sj", explode(sequence(col("sb"), lit(salt - 1))))
+    val bSide = side.withColumn("si", explode(sequence(lit(0), col("sb"))))
+    aSide.as("a").join(bSide.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.sb") === col("b.si") && col("a.sj") === col("b.sb") &&
+          (col("a.sb") =!= col("b.sb") || col("a.vec_id") < col("b.vec_id")))
+      .select(
+        least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
+        col("a.cell").as("cell"), Similarity.cosine(6).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** [[pairs]] with the salted within-cell join — the degenerate-skew
+    * deployment switch.
+    */
+  def pairsSalted(embeddings: DataFrame, threshold: Double,
+                  k: Int = 8, iters: Int = 3, salt: Int = 8): DataFrame =
+    pairsFromSalted(model(embeddings, k, iters)._1,
+      Similarity.prepared(embeddings), threshold, salt)
 
   /** The prune decision — SemDeDup's action: connect near-dup pairs into
     * groups (label propagation, component id = min member), keep ONE

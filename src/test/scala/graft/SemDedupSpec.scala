@@ -81,6 +81,28 @@ class SemDedupSpec extends AnyFunSuite {
     assert(got.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
   }
 
+  test("salted within-cell join: identical pair set at salt 1/4/16, including an all-one-cell corpus") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cell", "cos")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    val want = canon(SemDedup.pairs(emb, 0.3))
+    assert(want.nonEmpty)
+    Seq(1, 4, 16).foreach { s =>
+      assert(canon(SemDedup.pairsSalted(emb, 0.3, salt = s)) == want,
+        s"salt=$s")
+    }
+    // degenerate: every vector lands in ONE cell (identical embeddings
+    // up to scale — cosine 1.0 everywhere) — the skew the salt exists
+    // for; the pair set must still be the exact triangle
+    val deg = (0L until 60L)
+      .map(i => (i, Array(1.0f + (i % 3) * 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val degPairs = canon(SemDedup.pairsSalted(deg, 0.9, salt = 16))
+    assert(degPairs.size == 60 * 59 / 2)
+    assert(degPairs == canon(SemDedup.pairs(deg, 0.9)))
+  }
+
   test("clusterSample: two-phase bucket rank is invariant in nBuckets and survives an all-one-cell corpus") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
