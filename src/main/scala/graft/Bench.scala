@@ -57,6 +57,7 @@ object Bench {
       "simhash" -> (() => graft.queries.DedupQueries.persistedSimhash(spark, sfDir).count()),
       "simhash60" -> (() => graft.queries.DedupQueries.persistedSimhash60(spark, sfDir).count()),
       "media" -> (() => graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()),
+      "media_spectral" -> (() => graft.queries.MultimodalQueries.persistedMediaSpectral(spark, sfDir).count()),
       "bigram_lm" -> (() => graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()),
       "embedding_bands" -> (() => graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()),
       "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)),

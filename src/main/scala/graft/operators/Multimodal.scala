@@ -591,6 +591,213 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  // ==================== SPECTRAL AUDIO TIER (round 15) ====================
+
+  /** Integer-DFT window / bin-count / resample-grid constants for the
+    * spectral fingerprint. 256 samples on the 22050 Hz common grid give
+    * 86.1 Hz bins; bins 1..24 span 86-2067 Hz — the fundamental AND the
+    * discriminating 3rd harmonic of every fixture frequency.
+    */
+  val SpecWindow = 256
+  val SpecBins = 24
+  val SpecCommonRate = 22050
+  val SpecShift = 524288L // 2^19 post-sum down-shift; keeps E = R^2+I^2 in BIGINT
+
+  /** Shared 256-entry cosine table for the fixed-point DFT:
+    * specCos(j) = round(2^14 * cos(2*pi*j/256)). Computed ONCE here from
+    * libm and baked VERBATIM into the DuckDB oracle as literals
+    * (MultimodalQueries.spectralCtab), so both engines fold identical
+    * integers — the transform is integer-exact by construction, closing
+    * SURVEY §2.9's "no FFT in the oracle's integer-exact reach" with a
+    * fixed-point DFT instead of a float FFT. sin rides the same table by
+    * the quarter-period shift: sin(2*pi*j/256) = cos(2*pi*(j+192)/256).
+    */
+  lazy val specCos: Array[Long] = Array.tabulate(SpecWindow)(j =>
+    Math.round(16384.0 * Math.cos(2 * Math.PI * j / SpecWindow)))
+
+  /** Synthesis contract of the SPECTRAL fixture (one clip per audio
+    * doc_id, id1 = doc_id/3, g = id1%12): frequency 220/392/564 Hz by
+    * g%3 — spaced >= 2 DFT bins so distinct fundamentals never alias —
+    * waveform TRIANGLE (g/3 even) or SQUARE (odd), rate 11025/22050 by
+    * g/6, n = 256+id1%64 frames. tri and sq at the same (f, rate) have
+    * IDENTICAL sample signs everywhere (both are sign(t) of the same
+    * integer triangle phase; sq is 12000*sign(t), tri is
+    * floorDiv(12000*t, rate) whose sign matches since the fixture's
+    * nonzero |t| stays above rate/12000) — the planted equal-sign /
+    * different-spectrum blind spot the sign tiers provably cannot see
+    * and this tier exists to catch: tri falls off 1/k^2 in harmonics,
+    * sq 1/k, so band energies differ at 3f.
+    */
+  def spectralParams(mediaId: Long): (Int, Boolean, Int, Int) = {
+    val id1 = mediaId / 3
+    val g = (id1 % 12).toInt
+    (Seq(220, 392, 564)(g % 3), (g / 3) % 2 == 1,
+      if ((g / 6) % 2 == 0) 11025 else 22050, (256 + id1 % 64).toInt)
+  }
+
+  /** Integer-exact sample i of a spectral-fixture clip: t is the integer
+    * triangle |((4*f*i) mod 4r) - 2r| - r in [-r, r]; triangle clips scale
+    * it to amplitude 12000 by floor division, squares take 12000*sign(t).
+    */
+  def spectralSample(f: Int, i: Int, rate: Int, sq: Boolean): Int = {
+    val m = (4L * f * i) % (4L * rate)
+    val t = Math.abs(m - 2L * rate) - rate
+    val v = if (sq) 12000L * rate * java.lang.Long.signum(t) else 12000L * t
+    Math.floorDiv(v, rate.toLong).toInt
+  }
+
+  private def encodeWavSpectral(mediaId: Long): Array[Byte] = {
+    val (f, sq, rate, n) = spectralParams(mediaId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = spectralSample(f, i, rate, sq)
+      pcm(2 * i) = (s & 0xff).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** The spectral fixture as a real-WAV media table (media_id, payload)
+    * over the audio doc population — same narrow generate-in-place shape
+    * as withRealMedia.
+    */
+  def withSpectralMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val out = docs.filter(col("doc_id") % 3 === 1).select("doc_id")
+      .rdd.mapPartitions(_.map { r =>
+        Row(r.getLong(0), encodeWavSpectral(r.getLong(0)))
+      })
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Spectral fingerprint from REAL audio decode — the production
+    * technique the sign tiers approximate (Chromaprint/Shazam family,
+    * in fixed point): decode PCM, nearest-neighbor resample SpecWindow
+    * samples onto the common 22050 Hz grid (the abs tier's integer index
+    * map), then a fixed-point DFT with the shared specCos table:
+    * R_k = floorDiv(sum_i y_i*cos[(k*i)%256], 2^19), I_k likewise with
+    * the +192 quarter shift, E_k = R^2 + I^2. Every step is integer
+    * arithmetic both engines replay exactly. Outputs per clip:
+    *   fp   — 24 bits, bit k set iff 16*E_k > max(E) (significant-band
+    *          profile; max-relative so it is gain- and length-robust),
+    *   dom  — dominant bin (argmax E, ties to the lower bin),
+    *   prof — the normalized integer energy profile (E_k*1024)/sum(E),
+    *          space-joined: the exact-verify feature for the pair stage.
+    * Null row when the payload is corrupt, non-PCM16LE-mono, or too
+    * short for the resample window (src index past the clip).
+    */
+  def decodeAudioSpectral(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType),
+      StructField("dom", LongType),
+      StructField("prof", StringType)))
+    val w = SpecWindow
+    val nb = SpecBins
+    val common = SpecCommonRate
+    val shiftD = SpecShift
+    val ctab = specCos
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val res = try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+          val rate = ais.getFormat.getSampleRate.toInt
+          if (!isPcm16MonoLe(ais.getFormat)) null
+          else {
+            val bytes = ais.readAllBytes()
+            val n = bytes.length / 2
+            if (((w - 1).toLong * rate / common).toInt >= n) null
+            else {
+              val y = new Array[Long](w)
+              var i = 0
+              while (i < w) {
+                val src = (i.toLong * rate / common).toInt
+                y(i) = ((bytes(2 * src + 1).toInt << 8) | (bytes(2 * src) & 0xff)).toShort.toLong
+                i += 1
+              }
+              val e = new Array[Long](nb)
+              var k = 1
+              while (k <= nb) {
+                var re = 0L
+                var im = 0L
+                var j = 0
+                while (j < w) {
+                  val y_j = y(j)
+                  re += y_j * ctab((k * j) % 256)
+                  im += y_j * ctab((k * j + 192) % 256)
+                  j += 1
+                }
+                val rq = Math.floorDiv(re, shiftD)
+                val iq = Math.floorDiv(im, shiftD)
+                e(k - 1) = rq * rq + iq * iq
+                // contract bound: keeps prof's e*1024 far inside Long and
+                // the oracle's HUGEINT path value-identical
+                require(e(k - 1) < (1L << 40),
+                  s"spectral energy out of contract bound: ${e(k - 1)}")
+                k += 1
+              }
+              val mx = e.max
+              val tot = e.sum
+              var fp = 0L
+              var dom = -1
+              var kk = 0
+              while (kk < nb) {
+                if (16L * e(kk) > mx) fp |= 1L << kk
+                if (dom < 0 && e(kk) == mx) dom = kk + 1
+                kk += 1
+              }
+              val prof = e.map(x => (x * 1024L) / tot).mkString(" ")
+              (fp, dom.toLong, prof)
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (res == null) Row(r.getLong(0), null, null, null)
+        else Row(r.getLong(0), res._1, res._2, res._3)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Spectral near-dup pairs: single-bit-flip pigeonhole over the 24-bit
+    * significant-band fingerprint (hamming <= 1 — each clip emits 25
+    * equi-join keys, the phashPairs1 shape), then the EXACT verify on the
+    * normalized energy profiles: L1 distance <= maxL1. The fixture's
+    * measured margins (BASELINE.md): same-content cross-rate pairs sit at
+    * hamming <= 1 / L1 <= 100; the planted equal-sign tri-vs-sq partners
+    * at hamming >= 2 / L1 >= 184; distinct fundamentals at L1 >= 1500.
+    */
+  def spectralPairs(sp: DataFrame, maxL1: Long = 160): DataFrame = {
+    val keys = sp.filter(col("fp").isNotNull)
+      .select(col("media_id"), col("fp"), col("prof"),
+        explode(typedLit((-1 until SpecBins).toList)).as("k"))
+      .select(col("media_id"), col("fp"), col("prof"),
+        when(col("k") === -1, col("fp"))
+          .otherwise(expr("fp ^ shiftleft(CAST(1 AS BIGINT), k)")).as("key"))
+    val pv = (side: String) => transform(split(col(s"$side.prof"), " "),
+      x => x.cast("long"))
+    keys.as("a").join(keys.as("b"),
+        col("a.key") === col("b.key") && col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"),
+        aggregate(zip_with(pv("a"), pv("b"), (x, y) => abs(x - y)),
+          lit(0L), (acc, x) => acc + x).as("l1"))
+      .filter(col("hamming") <= 1 && col("l1") <= maxL1)
+      .distinct()
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

@@ -24,6 +24,17 @@ object MultimodalQueries {
       Multimodal.withRealMedia(Tables.documents(s, d))
     }
 
+  /** The SPECTRAL audio fixture (round 15): real WAVs over integer-exact
+    * triangle/square waveforms (Multimodal.spectralParams contract), so
+    * the fixed-point-DFT tier carries a full hash gate. Separate table
+    * from persistedMedia: the sine fixture's sign/zcr contracts stay
+    * byte-stable.
+    */
+  def persistedMediaSpectral(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "mediasp", "documents.parquet") {
+      Multimodal.withSpectralMedia(Tables.documents(s, d))
+    }
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -430,8 +441,100 @@ object MultimodalQueries {
            |SELECT media_id, width, height, n_tokens
            |FROM img JOIN tk ON media_id = tk.doc_id
            |WHERE width * height >= 100 AND n_tokens >= 25
-           |ORDER BY media_id""".stripMargin))
+           |ORDER BY media_id""".stripMargin)),
+
+    // SPECTRAL audio fingerprint (round 15 — closes SURVEY §2.9's
+    // "sign-structure, not spectral" gap): a fixed-point DFT over the
+    // resampled common grid, every integer re-derived by the oracle from
+    // the triangle/square synthesis contract and the SAME baked cosine
+    // table (Multimodal.specCos). fp = significant-band bits, dom =
+    // dominant bin, prof = normalized integer energy profile.
+    GraftQuery("multimodal_audio_fp_spectral",
+      (s, d) => Multimodal.decodeAudioSpectral(persistedMediaSpectral(s, d))
+        .orderBy("media_id"),
+      Some(
+        s"""WITH $spectralCte
+           |SELECT f.media_id, f.fp, f.dom, s.prof
+           |FROM fps f JOIN prs s USING (media_id)
+           |ORDER BY media_id""".stripMargin)),
+
+    // Spectral near-dup: bit-flip pigeonhole over the 24-bit band
+    // fingerprint (hamming <= 1) + exact L1 verify on the energy
+    // profiles. The planted blind spot rides this gate: tri-vs-sq
+    // partners share an identical 60-bit SIGN fingerprint (spec-pinned)
+    // yet never pair here (hamming >= 2, L1 >= 184), while the same
+    // content across sample rates always does (hamming <= 1, L1 <= 100).
+    GraftQuery("multimodal_audio_neardup_spectral",
+      (s, d) => Multimodal.spectralPairs(
+          Multimodal.decodeAudioSpectral(persistedMediaSpectral(s, d)))
+        .orderBy("doc_a", "doc_b"),
+      Some(
+        s"""WITH $spectralCte,
+           |scand AS (
+           |  SELECT a.media_id AS doc_a, b.media_id AS doc_b,
+           |    CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+           |  FROM fps a JOIN fps b ON a.media_id < b.media_id
+           |  WHERE bit_count(xor(a.fp, b.fp)) <= 1)
+           |SELECT c.doc_a, c.doc_b, c.hamming,
+           |  CAST(sum(abs(pa.p - pb.p)) AS BIGINT) AS l1
+           |FROM scand c JOIN pr pa ON pa.media_id = c.doc_a
+           |  JOIN pr pb ON pb.media_id = c.doc_b AND pb.k = pa.k
+           |GROUP BY c.doc_a, c.doc_b, c.hamming
+           |HAVING sum(abs(pa.p - pb.p)) <= 160
+           |ORDER BY doc_a, doc_b""".stripMargin))
   )
+
+  /** The spectral fixture + fixed-point DFT, replayed in SQL: samples
+    * from the integer triangle/square contract (floor division exact in
+    * DOUBLE — |v| <= 12000·22050 << 2^53), the DFT via the baked
+    * 256-entry cosine table (sin = +192 quarter shift), the 2^19
+    * down-shift as floor(x/524288.0) ≡ Math.floorDiv, energies in pure
+    * BIGINT, profile division through HUGEINT.
+    */
+  def spectralCte: String = {
+    val ctab = (0 until Multimodal.SpecWindow)
+      .map(j => s"($j, ${Multimodal.specCos(j)})").mkString(", ")
+    s"""spp AS (
+       |  SELECT doc_id AS media_id,
+       |    CASE ((doc_id // 3) % 12) % 3 WHEN 0 THEN 220 WHEN 1 THEN 392 ELSE 564 END AS f,
+       |    CASE WHEN (((doc_id // 3) % 12) // 3) % 2 = 1 THEN 1 ELSE 0 END AS sq,
+       |    CASE WHEN (((doc_id // 3) % 12) // 6) % 2 = 0 THEN 11025 ELSE 22050 END AS rate
+       |  FROM documents WHERE doc_id % 3 = 1),
+       |ctab(j, c) AS (VALUES $ctab),
+       |smp AS MATERIALIZED (
+       |  SELECT media_id, i,
+       |    CAST(floor(CAST(CASE WHEN sq = 1
+       |           THEN 12000 * rate * (CASE WHEN tt > 0 THEN 1 WHEN tt < 0 THEN -1 ELSE 0 END)
+       |           ELSE 12000 * tt END AS DOUBLE) / rate) AS BIGINT) AS y
+       |  FROM (
+       |    SELECT media_id, rate, sq, t.i AS i,
+       |      abs((4 * f * ((t.i * rate) // 22050)) % (4 * rate) - 2 * rate) - rate AS tt
+       |    FROM spp, range(0, 256) t(i))),
+       |ri AS MATERIALIZED (
+       |  SELECT s.media_id, k.k,
+       |    CAST(floor(sum(s.y * cc.c) / 524288.0) AS BIGINT) AS r,
+       |    CAST(floor(sum(s.y * cs.c) / 524288.0) AS BIGINT) AS im
+       |  FROM smp s
+       |    CROSS JOIN range(1, 25) k(k)
+       |    JOIN ctab cc ON cc.j = (k.k * s.i) % 256
+       |    JOIN ctab cs ON cs.j = (k.k * s.i + 192) % 256
+       |  GROUP BY s.media_id, k.k),
+       |ek AS MATERIALIZED (SELECT media_id, k, r * r + im * im AS e FROM ri),
+       |ett AS (SELECT media_id, max(e) AS mx, sum(e) AS tot FROM ek GROUP BY media_id),
+       |fps AS MATERIALIZED (
+       |  SELECT e.media_id,
+       |    CAST(sum(CASE WHEN 16 * e.e > t.mx
+       |             THEN CAST(1 AS BIGINT) << CAST(e.k - 1 AS INT) ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(min(CASE WHEN e.e = t.mx THEN e.k END) AS BIGINT) AS dom
+       |  FROM ek e JOIN ett t USING (media_id) GROUP BY e.media_id),
+       |pr AS MATERIALIZED (
+       |  SELECT e.media_id, e.k,
+       |    CAST(CAST(e.e AS HUGEINT) * 1024 // CAST(t.tot AS HUGEINT) AS BIGINT) AS p
+       |  FROM ek e JOIN ett t USING (media_id)),
+       |prs AS (
+       |  SELECT media_id, string_agg(CAST(p AS VARCHAR), ' ' ORDER BY k) AS prof
+       |  FROM pr GROUP BY media_id)""".stripMargin
+  }
 
   /** DuckDB twin of Multimodal.decodeImageAHash: the synthesis contract's
     * pixel formula sampled on the same 6×10 integer grid, mean-threshold

@@ -213,4 +213,47 @@ class MultimodalSpec extends AnyFunSuite {
     // 15-bit domain, median split ⇒ exactly 7 bits set (no coef ties here)
     assert(java.lang.Long.bitCount(h) == 7)
   }
+
+  test("spectral tier: tri/sq partners fool the sign fingerprint but never the spectral one") {
+    import spark.implicits._
+    // 4 clips per synthesis class (48 audio docs, doc_id = 3q+1)
+    val docs = (0L until 48L).map(q => (3 * q + 1, "x", "src0"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.withSpectralMedia(docs).localCheckpoint()
+    val params = media.select("media_id").as[Long].collect()
+      .map(id => id -> Multimodal.spectralParams(id)).toMap
+    val sign = Multimodal.decodeAudioSignFp(media)
+      .as[(Long, java.lang.Long)].collect().toMap
+    val spec = Multimodal.decodeAudioSpectral(media)
+      .select("media_id", "fp").as[(Long, java.lang.Long)].collect().toMap
+    assert(sign.values.forall(_ != null) && spec.values.forall(_ != null))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = params.keys.toSeq.sorted
+    var blind = 0
+    for (a <- ids; b <- ids if a < b) {
+      val (fa, sqa, ra, _) = params(a)
+      val (fb, sqb, rb, _) = params(b)
+      if (fa == fb && ra == rb && sqa != sqb) {
+        // the planted blind spot: identical signs, spectrally distinct
+        assert(sign(a) == sign(b), s"sign fp must collide for $a/$b")
+        assert(ham(spec(a), spec(b)) >= 2, s"spectral fp must separate $a/$b")
+        blind += 1
+      }
+      if (fa == fb && sqa == sqb)
+        assert(ham(spec(a), spec(b)) <= 1, s"same content $a/$b must stay close")
+    }
+    assert(blind > 0)
+    // the pair stage realizes exactly that separation: every same-content
+    // pair present (cross-rate included), no tri-vs-sq partner pair
+    val pairs = Multimodal.spectralPairs(Multimodal.decodeAudioSpectral(media))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    for (a <- ids; b <- ids if a < b) {
+      val (fa, sqa, _, _) = params(a)
+      val (fb, sqb, _, _) = params(b)
+      if (fa == fb && sqa == sqb)
+        assert(pairs.contains((a, b)), s"missing same-content pair $a/$b")
+      if (fa == fb && sqa != sqb)
+        assert(!pairs.contains((a, b)), s"false tri/sq pair $a/$b")
+    }
+  }
 }
