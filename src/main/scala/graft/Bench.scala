@@ -58,6 +58,7 @@ object Bench {
       "simhash60" -> (() => graft.queries.DedupQueries.persistedSimhash60(spark, sfDir).count()),
       "media" -> (() => graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()),
       "media_spectral" -> (() => graft.queries.MultimodalQueries.persistedMediaSpectral(spark, sfDir).count()),
+      "media_mp4" -> (() => graft.queries.MultimodalQueries.persistedMediaMp4(spark, sfDir).count()),
       "bigram_lm" -> (() => graft.queries.TextAnalysisQueries.persistedBigramLm(spark, sfDir).count()),
       "embedding_bands" -> (() => graft.queries.SimilarityQueries.persistedEmbeddingBands(spark, sfDir).count()),
       "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)),

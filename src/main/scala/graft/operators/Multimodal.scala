@@ -798,6 +798,164 @@ object Multimodal {
       .distinct()
   }
 
+  // ===================== MP4 METADATA TIER (round 15) =====================
+
+  /** Synthesis contract of the mp4 fixture (video doc population):
+    * timescale 600·(1+id%4), duration timescale·(1+id%30) ticks,
+    * 1+id%3 tracks, dims (160+16·(id%20)) × (120+16·((id/20)%20)).
+    * The payload is a MINIMAL VALID mp4 box tree — ftyp, a free box of
+    * id-dependent size, then moov(mvhd, free, trak(tkhd)×n) — all
+    * big-endian integer fields per ISO/IEC 14496-12. The free boxes make
+    * every interesting field sit at an id-DEPENDENT offset, so only a
+    * real size-driven box walk (not a fixed-offset peek) can decode it.
+    * Full A/V decode needs an FFI codec this container doesn't ship
+    * (SURVEY §2.9); the metadata walk is pure integer byte parsing and
+    * therefore oracle-able.
+    */
+  def mp4Params(mediaId: Long): (Int, Int, Int, Int, Int) = {
+    val ts = (600 * (1 + mediaId % 4)).toInt
+    val dur = (ts * (1 + mediaId % 30)).toInt
+    ((ts), dur, (1 + mediaId % 3).toInt,
+      (160 + 16 * (mediaId % 20)).toInt, (120 + 16 * ((mediaId / 20) % 20)).toInt)
+  }
+
+  private def encodeMp4(mediaId: Long): Array[Byte] = {
+    val (ts, dur, nTracks, w, h) = mp4Params(mediaId)
+    val bos = new java.io.ByteArrayOutputStream()
+    val o = new java.io.DataOutputStream(bos)
+    def box(typ: String, payload: Array[Byte]): Unit = {
+      o.writeInt(8 + payload.length)
+      o.writeBytes(typ)
+      o.write(payload)
+    }
+    def payload(body: java.io.DataOutputStream => Unit): Array[Byte] = {
+      val b = new java.io.ByteArrayOutputStream()
+      val d = new java.io.DataOutputStream(b)
+      body(d)
+      b.toByteArray
+    }
+    val identityMatrix = payload { d =>
+      d.writeInt(0x00010000); d.writeInt(0); d.writeInt(0)
+      d.writeInt(0); d.writeInt(0x00010000); d.writeInt(0)
+      d.writeInt(0); d.writeInt(0); d.writeInt(0x40000000)
+    }
+    box("ftyp", payload { d =>
+      d.writeBytes("isom"); d.writeInt(0x200); d.writeBytes("isom")
+    })
+    box("free", new Array[Byte]((mediaId % 32).toInt))
+    val mvhd = payload { d =>
+      d.writeInt(0) // version 0 + flags
+      d.writeInt(0); d.writeInt(0) // ctime, mtime
+      d.writeInt(ts); d.writeInt(dur)
+      d.writeInt(0x00010000) // rate 1.0
+      d.writeShort(0x0100); d.writeShort(0) // volume, reserved
+      d.writeLong(0L) // reserved
+      d.write(identityMatrix)
+      (1 to 6).foreach(_ => d.writeInt(0)) // pre_defined
+      d.writeInt(nTracks + 1) // next_track_ID
+    }
+    val traks = (1 to nTracks).map { t =>
+      payload { d =>
+        val tkhd = payload { td =>
+          td.writeInt(7) // version 0, flags enabled|in_movie|in_preview
+          td.writeInt(0); td.writeInt(0) // ctime, mtime
+          td.writeInt(t) // track_ID
+          td.writeInt(0) // reserved
+          td.writeInt(dur)
+          td.writeLong(0L) // reserved
+          td.writeShort(0); td.writeShort(0) // layer, alternate_group
+          td.writeShort(0); td.writeShort(0) // volume, reserved
+          td.write(identityMatrix)
+          td.writeInt(w << 16); td.writeInt(h << 16) // 16.16 fixed
+        }
+        d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+      }
+    }
+    val moov = payload { d =>
+      d.writeInt(8 + mvhd.length); d.writeBytes("mvhd"); d.write(mvhd)
+      val innerFree = new Array[Byte](((mediaId / 32) % 24).toInt)
+      d.writeInt(8 + innerFree.length); d.writeBytes("free"); d.write(innerFree)
+      traks.foreach { tk =>
+        d.writeInt(8 + tk.length); d.writeBytes("trak"); d.write(tk)
+      }
+    }
+    box("moov", moov)
+    bos.toByteArray
+  }
+
+  /** The mp4 fixture as a media table (media_id, payload) over the video
+    * doc population — generate-in-place, never shuffled.
+    */
+  def withMp4Media(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val out = docs.filter(col("doc_id") % 3 === 2).select("doc_id")
+      .rdd.mapPartitions(_.map(r => Row(r.getLong(0), encodeMp4(r.getLong(0)))))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** mp4 metadata via a REAL size-driven box walk: top-level boxes are
+    * enumerated by their 32-bit big-endian size fields, container boxes
+    * (moov, trak) recurse, mvhd yields timescale/duration, each tkhd
+    * counts a track and contributes its 16.16 dims (max across tracks).
+    * Malformed trees (size < 8, box past its parent, truncated header,
+    * or no mvhd) surface as the null row — corrupt files are data.
+    */
+  def decodeMp4Meta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("timescale", IntegerType),
+      StructField("duration", IntegerType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val buf = r.getAs[Array[Byte]]("payload")
+        def be32(off: Int): Long =
+          ((buf(off) & 0xffL) << 24) | ((buf(off + 1) & 0xffL) << 16) |
+            ((buf(off + 2) & 0xffL) << 8) | (buf(off + 3) & 0xffL)
+        var ts, dur = -1L
+        var nTracks = 0
+        var w, h = 0L
+        var ok = true
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (ok && off < end) {
+            if (off + 8 > end) { ok = false }
+            else {
+              val size = be32(off)
+              val typ = new String(buf, off + 4, 4, "US-ASCII")
+              if (size < 8 || off + size > end) ok = false
+              else {
+                typ match {
+                  case "moov" | "trak" => walk(off + 8, off + size.toInt)
+                  case "mvhd" if size >= 8 + 24 =>
+                    ts = be32(off + 20); dur = be32(off + 24)
+                  case "tkhd" if size >= 8 + 84 =>
+                    nTracks += 1
+                    w = math.max(w, be32(off + 84) >> 16)
+                    h = math.max(h, be32(off + 88) >> 16)
+                  case _ => ()
+                }
+                off += size.toInt
+              }
+            }
+          }
+        }
+        try walk(0, buf.length)
+        catch { case scala.util.control.NonFatal(_) => ok = false }
+        if (!ok || ts < 0)
+          Row(r.getLong(0), null, null, null, null, null)
+        else Row(r.getLong(0), ts.toInt, dur.toInt, nTracks, w.toInt, h.toInt)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

@@ -35,6 +35,14 @@ object MultimodalQueries {
       Multimodal.withSpectralMedia(Tables.documents(s, d))
     }
 
+  /** The mp4 fixture (round 15): minimal valid ISO-BMFF box trees per
+    * video doc, persisted once per corpus (Multimodal.mp4Params contract).
+    */
+  def persistedMediaMp4(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "mediamp4", "documents.parquet") {
+      Multimodal.withMp4Media(Tables.documents(s, d))
+    }
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -442,6 +450,25 @@ object MultimodalQueries {
            |FROM img JOIN tk ON media_id = tk.doc_id
            |WHERE width * height >= 100 AND n_tokens >= 25
            |ORDER BY media_id""".stripMargin)),
+
+    // mp4 metadata tier (round 15 — SURVEY §2.9's "GIF-only" video
+    // caveat narrowed to decode-only): a real size-driven ISO-BMFF box
+    // walk over synthesized minimal mp4 payloads (ftyp / id-sized free
+    // boxes / moov(mvhd, free, trak(tkhd)×n)). The free boxes shift
+    // every field to an id-dependent offset, so only a genuine walk can
+    // decode; the oracle re-derives timescale/duration/track-count/dims
+    // from the synthesis contract (the WAV/GIF playbook).
+    GraftQuery("multimodal_mp4_meta",
+      (s, d) => Multimodal.decodeMp4Meta(persistedMediaMp4(s, d))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(600 * (1 + doc_id % 4) AS INT) AS timescale,
+          |  CAST(600 * (1 + doc_id % 4) * (1 + doc_id % 30) AS INT) AS duration,
+          |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
+          |  CAST(160 + 16 * (doc_id % 20) AS INT) AS width,
+          |  CAST(120 + 16 * ((doc_id // 20) % 20) AS INT) AS height
+          |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
 
     // SPECTRAL audio fingerprint (round 15 — closes SURVEY §2.9's
     // "sign-structure, not spectral" gap): a fixed-point DFT over the

@@ -214,6 +214,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(h) == 7)
   }
 
+  test("mp4 box walk: round-trips the synthesis contract; corrupt trees yield null rows") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(q => (3 * q + 2, "x", "src0"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.withMp4Media(docs).localCheckpoint()
+    val got = Multimodal.decodeMp4Meta(media)
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> (r._2.get, r._3.get, r._4.get, r._5.get, r._6.get)).toMap
+    got.keys.foreach { id =>
+      val (ts, dur, n, w, h) = Multimodal.mp4Params(id)
+      assert(got(id) == ((ts, dur, n, w, h)), s"media $id")
+    }
+    assert(got.size == 40)
+    // corrupt trees: garbage bytes, a box size pointing past the buffer,
+    // and a truncated header — all null rows, never a crash
+    val good = media.select("payload").head().getAs[Array[Byte]](0)
+    val oversize = good.clone(); oversize(0) = 0x7f.toByte // first box size huge
+    val bad = Seq(
+      (1L, "garbage-not-an-mp4".getBytes("UTF-8")),
+      (2L, oversize),
+      (3L, good.take(6))).toDF("media_id", "payload")
+    val nulls = Multimodal.decodeMp4Meta(bad).collect()
+    assert(nulls.length == 3 && nulls.forall(_.isNullAt(1)))
+  }
+
   test("spectral tier: tri/sq partners fool the sign fingerprint but never the spectral one") {
     import spark.implicits._
     // 4 clips per synthesis class (48 audio docs, doc_id = 3q+1)
