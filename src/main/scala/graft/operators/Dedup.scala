@@ -271,6 +271,22 @@ object Dedup {
                            candPairs: Long) {
     def headFraction: Double =
       if (nDocs == 0) 0.0 else maxBucket.toDouble / nDocs
+
+    /** The hottest bucket's share of the plain join's total candidate
+      * mass, C(maxBucket, 2) / Σ C(b, 2) — the signal that actually
+      * predicts whether prefix filtering pays (round 15): prefix wins
+      * exactly when the quadratic cost CONCENTRATES in hot buckets its
+      * rare-first prefixes exclude. The natural-corpus fixture exposed
+      * the old head-DOC-fraction rule mis-routing: recombined prose has
+      * a 0.17 head fraction (prefix by the old rule) but its candidate
+      * mass lives in the long tail of medium buckets (head share
+      * 0.0034-0.0085), where the prefix tier's extra passes cost
+      * 2-15× (measured: containment 2.1 s plain vs 31.8 s prefix,
+      * Jaccard 4.7 s vs 10.8 s — BASELINE.md round-15 table).
+      */
+    def headCandShare: Double =
+      if (candPairs == 0) 0.0
+      else maxBucket.toDouble * (maxBucket - 1) / 2.0 / candPairs
   }
 
   /** Compute the profile: two bounded aggregates over the key table (the
@@ -299,16 +315,19 @@ object Dedup {
   }
 
   /** The routing rule, exposed separately so specs pin the DECISION on
-    * each corpus profile without running the joins. Prefix when the head
-    * bucket reaches ≥ `headFraction` of the corpus: measured profiles
-    * are documents ≤ 0.018 at every SF (trending DOWN with n — plain's
-    * smaller constant wins, crossover-measured in BASELINE.md) vs zipf
-    * 0.25–0.26 at every SF (constant α — the 17× cliff regime where the
-    * prefix tier is mandatory). 0.05 sits an order of magnitude from
-    * both sides of every measurement.
+    * each corpus profile without running the joins. Prefix when the
+    * hottest bucket owns ≥ `headShare` of the candidate mass
+    * (BucketProfile.headCandShare — C(max_b,2)/ΣC(b,2)): measured
+    * profiles are documents 0.0015–0.0085 and the natural corpus
+    * 0.0034–0.0085 (plain wins 2–15×, measured) vs zipf 0.16–0.55 (the
+    * 17× cliff regime where prefix is mandatory). 0.05 sits an order of
+    * magnitude from both sides of every measurement. Round 15 replaced
+    * the head-DOC-fraction signal, which mis-routed the natural corpus
+    * (0.17 head fraction but tail-distributed candidates) onto the 15×
+    * slower prefix tier.
     */
-  def usePrefixTier(p: BucketProfile, headFraction: Double = 0.05): Boolean =
-    p.headFraction >= headFraction
+  def usePrefixTier(p: BucketProfile, headShare: Double = 0.05): Boolean =
+    p.headCandShare >= headShare
 
   /** Containment pairs with AUTOMATIC tier selection: probe the key
     * table's bucket profile, then run the plain inverted-index join
@@ -319,15 +338,15 @@ object Dedup {
     * form's oracle on every profile.
     */
   def containmentPairsAutoFromKeys(shk: DataFrame, threshold: Double,
-                                   headFraction: Double = 0.05): DataFrame =
-    if (usePrefixTier(bucketProfile(shk), headFraction))
+                                   headShare: Double = 0.05): DataFrame =
+    if (usePrefixTier(bucketProfile(shk), headShare))
       containmentPairsPrefixFromKeys(shk, threshold)
     else containmentPairsFromKeys(shk, threshold)
 
   /** Jaccard pairs with the same automatic plain-vs-prefix routing. */
   def ngramJaccardPairsAutoFromKeys(shk: DataFrame, threshold: Double,
-                                    headFraction: Double = 0.05): DataFrame =
-    if (usePrefixTier(bucketProfile(shk), headFraction))
+                                    headShare: Double = 0.05): DataFrame =
+    if (usePrefixTier(bucketProfile(shk), headShare))
       ngramJaccardPairsPrefixFromKeys(shk, threshold)
     else ngramJaccardPairsFromKeys(shk, threshold)
 

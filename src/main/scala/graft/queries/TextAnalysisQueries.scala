@@ -15,6 +15,18 @@ object TextAnalysisQueries {
     * ONE corpus pass + one model join (in-plan training re-scanned the
     * corpus once per pruned model branch).
     */
+  /** Winnowed fingerprints of the natural CORPUS fixture, persisted
+    * SF-independently (committed bytes — the DedupQueries
+    * persistedNatural* discipline).
+    */
+  def persistedNaturalWinnow(s: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame =
+    Persisted(s,
+      new java.io.File(graft.sources.NaturalCorpus.CorpusPath).getParent,
+      "natwin", "natural_corpus.parquet") {
+      TextAnalysis.winnowing(graft.sources.NaturalCorpus.corpus(s))
+        .withColumnRenamed("fp", "shk")
+    }
+
   def persistedBigramLm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Persisted(s, d, "bigramlm", "documents.parquet") {
       TextAnalysis.bigramLm(Tables.documents(s, d))
@@ -291,12 +303,39 @@ object TextAnalysisQueries {
            |FROM bd WHERE containment >= 0.3
            |ORDER BY doc_contained, doc_container""".stripMargin)),
 
+    // Winnowing containment at CORPUS scale, auto-routed (round 15):
+    // the 2,500-doc natural corpus through the same fingerprint +
+    // directed-containment chain, with Dedup.bucketProfile picking the
+    // tier from the real fingerprint distribution of recombined prose
+    // (decision spec-pinned in NaturalCorpusSpec; profile numbers in
+    // BASELINE.md). Output includes the planted boilerplate wraps and
+    // quote embeddings PLUS the organic fragment-containment pairs a
+    // real crawl shows — all hash-gated.
+    GraftQuery("dedup_natural2_winnow",
+      (s, d) => graft.operators.Dedup.containmentPairsAutoFromKeys(
+          persistedNaturalWinnow(s), 0.3)
+        .orderBy("doc_contained", "doc_container"),
+      Some(
+        s"""WITH ${graft.sources.NaturalCorpus.corpusCte}, $winnowFpCtes,
+           |bd AS (
+           |  SELECT i.doc_a AS doc_contained, i.doc_b AS doc_container,
+           |    CAST(i.n_common AS DOUBLE) / sa.n_fp AS containment
+           |  FROM inter i JOIN sz sa ON i.doc_a = sa.doc_id
+           |  UNION ALL
+           |  SELECT i.doc_b, i.doc_a, CAST(i.n_common AS DOUBLE) / sb.n_fp
+           |  FROM inter i JOIN sz sb ON i.doc_b = sb.doc_id)
+           |SELECT doc_contained, doc_container, containment
+           |FROM bd WHERE containment >= 0.3
+           |ORDER BY doc_contained, doc_container""".stripMargin)),
+
     // AUTO-ROUTED winnowing copy detection (round 13 — SURVEY §2.9's
     // "a human picks the tier" limitation closed): Dedup.bucketProfile
     // probes the persisted fingerprint table (two bounded aggregates,
     // ≪ the join they route) and picks plain vs prefix on the
-    // head-bucket fraction. On THIS fixture the probe reads max bucket
-    // 24 of 5000 docs = 0.005 < 0.05 and picks the PLAIN tier (the
+    // hottest bucket's candidate-mass share (headCandShare — round 15
+    // replaced the head-doc-fraction signal after the natural corpus
+    // exposed a mis-route). On THIS fixture the probe reads a sub-0.01
+    // head candidate share and picks the PLAIN tier (the
     // measured smaller-constant winner here); on the zipf profile the
     // same probe picks prefix (dedup_zipf_winnow_auto). Decision
     // spec-pinned both ways in DedupSpec; output shares the plain

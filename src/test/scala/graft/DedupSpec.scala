@@ -98,9 +98,11 @@ class DedupSpec extends AnyFunSuite {
       assert(!Dedup.usePrefixTier(Dedup.bucketProfile(docFp)), s"$d doc winnow")
       assert(Dedup.usePrefixTier(Dedup.bucketProfile(zipfShk)), s"$d zipf shingles")
       assert(Dedup.usePrefixTier(Dedup.bucketProfile(zipfFp)), s"$d zipf winnow")
-      // the margin is an order of magnitude on each side, not a knife-edge
-      assert(Dedup.bucketProfile(docShk).headFraction < 0.02, s"$d doc margin")
-      assert(Dedup.bucketProfile(zipfShk).headFraction > 0.2, s"$d zipf margin")
+      // the margin is an order of magnitude on each side, not a
+      // knife-edge (the round-15 signal: hottest bucket's share of the
+      // candidate mass, not of the doc count)
+      assert(Dedup.bucketProfile(docShk).headCandShare < 0.01, s"$d doc margin")
+      assert(Dedup.bucketProfile(zipfShk).headCandShare > 0.1, s"$d zipf margin")
     }
   }
 

@@ -62,6 +62,60 @@ class NaturalCorpusSpec extends AnyFunSuite {
     assert(inPairs.forall(_ <= 31L), s"unrelated doc paired: $inPairs")
   }
 
+  test("corpus-scale fixture: J>=0.8 recovers EXACTLY the planted mirrors+light mutations; LSH matches; routing is plain") {
+    import spark.implicits._
+    val corpus = graft.sources.NaturalCorpus.corpus(spark)
+    assert(corpus.count() == 2500)
+    val keys = graft.operators.Dedup.shingles(corpus)
+      .select(col("doc_id"), graft.operators.Dedup.shingleKey(col("shingle")).as("shk"))
+      .localCheckpoint()
+    // planted truth by formula
+    val want = ((1L to 200L).map(i => (i, 1750L + i)) ++
+      (1L to 150L).map(i => (400L + i, 2150L + i))).toSet
+    val exact = graft.operators.Dedup.ngramJaccardPairsAutoFromKeys(keys, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(exact == want,
+      s"extra=${(exact -- want).take(5)} missing=${(want -- exact).take(5)}")
+    // banded LSH at the same bar loses nothing and adds nothing
+    val lsh = graft.operators.Dedup.minhashLshPairsFrom(
+        graft.operators.Dedup.shingles(corpus), 6, 2, 0.8)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh == want)
+    // heavy mutations sit below the bar (they are in neither set)
+    assert((1L to 100L).forall(i => !exact.contains((550L + i, 2300L + i))))
+    // bucketProfile routing on natural recombined prose — the case that
+    // CORRECTED the routing rule (round 15): head DOC fraction is 0.17
+    // (the old signal would pick prefix) but the candidate mass lives in
+    // the long tail of medium buckets (head candidate share 0.0034), and
+    // plain measured 2-15x faster. The auto tier must pick PLAIN.
+    val prof = graft.operators.Dedup.bucketProfile(keys)
+    assert(!graft.operators.Dedup.usePrefixTier(prof),
+      s"expected plain routing, got $prof")
+    assert(prof.headFraction > 0.1, prof.toString)      // old signal: would mis-route
+    assert(prof.headCandShare < 0.01, prof.toString)    // new signal: plain, with margin
+  }
+
+  test("corpus-scale fixture: directed containment catches every boilerplate wrap and quote embedding") {
+    import spark.implicits._
+    val corpus = graft.sources.NaturalCorpus.corpus(spark)
+    val fp = graft.operators.TextAnalysis.winnowing(corpus)
+      .withColumnRenamed("fp", "shk").localCheckpoint()
+    val cont = graft.operators.Dedup.containmentPairsAutoFromKeys(fp, 0.3)
+      .select("doc_contained", "doc_container").as[(Long, Long)].collect().toSet
+    // every planted wrap/quote contains its base (direction: base IN wrap)
+    (1L to 200L).foreach { i =>
+      assert(cont.contains((200L + i, 1950L + i)), s"boilerplate $i")
+    }
+    (1L to 100L).foreach { i =>
+      assert(cont.contains((650L + i, 2400L + i)), s"quote $i")
+    }
+    // the winnow fingerprint profile routes PLAIN too (head candidate
+    // share 0.0085 despite a 0.16 head doc fraction) — prefix measured
+    // 15x slower here (2.1 s vs 31.8 s, BASELINE.md round-15 table)
+    val prof = graft.operators.Dedup.bucketProfile(fp)
+    assert(!graft.operators.Dedup.usePrefixTier(prof), prof.toString)
+  }
+
   test("fixture is the committed 40-doc corpus with the expected source mix") {
     val bySource = docs.groupBy("source").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
