@@ -128,6 +128,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("round-15 pair plans: spectral pigeonhole, natural-corpus tiers, salted cells — all equi-joins") {
+    for (name <- Seq("multimodal_audio_neardup_spectral",
+        "dedup_natural2_lsh", "dedup_natural2_winnow")) {
+      val p = plan(name)
+      assert(!p.contains("BroadcastNestedLoopJoin"), name)
+      assert(!p.contains("CartesianProduct"), name)
+    }
+    // the triangle-salt decomposition too: every covered bucket pair is
+    // one equi-join key, never a replicated cross
+    val emb = graft.sources.Tables.embeddings(spark, d)
+    val sp = graft.operators.SemDedup.pairsSalted(emb, 0.3, salt = 8)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!sp.contains("BroadcastNestedLoopJoin") && !sp.contains("CartesianProduct"))
+  }
+
   test("dedup_embedding: hyperplane-LSH blocking plans as an equi-join") {
     val p = plan("dedup_embedding")
     assert(!p.contains("BroadcastNestedLoopJoin"))
