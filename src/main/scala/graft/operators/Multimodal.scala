@@ -780,22 +780,33 @@ object Multimodal {
     * at hamming >= 2 / L1 >= 184; distinct fundamentals at L1 >= 1500.
     */
   def spectralPairs(sp: DataFrame, maxL1: Long = 160): DataFrame = {
-    val keys = sp.filter(col("fp").isNotNull)
-      .select(col("media_id"), col("fp"), col("prof"),
+    val clean = sp.filter(col("fp").isNotNull)
+    val keys = clean
+      .select(col("media_id"), col("fp"),
         explode(typedLit((-1 until SpecBins).toList)).as("k"))
-      .select(col("media_id"), col("fp"), col("prof"),
+      .select(col("media_id"), col("fp"),
         when(col("k") === -1, col("fp"))
           .otherwise(expr("fp ^ shiftleft(CAST(1 AS BIGINT), k)")).as("key"))
-    val pv = (side: String) => transform(split(col(s"$side.prof"), " "),
-      x => x.cast("long"))
-    keys.as("a").join(keys.as("b"),
+    // dedupe candidates BEFORE the profile verify: two clips within
+    // hamming 1 share up to 25 of their flip keys, and evaluating the
+    // interpreted 24-element L1 fold per DUPLICATE (not per pair) was a
+    // measured 25x blowup (112 s → 4 s at sf0.1). The key join carries
+    // only (id, fp); profiles join once per surviving pair.
+    val cand = keys.as("a").join(keys.as("b"),
         col("a.key") === col("b.key") && col("a.media_id") < col("b.media_id"))
       .select(col("a.media_id").as("doc_a"), col("b.media_id").as("doc_b"),
-        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"),
-        aggregate(zip_with(pv("a"), pv("b"), (x, y) => abs(x - y)),
-          lit(0L), (acc, x) => acc + x).as("l1"))
-      .filter(col("hamming") <= 1 && col("l1") <= maxL1)
+        expr("bit_count(a.fp ^ b.fp)").cast("long").as("hamming"))
+      .filter(col("hamming") <= 1)
       .distinct()
+    val prof = clean.select(col("media_id"),
+      transform(split(col("prof"), " "), x => x.cast("long")).as("pv"))
+    cand
+      .join(prof.as("pa"), col("doc_a") === col("pa.media_id"))
+      .join(prof.as("pb"), col("doc_b") === col("pb.media_id"))
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        aggregate(zip_with(col("pa.pv"), col("pb.pv"), (x, y) => abs(x - y)),
+          lit(0L), (acc, x) => acc + x).as("l1"))
+      .filter(col("l1") <= maxL1)
   }
 
   // ===================== MP4 METADATA TIER (round 15) =====================
