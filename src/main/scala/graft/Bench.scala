@@ -59,6 +59,7 @@ object Bench {
       "media" -> (() => graft.queries.MultimodalQueries.persistedMedia(spark, sfDir).count()),
       "media_spectral" -> (() => graft.queries.MultimodalQueries.persistedMediaSpectral(spark, sfDir).count()),
       "media_mp4" -> (() => graft.queries.MultimodalQueries.persistedMediaMp4(spark, sfDir).count()),
+      "media_webm" -> (() => graft.queries.MultimodalQueries.persistedMediaWebm(spark, sfDir).count()),
       "natural_keys" -> (() => graft.queries.DedupQueries.persistedNaturalShingleKeys(spark).count()),
       "natural_signatures" -> (() => graft.queries.DedupQueries.persistedNaturalSignatures(spark).count()),
       "natural_winnow" -> (() => graft.queries.TextAnalysisQueries.persistedNaturalWinnow(spark).count()),

@@ -967,6 +967,195 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  // ==================== WEBM/EBML METADATA TIER (round 15) ====================
+
+  /** Synthesis contract of the webm fixture (video doc population, the
+    * mp4 fixture's sibling — the other half of §2.9's "real corpora are
+    * mp4/webm"): TimestampScale 100000·(1+id%5) ns, Duration
+    * 1000·(1+id%25) ticks (written as an IEEE-754 float64 with an
+    * integral value — the Matroska Duration element IS a float),
+    * 1+(id/5)%3 tracks, dims (320+8·(id%40)) × (240+8·((id/40)%25)).
+    * The payload is a minimal VALID EBML tree per RFC 8794 / the
+    * Matroska spec — EBMLHeader(DocType "webm"), Segment(Void,
+    * Info(TimestampScale, Duration), Tracks(TrackEntry(TrackNumber,
+    * TrackType, Void, Video(PixelWidth, PixelHeight))×n)) — with two
+    * deliberate parser-forcing devices: Void elements of id-dependent
+    * size shift every field to an id-dependent offset (the mp4 free-box
+    * trick), and size VINTs are written at id-dependent WIDTHS (minimal
+    * or one byte wider), so only a parser that truly decodes the
+    * variable-length-integer marker bits — EBML's defining wire
+    * feature, and what makes this tier a different parse from the
+    * fixed-width ISO-BMFF walk — can track element boundaries.
+    */
+  def webmParams(mediaId: Long): (Int, Int, Int, Int, Int) = {
+    ((100000 * (1 + mediaId % 5)).toInt, (1000 * (1 + mediaId % 25)).toInt,
+      (1 + (mediaId / 5) % 3).toInt,
+      (320 + 8 * (mediaId % 40)).toInt, (240 + 8 * ((mediaId / 40) % 25)).toInt)
+  }
+
+  /** VINT with an explicit width: marker bit in the first byte, value
+    * big-endian below it. width must fit the value (< 2^(7·width) − 1).
+    */
+  private def vint(v: Long, width: Int): Array[Byte] = {
+    require(width >= 1 && width <= 8 && v >= 0 && v < (1L << (7 * width)) - 1,
+      s"vint width $width cannot carry $v")
+    val out = new Array[Byte](width)
+    var x = v | (1L << (7 * width)) // the marker bit
+    var i = width - 1
+    while (i >= 0) { out(i) = (x & 0xff).toByte; x >>= 8; i -= 1 }
+    out
+  }
+
+  private def encodeWebm(mediaId: Long): Array[Byte] = {
+    val (tsScale, dur, nTracks, w, h) = webmParams(mediaId)
+    // size VINTs one byte wider than minimal when the id says so — the
+    // device that forces real marker-bit decoding
+    val pad = (mediaId % 2).toInt
+    def minWidth(v: Long): Int = {
+      var k = 1
+      while (v >= (1L << (7 * k)) - 1) k += 1
+      k
+    }
+    def el(idBytes: Array[Byte], payload: Array[Byte]): Array[Byte] =
+      idBytes ++ vint(payload.length.toLong, minWidth(payload.length.toLong) + pad) ++ payload
+    def id(bs: Int*): Array[Byte] = bs.map(_.toByte).toArray
+    def uintBytes(v: Long): Array[Byte] = {
+      var k = 1
+      while (k < 8 && (v >> (8 * k)) != 0) k += 1
+      Array.tabulate(k)(i => ((v >> (8 * (k - 1 - i))) & 0xff).toByte)
+    }
+    def f64(v: Double): Array[Byte] = {
+      val bits = java.lang.Double.doubleToLongBits(v)
+      Array.tabulate(8)(i => ((bits >> (8 * (7 - i))) & 0xff).toByte)
+    }
+    val header = el(id(0x1a, 0x45, 0xdf, 0xa3),
+      el(id(0x42, 0x86), uintBytes(1)) ++          // EBMLVersion
+        el(id(0x42, 0x82), "webm".getBytes("US-ASCII")) ++ // DocType
+        el(id(0x42, 0x87), uintBytes(4)))          // DocTypeVersion
+    val info = el(id(0x15, 0x49, 0xa9, 0x66),
+      el(id(0x2a, 0xd7, 0xb1), uintBytes(tsScale.toLong)) ++
+        el(id(0x44, 0x89), f64(dur.toDouble)))
+    val tracks = el(id(0x16, 0x54, 0xae, 0x6b),
+      (1 to nTracks).map { t =>
+        el(id(0xae),
+          el(id(0xd7), uintBytes(t.toLong)) ++      // TrackNumber
+            el(id(0x83), uintBytes(1L)) ++          // TrackType video
+            el(id(0xec), new Array[Byte](((mediaId / 2) % 24).toInt)) ++ // Void
+            el(id(0xe0),                            // Video
+              el(id(0xb0), uintBytes(w.toLong)) ++
+                el(id(0xba), uintBytes(h.toLong))))
+      }.reduce(_ ++ _))
+    val segment = el(id(0x18, 0x53, 0x80, 0x67),
+      el(id(0xec), new Array[Byte]((mediaId % 32).toInt)) ++ // Void
+        info ++ tracks)
+    header ++ segment
+  }
+
+  /** The webm fixture as a media table (media_id, payload) over the
+    * video doc population — generate-in-place, never shuffled.
+    */
+  def withWebmMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val out = docs.filter(col("doc_id") % 3 === 2).select("doc_id")
+      .rdd.mapPartitions(_.map(r => Row(r.getLong(0), encodeWebm(r.getLong(0)))))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** webm metadata via a REAL EBML walk: element IDs read by their
+    * leading-zero-determined width (raw bytes kept, per RFC 8794), sizes
+    * decoded as marker-stripped VINTs of ANY width, containers (Segment,
+    * Info, Tracks, TrackEntry, Video) recursed, TimestampScale /
+    * PixelWidth / PixelHeight read as big-endian uints, Duration as an
+    * IEEE-754 float32/float64 truncated to ticks. Malformed trees
+    * (truncated VINT, element past its parent, an all-zero ID/size
+    * byte, no Info) surface as the null row — corrupt files are data.
+    */
+  def decodeWebmMeta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("timescale", IntegerType),
+      StructField("duration", IntegerType),
+      StructField("n_tracks", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val buf = r.getAs[Array[Byte]]("payload")
+        var ts, dur = -1L
+        var nTracks = 0
+        var w, h = 0L
+        var ok = true
+        var sawInfo = false
+        // (value, next-offset). For IDs the marker bit is KEPT (EBML ids
+        // are compared with it, per RFC 8794 §5); for sizes it is
+        // STRIPPED. An all-zero lead byte or a VINT running past `end`
+        // poisons the parse.
+        def readVint(off: Int, end: Int, keepMarker: Boolean): (Long, Int) = {
+          if (!ok || off >= end) { ok = false; (0L, end) }
+          else {
+            val b0 = buf(off) & 0xff
+            if (b0 == 0) { ok = false; (0L, end) }
+            else {
+              val width = java.lang.Integer.numberOfLeadingZeros(b0) - 23 // 1..8
+              if (off + width > end) { ok = false; (0L, end) }
+              else {
+                var v = if (keepMarker) b0.toLong
+                        else b0.toLong & ((0x80 >> (width - 1)) - 1)
+                var i = 1
+                while (i < width) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+                (v, off + width)
+              }
+            }
+          }
+        }
+        def beUint(off: Int, len: Int): Long = {
+          var v = 0L
+          var i = 0
+          while (i < len) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+          v
+        }
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (ok && off < end) {
+            val (eid, o1) = readVint(off, end, keepMarker = true)
+            val (sz, o2) = readVint(o1, end, keepMarker = false)
+            if (!ok || o2 + sz > end || sz > Int.MaxValue) ok = false
+            else {
+              val pEnd = o2 + sz.toInt
+              eid match {
+                case 0x18538067L | 0x1654AE6BL | 0xAEL | 0xE0L => // Segment/Tracks/TrackEntry/Video
+                  if (eid == 0xAEL) nTracks += 1
+                  walk(o2, pEnd)
+                case 0x1549A966L => sawInfo = true; walk(o2, pEnd) // Info
+                case 0x2AD7B1L => ts = beUint(o2, sz.toInt) // TimestampScale
+                case 0x4489L => // Duration: float32 or float64 per spec
+                  if (sz == 8L)
+                    dur = java.lang.Double.longBitsToDouble(beUint(o2, 8)).toLong
+                  else if (sz == 4L)
+                    dur = java.lang.Float.intBitsToFloat(beUint(o2, 4).toInt).toLong
+                  else ok = false
+                case 0xB0L => w = math.max(w, beUint(o2, sz.toInt)) // PixelWidth
+                case 0xBAL => h = math.max(h, beUint(o2, sz.toInt)) // PixelHeight
+                case _ => () // EBMLHeader internals, Void, unknown: skip
+              }
+              off = pEnd
+            }
+          }
+        }
+        try walk(0, buf.length)
+        catch { case scala.util.control.NonFatal(_) => ok = false }
+        if (!ok || !sawInfo || ts < 0 || dur < 0)
+          Row(r.getLong(0), null, null, null, null, null)
+        else Row(r.getLong(0), ts.toInt, dur.toInt, nTracks, w.toInt, h.toInt)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

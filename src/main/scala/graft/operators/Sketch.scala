@@ -143,6 +143,74 @@ object Sketch {
       Stable.stab(est, 6).as("hll_est"))
   }
 
+  /** Count-Min sketch (Cormode & Muthukrishnan 2005) over the token
+    * stream — the additive frequency sketch: d hash rows × w counters,
+    * cell (r, c) counts every token occurrence whose r-th hash lands on
+    * c, and a token's estimate is the MIN over its d cells (always ≥ the
+    * true count; over by at most ε·N = (e/w)·N w.p. 1−e⁻ᵈ per probe).
+    *
+    * Spark-native shape — this is why CMS earns a place next to the
+    * exact `groupBy(token)`: the sketch is ONE narrow pass (explode
+    * tokens × d rows, hash, groupBy(r, c)) whose partial aggregation
+    * collapses each partition to ≤ d·w cells map-side, so the shuffle
+    * carries ≤ d·w·P rows no matter the corpus — at 100 TB the exact
+    * count shuffles hundreds of millions of distinct tail tokens, the
+    * sketch shuffles a few thousand cells. Merging is addition (cell-
+    * wise), which is also what makes the streaming twin
+    * (SketchStreams.cmsIngest) exact: the committed per-batch sketches
+    * sum to the batch sketch of the union, bit for bit. (Conservative
+    * update would tighten estimates but breaks mergeability — the
+    * trade is documented, not taken.)
+    *
+    * Determinism: row r's hash is Spark's `xxhash64` (seed 42) of the
+    * string "cms<r>:<token>" — the form XxhashSql replays — reduced
+    * mod w, so the whole sketch hash-gates against a DuckDB twin.
+    * Only occupied cells appear (group-by semantics), identically in
+    * both engines.
+    */
+  def cmsCell(token: Column, r: Column, w: Int): Column =
+    pmod(xxhash64(concat(lit("cms"), r.cast("string"), lit(":"), token)),
+      lit(w.toLong)).cast("int")
+
+  def cmsSketch(docs: DataFrame, d: Int = 4, w: Int = 256): DataFrame = {
+    require(d >= 1 && w >= 2, s"cms needs d >= 1, w >= 2; got d=$d w=$w")
+    import graft.functions.TextOps
+    docs
+      .select(explode(TextOps.splitWords(TextOps.normalize(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .select(col("token"), explode(typedLit((0 until d).toList)).as("r"))
+      .select(col("r"), cmsCell(col("token"), col("r"), w).as("c"))
+      .groupBy("r", "c").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** CMS honesty card: estimate vs exact count for the `topN` most
+    * frequent tokens (ties broken by token — a deterministic probe set).
+    * `overcount` = est − exact is ≥ 0 ALWAYS (CMS never undercounts —
+    * SketchSpec pins the property corpus-wide) and ≤ ε·N with high
+    * probability per probe. The exact side is the EVALUATION, not the
+    * production path: it recounts only to grade the sketch, the same
+    * role the exact-Jaccard side plays in dedup_minhash_est. The sketch
+    * side joins the ≤ d·w-cell table (broadcast) against the d probe
+    * rows per token and takes the min.
+    */
+  def cmsEstimates(docs: DataFrame, d: Int = 4, w: Int = 256,
+                   topN: Int = 100): DataFrame = {
+    import graft.functions.TextOps
+    val toks = docs
+      .select(explode(TextOps.splitWords(TextOps.normalize(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+    val probes = toks.groupBy("token").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(desc("exact_cnt"), col("token")).limit(topN)
+    probes
+      .select(col("token"), col("exact_cnt"),
+        explode(typedLit((0 until d).toList)).as("r"))
+      .withColumn("c", cmsCell(col("token"), col("r"), w))
+      .join(broadcast(cmsSketch(docs, d, w)), Seq("r", "c"))
+      .groupBy("token", "exact_cnt").agg(min("cnt").as("cms_est"))
+      .select(col("token"), col("cms_est"), col("exact_cnt"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+  }
+
   /** EXACT φ-heavy hitters (all tokens with count > φ·N) via the
     * two-pass Misra–Gries discipline — the bounded-state alternative to
     * `groupBy(token)` over the full token universe, which at 100 TB

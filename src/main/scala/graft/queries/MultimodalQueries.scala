@@ -43,6 +43,15 @@ object MultimodalQueries {
       Multimodal.withMp4Media(Tables.documents(s, d))
     }
 
+  /** The webm fixture (round 15): minimal valid EBML trees per video doc
+    * (Multimodal.webmParams contract) — the mp4 tier's variable-length-
+    * integer sibling.
+    */
+  def persistedMediaWebm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "mediawebm", "documents.parquet") {
+      Multimodal.withWebmMedia(Tables.documents(s, d))
+    }
+
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("multimodal_meta",
@@ -468,6 +477,26 @@ object MultimodalQueries {
           |  CAST(1 + doc_id % 3 AS INT) AS n_tracks,
           |  CAST(160 + 16 * (doc_id % 20) AS INT) AS width,
           |  CAST(120 + 16 * ((doc_id // 20) % 20) AS INT) AS height
+          |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
+
+    // webm/EBML metadata tier (round 15 — the mp4 walk's sibling, so
+    // BOTH real-corpus video containers carry metadata gates): a genuine
+    // RFC 8794 EBML walk — element ids read at their leading-zero width,
+    // sizes decoded as marker-stripped VINTs whose WIDTH the fixture
+    // varies id-dependently (minimal or one wider), Void elements
+    // shifting every field offset, Duration a real IEEE float64. Only a
+    // parser that decodes the marker bits can track element boundaries;
+    // the oracle re-derives every field from the synthesis contract.
+    GraftQuery("multimodal_webm_meta",
+      (s, d) => Multimodal.decodeWebmMeta(persistedMediaWebm(s, d))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(100000 * (1 + doc_id % 5) AS INT) AS timescale,
+          |  CAST(1000 * (1 + doc_id % 25) AS INT) AS duration,
+          |  CAST(1 + (doc_id // 5) % 3 AS INT) AS n_tracks,
+          |  CAST(320 + 8 * (doc_id % 40) AS INT) AS width,
+          |  CAST(240 + 8 * ((doc_id // 40) % 25) AS INT) AS height
           |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
 
     // SPECTRAL audio fingerprint (round 15 — closes SURVEY §2.9's

@@ -15,6 +15,31 @@ object TextAnalysisQueries {
     * ONE corpus pass + one model join (in-plan training re-scanned the
     * corpus once per pruned model branch).
     */
+  /** DuckDB twin of Sketch.cmsSketch over the `documents` CTE/table in
+    * scope: the TextOps normalize+split token stream, one XxhashSql
+    * string chain over (distinct token) × d rows hashing
+    * "cms<r>:<token>" from seed 42, cells = signed-hash mod w with
+    * occurrence counts summed. Emits `tc` (token, cnt), `qcb9` (the
+    * per-(token, r) hash — reused by the estimate card's probe side)
+    * and `cms` (r, c, cnt).
+    */
+  def cmsCtes(d: Int, w: Int): String =
+    s"""ntok AS (
+       |  SELECT w AS token
+       |  FROM documents, unnest(regexp_split_to_array(
+       |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
+       |  WHERE length(w) > 0),
+       |tc AS (SELECT token, count(*) AS cnt FROM ntok GROUP BY token),
+       |cse AS (SELECT token, cnt, r.r AS r,
+       |  hex(encode('cms' || r.r || ':' || token)) AS hx,
+       |  octet_length(encode('cms' || r.r || ':' || token)) AS ln,
+       |  CAST(42 AS UBIGINT) AS useed
+       |  FROM tc, range(0, $d) r(r)),
+       |${XxhashSql.strChainCtes("qc", "cse", Seq("token", "cnt", "r"))},
+       |cms AS (SELECT CAST(r AS INT) AS r,
+       |  CAST(((xh % $w) + $w) % $w AS INT) AS c,
+       |  CAST(sum(cnt) AS BIGINT) AS cnt FROM qcb9 GROUP BY 1, 2)""".stripMargin
+
   /** Winnowed fingerprints of the natural CORPUS fixture, persisted
     * SF-independently (committed bytes — the DedupQueries
     * persistedNatural* discipline).
@@ -1243,6 +1268,52 @@ object TextAnalysisQueries {
            |SELECT tok AS token, count(*) AS cnt FROM ztok
            |GROUP BY tok HAVING count(*) > 0.02 * (SELECT n FROM tot)
            |ORDER BY token""".stripMargin)),
+
+    // Count-Min sketch of the corpus token stream (round 15 — the
+    // ADDITIVE frequency sketch beside the exact heavy-hitter pass):
+    // d=4 hash rows × w=32 counters, hash = xxhash64("cms<r>:<token>")
+    // mod w, every cell hash-gated via the XxhashSql chain. The scale
+    // story is the shuffle: partial aggregation collapses each partition
+    // to ≤ d·w cells map-side, so a 100 TB token stream shuffles a few
+    // thousand rows where groupBy(token) shuffles the vocabulary.
+    // Merge is addition — the streaming twin's ledger-sum is exact
+    // (SketchStreamSpec pins every prefix).
+    GraftQuery("text_cms_sketch",
+      (s, d) => graft.operators.Sketch.cmsSketch(
+          Tables.documents(s, d), d = 4, w = 32)
+        .orderBy("r", "c"),
+      Some(
+        s"""WITH ${cmsCtes(4, 32)}
+           |SELECT r, c, cnt FROM cms ORDER BY r, c""".stripMargin)),
+
+    // CMS honesty card (the dedup_minhash_est discipline): sketch
+    // estimate vs exact count for the top-100 tokens of the NATURAL
+    // corpus — 865-word real-prose Zipf vocabulary over 348k
+    // occurrences, w=256, so the card shows genuine collision error
+    // (overcount ≥ 0 always — the one-sided guarantee — and ≤ ε·N =
+    // (e/w)·N w.h.p.; SketchSpec pins the sign corpus-wide and the
+    // measured max). The exact side is the evaluation, not the
+    // production path.
+    GraftQuery("text_cms_est",
+      (s, d) => graft.operators.Sketch.cmsEstimates(
+          graft.sources.NaturalCorpus.corpus(s), d = 4, w = 256, topN = 100)
+        .orderBy("token"),
+      Some(
+        s"""WITH ${graft.sources.NaturalCorpus.corpusCte},
+           |${cmsCtes(4, 256)},
+           |probes AS (
+           |  SELECT token, cnt AS exact_cnt FROM tc
+           |  ORDER BY cnt DESC, token LIMIT 100),
+           |est AS (
+           |  SELECT p.token, p.exact_cnt, min(s.cnt) AS cms_est
+           |  FROM probes p
+           |    JOIN qcb9 q ON q.token = p.token
+           |    JOIN cms s ON s.r = CAST(q.r AS INT)
+           |      AND s.c = CAST(((q.xh % 256) + 256) % 256 AS INT)
+           |  GROUP BY 1, 2)
+           |SELECT token, cms_est, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           |  cms_est - exact_cnt AS overcount
+           |FROM est ORDER BY token""".stripMargin)),
 
     // Per-source Zipf fit: OLS slope/intercept of ln(freq) on ln(rank) —
     // the distributional-health gauge (≈ −1 on natural text; flat =

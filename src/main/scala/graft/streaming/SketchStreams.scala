@@ -170,6 +170,46 @@ object SketchStreams {
         })
   }
 
+  /** Streaming Count-Min sketch ingest — the additive-sketch fold at its
+    * purest: each micro-batch computes its OWN d×w sketch with the exact
+    * batch operator (`Sketch.cmsSketch` — distributed, map-side-collapsed
+    * to ≤ d·w cells) and commits it batch-keyed; the live sketch is the
+    * cell-wise SUM of committed batches ([[cmsState]]). Because CMS
+    * merges by addition, the folded state equals the batch sketch of the
+    * prefix union exactly (SketchStreamSpec pins every prefix), and the
+    * batch-keyed layout makes crash-replay a state no-op — the same
+    * BatchCommit discipline as every ingest in the repo, with no
+    * single-task stateful fold anywhere (contrast kmvStream's per-group
+    * state: a CMS state is one FIXED d·w table, so the scalable shape is
+    * ledger-sum, not mapGroupsWithState).
+    */
+  def cmsIngest(docs: DataFrame, stateDir: String,
+                d: Int = 4, w: Int = 256): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          graft.operators.BatchCommit.writeBatch(
+            graft.operators.Sketch.cmsSketch(batch, d, w), stateDir, batchId)
+          graft.operators.BatchCommit.requireIntact(
+            batch.sparkSession, stateDir, batchId)
+        }
+      }
+      .start()
+
+  /** The live CMS: cell-wise sum over committed batch sketches. ≤ d·w
+    * rows regardless of stream length.
+    */
+  def cmsState(spark: org.apache.spark.sql.SparkSession, stateDir: String): DataFrame = {
+    val dirs = graft.operators.BatchCommit.committedBatchDirs(spark, stateDir)
+    if (dirs.isEmpty)
+      spark.emptyDataFrame
+        .select(lit(0).as("r"), lit(0).as("c"), lit(0L).as("cnt")).limit(0)
+    else
+      spark.read.parquet(dirs: _*)
+        .groupBy("r", "c").agg(org.apache.spark.sql.functions.sum("cnt").as("cnt"))
+  }
+
   case class MgState(n: Long, sums: Map[String, Long])
   case class MgRow(grp: String, item: String, cnt: Long, n_total: Long)
 

@@ -105,4 +105,56 @@ class ApproxSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(2))).toSet
     assert(a == b)
   }
+
+  // ---- Count-Min sketch (text_cms_sketch / text_cms_est) ----
+
+  private def exactTokenCounts(docs: org.apache.spark.sql.DataFrame): Map[String, Long] = {
+    import graft.functions.TextOps
+    docs.select(explode(TextOps.splitWords(TextOps.normalize(col("text")))).as("token"))
+      .filter(length(col("token")) > 0)
+      .groupBy("token").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
+
+  test("CMS never undercounts — one-sided error for EVERY token at colliding width") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val exact = exactTokenCounts(docs)
+    // topN above the vocabulary size = every token is a probe
+    val card = graft.operators.Sketch.cmsEstimates(docs, d = 4, w = 32,
+      topN = exact.size + 10).collect()
+    assert(card.length == exact.size)
+    var over = 0
+    card.foreach { r =>
+      val (tok, est, ex, oc) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ex == exact(tok), s"$tok: exact side wrong")
+      assert(est >= ex, s"$tok: CMS undercounted ($est < $ex)")
+      assert(oc == est - ex)
+      if (oc > 0) over += 1
+    }
+    // w=32 over this vocabulary MUST collide somewhere, or the card is
+    // measuring nothing
+    assert(over > 0, "no collisions at w=32 — the honesty card is vacuous")
+  }
+
+  test("CMS is exact when one hash row clears the vocabulary (w >> |V|)") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val exact = exactTokenCounts(docs)
+    val card = graft.operators.Sketch.cmsEstimates(docs, d = 4, w = 1 << 14,
+      topN = exact.size + 10).collect()
+    card.foreach(r => assert(r.getLong(3) == 0L,
+      s"${r.getString(0)}: overcount ${r.getLong(3)} at w=16384"))
+  }
+
+  test("CMS merges by addition: split-corpus sketches sum to the full sketch") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val full = cells(graft.operators.Sketch.cmsSketch(docs, 4, 32))
+    val a = cells(graft.operators.Sketch.cmsSketch(docs.filter(col("doc_id") % 2 === 0), 4, 32))
+    val b = cells(graft.operators.Sketch.cmsSketch(docs.filter(col("doc_id") % 2 === 1), 4, 32))
+    val summed = (a.keySet ++ b.keySet).map(k =>
+      k -> (a.getOrElse(k, 0L) + b.getOrElse(k, 0L))).toMap
+    assert(summed == full)
+  }
 }

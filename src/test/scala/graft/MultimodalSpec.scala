@@ -239,6 +239,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.length == 3 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("webm EBML walk: round-trips the synthesis contract at both VINT " +
+    "widths; corrupt trees yield null rows") {
+    import spark.implicits._
+    // 40 consecutive video ids cover both vint-pad parities, all track
+    // counts, multiple Void sizes and both Duration magnitudes
+    val docs = (0L until 40L).map(q => (3 * q + 2, "x", "src0"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.withWebmMedia(docs).localCheckpoint()
+    val got = Multimodal.decodeWebmMeta(media)
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> (r._2.get, r._3.get, r._4.get, r._5.get, r._6.get)).toMap
+    got.keys.foreach { id =>
+      val (ts, dur, n, w, h) = Multimodal.webmParams(id)
+      assert(got(id) == ((ts, dur, n, w, h)), s"media $id")
+    }
+    assert(got.size == 40)
+    // corrupt trees: garbage, a zero lead byte (invalid VINT), a size
+    // running past the buffer, a truncated payload — null rows, no crash
+    val good = media.select("payload").head().getAs[Array[Byte]](0)
+    val zeroLead = good.clone(); zeroLead(0) = 0x00.toByte
+    // a Void element whose size VINT (width 2, value 1000) points far
+    // past the end of the buffer
+    val overSz = Array(0xec.toByte, 0x43.toByte, 0xe8.toByte)
+    val bad = Seq(
+      (1L, "garbage-not-ebml-at-all".getBytes("UTF-8")),
+      (2L, zeroLead),
+      (3L, overSz),
+      (4L, good.take(9))).toDF("media_id", "payload")
+    val nulls = Multimodal.decodeWebmMeta(bad).collect()
+    assert(nulls.length == 4 && nulls.forall(_.isNullAt(1)))
+  }
+
   test("spectral tier: tri/sq partners fool the sign fingerprint but never the spectral one") {
     import spark.implicits._
     // 4 clips per synthesis class (48 audio docs, doc_id = 3q+1)

@@ -124,4 +124,48 @@ class SketchStreamSpec extends AnyFunSuite {
       assert(latest.values.forall(_._2.size <= k))
     } finally q.stop()
   }
+
+  test("streaming CMS ledger-sum equals the batch sketch at every prefix; " +
+    "crash-replay of a committed batch is a state no-op") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val (d, w) = (4, 32)
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("graft-cms-state").toString
+    val all = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val chunks = all.grouped((all.size + 2) / 3).toSeq
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Long] =
+      df.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.SketchStreams.cmsIngest(
+      mem.toDF.toDF("doc_id", "text"), stateDir, d, w)
+    try {
+      var fed = Seq.empty[(Long, String)]
+      for (chunk <- chunks) {
+        mem.addData(chunk: _*)
+        q.processAllAvailable()
+        fed = fed ++ chunk
+        val want = cells(graft.operators.Sketch.cmsSketch(
+          fed.toDF("doc_id", "text"), d, w))
+        val got = cells(graft.streaming.SketchStreams.cmsState(spark, stateDir))
+        assert(got == want,
+          s"CMS ledger diverged from the batch sketch after ${fed.size} docs")
+      }
+    } finally q.stop()
+    val before = cells(graft.streaming.SketchStreams.cmsState(spark, stateDir))
+    // crash-replay: a NEW query (fresh checkpoint ⇒ batch ids restart at
+    // 0) re-feeds chunk 1 — writeBatch sees batch=0 already committed and
+    // leaves it untouched, so the live sketch is unchanged
+    val mem2 = MemoryStream[(Long, String)]
+    val q2 = graft.streaming.SketchStreams.cmsIngest(
+      mem2.toDF.toDF("doc_id", "text"), stateDir, d, w)
+    try {
+      mem2.addData(chunks.head: _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    val after = cells(graft.streaming.SketchStreams.cmsState(spark, stateDir))
+    assert(after == before, "replayed batch mutated the CMS ledger")
+  }
 }
