@@ -34,5 +34,6 @@ object Registry {
       graft.queries.PcaQueries.all ++
       graft.queries.ClassifierQueries.all ++
       graft.queries.QuantizeQueries.all ++
-      graft.queries.RpQueries.all
+      graft.queries.RpQueries.all ++
+      graft.queries.UlmQueries.all
 }

@@ -1,0 +1,193 @@
+package graft.operators
+
+import graft.functions.Stable
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Unigram-language-model subword tokenizer (Kudo 2018 — the
+  * SentencePiece unigram model), the OTHER tokenizer family beside BPE:
+  * where BPE greedily composes a vocabulary bottom-up by pair frequency,
+  * the unigram model starts from a LARGE candidate vocabulary and lets a
+  * probabilistic model pick each word's best segmentation — the Viterbi
+  * path minimizing Σ −ln p(piece) — re-estimating piece probabilities
+  * from the chosen paths (hard EM).
+  *
+  * Shape (the Bpe.scala discipline): everything iterates over the
+  * word-TYPE table — Search.tokens + groupBy is the only corpus-scale
+  * work; candidate extraction is one substring explode over types;
+  * each EM round is (a) a row-local Viterbi DP per type against a
+  * BROADCAST cost table and (b) a |types|-sized recount aggregate. The
+  * driver holds only the piece-cost map between rounds (≤ seedSize+|Σ|
+  * rows — the k-means k×dim / BPE merge-ledger metadata contract). At
+  * 100 TB none of this grows with the corpus except the one tokenize.
+  *
+  * The Viterbi DP runs as mapPartitions rather than joins: a per-word
+  * DP carries per-prefix argmin state, which as DataFrame ops means
+  * maxWordLen × maxPieceLen unrolled self-joins PER EM ROUND — viable
+  * at this fixture's L=12 (the ORACLE does exactly that, giving the
+  * hash gate an independent implementation) but not at a production
+  * 32k-piece vocabulary over long words. Row-local DP against a
+  * broadcast bounded model is the production tokenizer-inference shape.
+  *
+  * Cross-engine exactness: piece costs are stab(6)-rounded
+  * −ln((cnt+1)/Σ(cnt+1)) (the +1 keeps every piece finite through EM —
+  * a zero-count piece must still be rankable; ln's ≤1-ulp libm spread is
+  * invisible under stab(6), the q_approx_sketches argument); the DP
+  * accumulates cost LEFT-TO-RIGHT along the path, so both engines fold
+  * the identical IEEE addition sequence; the argmin tie-break is the
+  * total order (cost, path-string) under binary collation (pieces are
+  * corpus text — ASCII here). The whole trainer therefore hash-matches
+  * an unrolled-CTE DuckDB twin (UlmQueries), the BPE/PageRank oracle
+  * discipline.
+  */
+object Ulm {
+
+  /** Oracle DP unroll depth — an assert, not a truncation: the trainer
+    * fails loudly if any word type is longer (measured: 8 at sf≤0.1, 10
+    * at the sf1.0 decade fixture).
+    */
+  val MaxWordLen = 12
+
+  final case class Params(maxPieceLen: Int = 6, seedSize: Int = 128,
+                          iters: Int = 2)
+
+  /** Substring candidates over the word-type table: every substring of
+    * length ≤ maxPieceLen of every type, weighted by corpus word
+    * frequency (occurrences counted with multiplicity). One explode +
+    * one hash aggregate over |types| rows.
+    */
+  def candidates(wt: DataFrame, maxPieceLen: Int): DataFrame =
+    wt.select(col("freq"), explode(expr(
+        s"""flatten(transform(sequence(1, least(length(word), $maxPieceLen)),
+           |l -> transform(sequence(1, length(word) - l + 1),
+           |s -> substring(word, s, l))))""".stripMargin.replace("\n", " ")))
+        .as("piece"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+
+  /** The seed vocabulary: top `seedSize` multi-char candidates by
+    * (cnt desc, piece asc) — a deterministic total order — plus ALL
+    * single characters (guaranteed segmentability; they never compete
+    * for the cap). (piece, cnt).
+    */
+  def seed(wt: DataFrame, maxPieceLen: Int, seedSize: Int): DataFrame = {
+    val cand = candidates(wt, maxPieceLen).localCheckpoint()
+    cand.filter(length(col("piece")) >= 2)
+      .orderBy(desc("cnt"), col("piece")).limit(seedSize)
+      .unionByName(cand.filter(length(col("piece")) === 1))
+  }
+
+  /** stab(6)'d −ln((cnt+1)/Σ(cnt+1)) as a driver-side cost map — the
+    * model state between EM rounds, seedSize-bounded by contract.
+    */
+  private[graft] def costMap(pieces: Seq[(String, Long)]): Map[String, Double] = {
+    val tot = pieces.map(_._2 + 1L).sum.toDouble
+    pieces.map { case (p, c) =>
+      p -> Stable.stab6(math.log(tot) - math.log((c + 1L).toDouble))
+    }.toMap
+  }
+
+  /** Row-local Viterbi: best[j] = min over piece lengths l of
+    * (best[j−l].cost + cost(w[j−l..j]), best[j−l].path + " " + piece),
+    * minimized under the (cost, path) total order. Returns
+    * (word, freq, n_pieces, pieces, cost) with pieces space-joined.
+    */
+  def segment(wt: DataFrame, costs: Map[String, Double],
+              maxPieceLen: Int): DataFrame = {
+    val spark = wt.sparkSession
+    val bc = spark.sparkContext.broadcast(costs)
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("n_pieces", IntegerType, nullable = false),
+      StructField("pieces", StringType, nullable = false),
+      StructField("cost", DoubleType, nullable = false)))
+    val maxL = MaxWordLen
+    val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
+      val cm = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        val n = w.length
+        require(n <= maxL,
+          s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
+        // DP over prefix lengths; null = unreachable (cannot happen: all
+        // single chars are in the vocabulary)
+        val cost = new Array[Double](n + 1)
+        val path = new Array[String](n + 1)
+        path(0) = ""
+        var j = 1
+        while (j <= n) {
+          var bestC = Double.MaxValue
+          var bestP: String = null
+          var l = math.min(maxPieceLen, j)
+          while (l >= 1) {
+            val piece = w.substring(j - l, j)
+            val c = cm.get(piece)
+            if (c.isDefined && path(j - l) != null) {
+              val cc = cost(j - l) + c.get
+              val pp = path(j - l) + " " + piece
+              if (bestP == null || cc < bestC ||
+                  (cc == bestC && pp.compareTo(bestP) < 0)) {
+                bestC = cc; bestP = pp
+              }
+            }
+            l -= 1
+          }
+          cost(j) = bestC
+          path(j) = bestP
+          j += 1
+        }
+        val pieces = path(n).substring(1) // drop the leading space
+        Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, cost(n))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Hard-EM recount: piece occurrences over the Viterbi paths, weighted
+    * by type frequency, over the FIXED seed vocabulary (absent pieces
+    * count 0 — the +1 smoothing keeps them alive in the next round).
+    */
+  def pathCounts(seg: DataFrame, vocab: DataFrame): DataFrame =
+    vocab.select("piece").join(
+        seg.select(col("freq"),
+            explode(split(col("pieces"), " ")).as("piece"))
+          .groupBy("piece").agg(sum("freq").as("used")),
+        Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("used"), lit(0L)).as("cnt"))
+
+  /** The trained model after `iters` hard-EM rounds: (pieces with final
+    * recount + stab(6) NLL, the final segmentation of every word type).
+    * Driver traffic: one (piece, cnt) collect per round — model-sized.
+    */
+  def train(docs: DataFrame, p: Params = Params()): (DataFrame, DataFrame) = {
+    val wt = Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
+    var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    var seg: DataFrame = null
+    var cnt: DataFrame = null
+    var it = 0
+    while (it < p.iters) {
+      seg = segment(wt, cm, p.maxPieceLen)
+      cnt = pathCounts(seg, vocab).localCheckpoint()
+      cm = costMap(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      it += 1
+    }
+    val tot = cnt.agg(sum(col("cnt") + lit(1L))).collect()(0).getLong(0).toDouble
+    val model = cnt.select(col("piece"), col("cnt"),
+      Stable.stab(log(lit(tot)) - log((col("cnt") + lit(1L)).cast("double")), 6)
+        .as("nll"))
+    (model, seg)
+  }
+
+  /** Per-doc subword token counts under the trained model — the ULM twin
+    * of Bpe.docTokenCounts: doc tokens join the |types|-sized
+    * segmentation table on word.
+    */
+  def docTokenCounts(docs: DataFrame, seg: DataFrame): DataFrame =
+    Search.tokens(docs)
+      .join(seg.select(col("word"), col("n_pieces")), "word")
+      .groupBy("doc_id")
+      .agg(sum(col("n_pieces").cast("long")).as("ulm_tokens"),
+        count(lit(1)).cast("long").as("words"))
+}

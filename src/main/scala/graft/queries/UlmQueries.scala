@@ -1,0 +1,169 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.Ulm
+import graft.sources.Tables
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM tokenizer queries + their DuckDB twins. The oracle is an
+  * independent implementation of the whole trainer — candidate extraction
+  * and seeding in plain SQL, each hard-EM round's Viterbi DP as an
+  * UNROLLED position chain (positions 1..MaxWordLen × piece lengths
+  * 1..maxPieceLen, argmin per (word, position) via row_number over the
+  * (cost, path) total order — the batchedChainSql discipline), recounts
+  * as path unnests. Costs are stab(6)'d −ln((cnt+1)/Σ(cnt+1)) in both
+  * engines; the DP folds cost left-to-right along the path, so the IEEE
+  * addition sequences are identical and every double hash-matches.
+  */
+object UlmQueries {
+
+  val P = Ulm.Params() // maxPieceLen 6, seedSize 128, iters 2
+
+  /** The trained segmentation as a persisted setup artifact (the
+    * bpemodel discipline): train once per corpus, every query reads it.
+    */
+  def persistedUlmSeg(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "ulmseg", "documents.parquet",
+      s"_p${P.maxPieceLen}s${P.seedSize}i${P.iters}") {
+      Ulm.train(Tables.documents(s, d), P)._2
+    }
+
+  /** In-plan model card from the persisted segmentation: final recounts
+    * over the (recomputed, cheap) seed vocabulary + stab(6) NLL, the
+    * 1-row total broadcast-crossed (no driver collect).
+    */
+  def vocabFrom(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame = {
+    val wt = graft.operators.Bpe.wordTypes(Tables.documents(s, d)).drop("sym")
+    val cnt = Ulm.pathCounts(persistedUlmSeg(s, d),
+      Ulm.seed(wt, P.maxPieceLen, P.seedSize))
+    val tot = cnt.agg(sum(col("cnt") + lit(1L)).as("t"))
+    cnt.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        graft.functions.Stable.stab(
+          log(col("t").cast("double")) - log((col("cnt") + lit(1L)).cast("double")),
+          6).as("nll"))
+  }
+
+  // ---------------- oracle CTE generators ----------------
+
+  private val L = Ulm.MaxWordLen
+
+  /** Candidates + seed vocabulary + round-0 costs. Emits wt, cand,
+    * seed0 (piece, cnt) and c0 (piece, cost).
+    */
+  private def seedCtes: String =
+    s"""${SearchQueries.tokCte},
+       |wt AS MATERIALIZED (
+       |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY word),
+       |cand AS MATERIALIZED (
+       |  SELECT piece, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+       |    SELECT w.freq, substr(w.word, CAST(s.s AS INT), CAST(l.l AS INT)) AS piece
+       |    FROM wt w, range(1, ${P.maxPieceLen + 1}) l(l), range(1, ${L + 1}) s(s)
+       |    WHERE l.l <= length(w.word) AND s.s <= length(w.word) - l.l + 1)
+       |  GROUP BY piece),
+       |seedm AS (SELECT piece, cnt FROM cand WHERE length(piece) >= 2
+       |  ORDER BY cnt DESC, piece LIMIT ${P.seedSize}),
+       |seed0 AS MATERIALIZED (SELECT piece, cnt FROM seedm
+       |  UNION ALL SELECT piece, cnt FROM cand WHERE length(piece) = 1),
+       |${costCte("c0", "seed0")}""".stripMargin
+
+  /** (piece, cost) from a (piece, cnt) table: stab(6) −ln((cnt+1)/Σ). */
+  private def costCte(name: String, src: String): String =
+    s"""${name}t AS (SELECT CAST(sum(cnt + 1) AS DOUBLE) AS t FROM $src),
+       |$name AS MATERIALIZED (SELECT piece,
+       |  floor((ln((SELECT t FROM ${name}t)) - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS cost
+       |  FROM $src)""".stripMargin
+
+  /** One Viterbi round `k` against cost table `ck`: unrolled DP CTEs
+    * u{k}p1..u{k}pL and the final seg{k} (word, freq, pieces, cost,
+    * n_pieces).
+    */
+  private def viterbiCtes(k: Int, ck: String): String = {
+    val steps = (1 to L).map { j =>
+      val branches = (1 to math.min(P.maxPieceLen, j)).map { l =>
+        s"""SELECT v.word, v.freq, v.cost + c.cost AS cost,
+           |      v.path || ' ' || c.piece AS path
+           |    FROM u${k}p${j - l} v JOIN $ck c
+           |      ON c.piece = substr(v.word, ${j - l + 1}, $l)
+           |    WHERE length(v.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""u${k}p$j AS MATERIALIZED (
+         |  SELECT word, freq, cost, path FROM (
+         |    SELECT word, freq, cost, path,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+         |    FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to L)
+      .map(j => s"SELECT word, freq, cost, path FROM u${k}p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""u${k}p0 AS (SELECT word, freq, CAST(0 AS DOUBLE) AS cost, '' AS path FROM wt),
+       |$steps,
+       |seg$k AS MATERIALIZED (
+       |  SELECT word, freq, cost, substr(path, 2) AS pieces,
+       |    CAST(len(string_split(substr(path, 2), ' ')) AS INT) AS n_pieces
+       |  FROM ($fin))""".stripMargin
+  }
+
+  /** Recount CTE cnt{k} over the fixed seed vocabulary from seg{k}. */
+  private def recountCte(k: Int): String =
+    s"""cnt$k AS MATERIALIZED (
+       |  SELECT s0.piece, CAST(COALESCE(sum(x.freq), 0) AS BIGINT) AS cnt
+       |  FROM seed0 s0 LEFT JOIN (
+       |    SELECT s.freq, unnest(string_split(s.pieces, ' ')) AS piece
+       |    FROM seg$k s) x USING (piece)
+       |  GROUP BY s0.piece)""".stripMargin
+
+  /** The full 2-round trainer chain: seed → DP(c0) → recount → c1 →
+    * DP(c1) → recount. Emits seg2 and cnt2.
+    */
+  def trainerCtes: String =
+    s"""$seedCtes,
+       |${viterbiCtes(1, "c0")},
+       |${recountCte(1)},
+       |${costCte("c1", "cnt1")},
+       |${viterbiCtes(2, "c1")},
+       |${recountCte(2)}""".stripMargin
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // The trained unigram-LM model card: final hard-EM recounts over the
+    // seed vocabulary + the stab(6) NLL each piece would carry into a
+    // further round. Gates the whole trainer (candidates, seeding, two
+    // Viterbi rounds, recounts) end to end — a divergence anywhere in
+    // the EM chain lands here.
+    GraftQuery("ulm_vocab",
+      (s, d) => vocabFrom(s, d).orderBy("piece"),
+      Some(
+        s"""WITH $trainerCtes,
+           |cnt2t AS (SELECT CAST(sum(cnt + 1) AS DOUBLE) AS t FROM cnt2)
+           |SELECT piece, cnt,
+           |  floor((ln((SELECT t FROM cnt2t)) - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nll
+           |FROM cnt2 ORDER BY piece""".stripMargin)),
+
+    // Every word type's final Viterbi segmentation — the tokenizer's
+    // working artifact (what production inference ships). cost is the
+    // exact left-fold of the stab(6) piece costs, bit-identical across
+    // engines because the addition sequence is the path itself.
+    GraftQuery("ulm_segment",
+      (s, d) => persistedUlmSeg(s, d)
+        .select("word", "freq", "n_pieces", "pieces", "cost")
+        .orderBy("word"),
+      Some(
+        s"""WITH $trainerCtes
+           |SELECT word, freq, n_pieces, pieces, cost
+           |FROM seg2 ORDER BY word""".stripMargin)),
+
+    // Per-doc subword budget under the trained model — the ULM twin of
+    // bpe_token_count: doc tokens join the |types|-sized segmentation.
+    GraftQuery("ulm_token_count",
+      (s, d) => Ulm.docTokenCounts(Tables.documents(s, d), persistedUlmSeg(s, d))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $trainerCtes
+           |SELECT t.doc_id,
+           |  CAST(sum(g.n_pieces) AS BIGINT) AS ulm_tokens,
+           |  count(*) AS words
+           |FROM tok t JOIN seg2 g USING (word)
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+  )
+}

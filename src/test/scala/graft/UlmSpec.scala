@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unigram-LM tokenizer specs: the Viterbi DP against a brute-force
+  * enumeration of ALL segmentations (an in-suite independent
+  * implementation, on top of the DuckDB oracle's unrolled-CTE one),
+  * round-trip/coverage invariants, and trainer determinism.
+  */
+class UlmSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import graft.operators.Ulm
+
+  private lazy val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+
+  test("viterbi DP equals brute-force min over ALL segmentations") {
+    val wt = graft.operators.Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = Ulm.seed(wt, Ulm.Params().maxPieceLen, Ulm.Params().seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val cm = graft.operators.Ulm.costMap(vocab)
+    val seg = Ulm.segment(wt, cm, Ulm.Params().maxPieceLen)
+      .collect().map(r => r.getString(0) -> (r.getDouble(4), " " + r.getString(3))).toMap
+    // brute force: all 2^(n-1) cut patterns, same (cost, path) order
+    def brute(w: String): (Double, String) = {
+      var best: (Double, String) = null
+      val n = w.length
+      for (mask <- 0 until (1 << (n - 1))) {
+        var ok = true
+        var cost = 0.0
+        var path = ""
+        var start = 0
+        var i = 0
+        while (i < n && ok) {
+          val cut = i == n - 1 || ((mask >> i) & 1) == 1
+          if (cut) {
+            val piece = w.substring(start, i + 1)
+            cm.get(piece) match {
+              case Some(c) => cost += c; path = path + " " + piece; start = i + 1
+              case None => ok = false
+            }
+          }
+          i += 1
+        }
+        if (ok && (best == null || cost < best._1 ||
+            (cost == best._1 && path.compareTo(best._2) < 0)))
+          best = (cost, path)
+      }
+      best
+    }
+    assert(seg.nonEmpty)
+    seg.foreach { case (w, got) =>
+      assert(brute(w) == got, s"DP diverged from brute force on '$w'")
+    }
+  }
+
+  test("segmentation round-trips; every piece is in the vocabulary; " +
+    "cost is the left-fold of piece costs") {
+    val (model, seg) = Ulm.train(docs)
+    val vocab = model.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val vocabSet = vocab.map(_._1).toSet
+    val rows = seg.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (word, pieces, n) = (r.getString(0), r.getString(3), r.getInt(2))
+      val ps = pieces.split(" ")
+      assert(ps.mkString("") == word, s"'$word' does not round-trip: '$pieces'")
+      assert(ps.length == n)
+      assert(ps.forall(vocabSet.contains), s"'$word' used an out-of-vocab piece")
+    }
+    // every single character of the corpus vocabulary is a piece
+    val chars = rows.flatMap(_.getString(0).toCharArray).map(_.toString).toSet
+    assert(chars.subsetOf(vocabSet))
+    // final recounts: every piece count equals its path occurrences
+    val used = rows.flatMap(r => r.getString(3).split(" ").map(_ -> r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    vocab.foreach { case (p, cnt, _) =>
+      assert(cnt == used.getOrElse(p, 0L), s"count drift on '$p'")
+    }
+  }
+
+  test("trainer is run-to-run deterministic") {
+    val a = Ulm.train(docs)._2.collect()
+      .map(r => (r.getString(0), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val b = Ulm.train(docs)._2.collect()
+      .map(r => (r.getString(0), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("a word longer than the oracle unroll fails loudly, not silently") {
+    import spark.implicits._
+    val long = Seq((1L, "a" * (Ulm.MaxWordLen + 1), "src0"))
+      .toDF("doc_id", "text", "source")
+    val wt = graft.operators.Bpe.wordTypes(long).drop("sym")
+    val cm = Map("a" -> 1.0)
+    val ex = intercept[org.apache.spark.SparkException] {
+      Ulm.segment(wt, cm, 6).collect()
+    }
+    assert(ex.getMessage.contains("MaxWordLen") ||
+      Option(ex.getCause).exists(_.getMessage.contains("MaxWordLen")))
+  }
+}
