@@ -190,4 +190,62 @@ object Ulm {
       .groupBy("doc_id")
       .agg(sum(col("n_pieces").cast("long")).as("ulm_tokens"),
         count(lit(1)).cast("long").as("words"))
+
+  /** Per-word-type piece-ID sequences under the trained segmentation —
+    * the Bpe.wordIds shape: piece ids row-numbered in binary-collation
+    * piece order over the USED vocabulary (bounded — the single-partition
+    * window is model-sized, never corpus-sized), each word's pieces
+    * mapped through the broadcast id table and reassembled by position.
+    */
+  def wordIds(seg: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val enc = seg.select(col("word"), split(col("pieces"), " ").as("ps"))
+      .localCheckpoint()
+    val vocab = enc.select(explode(col("ps")).as("piece")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("piece")))
+    enc.select(col("word"), posexplode(col("ps")).as(Seq("pos", "piece")))
+      .join(broadcast(vocab), "piece")
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x("id").cast("string")), " ").as("ids"),
+        count(lit(1)).cast("long").as("n_pieces"))
+  }
+
+  /** ENCODE under the unigram model — the Bpe.encode contract verbatim:
+    * (doc_id, ids, n_ulm_tokens) with `ids` the doc's space-joined
+    * piece-id stream in document order. One positioned tokenize + one
+    * broadcast join against the bounded word→ids table + one per-doc
+    * reassembly; no second shuffle, no driver collect.
+    */
+  def encode(docs: DataFrame, seg: DataFrame): DataFrame = {
+    val wids = wordIds(seg)
+    val toks = docs.select(col("doc_id"),
+        posexplode(graft.functions.TextOps.splitWords(
+          graft.functions.TextOps.normalize(col("text")))).as(Seq("pos", "word")))
+      .filter(graft.functions.TextOps.isKeptToken(col("word")))
+    toks.join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x("ids")), " ").as("ids"),
+        sum(col("n_pieces")).as("n_ulm_tokens"))
+  }
+
+  /** Tokenizer fertility by source under the unigram model — the
+    * Bpe.sourceFertility diagnostic for the OTHER family: with both
+    * cards registered, the mixing planner can compare the two
+    * vocabularies' compression per corpus slice directly.
+    */
+  def sourceFertility(docs: DataFrame, seg: DataFrame): DataFrame = {
+    val perDoc = docTokenCounts(docs, seg)
+    docs.select("doc_id", "source")
+      .join(perDoc, "doc_id")
+      .groupBy("source")
+      .agg(sum("words").as("n_words"), sum("ulm_tokens").as("n_ulm_tokens"))
+      .withColumn("fertility", Stable.stab(
+        col("n_ulm_tokens").cast("double") / col("n_words").cast("double"), 6))
+  }
 }

@@ -164,6 +164,53 @@ object UlmQueries {
            |  CAST(sum(g.n_pieces) AS BIGINT) AS ulm_tokens,
            |  count(*) AS words
            |FROM tok t JOIN seg2 g USING (word)
-           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin))
+           |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin)),
+
+    // ENCODE under the unigram model — the bpe_encode contract for the
+    // other tokenizer family: per-doc piece-id streams in document
+    // order, ids dense over the USED vocabulary in binary piece order.
+    GraftQuery("ulm_encode",
+      (s, d) => Ulm.encode(Tables.documents(s, d), persistedUlmSeg(s, d))
+        .orderBy("doc_id"),
+      Some(
+        s"""WITH $trainerCtes,
+           |pv AS (
+           |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS INT) AS id
+           |  FROM (SELECT DISTINCT t.p AS piece
+           |        FROM seg2, unnest(string_split(seg2.pieces, ' ')) t(p))),
+           |wp AS (
+           |  SELECT s.word, t.i, string_split(s.pieces, ' ')[CAST(t.i AS INT)] AS piece, s.n_pieces
+           |  FROM seg2 s, unnest(range(1, len(string_split(s.pieces, ' ')) + 1)) t(i)),
+           |wids AS (
+           |  SELECT w.word, string_agg(CAST(v.id AS VARCHAR), ' ' ORDER BY w.i) AS ids,
+           |    CAST(max(w.n_pieces) AS BIGINT) AS n_pieces
+           |  FROM wp w JOIN pv v USING (piece) GROUP BY w.word),
+           |tokp AS (
+           |  SELECT doc_id, t.i AS pos, arr[t.i] AS word
+           |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS arr FROM documents) d,
+           |    unnest(range(1, len(arr) + 1)) t(i)
+           |  WHERE length(arr[t.i]) > 0 AND NOT regexp_matches(arr[t.i], '^[0-9]+$$'))
+           |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
+           |  CAST(sum(w.n_pieces) AS BIGINT) AS n_ulm_tokens
+           |FROM tokp k JOIN wids w USING (word)
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Per-source fertility under the unigram model — beside
+    // bpe_fertility, the two families' compression per corpus slice
+    // become directly comparable.
+    GraftQuery("ulm_fertility",
+      (s, d) => Ulm.sourceFertility(Tables.documents(s, d), persistedUlmSeg(s, d))
+        .orderBy("source"),
+      Some(
+        s"""WITH $trainerCtes,
+           |perdoc AS (
+           |  SELECT t.doc_id, sum(g.n_pieces) AS ulm, count(*) AS n_words
+           |  FROM tok t JOIN seg2 g USING (word) GROUP BY t.doc_id)
+           |SELECT d.source, CAST(sum(p.n_words) AS BIGINT) AS n_words,
+           |  CAST(sum(p.ulm) AS BIGINT) AS n_ulm_tokens,
+           |  ${graft.functions.Stable.stabSql(
+               "CAST(sum(p.ulm) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE)", 6)} AS fertility
+           |FROM documents d JOIN perdoc p USING (doc_id)
+           |GROUP BY d.source ORDER BY source""".stripMargin))
   )
 }

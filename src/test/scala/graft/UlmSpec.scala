@@ -78,6 +78,30 @@ class UlmSpec extends AnyFunSuite {
     }
   }
 
+  test("encode decodes back to the per-word segmentation stream") {
+    val seg = Ulm.train(docs)._2.localCheckpoint()
+    val segMap = seg.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    // id → piece from the same binary piece order encode assigns
+    val idOf = segMap.values.flatMap(_.split(" ")).toSeq.distinct.sorted
+      .zipWithIndex.map { case (p, i) => (i + 1).toString -> p }.toMap
+    val enc = Ulm.encode(docs, seg).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val toks = graft.operators.Search.tokens(docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    // NOTE: Search.tokens has no position — rebuild expectation from the
+    // raw text to keep document order
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(toks.nonEmpty)
+    enc.foreach { case (docId, ids) =>
+      val decoded = ids.split(" ").map(idOf).mkString(" ")
+      val expected = texts(docId).toLowerCase.split("\\s+")
+        .filter(w => w.nonEmpty && !w.matches("^[0-9]+$"))
+        .map(segMap).mkString(" ")
+      assert(decoded == expected, s"doc $docId decode mismatch")
+    }
+  }
+
   test("trainer is run-to-run deterministic") {
     val a = Ulm.train(docs)._2.collect()
       .map(r => (r.getString(0), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
