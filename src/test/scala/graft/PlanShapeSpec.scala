@@ -542,4 +542,33 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(f.contains("BroadcastHashJoin"))
     assert(!f.contains("SortAggregate"))
   }
+
+  test("text_cms_sketch: the shuffle is cell-keyed, never token-keyed") {
+    // the sketch's whole scale claim: partial aggregation collapses each
+    // partition to <= d·w cells, so the only hash exchange is on (r, c) —
+    // a token-keyed exchange would mean the vocabulary crosses the wire
+    val p = plan("text_cms_sketch")
+    assert(!p.contains("hashpartitioning(token"),
+      "CMS must never shuffle by token")
+    assert(p.contains("partial_count"), "map-side partial aggregation lost")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+  }
+
+  test("ulm_encode / ulm_vocab: model-table joins broadcast; corpus side " +
+    "never sort-merge-joins") {
+    val p = plan("ulm_encode")
+    assert(p.contains("BroadcastHashJoin"), "word→ids map should broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"))
+    val v = plan("ulm_vocab")
+    assert(v.contains("BroadcastNestedLoopJoin") || v.contains("BroadcastHashJoin"),
+      "the 1-row total should broadcast-cross, not shuffle")
+    assert(!v.contains("CartesianProduct"))
+  }
+
+  test("multimodal_webm_meta: one narrow decode pass over the persisted " +
+    "media scan, no joins") {
+    val p = plan("multimodal_webm_meta")
+    assert(!p.contains("Join"), "the EBML walk is row-local")
+    assert(p.count(_ == '\n') < 400) // a scan + mapPartitions + sort, nothing more
+  }
 }
