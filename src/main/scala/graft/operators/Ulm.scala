@@ -137,6 +137,10 @@ object Ulm {
           path(j) = bestP
           j += 1
         }
+        // unreachable only under a caller-supplied cost map missing a
+        // character — the trained vocabulary always carries all singles
+        require(path(n) != null,
+          s"word '$w' is not segmentable under the supplied cost map")
         val pieces = path(n).substring(1) // drop the leading space
         Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, cost(n))
       }
@@ -161,6 +165,7 @@ object Ulm {
     * Driver traffic: one (piece, cnt) collect per round — model-sized.
     */
   def train(docs: DataFrame, p: Params = Params()): (DataFrame, DataFrame) = {
+    require(p.iters >= 1, s"ulm needs >= 1 EM round, got ${p.iters}")
     val wt = Bpe.wordTypes(docs).drop("sym").localCheckpoint()
     val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
     var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
