@@ -195,6 +195,30 @@ object UlmQueries {
            |FROM tokp k JOIN wids w USING (word)
            |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin)),
 
+    // Sequence packing by the unigram model's budget — bpe_pack's twin
+    // through the same Curation.packSequencesFrom hook: frames cut in
+    // real ULM tokens, so the data-loader budget is comparable across
+    // both trained tokenizer families.
+    GraftQuery("ulm_pack",
+      (s, d) => graft.operators.Curation.packSequencesFrom(
+          Ulm.docTokenCounts(Tables.documents(s, d), persistedUlmSeg(s, d))
+            .select(col("doc_id"), col("ulm_tokens").as("n_tok")), 500L)
+        .orderBy("seq_id"),
+      Some(
+        s"""WITH $trainerCtes,
+           |t AS (
+           |  SELECT k.doc_id, CAST(sum(g.n_pieces) AS BIGINT) AS n_tok,
+           |    md5(CAST(k.doc_id AS VARCHAR)) AS h
+           |  FROM tok k JOIN seg2 g USING (word) GROUP BY k.doc_id),
+           |c AS (
+           |  SELECT doc_id, n_tok,
+           |    COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+           |  FROM t)
+           |SELECT CAST(start // 500 AS BIGINT) AS seq_id,
+           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
+
     // Per-source fertility under the unigram model — beside
     // bpe_fertility, the two families' compression per corpus slice
     // become directly comparable.
