@@ -239,6 +239,36 @@ object Ulm {
         sum(col("n_pieces")).as("n_ulm_tokens"))
   }
 
+  /** The hard-EM objective per round: (round, total_nll, total_pieces)
+    * where total_nll = Σ freq·cost(word's Viterbi path under that
+    * round's INPUT costs) — exactly the quantity each DP minimized —
+    * and total_pieces the corpus token count under that round's
+    * segmentation. Exact-sum discipline: per-word products stab(6)'d
+    * then DECIMAL-summed (order-free), so the card hash-gates. Each
+    * round's total is one 1-row aggregate collect — metadata-scale.
+    * UlmSpec pins the Viterbi-optimality inequality
+    * cost(seg₂ | c₁) ≤ cost(seg₁ | c₁) that makes the curve meaningful.
+    */
+  def emCurve(docs: DataFrame, p: Params = Params()): DataFrame = {
+    require(p.iters >= 1, s"ulm needs >= 1 EM round, got ${p.iters}")
+    val spark = docs.sparkSession
+    val wt = Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
+    var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val rows = (1 to p.iters).map { k =>
+      val seg = segment(wt, cm, p.maxPieceLen).localCheckpoint()
+      val t = seg.agg(
+          Stable.dsum(Stable.stab(col("freq") * col("cost"), 6), 6).as("t"),
+          sum(col("freq") * col("n_pieces")).as("pc"))
+        .collect()(0)
+      cm = costMap(pathCounts(seg, vocab).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq)
+      (k, t.getDouble(0), t.getLong(1))
+    }
+    import spark.implicits._
+    rows.toDF("round", "total_nll", "total_pieces")
+  }
+
   /** Tokenizer fertility by source under the unigram model — the
     * Bpe.sourceFertility diagnostic for the OTHER family: with both
     * cards registered, the mixing planner can compare the two

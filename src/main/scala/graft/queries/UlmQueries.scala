@@ -219,6 +219,27 @@ object UlmQueries {
            |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
            |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
+    // The hard-EM learning curve: per round, the corpus objective the
+    // Viterbi pass minimized (Σ freq·path-cost, stab(6)+DECIMAL exact
+    // sum) and the corpus token count under that round's segmentation —
+    // the estimator-honesty card for the trainer itself (UlmSpec pins
+    // the Viterbi-optimality inequality behind it).
+    GraftQuery("ulm_em_curve",
+      (s, d) => Ulm.emCurve(Tables.documents(s, d), P).orderBy("round"),
+      Some(
+        s"""WITH $trainerCtes
+           |SELECT 1 AS round,
+           |  ${graft.functions.Stable.dsumSql(
+               graft.functions.Stable.stabSql("freq * cost", 6), 6)} AS total_nll,
+           |  CAST(sum(freq * n_pieces) AS BIGINT) AS total_pieces
+           |FROM seg1
+           |UNION ALL
+           |SELECT 2,
+           |  ${graft.functions.Stable.dsumSql(
+               graft.functions.Stable.stabSql("freq * cost", 6), 6)},
+           |  CAST(sum(freq * n_pieces) AS BIGINT)
+           |FROM seg2 ORDER BY round""".stripMargin)),
+
     // Per-source fertility under the unigram model — beside
     // bpe_fertility, the two families' compression per corpus slice
     // become directly comparable.

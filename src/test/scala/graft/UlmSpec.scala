@@ -102,6 +102,32 @@ class UlmSpec extends AnyFunSuite {
     }
   }
 
+  test("hard-EM: each round's segmentation is Viterbi-optimal under its " +
+    "input costs (the inequality behind ulm_em_curve)") {
+    val P = Ulm.Params()
+    val wt = graft.operators.Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = Ulm.seed(wt, P.maxPieceLen, P.seedSize).localCheckpoint()
+    def cm(of: org.apache.spark.sql.DataFrame) =
+      Ulm.costMap(of.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val c0 = cm(vocab)
+    val seg1 = Ulm.segment(wt, c0, P.maxPieceLen).localCheckpoint()
+    val c1 = cm(Ulm.pathCounts(seg1, vocab))
+    val seg2 = Ulm.segment(wt, c1, P.maxPieceLen)
+    // re-price round 1's paths under c1: round 2's total must not exceed it
+    val seg1UnderC1 = seg1.collect()
+      .map(r => r.getLong(1) * r.getString(3).split(" ").map(c1).sum).sum
+    val seg2Total = seg2.collect()
+      .map(r => r.getLong(1) * r.getDouble(4)).sum
+    assert(seg2Total <= seg1UnderC1 + 1e-6,
+      s"round-2 Viterbi total $seg2Total exceeds re-priced round-1 $seg1UnderC1")
+    // and the registered card reproduces the same corpus totals
+    val curve = Ulm.emCurve(docs, P).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(curve.keySet == Set(1, 2))
+    val pieces1 = seg1.collect().map(r => r.getLong(1) * r.getInt(2)).sum
+    assert(curve(1)._2 == pieces1)
+  }
+
   test("trainer is run-to-run deterministic") {
     val a = Ulm.train(docs)._2.collect()
       .map(r => (r.getString(0), r.getString(3), r.getDouble(4))).sortBy(_._1).toSeq
