@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -40,6 +40,9 @@ object CmsProbe {
 
     val recs = new java.util.concurrent.atomic.AtomicLong()
     val bytes = new java.util.concurrent.atomic.AtomicLong()
+    val MarkerGroup = "cmsprobe-drain-marker"
+    val markerJobs = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+    @volatile var markerLatch: java.util.concurrent.CountDownLatch = null
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
@@ -48,16 +51,38 @@ object CmsProbe {
           bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         }
       }
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        if (j.properties != null &&
+            MarkerGroup == j.properties.getProperty("spark.jobGroup.id"))
+          markerJobs.add(j.jobId)
+      override def onJobEnd(j: SparkListenerJobEnd): Unit =
+        if (markerJobs.remove(j.jobId) && markerLatch != null)
+          markerLatch.countDown()
     })
 
+    // The listener bus drains asynchronously, so after an action the
+    // measured job's task-end events may still be in flight. The bus is
+    // FIFO per queue: run a shuffle-free MARKER job and wait for ITS
+    // job-end to be DELIVERED — every event posted before it (all the
+    // measured task-ends) has then been delivered too. Deterministic,
+    // public API only.
+    def drainBus(): Unit = {
+      markerLatch = new java.util.concurrent.CountDownLatch(1)
+      spark.sparkContext.setJobGroup(MarkerGroup, "listener-bus drain marker")
+      try spark.sparkContext.parallelize(Seq(1), 1).count()
+      finally spark.sparkContext.clearJobGroup()
+      require(markerLatch.await(60, java.util.concurrent.TimeUnit.SECONDS),
+        "listener bus failed to deliver the drain marker within 60s")
+      markerLatch = null
+    }
+
     def run(label: String)(f: => Long): String = {
+      drainBus() // flush any straggler events from the PREVIOUS job
       recs.set(0); bytes.set(0)
       val t0 = System.nanoTime()
       val rows = f
       val wall = (System.nanoTime() - t0) / 1e9
-      // listener events drain asynchronously after the job; the bus is
-      // private API, so give it a beat (a probe, not a gate)
-      Thread.sleep(1000)
+      drainBus() // marker job itself is shuffle-free: adds 0 recs/bytes
       f"""\"$label\":{\"wall_s\":$wall%.2f,\"out_rows\":$rows,\"shuffle_recs\":${recs.get},\"shuffle_mb\":${bytes.get / 1048576.0}%.1f}"""
     }
 

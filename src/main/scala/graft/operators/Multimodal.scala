@@ -1112,11 +1112,17 @@ object Multimodal {
             }
           }
         }
+        // EBML uints are 0..8 octets (RFC 8794 §7.1); a wider payload is
+        // malformed and poisons the parse rather than wrapping through
+        // the Long shift.
         def beUint(off: Int, len: Int): Long = {
-          var v = 0L
-          var i = 0
-          while (i < len) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
-          v
+          if (len > 8) { ok = false; 0L }
+          else {
+            var v = 0L
+            var i = 0
+            while (i < len) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+            v
+          }
         }
         def walk(start: Int, end: Int): Unit = {
           var off = start
@@ -1148,7 +1154,12 @@ object Multimodal {
         }
         try walk(0, buf.length)
         catch { case scala.util.control.NonFatal(_) => ok = false }
-        if (!ok || !sawInfo || ts < 0 || dur < 0)
+        // a well-formed foreign file may still carry >32-bit values; the
+        // Int schema cannot represent them, so they take the null row
+        // (out-of-model, not silently wrapped) — same contract as corrupt
+        if (!ok || !sawInfo || ts < 0 || dur < 0 ||
+            ts > Int.MaxValue || dur > Int.MaxValue ||
+            w > Int.MaxValue || h > Int.MaxValue)
           Row(r.getLong(0), null, null, null, null, null)
         else Row(r.getLong(0), ts.toInt, dur.toInt, nTracks, w.toInt, h.toInt)
       }

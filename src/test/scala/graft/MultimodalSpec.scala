@@ -271,6 +271,28 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.length == 4 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("webm EBML walk: well-formed foreign files with >32-bit or >8-octet " +
+    "uints take the null row, never a wrapped value") {
+    import spark.implicits._
+    // Segment > Info > (TimestampScale, Duration) built by hand; tsPayload
+    // parameterizes the TimestampScale uint
+    def mkWebm(tsPayload: Array[Byte]): Array[Byte] = {
+      val tsEl = Array(0x2a, 0xd7, 0xb1, 0x80 | tsPayload.length).map(_.toByte) ++ tsPayload
+      val durEl = Array(0x44, 0x89, 0x84, 0x42, 0xc8, 0x00, 0x00).map(_.toByte) // f32 100.0
+      val info = Array(0x15, 0x49, 0xa9, 0x66, 0x80 | (tsEl.length + durEl.length))
+        .map(_.toByte) ++ tsEl ++ durEl
+      Array(0x18, 0x53, 0x80, 0x67, 0x80 | info.length).map(_.toByte) ++ info
+    }
+    val inRange = mkWebm(Array(0x03, 0xe8).map(_.toByte)) // ts = 1000
+    val wide33 = mkWebm(Array(0x01, 0, 0, 0, 0).map(_.toByte)) // ts = 2^32: fits Long, not Int
+    val wide72 = mkWebm(Array.fill(9)(0x01.toByte)) // 9-octet uint: malformed per RFC 8794 §7.1
+    val rows = Multimodal.decodeWebmMeta(
+        Seq((1L, inRange), (2L, wide33), (3L, wide72)).toDF("media_id", "payload"))
+      .orderBy("media_id").collect()
+    assert(rows(0).getInt(1) == 1000 && rows(0).getInt(2) == 100)
+    assert(rows(1).isNullAt(1) && rows(2).isNullAt(1))
+  }
+
   test("spectral tier: tri/sq partners fool the sign fingerprint but never the spectral one") {
     import spark.implicits._
     // 4 clips per synthesis class (48 audio docs, doc_id = 3q+1)
