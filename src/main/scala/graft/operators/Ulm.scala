@@ -43,14 +43,50 @@ import org.apache.spark.sql.types._
   */
 object Ulm {
 
-  /** Oracle DP unroll depth — an assert, not a truncation: the trainer
-    * fails loudly if any word type is longer (measured: 8 at sf≤0.1, 10
-    * at the sf1.0 decade fixture).
+  /** Oracle DP unroll depth — a contract of the ORACLE (the DuckDB twin
+    * unrolls the DP to this many positions), not of the operator: the
+    * production DP is unbounded. Oracle-gated registry queries assert it
+    * via `Params.assertMaxWordLen` so the gate fails loudly instead of
+    * silently diverging if a fixture ever grows longer types (measured:
+    * 8 at sf≤0.1, 10 at the sf1.0 decade fixture).
     */
   val MaxWordLen = 12
 
+  /** `assertMaxWordLen`: when set, `segment` REQUIRES every word type to
+    * fit the given length — the oracle-unroll honesty assert (round-15
+    * verdict #1: it used to live unconditionally in the operator, so any
+    * real corpus with a 13+-char word aborted the trainer; the DP itself
+    * has no length bound).
+    */
   final case class Params(maxPieceLen: Int = 6, seedSize: Int = 128,
-                          iters: Int = 2)
+                          iters: Int = 2,
+                          assertMaxWordLen: Option[Int] = None)
+
+  /** Pruning schedule knobs (Kudo 2018 §4's vocabulary-size control):
+    * per round drop the `eta` fraction of multi-char pieces whose removal
+    * raises the corpus Viterbi NLL least, until `targetMulti` multi-char
+    * pieces remain (single characters never compete and always survive —
+    * segmentability is unconditional).
+    */
+  final case class PruneParams(targetMulti: Int = 32, eta: Double = 0.5)
+
+  /** The static drop schedule for a filled seed: drop counts per round
+    * from `nMulti0` down to `targetMulti`. Pure arithmetic shared with
+    * the oracle generator, so both engines walk identical rounds once
+    * the round-1 multi count is anchored (the registry `require`).
+    */
+  def pruneSchedule(nMulti0: Int, pp: PruneParams): Seq[Int] = {
+    require(nMulti0 > pp.targetMulti,
+      s"nothing to prune: $nMulti0 <= target ${pp.targetMulti}")
+    val b = Seq.newBuilder[Int]
+    var n = nMulti0
+    while (n > pp.targetMulti) {
+      val d = math.min(n - pp.targetMulti, math.max(1, (pp.eta * n).toInt))
+      b += d
+      n -= d
+    }
+    b.result()
+  }
 
   /** Substring candidates over the word-type table: every substring of
     * length ≤ maxPieceLen of every type, weighted by corpus word
@@ -87,13 +123,53 @@ object Ulm {
     }.toMap
   }
 
-  /** Row-local Viterbi: best[j] = min over piece lengths l of
+  /** The row-local Viterbi core: best[j] = min over piece lengths l of
     * (best[j−l].cost + cost(w[j−l..j]), best[j−l].path + " " + piece),
-    * minimized under the (cost, path) total order. Returns
+    * minimized under the (cost, path) total order; `excl` (null = none)
+    * removes one piece from the vocabulary for the leave-one-out pass.
+    * Returns (cost, " "-prefixed path) — path null iff unsegmentable.
+    * Unbounded in word length: the arrays size per word.
+    */
+  private def viterbiDp(w: String, cm: Map[String, Double],
+                        maxPieceLen: Int, excl: String): (Double, String) = {
+    val n = w.length
+    val cost = new Array[Double](n + 1)
+    val path = new Array[String](n + 1)
+    path(0) = ""
+    var j = 1
+    while (j <= n) {
+      var bestC = Double.MaxValue
+      var bestP: String = null
+      var l = math.min(maxPieceLen, j)
+      while (l >= 1) {
+        val piece = w.substring(j - l, j)
+        if (piece != excl) {
+          val c = cm.get(piece)
+          if (c.isDefined && path(j - l) != null) {
+            val cc = cost(j - l) + c.get
+            val pp = path(j - l) + " " + piece
+            if (bestP == null || cc < bestC ||
+                (cc == bestC && pp.compareTo(bestP) < 0)) {
+              bestC = cc; bestP = pp
+            }
+          }
+        }
+        l -= 1
+      }
+      cost(j) = bestC
+      path(j) = bestP
+      j += 1
+    }
+    (cost(n), path(n))
+  }
+
+  /** Row-local Viterbi segmentation of every word type. Returns
     * (word, freq, n_pieces, pieces, cost) with pieces space-joined.
+    * `assertLen` is the oracle-unroll honesty assert (see Params) —
+    * None on the production path.
     */
   def segment(wt: DataFrame, costs: Map[String, Double],
-              maxPieceLen: Int): DataFrame = {
+              maxPieceLen: Int, assertLen: Option[Int] = None): DataFrame = {
     val spark = wt.sparkSession
     val bc = spark.sparkContext.broadcast(costs)
     val schema = StructType(Seq(
@@ -102,47 +178,52 @@ object Ulm {
       StructField("n_pieces", IntegerType, nullable = false),
       StructField("pieces", StringType, nullable = false),
       StructField("cost", DoubleType, nullable = false)))
-    val maxL = MaxWordLen
+    val maxL = assertLen.getOrElse(Int.MaxValue)
     val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
       val cm = bc.value
       rows.map { r =>
         val w = r.getString(0)
-        val n = w.length
-        require(n <= maxL,
+        require(w.length <= maxL,
           s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
-        // DP over prefix lengths; null = unreachable (cannot happen: all
-        // single chars are in the vocabulary)
-        val cost = new Array[Double](n + 1)
-        val path = new Array[String](n + 1)
-        path(0) = ""
-        var j = 1
-        while (j <= n) {
-          var bestC = Double.MaxValue
-          var bestP: String = null
-          var l = math.min(maxPieceLen, j)
-          while (l >= 1) {
-            val piece = w.substring(j - l, j)
-            val c = cm.get(piece)
-            if (c.isDefined && path(j - l) != null) {
-              val cc = cost(j - l) + c.get
-              val pp = path(j - l) + " " + piece
-              if (bestP == null || cc < bestC ||
-                  (cc == bestC && pp.compareTo(bestP) < 0)) {
-                bestC = cc; bestP = pp
-              }
-            }
-            l -= 1
-          }
-          cost(j) = bestC
-          path(j) = bestP
-          j += 1
-        }
+        val (c, p) = viterbiDp(w, cm, maxPieceLen, null)
         // unreachable only under a caller-supplied cost map missing a
         // character — the trained vocabulary always carries all singles
-        require(path(n) != null,
+        require(p != null,
           s"word '$w' is not segmentable under the supplied cost map")
-        val pieces = path(n).substring(1) // drop the leading space
-        Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, cost(n))
+        val pieces = p.substring(1) // drop the leading space
+        Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, c)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Leave-one-out Viterbi for the pruning loss-deltas: for each input
+    * (word, freq, cost, excl) row, the best segmentation cost of `word`
+    * with `excl` removed from the vocabulary. Always feasible — `excl`
+    * is multi-char and every single survives. Returns
+    * (word, excl, freq, cost, alt_cost); `cost` (the base Viterbi cost
+    * under the SAME map) passes through so the delta term needs no
+    * rejoin.
+    */
+  def segmentExcl(pairs: DataFrame, costs: Map[String, Double],
+                  maxPieceLen: Int): DataFrame = {
+    val spark = pairs.sparkSession
+    val bc = spark.sparkContext.broadcast(costs)
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("excl", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("cost", DoubleType, nullable = false),
+      StructField("alt_cost", DoubleType, nullable = false)))
+    val out = pairs.select("word", "excl", "freq", "cost").rdd.mapPartitions { rows =>
+      val cm = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        val x = r.getString(1)
+        val (c, p) = viterbiDp(w, cm, maxPieceLen, x)
+        require(p != null,
+          s"word '$w' unsegmentable with '$x' excluded — singles missing?")
+        Row(w, x, r.getLong(2), r.getDouble(3), c)
       }
     }
     spark.createDataFrame(out, schema)
@@ -173,7 +254,7 @@ object Ulm {
     var cnt: DataFrame = null
     var it = 0
     while (it < p.iters) {
-      seg = segment(wt, cm, p.maxPieceLen)
+      seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen)
       cnt = pathCounts(seg, vocab).localCheckpoint()
       cm = costMap(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
       it += 1
@@ -256,7 +337,7 @@ object Ulm {
     val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
     var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     val rows = (1 to p.iters).map { k =>
-      val seg = segment(wt, cm, p.maxPieceLen).localCheckpoint()
+      val seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
       val t = seg.agg(
           Stable.dsum(Stable.stab(col("freq") * col("cost"), 6), 6).as("t"),
           sum(col("freq") * col("n_pieces")).as("pc"))
@@ -282,5 +363,123 @@ object Ulm {
       .agg(sum("words").as("n_words"), sum("ulm_tokens").as("n_ulm_tokens"))
       .withColumn("fertility", Stable.stab(
         col("n_ulm_tokens").cast("double") / col("n_words").cast("double"), 6))
+  }
+
+  /** The likelihood-loss pruning schedule (Kudo 2018 §4.2's sub-iteration
+    * — the operation that makes a unigram tokenizer answer "give me a
+    * TARGET-size vocabulary"): starting from trained recounts `cnt0`,
+    * each round (a) Viterbi-segments all types under the current costs
+    * (the EM step's E), (b) recounts (the M), (c) scores every multi-char
+    * piece q by the loss delta Σ_w freq·(cost(w | V∖{q}) − cost(w | V))
+    * over the words whose path uses q — a leave-one-out DP per
+    * (word, used-piece) pair, |types|×avg-path-pieces rows, never
+    * corpus-scale — and (d) drops the schedule's count of lowest-delta
+    * pieces ((delta, piece) total order; unused pieces delta 0 go first),
+    * renormalizing costs over the survivors. After the loop one final
+    * Viterbi pass yields the pruned model's segmentation and card.
+    *
+    * Cross-engine exactness: alt and base costs are left-folds of the
+    * same stab(6) piece costs (identical IEEE sequences), their
+    * difference is one exact subtraction, and each delta is a
+    * stab(6)+DECIMAL order-free sum — so the drop RANKING, and therefore
+    * every downstream cost table, hash-matches the unrolled-CTE oracle.
+    * Driver traffic per round: one model-sized recount collect + one
+    * nDrop-sized dropped-piece collect (the k×dim metadata contract).
+    *
+    * `expectMulti0`: the oracle-anchor require — the static schedule both
+    * engines walk assumes the seed's multi-char cap was FILLED; a fixture
+    * where it isn't fails loudly instead of diverging.
+    *
+    * Returns card (piece, cnt, nll), final segmentation, curve, and the
+    * cost map the final segmentation was computed under (what UlmSpec's
+    * brute-force optimality check prices against): curve row r =
+    * (round, n_multi, n_vocab, total_nll, total_pieces) describes the
+    * vocabulary INPUT to round r's Viterbi pass and that pass's corpus
+    * objective — the last row is the pruned model itself.
+    */
+  final case class PruneResult(card: DataFrame, seg: DataFrame,
+                               curve: DataFrame, finalCosts: Map[String, Double])
+
+  def pruneFrom(wt: DataFrame, cnt0: DataFrame, p: Params, pp: PruneParams,
+                expectMulti0: Option[Int] = None): PruneResult = {
+    val spark = wt.sparkSession
+    import spark.implicits._
+    var vocab: Seq[(String, Long)] = cnt0.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    var nMulti = vocab.count(_._1.length >= 2)
+    expectMulti0.foreach(e => require(nMulti == e,
+      s"pruning anchor: trained vocab has $nMulti multi-char pieces, oracle schedule assumes $e"))
+    val schedule = pruneSchedule(nMulti, pp)
+    var cm = costMap(vocab)
+    val curve = Seq.newBuilder[(Int, Int, Int, Double, Long)]
+
+    def segStats(seg: DataFrame): (Double, Long) = {
+      val r = seg.agg(
+        Stable.dsum(Stable.stab(col("freq") * col("cost"), 6), 6).as("t"),
+        sum(col("freq") * col("n_pieces")).as("pc")).collect()(0)
+      (r.getDouble(0), r.getLong(1))
+    }
+
+    var round = 1
+    schedule.foreach { nDrop =>
+      val seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
+      val (nll, pc) = segStats(seg)
+      curve += ((round, nMulti, vocab.size, nll, pc))
+      // EM recount over the PRE-drop vocabulary (the M step); survivors
+      // keep these counts into the renormalized next-round costs
+      val cntMap = pathCounts(seg, vocab.map(_._1).toDF("piece")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+      // leave-one-out deltas over each word's USED multi-char pieces
+      val pairs = seg.select(col("word"), col("freq"), col("cost"),
+        explode(array_distinct(filter(split(col("pieces"), " "),
+          x => length(x) >= 2))).as("excl"))
+      val deltaUsed = segmentExcl(pairs, cm, p.maxPieceLen)
+        .groupBy("excl")
+        .agg(Stable.dsum(Stable.stab(
+          col("freq") * (col("alt_cost") - col("cost")), 6), 6).as("delta"))
+      val dropped = vocab.filter(_._1.length >= 2).map(_._1).toDF("piece")
+        .join(deltaUsed.withColumnRenamed("excl", "piece"), Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("delta"), lit(0.0)).as("delta"))
+        .orderBy(col("delta"), col("piece")).limit(nDrop)
+        .select("piece").collect().map(_.getString(0)).toSet
+      vocab = vocab.collect {
+        case (pc0, _) if !dropped(pc0) => (pc0, cntMap(pc0))
+      }
+      cm = costMap(vocab)
+      nMulti -= nDrop
+      round += 1
+    }
+    // the pruned model: one final Viterbi pass + recount + cost card
+    val segF = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
+    val (nllF, pcF) = segStats(segF)
+    curve += ((round, nMulti, vocab.size, nllF, pcF))
+    val cntF = pathCounts(segF, vocab.map(_._1).toDF("piece")).localCheckpoint()
+    val tot = cntF.agg(sum(col("cnt") + lit(1L)).as("t"))
+    val card = cntF.crossJoin(broadcast(tot))
+      .select(col("piece"), col("cnt"),
+        Stable.stab(log(col("t").cast("double")) -
+          log((col("cnt") + lit(1L)).cast("double")), 6).as("nll"))
+    PruneResult(card, segF,
+      curve.result().toDF("round", "n_multi", "n_vocab", "total_nll", "total_pieces"),
+      cm)
+  }
+
+  /** Train + prune in one call — the "give me a target-size vocabulary"
+    * entry point.
+    */
+  def pruneTrain(docs: DataFrame, p: Params = Params(),
+                 pp: PruneParams = PruneParams()): PruneResult = {
+    val wt = Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = seed(wt, p.maxPieceLen, p.seedSize)
+    var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    var cnt: DataFrame = null
+    var it = 0
+    while (it < p.iters) {
+      cnt = pathCounts(segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen), vocab)
+        .localCheckpoint()
+      cm = costMap(cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      it += 1
+    }
+    pruneFrom(wt, cnt, p, pp)
   }
 }

@@ -17,7 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object UlmQueries {
 
-  val P = Ulm.Params() // maxPieceLen 6, seedSize 128, iters 2
+  // maxPieceLen 6, seedSize 128, iters 2; the oracle unrolls its DP to
+  // MaxWordLen positions, so the oracle-GATED queries assert that bound
+  // (the production path is unbounded — round-15 verdict #2)
+  val P = Ulm.Params(assertMaxWordLen = Some(Ulm.MaxWordLen))
+
+  // prune 128 multi-char pieces to 32 at eta = 0.5: static schedule
+  // [64, 32], anchored by the filled-seed require in pruneFrom
+  val PP = Ulm.PruneParams(targetMulti = 32, eta = 0.5)
 
   /** The trained segmentation as a persisted setup artifact (the
     * bpemodel discipline): train once per corpus, every query reads it.
@@ -123,6 +130,107 @@ object UlmQueries {
        |${costCte("c1", "cnt1")},
        |${viterbiCtes(2, "c1")},
        |${recountCte(2)}""".stripMargin
+
+  /** Leave-one-out Viterbi chain for prune round `k`: one DP per
+    * (word, used-multi-piece) pair seeded from seg$k, the excluded piece
+    * carried through every position and filtered out of the cost join.
+    * Emits alt$k (word, excl, freq, base, cost) — cost is the
+    * alternative path's, base the unconstrained Viterbi's.
+    */
+  private def exclViterbiCtes(k: Int, ck: String): String = {
+    val steps = (1 to L).map { j =>
+      val branches = (1 to math.min(P.maxPieceLen, j)).map { l =>
+        s"""SELECT v.word, v.excl, v.freq, v.base, v.cost + c.cost AS cost,
+           |      v.path || ' ' || c.piece AS path
+           |    FROM a${k}p${j - l} v JOIN $ck c
+           |      ON c.piece = substr(v.word, ${j - l + 1}, $l) AND c.piece <> v.excl
+           |    WHERE length(v.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL ")
+      s"""a${k}p$j AS MATERIALIZED (
+         |  SELECT word, excl, freq, base, cost, path FROM (
+         |    SELECT word, excl, freq, base, cost, path,
+         |      row_number() OVER (PARTITION BY word, excl ORDER BY cost, path) AS rn
+         |    FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to L)
+      .map(j => s"SELECT word, excl, freq, base, cost FROM a${k}p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""a${k}p0 AS (
+       |  SELECT s.word, t.p AS excl, s.freq, s.cost AS base,
+       |    CAST(0 AS DOUBLE) AS cost, '' AS path
+       |  FROM seg$k s, unnest(list_distinct(list_filter(string_split(s.pieces, ' '),
+       |    x -> length(x) >= 2))) t(p)),
+       |$steps,
+       |alt$k AS MATERIALIZED (SELECT * FROM ($fin))""".stripMargin
+  }
+
+  /** One prune round `k` over multi vocab `mv` and cost table `ck`:
+    * Viterbi (seg$k) + leave-one-out deltas + the schedule's `nDrop`
+    * lowest-(delta, piece) drops + survivor recount + renormalized costs.
+    * Emits keptm$k, vocab$k, cntk$k, ck$k.
+    */
+  private def pruneRoundCtes(k: Int, mv: String, ck: String, nDrop: Int): String =
+    s"""${viterbiCtes(k, ck)},
+       |${exclViterbiCtes(k, ck)},
+       |dagg$k AS (SELECT excl AS piece,
+       |    ${graft.functions.Stable.dsumSql(
+             graft.functions.Stable.stabSql("freq * (cost - base)", 6), 6)} AS delta
+       |  FROM alt$k GROUP BY excl),
+       |d$k AS (SELECT m.piece, COALESCE(g.delta, 0.0) AS delta
+       |  FROM $mv m LEFT JOIN dagg$k g USING (piece)),
+       |drop$k AS MATERIALIZED (
+       |  SELECT piece FROM d$k ORDER BY delta, piece LIMIT $nDrop),
+       |keptm$k AS MATERIALIZED (
+       |  SELECT piece FROM $mv WHERE piece NOT IN (SELECT piece FROM drop$k)),
+       |vocab$k AS MATERIALIZED (
+       |  SELECT piece FROM keptm$k
+       |  UNION ALL SELECT piece FROM seed0 WHERE length(piece) = 1),
+       |cntk$k AS MATERIALIZED (
+       |  SELECT v.piece, CAST(COALESCE(sum(x.freq), 0) AS BIGINT) AS cnt
+       |  FROM vocab$k v LEFT JOIN (
+       |    SELECT s.freq, unnest(string_split(s.pieces, ' ')) AS piece
+       |    FROM seg$k s) x USING (piece)
+       |  GROUP BY v.piece),
+       |${costCte(s"ck$k", s"cntk$k")}""".stripMargin
+
+  private val Schedule = Ulm.pruneSchedule(P.seedSize, PP)
+  private val KFinal = 3 + Schedule.length
+
+  /** The pruning chain appended to the trainer: costs off cnt2, then per
+    * schedule round the prune chain, then the final pruned-model Viterbi
+    * pass (seg$KFinal) and its recount (cntk$KFinal).
+    */
+  def pruneCtes: String = {
+    val rounds = Schedule.zipWithIndex.map { case (nDrop, i) =>
+      val k = 3 + i
+      pruneRoundCtes(k,
+        if (i == 0) "mv0" else s"keptm${k - 1}",
+        if (i == 0) "c2" else s"ck${k - 1}", nDrop)
+    }.mkString(",\n")
+    s"""$trainerCtes,
+       |${costCte("c2", "cnt2")},
+       |mv0 AS (SELECT piece FROM seed0 WHERE length(piece) >= 2),
+       |$rounds,
+       |${viterbiCtes(KFinal, s"ck${KFinal - 1}")},
+       |cntk$KFinal AS MATERIALIZED (
+       |  SELECT v.piece, CAST(COALESCE(sum(x.freq), 0) AS BIGINT) AS cnt
+       |  FROM vocab${KFinal - 1} v LEFT JOIN (
+       |    SELECT s.freq, unnest(string_split(s.pieces, ' ')) AS piece
+       |    FROM seg$KFinal s) x USING (piece)
+       |  GROUP BY v.piece)""".stripMargin
+  }
+
+  /** wt + trained recounts → the prune run, shared by both prune
+    * queries. Starts from the persisted segmentation (cnt2 is a cheap
+    * recount), so no second trainer run.
+    */
+  private def prunedParts(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wt = graft.operators.Bpe.wordTypes(Tables.documents(s, d)).drop("sym")
+      .localCheckpoint()
+    val cnt0 = Ulm.pathCounts(persistedUlmSeg(s, d),
+      Ulm.seed(wt, P.maxPieceLen, P.seedSize))
+    Ulm.pruneFrom(wt, cnt0, P, PP, expectMulti0 = Some(P.seedSize))
+  }
 
   def all: Seq[GraftQuery] = Seq(
 
@@ -256,6 +364,45 @@ object UlmQueries {
            |  ${graft.functions.Stable.stabSql(
                "CAST(sum(p.ulm) AS DOUBLE) / CAST(sum(p.n_words) AS DOUBLE)", 6)} AS fertility
            |FROM documents d JOIN perdoc p USING (doc_id)
-           |GROUP BY d.source ORDER BY source""".stripMargin))
+           |GROUP BY d.source ORDER BY source""".stripMargin)),
+
+    // The likelihood-loss pruning curve (Kudo 2018 §4.2 — the operation
+    // that turns "a trained unigram model" into "a TARGET-size
+    // vocabulary"): per prune round, the vocabulary entering that
+    // round's Viterbi pass and the corpus objective under it. The oracle
+    // re-derives every leave-one-out delta, drop pick, and renormalized
+    // cost table as unrolled CTEs — a divergence in any round's ranking
+    // or recount lands here. Size vs NLL: n_multi falls 128→64→32 while
+    // total_nll rises — the honesty card for what pruning costs.
+    GraftQuery("ulm_prune_curve",
+      (s, d) => prunedParts(s, d).curve.orderBy("round"),
+      Some {
+        val multiBefore = Schedule.scanLeft(P.seedSize)(_ - _)
+        val rows = multiBefore.zipWithIndex.map { case (nm, i) =>
+          val k = 3 + i
+          val vt = if (i == 0) "seed0" else s"vocab${k - 1}"
+          s"""SELECT CAST(${i + 1} AS INT) AS round, CAST($nm AS INT) AS n_multi,
+             |  CAST((SELECT count(*) FROM $vt) AS INT) AS n_vocab,
+             |  ${graft.functions.Stable.dsumSql(
+                  graft.functions.Stable.stabSql("freq * cost", 6), 6)} AS total_nll,
+             |  CAST(sum(freq * n_pieces) AS BIGINT) AS total_pieces
+             |FROM seg$k""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $pruneCtes
+           |$rows
+           |ORDER BY round""".stripMargin
+      }),
+
+    // The pruned model card — the deliverable of "give me a 32-multi-
+    // piece vocabulary": final recounts + NLL over the surviving pieces
+    // after the full drop schedule, gating every prune round end to end.
+    GraftQuery("ulm_vocab_pruned",
+      (s, d) => prunedParts(s, d).card.orderBy("piece"),
+      Some(
+        s"""WITH $pruneCtes,
+           |cpt AS (SELECT CAST(sum(cnt + 1) AS DOUBLE) AS t FROM cntk$KFinal)
+           |SELECT piece, cnt,
+           |  floor((ln((SELECT t FROM cpt)) - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nll
+           |FROM cntk$KFinal ORDER BY piece""".stripMargin))
   )
 }

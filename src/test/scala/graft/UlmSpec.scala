@@ -136,16 +136,121 @@ class UlmSpec extends AnyFunSuite {
     assert(a == b)
   }
 
-  test("a word longer than the oracle unroll fails loudly, not silently") {
+  test("the oracle-unroll assert is OPT-IN: the production path segments " +
+    "a 20+-char word; an oracle-gated Params fails loudly on it") {
     import spark.implicits._
-    val long = Seq((1L, "a" * (Ulm.MaxWordLen + 1), "src0"))
+    val long = Seq((1L, "internationalization is a word and tiny ab abab", "src0"))
       .toDF("doc_id", "text", "source")
-    val wt = graft.operators.Bpe.wordTypes(long).drop("sym")
-    val cm = Map("a" -> 1.0)
+    // default Params: no length bound — the DP sizes per word
+    val (model, seg) = Ulm.train(long)
+    val vocabSet = model.collect().map(_.getString(0)).toSet
+    val rows = seg.collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rows.contains("internationalization"))
+    rows.foreach { case (w, pieces) =>
+      assert(pieces.split(" ").mkString("") == w)
+      assert(pieces.split(" ").forall(vocabSet.contains))
+    }
+    // the SAME corpus under the oracle-gated Params aborts loudly
+    val gated = Ulm.Params(assertMaxWordLen = Some(Ulm.MaxWordLen))
     val ex = intercept[org.apache.spark.SparkException] {
-      Ulm.segment(wt, cm, 6).collect()
+      Ulm.train(long, gated)._2.collect()
     }
     assert(ex.getMessage.contains("MaxWordLen") ||
       Option(ex.getCause).exists(_.getMessage.contains("MaxWordLen")))
+  }
+
+  test("leave-one-out Viterbi never undercuts the unconstrained one " +
+    "(loss deltas are nonnegative) and skips the excluded piece") {
+    import org.apache.spark.sql.functions._
+    val P = Ulm.Params()
+    val wt = graft.operators.Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val cm = Ulm.costMap(Ulm.seed(wt, P.maxPieceLen, P.seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val seg = Ulm.segment(wt, cm, P.maxPieceLen).localCheckpoint()
+    val pairs = seg.select(col("word"), col("freq"), col("cost"),
+      explode(array_distinct(filter(split(col("pieces"), " "),
+        x => length(x) >= 2))).as("excl"))
+    val alt = Ulm.segmentExcl(pairs, cm, P.maxPieceLen).collect()
+    assert(alt.nonEmpty)
+    alt.foreach { r =>
+      assert(r.getDouble(4) >= r.getDouble(3),
+        s"excluding '${r.getString(1)}' from '${r.getString(0)}' LOWERED the cost")
+    }
+    // re-price check on one pair: the alt path truly avoids the piece
+    val cm2 = cm
+    alt.take(200).foreach { r =>
+      val w = r.getString(0); val x = r.getString(1)
+      // brute force without x
+      val b = bruteSeg(w, cm2 - x)
+      assert(b != null && b._1 == r.getDouble(4), s"alt cost drift on ($w, $x)")
+    }
+  }
+
+  test("pruning: schedule reaches the target, singles all survive, no " +
+    "word is stranded, and the pruned segmentation is Viterbi-optimal") {
+    val res = Ulm.pruneTrain(docs, Ulm.Params(),
+      Ulm.PruneParams(targetMulti = 16, eta = 0.5))
+    val vocab = res.card.collect().map(r => (r.getString(0), r.getLong(1)))
+    val vocabSet = vocab.map(_._1).toSet
+    assert(vocab.count(_._1.length >= 2) == 16)
+    val rows = res.seg.collect()
+    assert(rows.nonEmpty)
+    // every word still segmentable, round-trips, uses only survivors
+    rows.foreach { r =>
+      val (w, pieces) = (r.getString(0), r.getString(3))
+      assert(pieces.split(" ").mkString("") == w, s"'$w' stranded")
+      assert(pieces.split(" ").forall(vocabSet.contains))
+    }
+    // all corpus characters survive as singles
+    val chars = rows.flatMap(_.getString(0).toCharArray).map(_.toString).toSet
+    assert(chars.subsetOf(vocabSet))
+    // the final segmentation is the true Viterbi under its cost map
+    rows.foreach { r =>
+      val w = r.getString(0)
+      val got = (r.getDouble(4), " " + r.getString(3))
+      assert(bruteSeg(w, res.finalCosts) == got,
+        s"pruned DP diverged from brute force on '$w'")
+    }
+    // curve structure: rounds 1..R+1, n_multi follows the schedule down
+    // to target, singles count constant across rounds
+    val curve = res.curve.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+    assert(curve.map(_._1).toSeq == (1 to curve.length))
+    assert(curve.last._2 == 16)
+    assert(curve.map(_._2).toSeq == curve.map(_._2).toSeq.sorted.reverse)
+    val singles = curve.map(c => c._3 - c._2).toSet
+    assert(singles.size == 1, s"singles count drifted across rounds: $singles")
+  }
+
+  /** Brute force over all 2^(n-1) segmentations under `cm` — the
+    * independent pricing shared by the DP and pruning pins. Returns
+    * (cost, " "-prefixed path), null if unsegmentable.
+    */
+  private def bruteSeg(w: String, cm: Map[String, Double]): (Double, String) = {
+    var best: (Double, String) = null
+    val n = w.length
+    require(n <= 30, s"brute force cap: $w")
+    for (mask <- 0L until (1L << (n - 1))) {
+      var ok = true
+      var cost = 0.0
+      var path = ""
+      var start = 0
+      var i = 0
+      while (i < n && ok) {
+        val cut = i == n - 1 || ((mask >> i) & 1L) == 1L
+        if (cut) {
+          val piece = w.substring(start, i + 1)
+          cm.get(piece) match {
+            case Some(c) => cost += c; path = path + " " + piece; start = i + 1
+            case None => ok = false
+          }
+        }
+        i += 1
+      }
+      if (ok && (best == null || cost < best._1 ||
+          (cost == best._1 && path.compareTo(best._2) < 0)))
+        best = (cost, path)
+    }
+    best
   }
 }
