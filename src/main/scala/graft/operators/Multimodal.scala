@@ -1167,6 +1167,229 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  // ------------------------------------------------------------------
+  // JPEG tier (round 16): the format real crawled corpora are
+  // overwhelmingly made of, and the one real-decode gap javax.imageio
+  // closes in-box. Lossy codec, so the gates split honestly:
+  //  - marker STRUCTURE + dims: deterministic, hash-gated (a real
+  //    JFIF/marker walk, the mp4/webm discipline);
+  //  - flat-color payloads: the DCT of a uniform block is exact and the
+  //    gray YCbCr round-trip is integer-exact (measured over all 256
+  //    grays, JpegSpec pins it), so decoded PIXELS hash-gate;
+  //  - textured payloads: decode error is codec arithmetic with no SQL
+  //    twin — the gate is a bounded-error claim (within_tol) whose
+  //    measured distribution JpegSpec pins (the emb_pq_error pattern).
+
+  /** Deterministic JPEG fixture contract per image doc (doc_id%3==0):
+    * (width 8..16, height 8..16, flat?) — flat payloads are uniform gray
+    * (id%256) written at quality 1.0; textured payloads carry the PNG
+    * tier's gradient pattern at quality 0.75.
+    */
+  def jpegParams(mediaId: Long): (Int, Int, Boolean) =
+    ((8 + mediaId % 9).toInt, (8 + (mediaId / 9) % 9).toInt,
+      (mediaId / 3) % 2 == 0)
+
+  private def encodeJpeg(mediaId: Long): Array[Byte] = {
+    val (w, h, flat) = jpegParams(mediaId)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g0 = (mediaId % 256).toInt
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val g = if (flat) g0 else ((x * 31 + y * 7 + mediaId) % 256).toInt
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = writer.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(if (flat) 1.0f else 0.75f)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** The JPEG fixture as a media table (media_id, payload) over the
+    * image doc population — generate-in-place, never shuffled.
+    */
+  def withJpegMedia(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val out = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+      .rdd.mapPartitions(_.map(r => Row(r.getLong(0), encodeJpeg(r.getLong(0)))))
+    spark.createDataFrame(out, schema)
+  }
+
+  /** JPEG metadata via a REAL marker walk (ITU T.81 §B): SOI, then
+    * length-prefixed marker segments up to SOS — frame dims and
+    * component count from the SOF segment, quantization/Huffman TABLE
+    * counts parsed from inside the DQT/DHT segments (a segment may carry
+    * several tables — counting segments would be wrong), APP0/JFIF
+    * presence flagged. Malformed streams (no SOI, truncated segment, a
+    * fill-byte-less stray, no SOF before SOS) surface as the null row —
+    * corrupt files are data.
+    */
+  def decodeJpegMarkers(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("n_components", IntegerType),
+      StructField("n_dqt", IntegerType),
+      StructField("n_dht", IntegerType),
+      StructField("sof_marker", IntegerType),
+      StructField("n_app0", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val b = r.getAs[Array[Byte]]("payload")
+        var ok = b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+        var w, h, nc, sof = -1
+        var nDqt, nDht, nApp0 = 0
+        var i = 2
+        var done = false
+        def u8(o: Int): Int = b(o) & 0xff
+        def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+        try {
+          while (ok && !done) {
+            if (i + 4 > b.length || u8(i) != 0xff) ok = false
+            else {
+              val m = u8(i + 1)
+              val len = u16(i + 2)
+              val end = i + 2 + len
+              if (len < 2 || end > b.length) ok = false
+              else {
+                m match {
+                  case 0xdb => // DQT: tables are 1 + 64·(1+precision) bytes
+                    var off = i + 4
+                    while (ok && off < end) {
+                      val pq = (u8(off) & 0xf0) >> 4
+                      off += 1 + (if (pq == 0) 64 else 128)
+                      if (off > end) ok = false else nDqt += 1
+                    }
+                  case 0xc4 => // DHT: 17-byte header + Σ code counts
+                    var off = i + 4
+                    while (ok && off < end) {
+                      var tot = 0
+                      var k = 1
+                      while (k <= 16) { tot += u8(off + k); k += 1 }
+                      off += 17 + tot
+                      if (off > end) ok = false else nDht += 1
+                    }
+                  case 0xe0 => nApp0 += 1
+                  case 0xda => done = true // SOS: entropy-coded data follows
+                  case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc8 && mm != 0xcc =>
+                    sof = mm
+                    h = u16(i + 5); w = u16(i + 7); nc = u8(i + 9)
+                  case _ => () // APPn, COM, others: skip
+                }
+                i = end
+              }
+            }
+          }
+        } catch { case scala.util.control.NonFatal(_) => ok = false }
+        if (!ok || !done || sof < 0)
+          Row(r.getLong(0), null, null, null, null, null, null, null)
+        else Row(r.getLong(0), w, h, nc, nDqt, nDht, sof, nApp0)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Decoded-PIXEL gate through the lossy codec, on the payloads where
+    * lossy is exact: flat-color JPEGs decode to their source gray
+    * bit-exactly (uniform blocks have only a DC coefficient and the gray
+    * YCbCr round trip is integer-exact — JpegSpec measures this over all
+    * 256 grays). (media_id, gray = decoded pixel(0,0) gray value or null
+    * if channels disagree, uniform = all pixels equal it).
+    */
+  def decodeJpegFlat(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("gray", IntegerType),
+      StructField("uniform", BooleanType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(r.getLong(0), null, null)
+        else {
+          val p0 = img.getRGB(0, 0)
+          val g = p0 & 0xff
+          val chansAgree = ((p0 >> 16) & 0xff) == g && ((p0 >> 8) & 0xff) == g
+          var uniform = chansAgree
+          var y = 0
+          while (uniform && y < img.getHeight) {
+            var x = 0
+            while (uniform && x < img.getWidth) {
+              if (img.getRGB(x, y) != p0) uniform = false
+              x += 1
+            }
+            y += 1
+          }
+          Row(r.getLong(0), if (chansAgree) g else null, uniform)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** The JPEG decode-error honesty card: re-derive each textured
+    * payload's SOURCE pattern from the synthesis contract, decode the
+    * real bytes, and claim a bounded max per-pixel error. The error
+    * itself is codec arithmetic (IDCT + chroma resample) with no SQL
+    * twin, so the GATE is the bound; the measured distribution (max 44,
+    * mean ≈ 6 at quality 0.75 on this fixture) is JpegSpec-pinned.
+    * (media_id, n_px, within_tol).
+    */
+  def decodeJpegError(media: DataFrame, tol: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_px", LongType),
+      StructField("within_tol", BooleanType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val img = try {
+          javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+        } catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null) Row(id, null, null)
+        else {
+          var maxErr = 0
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val want = ((x * 31 + y * 7 + id) % 256).toInt
+              val got = img.getRGB(x, y) & 0xff
+              val e = math.abs(want - got)
+              if (e > maxErr) maxErr = e
+              x += 1
+            }
+            y += 1
+          }
+          Row(id, (img.getWidth.toLong * img.getHeight), maxErr <= tol)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   def decodeImageAHash(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(

@@ -52,7 +52,85 @@ object MultimodalQueries {
       Multimodal.withWebmMedia(Tables.documents(s, d))
     }
 
+  /** The JPEG fixture (round 16): real lossy-codec payloads per image
+    * doc (Multimodal.jpegParams contract) — flat rows at quality 1.0
+    * (pixel-exact, hash-gateable), textured rows at 0.75 (the bounded-
+    * error card).
+    */
+  def persistedMediaJpeg(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "mediajpeg", "documents.parquet") {
+      Multimodal.withJpegMedia(Tables.documents(s, d))
+    }
+
   def all: Seq[GraftQuery] = Seq(
+
+    // JPEG marker-structure walk, hash-gated: dims and component count
+    // from the SOF segment of a REAL T.81 marker parse, quantization and
+    // Huffman TABLE counts from inside the DQT/DHT segments, APP0/JFIF
+    // presence. The structural constants (3-component YCbCr, 2 qtables,
+    // 4 htables, baseline SOF0, one JFIF APP0) are the codec's
+    // deterministic output for this fixture — synthesis drift, a wrong
+    // segment-length walk, or a miscounted multi-table segment all
+    // hash-fail.
+    GraftQuery("multimodal_jpeg_meta",
+      (s, d) => Multimodal.decodeJpegMarkers(persistedMediaJpeg(s, d))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(8 + doc_id % 9 AS INT) AS width,
+          |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+          |  CAST(3 AS INT) AS n_components,
+          |  CAST(2 AS INT) AS n_dqt,
+          |  CAST(4 AS INT) AS n_dht,
+          |  CAST(192 AS INT) AS sof_marker,
+          |  CAST(1 AS INT) AS n_app0
+          |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)),
+
+    // The EXISTING image decode path (extractFeatures' javax.imageio
+    // branch) consumes JPEG transparently — same reader entry point the
+    // PNG tier gates, now hash-gated against the JPEG fixture contract.
+    GraftQuery("multimodal_jpeg_dims",
+      (s, d) => Multimodal.decodeImageDims(persistedMediaJpeg(s, d))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(8 + doc_id % 9 AS INT) AS width,
+          |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height
+          |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)),
+
+    // Decoded PIXELS through the lossy codec, hash-gated where lossy is
+    // exact: flat-color payloads must decode to their contract gray
+    // bit-exactly, uniformly (uniform DCT blocks carry only a DC
+    // coefficient; the gray YCbCr round trip is integer-exact — JpegSpec
+    // measures all 256 grays). A codec/quality/subsampling drift lands
+    // here as a hash fail, not a silent quality loss.
+    GraftQuery("multimodal_jpeg_flat",
+      (s, d) => Multimodal.decodeJpegFlat(
+        persistedMediaJpeg(s, d).filter((col("media_id") / 3).cast("long") % 2 === 0))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST(doc_id % 256 AS INT) AS gray,
+          |  TRUE AS uniform
+          |FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 0
+          |ORDER BY media_id""".stripMargin)),
+
+    // The decode-error honesty card for the textured tier: source
+    // pattern re-derived from the synthesis contract, decoded bytes
+    // compared per pixel, a BOUNDED max-error claim per image (the
+    // emb_pq_error pattern — the bound gates; the measured distribution,
+    // max 44 / mean ~6 at quality 0.75, is JpegSpec-pinned, and the spec
+    // also pins that errors are nonzero: the card is not vacuous).
+    GraftQuery("multimodal_jpeg_error",
+      (s, d) => Multimodal.decodeJpegError(
+        persistedMediaJpeg(s, d).filter((col("media_id") / 3).cast("long") % 2 === 1))
+        .orderBy("media_id"),
+      Some(
+        """SELECT doc_id AS media_id,
+          |  CAST((8 + doc_id % 9) * (8 + (doc_id // 9) % 9) AS BIGINT) AS n_px,
+          |  TRUE AS within_tol
+          |FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1
+          |ORDER BY media_id""".stripMargin)),
 
     GraftQuery("multimodal_meta",
       (s, d) => Multimodal.fromDocuments(Tables.documents(s, d))

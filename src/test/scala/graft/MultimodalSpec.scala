@@ -271,6 +271,74 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.length == 4 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("jpeg tier: flat gray is pixel-exact over ALL 256 grays; textured " +
+    "error is bounded AND nonzero; marker walk matches the codec's layout") {
+    import spark.implicits._
+    // 96 image ids (doc_id = 3q): 48 flat + 48 textured
+    val docs = (0L until 96L).map(q => (3 * q, "x", "src0"))
+      .toDF("doc_id", "text", "source")
+    val media = Multimodal.withJpegMedia(docs).localCheckpoint()
+    // marker structure: the deterministic codec layout, every payload
+    val meta = Multimodal.decodeJpegMarkers(media).collect()
+    assert(meta.length == 96)
+    meta.foreach { r =>
+      val id = r.getLong(0)
+      val (w, h, _) = Multimodal.jpegParams(id)
+      assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7)) == ((w, h, 3, 2, 4, 0xc0, 1)), s"media $id")
+    }
+    // flat rows: bit-exact decoded gray, uniform
+    val flat = Multimodal.decodeJpegFlat(
+      media.filter((col("media_id") / 3).cast("long") % 2 === 0)).collect()
+    assert(flat.length == 48)
+    flat.foreach { r =>
+      assert(r.getInt(1) == (r.getLong(0) % 256).toInt && r.getBoolean(2),
+        s"flat media ${r.getLong(0)} not pixel-exact")
+    }
+    // and exhaustively: every gray value 0..255 round-trips exactly
+    val allGrays = (0 until 256).map { g =>
+      val img = new java.awt.image.BufferedImage(12, 10,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 10; x <- 0 until 12) img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), p)
+      ios.close(); writer.dispose()
+      val d = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bos.toByteArray))
+      (0 until 10).forall(y => (0 until 12).forall(x => d.getRGB(x, y) == ((0xff << 24) | (g << 16) | (g << 8) | g)))
+    }
+    assert(allGrays.forall(identity), "a flat gray failed to round-trip bit-exactly")
+    // textured rows: within tol, and the codec is REALLY lossy (card not vacuous)
+    val texturedMedia = media.filter((col("media_id") / 3).cast("long") % 2 === 1)
+    val err = Multimodal.decodeJpegError(texturedMedia).collect()
+    assert(err.length == 48 && err.forall(_.getBoolean(2)))
+    // measure the actual distribution the card's bound covers
+    val measured = texturedMedia.collect().map { r =>
+      val id = r.getLong(0)
+      val d = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      (0 until d.getHeight).flatMap(y => (0 until d.getWidth).map { x =>
+        math.abs(((x * 31 + y * 7 + id) % 256).toInt - (d.getRGB(x, y) & 0xff))
+      }).max
+    }
+    assert(measured.max <= 64, s"textured max err ${measured.max} exceeds the card's bound")
+    assert(measured.max >= 8, "textured decode is suspiciously exact - the lossy card is vacuous")
+    // corrupt streams: garbage, truncated segment, stray non-marker byte
+    val good = media.select("payload").head().getAs[Array[Byte]](0)
+    val badLen = good.clone(); badLen(4) = 0x7f.toByte // APP0 length huge
+    val bad = Seq(
+      (1L, "not-a-jpeg-at-all".getBytes("UTF-8")),
+      (2L, badLen),
+      (3L, good.take(3))).toDF("media_id", "payload")
+    val nulls = Multimodal.decodeJpegMarkers(bad).collect()
+    assert(nulls.length == 3 && nulls.forall(_.isNullAt(1)))
+  }
+
   test("webm EBML walk: well-formed foreign files with >32-bit or >8-octet " +
     "uints take the null row, never a wrapped value") {
     import spark.implicits._
