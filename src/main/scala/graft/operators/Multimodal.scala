@@ -830,6 +830,30 @@ object Multimodal {
       (160 + 16 * (mediaId % 20)).toInt, (120 + 16 * ((mediaId / 20) % 20)).toInt)
   }
 
+  /** Per-track contract shared by BOTH container fixtures (round 16):
+    * odd track positions are VIDEO (track 1 always — the whole-file dims
+    * queries stay well-defined), even positions AUDIO; codec, channel
+    * count, and sample rate are id formulas the oracle re-derives.
+    * Returns (isAudio, fourcc, channels, sampleRate) — the webm twin
+    * maps the fourcc through `webmCodecId`.
+    */
+  def mp4TrackParams(mediaId: Long, t: Int): (Boolean, String, Int, Int) = {
+    val isAudio = t % 2 == 0
+    val codec =
+      if (isAudio) Seq("mp4a", "Opus")(((mediaId / 7 + t) % 2).toInt)
+      else Seq("avc1", "hev1", "av01")(((mediaId / 3 + t) % 3).toInt)
+    (isAudio, codec,
+      (1 + (mediaId + t) % 2).toInt,
+      Seq(8000, 16000, 22050, 44100, 48000)(((mediaId / 5 + t) % 5).toInt))
+  }
+
+  /** The Matroska CodecID for the same track slot — same selector
+    * formulas, Matroska namespace strings.
+    */
+  def webmCodecId(mediaId: Long, t: Int): String =
+    if (t % 2 == 0) Seq("A_OPUS", "A_VORBIS")(((mediaId / 7 + t) % 2).toInt)
+    else Seq("V_VP8", "V_VP9", "V_AV1")(((mediaId / 3 + t) % 3).toInt)
+
   private def encodeMp4(mediaId: Long): Array[Byte] = {
     val (ts, dur, nTracks, w, h) = mp4Params(mediaId)
     val bos = new java.io.ByteArrayOutputStream()
@@ -880,6 +904,53 @@ object Multimodal {
           td.writeInt(w << 16); td.writeInt(h << 16) // 16.16 fixed
         }
         d.writeInt(8 + tkhd.length); d.writeBytes("tkhd"); d.write(tkhd)
+        // round 16: per-track media box — handler type (mdia/hdlr) and
+        // codec sample entry (minf/stbl/stsd) per mp4TrackParams; an
+        // id-dependent free box inside minf keeps offsets id-dependent
+        val (isAudio, codec, ch, rate) = mp4TrackParams(mediaId, t)
+        val hdlr = payload { hd =>
+          hd.writeInt(0) // version/flags
+          hd.writeInt(0) // pre_defined
+          hd.writeBytes(if (isAudio) "soun" else "vide")
+          hd.writeInt(0); hd.writeInt(0); hd.writeInt(0) // reserved
+          hd.writeByte(0) // empty name
+        }
+        val stsd = payload { sd =>
+          sd.writeInt(0) // version/flags
+          sd.writeInt(1) // entry_count
+          val entry =
+            if (isAudio) payload { e => // AudioSampleEntry, 14496-12 §12.2.3
+              e.write(new Array[Byte](6)); e.writeShort(1) // reserved, dri
+              e.writeLong(0L) // reserved
+              e.writeShort(ch); e.writeShort(16) // channelcount, samplesize
+              e.writeInt(0) // pre_defined + reserved
+              e.writeInt(rate << 16) // samplerate 16.16
+            }
+            else payload { e => // VisualSampleEntry, 14496-12 §12.1.3
+              e.write(new Array[Byte](6)); e.writeShort(1) // reserved, dri
+              e.write(new Array[Byte](16)) // pre_defined/reserved
+              e.writeShort(w); e.writeShort(h)
+              e.writeInt(0x00480000); e.writeInt(0x00480000) // 72 dpi
+              e.writeInt(0) // reserved
+              e.writeShort(1) // frame_count
+              e.write(new Array[Byte](32)) // compressorname
+              e.writeShort(24); e.writeShort(-1) // depth, pre_defined
+            }
+          sd.writeInt(8 + entry.length); sd.writeBytes(codec); sd.write(entry)
+        }
+        val stbl = payload { sb =>
+          sb.writeInt(8 + stsd.length); sb.writeBytes("stsd"); sb.write(stsd)
+        }
+        val minf = payload { mf =>
+          val innerFree = new Array[Byte](((mediaId / 16) % 20).toInt)
+          mf.writeInt(8 + innerFree.length); mf.writeBytes("free"); mf.write(innerFree)
+          mf.writeInt(8 + stbl.length); mf.writeBytes("stbl"); mf.write(stbl)
+        }
+        val mdia = payload { md =>
+          md.writeInt(8 + hdlr.length); md.writeBytes("hdlr"); md.write(hdlr)
+          md.writeInt(8 + minf.length); md.writeBytes("minf"); md.write(minf)
+        }
+        d.writeInt(8 + mdia.length); d.writeBytes("mdia"); d.write(mdia)
       }
     }
     val moov = payload { d =>
@@ -967,6 +1038,96 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
+  /** Per-TRACK mp4 metadata (round 16) — what a curation pipeline
+    * filters on before spending decode: handler type from mdia/hdlr,
+    * codec fourcc from the first stsd sample entry, audio channel
+    * count / 16.16 sample rate from the AudioSampleEntry, video dims
+    * from the VisualSampleEntry (per 14496-12 §8.4.3 / §12.1–12.2).
+    * One output row per trak; a malformed tree yields the single null
+    * row — corrupt files are data.
+    */
+  def decodeMp4Tracks(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track_id", IntegerType),
+      StructField("handler", StringType),
+      StructField("codec", StringType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mediaId = r.getLong(0)
+        val buf = r.getAs[Array[Byte]]("payload")
+        def be32(off: Int): Long =
+          ((buf(off) & 0xffL) << 24) | ((buf(off + 1) & 0xffL) << 16) |
+            ((buf(off + 2) & 0xffL) << 8) | (buf(off + 3) & 0xffL)
+        def be16(off: Int): Int = ((buf(off) & 0xff) << 8) | (buf(off + 1) & 0xff)
+        var ok = true
+        val tracks = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, Integer, Integer, Integer, Integer)]
+        // per-trak working state
+        var trkId = -1
+        var handler: String = null
+        var codec: String = null
+        var ch, rate, tw, th: Integer = null
+        def walk(start: Int, end: Int, in: String): Unit = {
+          var off = start
+          while (ok && off < end) {
+            if (off + 8 > end) { ok = false }
+            else {
+              val size = be32(off)
+              val typ = new String(buf, off + 4, 4, "US-ASCII")
+              if (size < 8 || off + size > end) ok = false
+              else {
+                typ match {
+                  case "moov" | "mdia" | "minf" | "stbl" =>
+                    walk(off + 8, off + size.toInt, typ)
+                  case "trak" =>
+                    trkId = -1; handler = null; codec = null
+                    ch = null; rate = null; tw = null; th = null
+                    walk(off + 8, off + size.toInt, typ)
+                    if (ok) tracks += ((trkId, handler, codec, ch, rate, tw, th))
+                  case "tkhd" if size >= 8 + 16 =>
+                    trkId = be32(off + 20).toInt
+                  case "hdlr" if in == "mdia" && size >= 8 + 12 =>
+                    handler = new String(buf, off + 16, 4, "US-ASCII")
+                  case "stsd" if size >= 8 + 16 =>
+                    // verflags(4) count(4), then the first sample entry
+                    val e = off + 16
+                    val esz = be32(e)
+                    if (esz < 16 || e + esz > off + size) ok = false
+                    else {
+                      codec = new String(buf, e + 4, 4, "US-ASCII")
+                      if (handler == "soun" && esz >= 36) {
+                        ch = Integer.valueOf(be16(e + 24))
+                        rate = Integer.valueOf((be32(e + 32) >> 16).toInt)
+                      } else if (handler == "vide" && esz >= 36) {
+                        tw = Integer.valueOf(be16(e + 32))
+                        th = Integer.valueOf(be16(e + 34))
+                      }
+                    }
+                  case _ => ()
+                }
+                off += size.toInt
+              }
+            }
+          }
+        }
+        try walk(0, buf.length, "")
+        catch { case scala.util.control.NonFatal(_) => ok = false }
+        if (!ok || tracks.isEmpty)
+          Seq(Row(mediaId, null, null, null, null, null, null, null))
+        else tracks.map { case (id, hd, cc, c, sr, w0, h0) =>
+          Row(mediaId, id, hd, cc, c, sr, w0, h0)
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   // ==================== WEBM/EBML METADATA TIER (round 15) ====================
 
   /** Synthesis contract of the webm fixture (video doc population, the
@@ -1037,13 +1198,25 @@ object Multimodal {
         el(id(0x44, 0x89), f64(dur.toDouble)))
     val tracks = el(id(0x16, 0x54, 0xae, 0x6b),
       (1 to nTracks).map { t =>
-        el(id(0xae),
-          el(id(0xd7), uintBytes(t.toLong)) ++      // TrackNumber
-            el(id(0x83), uintBytes(1L)) ++          // TrackType video
-            el(id(0xec), new Array[Byte](((mediaId / 2) % 24).toInt)) ++ // Void
+        // round 16: even slots are AUDIO tracks (TrackType 2, Audio
+        // element with SamplingFrequency float + Channels uint), odd
+        // slots VIDEO as before; every track carries a CodecID string
+        val (isAudio, _, ch, rate) = mp4TrackParams(mediaId, t)
+        val media =
+          if (isAudio)
+            el(id(0xe1),                            // Audio
+              el(id(0xb5), f64(rate.toDouble)) ++   // SamplingFrequency
+                el(id(0x9f), uintBytes(ch.toLong))) // Channels
+          else
             el(id(0xe0),                            // Video
               el(id(0xb0), uintBytes(w.toLong)) ++
-                el(id(0xba), uintBytes(h.toLong))))
+                el(id(0xba), uintBytes(h.toLong)))
+        el(id(0xae),
+          el(id(0xd7), uintBytes(t.toLong)) ++      // TrackNumber
+            el(id(0x83), uintBytes(if (isAudio) 2L else 1L)) ++ // TrackType
+            el(id(0x86), webmCodecId(mediaId, t).getBytes("US-ASCII")) ++ // CodecID
+            el(id(0xec), new Array[Byte](((mediaId / 2) % 24).toInt)) ++ // Void
+            media)
       }.reduce(_ ++ _))
     val segment = el(id(0x18, 0x53, 0x80, 0x67),
       el(id(0xec), new Array[Byte]((mediaId % 32).toInt)) ++ // Void
@@ -1162,6 +1335,112 @@ object Multimodal {
             w > Int.MaxValue || h > Int.MaxValue)
           Row(r.getLong(0), null, null, null, null, null)
         else Row(r.getLong(0), ts.toInt, dur.toInt, nTracks, w.toInt, h.toInt)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** Per-TRACK webm metadata (round 16) — the EBML twin of
+    * decodeMp4Tracks: TrackNumber/TrackType uints, the CodecID string,
+    * Audio(SamplingFrequency float, Channels uint) for audio tracks,
+    * Video(PixelWidth, PixelHeight) for video tracks. One row per
+    * TrackEntry; malformed trees or out-of-Int values yield the single
+    * null row — corrupt files are data.
+    */
+  def decodeWebmTracks(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val schema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("track_num", IntegerType),
+      StructField("track_type", IntegerType),
+      StructField("codec_id", StringType),
+      StructField("channels", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("width", IntegerType),
+      StructField("height", IntegerType)))
+    val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val mediaId = r.getLong(0)
+        val buf = r.getAs[Array[Byte]]("payload")
+        var ok = true
+        val tracks = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, String, Long, Long, Long, Long)]
+        var tn, tt, ch, rate, w, h = -1L
+        var codec: String = null
+        def readVint(off: Int, end: Int, keepMarker: Boolean): (Long, Int) = {
+          if (!ok || off >= end) { ok = false; (0L, end) }
+          else {
+            val b0 = buf(off) & 0xff
+            if (b0 == 0) { ok = false; (0L, end) }
+            else {
+              val width = java.lang.Integer.numberOfLeadingZeros(b0) - 23
+              if (off + width > end) { ok = false; (0L, end) }
+              else {
+                var v = if (keepMarker) b0.toLong
+                        else b0.toLong & ((0x80 >> (width - 1)) - 1)
+                var i = 1
+                while (i < width) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+                (v, off + width)
+              }
+            }
+          }
+        }
+        def beUint(off: Int, len: Int): Long = {
+          if (len > 8) { ok = false; 0L }
+          else {
+            var v = 0L
+            var i = 0
+            while (i < len) { v = (v << 8) | (buf(off + i) & 0xffL); i += 1 }
+            v
+          }
+        }
+        def fl(off: Int, len: Int): Double =
+          if (len == 8) java.lang.Double.longBitsToDouble(beUint(off, 8))
+          else if (len == 4) java.lang.Float.intBitsToFloat(beUint(off, 4).toInt).toDouble
+          else { ok = false; 0.0 }
+        def walk(start: Int, end: Int): Unit = {
+          var off = start
+          while (ok && off < end) {
+            val (eid, o1) = readVint(off, end, keepMarker = true)
+            val (sz, o2) = readVint(o1, end, keepMarker = false)
+            if (!ok || o2 + sz > end || sz > Int.MaxValue) ok = false
+            else {
+              val pEnd = o2 + sz.toInt
+              eid match {
+                case 0x18538067L | 0x1654AE6BL | 0xE0L | 0xE1L => // Segment/Tracks/Video/Audio
+                  walk(o2, pEnd)
+                case 0xAEL => // TrackEntry: fresh state, then emit
+                  tn = -1; tt = -1; ch = -1; rate = -1; w = -1; h = -1
+                  codec = null
+                  walk(o2, pEnd)
+                  if (ok) tracks += ((tn, tt, codec, ch, rate, w, h))
+                case 0xD7L => tn = beUint(o2, sz.toInt) // TrackNumber
+                case 0x83L => tt = beUint(o2, sz.toInt) // TrackType
+                case 0x86L => // CodecID
+                  codec = new String(buf, o2, sz.toInt, "US-ASCII")
+                case 0xB5L => rate = fl(o2, sz.toInt).toLong // SamplingFrequency
+                case 0x9FL => ch = beUint(o2, sz.toInt) // Channels
+                case 0xB0L => w = beUint(o2, sz.toInt) // PixelWidth
+                case 0xBAL => h = beUint(o2, sz.toInt) // PixelHeight
+                case _ => ()
+              }
+              off = pEnd
+            }
+          }
+        }
+        try walk(0, buf.length)
+        catch { case scala.util.control.NonFatal(_) => ok = false }
+        def asInt(v: Long): Integer =
+          if (v < 0 || v > Int.MaxValue) null else Integer.valueOf(v.toInt)
+        val wide = tracks.exists(t =>
+          t._1 > Int.MaxValue || t._2 > Int.MaxValue || t._4 > Int.MaxValue ||
+            t._5 > Int.MaxValue || t._6 > Int.MaxValue || t._7 > Int.MaxValue)
+        if (!ok || wide || tracks.isEmpty)
+          Seq(Row(mediaId, null, null, null, null, null, null, null))
+        else tracks.map { case (n, t, cc, c, sr, w0, h0) =>
+          Row(mediaId, asInt(n), asInt(t), cc, asInt(c), asInt(sr),
+            asInt(w0), asInt(h0))
+        }
       }
     }
     spark.createDataFrame(out, schema)

@@ -39,7 +39,7 @@ object MultimodalQueries {
     * video doc, persisted once per corpus (Multimodal.mp4Params contract).
     */
   def persistedMediaMp4(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "mediamp4", "documents.parquet") {
+    Persisted(s, d, "mediamp4", "documents.parquet", "_trk") { // _trk: round-16 per-track mdia/hdlr/stsd boxes
       Multimodal.withMp4Media(Tables.documents(s, d))
     }
 
@@ -48,7 +48,7 @@ object MultimodalQueries {
     * integer sibling.
     */
   def persistedMediaWebm(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "mediawebm", "documents.parquet") {
+    Persisted(s, d, "mediawebm", "documents.parquet", "_trk") { // _trk: round-16 CodecID + audio TrackEntries
       Multimodal.withWebmMedia(Tables.documents(s, d))
     }
 
@@ -576,6 +576,61 @@ object MultimodalQueries {
           |  CAST(320 + 8 * (doc_id % 40) AS INT) AS width,
           |  CAST(240 + 8 * ((doc_id // 40) % 25) AS INT) AS height
           |FROM documents WHERE doc_id % 3 = 2 ORDER BY media_id""".stripMargin)),
+
+    // Per-TRACK mp4 walk (round 16): handler type (mdia/hdlr), codec
+    // fourcc (first stsd sample entry), audio channels + 16.16 sample
+    // rate, video sample-entry dims — what a curation pipeline filters
+    // on (e.g. "has an Opus audio track") before spending decode. The
+    // free box inside minf keeps offsets id-dependent; odd slots video /
+    // even audio per the shared mp4TrackParams contract.
+    GraftQuery("multimodal_mp4_tracks",
+      (s, d) => Multimodal.decodeMp4Tracks(persistedMediaMp4(s, d))
+        .orderBy("media_id", "track_id"),
+      Some(
+        """SELECT doc_id AS media_id, CAST(t.t AS INT) AS track_id,
+          |  CASE WHEN t.t % 2 = 0 THEN 'soun' ELSE 'vide' END AS handler,
+          |  CASE WHEN t.t % 2 = 0 THEN
+          |    CASE (doc_id // 7 + t.t) % 2 WHEN 0 THEN 'mp4a' ELSE 'Opus' END
+          |  ELSE
+          |    CASE (doc_id // 3 + t.t) % 3 WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'av01' END
+          |  END AS codec,
+          |  CAST(CASE WHEN t.t % 2 = 0 THEN 1 + (doc_id + t.t) % 2 END AS INT) AS channels,
+          |  CAST(CASE WHEN t.t % 2 = 0 THEN
+          |    CASE (doc_id // 5 + t.t) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |         WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+          |  END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN t.t % 2 = 1 THEN 160 + 16 * (doc_id % 20) END AS INT) AS width,
+          |  CAST(CASE WHEN t.t % 2 = 1 THEN 120 + 16 * ((doc_id // 20) % 20) END AS INT) AS height
+          |FROM documents, range(1, 4) t(t)
+          |WHERE doc_id % 3 = 2 AND t.t <= 1 + doc_id % 3
+          |ORDER BY media_id, track_id""".stripMargin)),
+
+    // Per-TRACK webm walk (round 16) — the EBML twin: TrackNumber/
+    // TrackType, the CodecID string (Matroska namespace), Audio
+    // (SamplingFrequency float + Channels) for even slots, Video dims
+    // for odd — same selector formulas as the mp4 tier, so the two
+    // containers' track inventories are directly comparable.
+    GraftQuery("multimodal_webm_tracks",
+      (s, d) => Multimodal.decodeWebmTracks(persistedMediaWebm(s, d))
+        .orderBy("media_id", "track_num"),
+      Some(
+        """SELECT doc_id AS media_id, CAST(t.t AS INT) AS track_num,
+          |  CAST(CASE WHEN t.t % 2 = 0 THEN 2 ELSE 1 END AS INT) AS track_type,
+          |  CASE WHEN t.t % 2 = 0 THEN
+          |    CASE (doc_id // 7 + t.t) % 2 WHEN 0 THEN 'A_OPUS' ELSE 'A_VORBIS' END
+          |  ELSE
+          |    CASE (doc_id // 3 + t.t) % 3 WHEN 0 THEN 'V_VP8' WHEN 1 THEN 'V_VP9' ELSE 'V_AV1' END
+          |  END AS codec_id,
+          |  CAST(CASE WHEN t.t % 2 = 0 THEN 1 + (doc_id + t.t) % 2 END AS INT) AS channels,
+          |  CAST(CASE WHEN t.t % 2 = 0 THEN
+          |    CASE (doc_id // 5 + t.t) % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+          |         WHEN 2 THEN 22050 WHEN 3 THEN 44100 ELSE 48000 END
+          |  END AS INT) AS sample_rate,
+          |  CAST(CASE WHEN t.t % 2 = 1 THEN 320 + 8 * (doc_id % 40) END AS INT) AS width,
+          |  CAST(CASE WHEN t.t % 2 = 1 THEN 240 + 8 * ((doc_id // 40) % 25) END AS INT) AS height
+          |FROM documents, range(1, 4) t(t)
+          |WHERE doc_id % 3 = 2 AND t.t <= 1 + (doc_id // 5) % 3
+          |ORDER BY media_id, track_num""".stripMargin)),
 
     // SPECTRAL audio fingerprint (round 15 — closes SURVEY §2.9's
     // "sign-structure, not spectral" gap): a fixed-point DFT over the

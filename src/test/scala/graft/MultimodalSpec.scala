@@ -271,6 +271,56 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.length == 4 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("per-track container walks round-trip the shared track contract " +
+    "in BOTH containers; corrupt trees yield the null row") {
+    import spark.implicits._
+    val docs = (0L until 40L).map(q => (3 * q + 2, "x", "src0"))
+      .toDF("doc_id", "text", "source")
+    // mp4 side
+    val mp4 = Multimodal.withMp4Media(docs).localCheckpoint()
+    val mp4Rows = Multimodal.decodeMp4Tracks(mp4).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    assert(mp4Rows.nonEmpty)
+    mp4Rows.foreach { case (id, rows) =>
+      val (_, _, n, w, h) = Multimodal.mp4Params(id)
+      assert(rows.length == n, s"media $id track count")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val t = i + 1
+        val (isAudio, codec, ch, rate) = Multimodal.mp4TrackParams(id, t)
+        assert(r.getInt(1) == t && r.getString(3) == codec)
+        assert(r.getString(2) == (if (isAudio) "soun" else "vide"))
+        if (isAudio)
+          assert(r.getInt(4) == ch && r.getInt(5) == rate && r.isNullAt(6))
+        else
+          assert(r.isNullAt(4) && r.getInt(6) == w && r.getInt(7) == h)
+      }
+    }
+    // webm side: same selector formulas, Matroska namespace
+    val webm = Multimodal.withWebmMedia(docs).localCheckpoint()
+    val webmRows = Multimodal.decodeWebmTracks(webm).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.sortBy(_.getInt(1))).toMap
+    webmRows.foreach { case (id, rows) =>
+      val (_, _, n, w, h) = Multimodal.webmParams(id)
+      assert(rows.length == n, s"webm media $id track count")
+      rows.zipWithIndex.foreach { case (r, i) =>
+        val t = i + 1
+        val (isAudio, _, ch, rate) = Multimodal.mp4TrackParams(id, t)
+        assert(r.getInt(1) == t && r.getString(3) == Multimodal.webmCodecId(id, t))
+        assert(r.getInt(2) == (if (isAudio) 2 else 1))
+        if (isAudio)
+          assert(r.getInt(4) == ch && r.getInt(5) == rate && r.isNullAt(6))
+        else
+          assert(r.isNullAt(4) && r.getInt(6) == w && r.getInt(7) == h)
+      }
+    }
+    // corrupt payloads: single null row each, never a crash
+    val badM = Seq((1L, "garbage".getBytes("UTF-8"))).toDF("media_id", "payload")
+    assert(Multimodal.decodeMp4Tracks(badM).collect()
+      .forall(r => r.isNullAt(1) && r.isNullAt(3)))
+    assert(Multimodal.decodeWebmTracks(badM).collect()
+      .forall(r => r.isNullAt(1) && r.isNullAt(3)))
+  }
+
   test("jpeg tier: flat gray is pixel-exact over ALL 256 grays; textured " +
     "error is bounded AND nonzero; marker walk matches the codec's layout") {
     import spark.implicits._
