@@ -277,8 +277,18 @@ object Bpe {
     * driver collect touches the data path. This is the operator a
     * training pipeline runs LAST — text in, model-ready token ids out.
     */
-  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame = {
-    val wids = wordIds(wordTypes(docs), merges)
+  def encode(docs: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeFrom(docs, wordIds(wordTypes(docs), merges))
+
+  /** `encode` against a FIXED (word, ids, n_sym) table — the
+    * train-once/encode-forever deployment split (TokenStreams rides
+    * this): the id table is the frozen model artifact; each new corpus
+    * slice or micro-batch only pays the tokenize + broadcast join.
+    * Words absent from `wids` drop out of the stream (the caller decides
+    * the OOV story — TokenStreams falls back to the merge chain over
+    * unseen types first).
+    */
+  def encodeFrom(docs: DataFrame, wids: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         posexplode(graft.functions.TextOps.splitWords(
           graft.functions.TextOps.normalize(col("text")))).as(Seq("pos", "word")))
@@ -291,6 +301,29 @@ object Bpe {
           x => x("ids")), " ").as("ids"),
         sum(col("n_sym")).as("n_bpe_tokens"))
   }
+
+  /** Per-word-type id sequences under a FIXED closed symbol vocabulary
+    * (symbol, id) — the OOV fallback path: the merge chain runs over the
+    * UNSEEN types, each symbol maps through the frozen id table, and a
+    * word containing any out-of-vocabulary symbol is dropped WHOLE (a
+    * partial id stream would silently corrupt the encode; byte-fallback
+    * is the production alternative, documented not implemented).
+    */
+  def wordIdsFromFixed(wt: DataFrame, merges: Seq[Merge],
+                       symIds: DataFrame): DataFrame =
+    applyMerges(wt, merges)
+      .select(col("word"), posexplode(split(trim(col("sym")), "  "))
+        .as(Seq("pos", "symbol")))
+      .join(broadcast(symIds), Seq("symbol"), "left")
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x("id").cast("string")), " ").as("ids"),
+        count(lit(1)).cast("long").as("n_sym"),
+        max(when(col("id").isNull, 1).otherwise(0)).as("oov"))
+      .filter(col("oov") === 0)
+      .drop("oov")
 
   /** Tokenizer fertility by source: subword tokens per whitespace word —
     * the compression diagnostic that decides whether a vocabulary suits a

@@ -284,13 +284,10 @@ object Ulm {
     * mapped through the broadcast id table and reassembled by position.
     */
   def wordIds(seg: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val enc = seg.select(col("word"), split(col("pieces"), " ").as("ps"))
       .localCheckpoint()
-    val vocab = enc.select(explode(col("ps")).as("piece")).distinct()
-      .withColumn("id", row_number().over(Window.orderBy("piece")))
     enc.select(col("word"), posexplode(col("ps")).as(Seq("pos", "piece")))
-      .join(broadcast(vocab), "piece")
+      .join(broadcast(pieceIdsFrom(enc)), "piece")
       .groupBy("word")
       .agg(
         array_join(transform(
@@ -299,14 +296,91 @@ object Ulm {
         count(lit(1)).cast("long").as("n_pieces"))
   }
 
+  /** The closed (piece, id) vocabulary of a trained segmentation — ids
+    * dense in binary piece order over the USED pieces (bounded, the
+    * model artifact TokenStreams freezes).
+    */
+  def pieceIds(seg: DataFrame): DataFrame =
+    pieceIdsFrom(seg.select(col("word"), split(col("pieces"), " ").as("ps")))
+
+  private def pieceIdsFrom(enc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    enc.select(explode(col("ps")).as("piece")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy("piece")))
+  }
+
+  /** Per-word-type id sequences for UNSEEN types under a FIXED model:
+    * Viterbi against the frozen cost map RESTRICTED to the closed
+    * (piece, id) vocabulary — a piece that was priced but never chosen
+    * at train time has no id, and letting the DP pick it would drop a
+    * word that has a perfectly representable path. Lenient: a word with
+    * an out-of-alphabet character has no path at all and is dropped
+    * WHOLE (the closed-vocabulary contract; byte-fallback is the
+    * production alternative, documented not implemented). The piece-set
+    * collect is model-sized by the tokenizer-artifact contract.
+    */
+  def wordIdsFromFixed(wt: DataFrame, costs: Map[String, Double],
+                       maxPieceLen: Int, pieceIdTable: DataFrame): DataFrame = {
+    val inVocab = pieceIdTable.select("piece").collect()
+      .map(_.getString(0)).toSet
+    segmentLenient(wt, costs.view.filterKeys(inVocab).toMap, maxPieceLen)
+      .select(col("word"), posexplode(split(col("pieces"), " "))
+        .as(Seq("pos", "piece")))
+      .join(broadcast(pieceIdTable), Seq("piece"), "left")
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          x => x("id").cast("string")), " ").as("ids"),
+        count(lit(1)).cast("long").as("n_pieces"),
+        max(when(col("id").isNull, 1).otherwise(0)).as("oov"))
+      .filter(col("oov") === 0)
+      .drop("oov")
+  }
+
+  /** `segment` that DROPS unsegmentable words (an out-of-alphabet
+    * character under the supplied cost map) instead of failing — the
+    * streaming-OOV contract; the training path keeps the loud require.
+    */
+  def segmentLenient(wt: DataFrame, costs: Map[String, Double],
+                     maxPieceLen: Int): DataFrame = {
+    val spark = wt.sparkSession
+    val bc = spark.sparkContext.broadcast(costs)
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("n_pieces", IntegerType, nullable = false),
+      StructField("pieces", StringType, nullable = false),
+      StructField("cost", DoubleType, nullable = false)))
+    val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
+      val cm = bc.value
+      rows.flatMap { r =>
+        val w = r.getString(0)
+        val (c, p) = viterbiDp(w, cm, maxPieceLen, null)
+        if (p == null) None
+        else {
+          val pieces = p.substring(1)
+          Some(Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, c))
+        }
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
   /** ENCODE under the unigram model — the Bpe.encode contract verbatim:
     * (doc_id, ids, n_ulm_tokens) with `ids` the doc's space-joined
     * piece-id stream in document order. One positioned tokenize + one
     * broadcast join against the bounded word→ids table + one per-doc
     * reassembly; no second shuffle, no driver collect.
     */
-  def encode(docs: DataFrame, seg: DataFrame): DataFrame = {
-    val wids = wordIds(seg)
+  def encode(docs: DataFrame, seg: DataFrame): DataFrame =
+    encodeFrom(docs, wordIds(seg))
+
+  /** `encode` against a FIXED (word, ids, n_pieces) table — the
+    * train-once/encode-forever split (TokenStreams rides this; see
+    * Bpe.encodeFrom).
+    */
+  def encodeFrom(docs: DataFrame, wids: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
         posexplode(graft.functions.TextOps.splitWords(
           graft.functions.TextOps.normalize(col("text")))).as(Seq("pos", "word")))

@@ -14,6 +14,111 @@ class StreamingSpec extends AnyFunSuite {
 
   def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
 
+  test("streaming tokenizer encode (BOTH families) equals the batch encode " +
+    "at every prefix; OOV falls back then drops whole; replay is a no-op") {
+    import spark.implicits._
+    import graft.operators.{Bpe, Ulm}
+    implicit val sc = spark.sqlContext
+    // training corpus = exactly the docs that will stream (ids frozen over
+    // its full type table), alphabet {a,b,c}
+    val trainDocs = Seq(
+      (1L, "aba abba cab"), (2L, "bac abba abc"), (3L, "cabba bacab abba"),
+      (4L, "abcabc ba ab"), (5L, "ccc ab cab"))
+    val train = trainDocs.toDF("doc_id", "text").localCheckpoint()
+    // two streamed-only docs: 6 carries an out-of-alphabet word ("zz" must
+    // drop WHOLE, the rest of the doc encodes); 7 is an unseen TYPE of
+    // seen characters (the model-fallback path must encode it)
+    val doc6 = (6L, "ab zz ba")
+    // the positive fallback case differs per family: BPE can compose any
+    // string over in-vocab symbols ("ccba" — chars survive as symbols);
+    // the trained ULM vocabulary here is whole-word pieces (every train
+    // type segments as itself), so its representable unseen type is a
+    // CONCATENATION of train words — and "ccba" must drop WHOLE (the
+    // closed-vocabulary contract, asserted below)
+    val bpeDoc7 = (7L, "ccba ab")
+    val ulmDoc7 = (7L, "abbacab ab")
+    // ---- frozen BPE model
+    val merges = Bpe.trainBatched(train, 4, batch = 1)
+    val wt = Bpe.wordTypes(train).localCheckpoint()
+    val bWids = Bpe.wordIds(wt, merges).localCheckpoint()
+    val symIds = Bpe.symbolIds(wt, merges).localCheckpoint()
+    val bWant = Bpe.encode(train, merges).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val symOf = symIds.collect().map(r => r.getInt(1) -> r.getString(0)).toMap
+    // ---- frozen unigram-LM model
+    val (uModel, uSeg0) = Ulm.train(train)
+    val uSeg = uSeg0.localCheckpoint()
+    val uWids = Ulm.wordIds(uSeg).localCheckpoint()
+    val pids = Ulm.pieceIds(uSeg).localCheckpoint()
+    val uCosts = uModel.collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val uWant = Ulm.encode(train, uSeg).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    val pieceOf = pids.collect().map(r => r.getInt(1) -> r.getString(0)).toMap
+
+    def drive(label: String, ingest: org.apache.spark.sql.DataFrame => (String, org.apache.spark.sql.streaming.StreamingQuery),
+              want: Map[Long, (String, Long)], idOf: Map[Int, String],
+              doc7: (Long, String), doc7Decode: String,
+              encodeBatch: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Unit = {
+      val mem = MemoryStream[(Long, String)]
+      val (out, q) = ingest(mem.toDF.toDF("doc_id", "text"))
+      val batches = Seq(Seq(trainDocs(0), trainDocs(1)),
+        Seq(trainDocs(2), trainDocs(3)), Seq(trainDocs(4), doc6, doc7))
+      try {
+        var streamed = Set.empty[Long]
+        batches.foreach { bdocs =>
+          mem.addData(bdocs: _*)
+          q.processAllAvailable()
+          streamed = streamed ++ bdocs.map(_._1)
+          val got = graft.streaming.DocStreams.readOutput(spark, out).get
+            .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+          assert(got.keySet == streamed, s"$label: doc set after ${streamed.size}")
+          // train-corpus docs: bit-equal to the registered batch encode
+          streamed.filter(want.contains).foreach { id =>
+            assert(got(id) == want(id), s"$label: doc $id diverged from batch encode")
+          }
+          // streamed-only docs: ids decode back to exactly the in-model words
+          if (streamed(6L)) {
+            val words6 = got(6L)._1.split(" ").map(i => idOf(i.toInt))
+            assert(words6.mkString("") == "abba", // "zz" dropped whole, ab+ba remain
+              s"$label: doc 6 decoded to ${words6.mkString}")
+          }
+          if (streamed(7L)) {
+            val words7 = got(7L)._1.split(" ").map(i => idOf(i.toInt))
+            assert(words7.mkString("") == doc7Decode,
+              s"$label: unseen type did not encode through the model fallback")
+          }
+        }
+        // crash-replay of the FIRST committed batch: same body, same
+        // batchId — output must be byte-identical (writeBatch no-op)
+        val before = graft.streaming.DocStreams.readOutput(spark, out).get
+          .collect().map(_.toString).sorted.toSeq
+        val b0 = Seq(trainDocs(0), trainDocs(1)).toDF("doc_id", "text")
+        graft.operators.BatchCommit.writeBatch(encodeBatch(b0), out, 0L)
+        val after = graft.streaming.DocStreams.readOutput(spark, out).get
+          .collect().map(_.toString).sorted.toSeq
+        assert(after == before, s"$label: replay changed committed output")
+      } finally q.stop()
+    }
+
+    val bOut = java.nio.file.Files.createTempDirectory("bpeenc").toString + "/ids"
+    drive("bpe",
+      df => (bOut, graft.streaming.TokenStreams.bpeEncodeIngest(df, merges, bWids, symIds, bOut)),
+      bWant, symOf, bpeDoc7, "ccbaab",
+      b => graft.streaming.TokenStreams.bpeEncodeBatch(b, merges, bWids, symIds))
+    val uOut = java.nio.file.Files.createTempDirectory("ulmenc").toString + "/ids"
+    drive("ulm",
+      df => (uOut, graft.streaming.TokenStreams.ulmEncodeIngest(df, uCosts, Ulm.Params().maxPieceLen, uWids, pids, uOut)),
+      uWant, pieceOf, ulmDoc7, "abbacabab",
+      b => graft.streaming.TokenStreams.ulmEncodeBatch(b, uCosts, Ulm.Params().maxPieceLen, uWids, pids))
+    // the unrepresentable unseen type drops WHOLE under the ULM closed
+    // vocabulary (no in-vocab path for "ccba" — whole-word pieces only)
+    val ccba = graft.streaming.TokenStreams.ulmEncodeBatch(
+      Seq((9L, "ccba ab")).toDF("doc_id", "text"),
+      uCosts, Ulm.Params().maxPieceLen, uWids, pids).collect()
+    assert(ccba.length == 1 &&
+      ccba(0).getString(1).split(" ").map(i => pieceOf(i.toInt)).mkString("") == "ab")
+  }
+
   test("hourly window over a file stream matches the batch twin") {
     import spark.implicits._
     // stage a small slice of events as a streaming source dir
