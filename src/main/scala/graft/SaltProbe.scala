@@ -60,9 +60,12 @@ object SaltProbe {
     val runs = Seq(time("plain", 0), time("salt4", 4), time("salt16", 16), time("salt32", 32))
     require(runs.map(_._3).distinct.size == 1,
       s"variants disagree on pair count: $runs")
+    // the round-16 routing signal + decision, printed beside the timings
+    // so BASELINE.md's margin table is one probe run per fixture
+    val prof = graft.operators.SemDedup.cellProfile(asg)
     val rj = runs.map { case (l, t, _) => f""""$l":$t%.2f""" }.mkString(",")
     val cs = cellSizes.map { case (c, s) => s""""$c":$s""" }.mkString("{", ",", "}")
-    println(s"""{"n":$n,"head_pct":$headPct,"dim":$dim,"pairs":${runs.head._3},"cell_sizes":$cs,"sec":{$rj}}""")
+    println(f"""{"n":$n,"head_pct":$headPct,"dim":$dim,"pairs":${runs.head._3},"cell_sizes":$cs,"head_cand_share":${prof.headCandShare}%.4f,"routed_salted":${graft.operators.SemDedup.useSaltedTier(prof)},"sec":{$rj}}""")
     spark.stop()
   }
 }

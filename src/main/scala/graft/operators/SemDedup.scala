@@ -178,6 +178,62 @@ object SemDedup {
     pairsFromSalted(model(embeddings, k, iters)._1,
       Similarity.prepared(embeddings), threshold, salt)
 
+  /** Cell-histogram profile of an assignment — the routing probe for the
+    * within-cell self-join (round 16; the Dedup.bucketProfile signal at
+    * cell granularity): `headCandShare` = C(max_cell, 2) / Σ C(cell, 2),
+    * the fraction of all candidate pairs the hottest cell owns. The
+    * histogram aggregate is k rows and the collect is one row — a
+    * driver-side routing decision, never corpus data.
+    */
+  final case class CellProfile(nVecs: Long, nCells: Long, maxCell: Long,
+                               candPairs: Long) {
+    def headCandShare: Double =
+      if (candPairs == 0) 0.0
+      else maxCell.toDouble * (maxCell - 1) / 2.0 / candPairs
+  }
+
+  def cellProfile(asg: DataFrame): CellProfile = {
+    val b = asg.groupBy("cell").agg(count(lit(1)).as("b"))
+      .agg(count(lit(1)).as("n_cells"), max("b").as("max_b"),
+        sum(expr("b * (b - 1) div 2")).as("cand"),
+        sum("b").as("n"))
+      .collect()(0)
+    if (b.isNullAt(1)) CellProfile(0L, b.getLong(0), 0L, 0L)
+    else CellProfile(b.getLong(3), b.getLong(0), b.getLong(1), b.getLong(2))
+  }
+
+  /** The routing rule, exposed separately so specs pin the DECISION per
+    * clustering profile without running the joins. Salt when the hottest
+    * cell owns ≥ `headShare` of the candidate mass: a BALANCED k-cell
+    * clustering sits at ≈ 1/k (0.125 at the gate fixture's k = 8,
+    * falling as production scales k ∝ N), while the degenerate
+    * boilerplate-collapse regime the salt exists for sits near 1 (the
+    * planted 60 %-one-cell SaltProbe fixture measures 0.89, where salt 16
+    * is a measured 4.6× — BASELINE.md round-16 table). Measured margins:
+    * gate corpora 0.140–0.152 (≥ 2.6× under) vs degenerate 0.891 (2.2×
+    * over); the one synthetic that lands exactly ON 0.4 shows the
+    * boundary is benign — salt is itself 1.8× faster there, so a
+    * borderline route costs little either way. The trade-off is one
+    * k-row histogram probe per pair run.
+    */
+  def useSaltedTier(p: CellProfile, headShare: Double = 0.4): Boolean =
+    p.headCandShare >= headShare
+
+  /** [[pairs]] with AUTOMATIC plain-vs-salted routing off the cell
+    * histogram. Output is tier-invariant (SemDedupSpec pins the tiers
+    * equal), so the auto form shares the plain form's oracle on every
+    * profile.
+    */
+  def pairsAuto(embeddings: DataFrame, threshold: Double,
+                k: Int = 8, iters: Int = 3, salt: Int = 16,
+                headShare: Double = 0.4): DataFrame = {
+    val asg = model(embeddings, k, iters)._1
+    val p = Similarity.prepared(embeddings)
+    if (useSaltedTier(cellProfile(asg), headShare))
+      pairsFromSalted(asg, p, threshold, salt)
+    else pairsFrom(asg, p, threshold)
+  }
+
   /** The prune decision — SemDeDup's action: connect near-dup pairs into
     * groups (label propagation, component id = min member), keep ONE
     * member per group — the paper's rule, the member with the LOWEST

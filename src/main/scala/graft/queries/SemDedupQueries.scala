@@ -80,6 +80,25 @@ object SemDedupQueries {
            |WHERE $pc >= $Threshold ORDER BY vec_a, vec_b""".stripMargin
       }),
 
+    // The pair stage with AUTOMATIC plain-vs-salted routing (round 16):
+    // a k-row cell-histogram probe picks the triangle-salt decomposition
+    // when one cell owns >= 40 % of the candidate mass (the degenerate
+    // boilerplate-collapse regime, measured 4.4x on the planted
+    // SaltProbe fixture) and the plain cell-keyed join otherwise. Output
+    // is tier-invariant (SemDedupSpec pins the tiers equal), so the auto
+    // form shares the plain form's oracle — on THIS corpus (balanced,
+    // head share ~1/k) it must route plain, which the spec also pins.
+    GraftQuery("dedup_semantic_auto",
+      (s, d) => SemDedup.pairsAuto(Tables.embeddings(s, d), Threshold, K, Iters)
+        .orderBy("vec_a", "vec_b"),
+      Some {
+        val pc = SimilarityQueries.cosSql("x", "y")
+        s"""WITH $chainCtes
+           |SELECT x.vec_id AS vec_a, y.vec_id AS vec_b, x.cell AS cell, $pc AS cos
+           |FROM s x JOIN s y ON x.cell = y.cell AND x.vec_id < y.vec_id
+           |WHERE $pc >= $Threshold ORDER BY vec_a, vec_b""".stripMargin
+      }),
+
     // The actionable output: near-dup groups via label propagation over
     // the semantic pairs, one keeper per group (lowest centroid cosine —
     // the paper's diversity-preserving rule). keep=false rows are the

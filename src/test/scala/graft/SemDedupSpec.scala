@@ -103,6 +103,37 @@ class SemDedupSpec extends AnyFunSuite {
     assert(degPairs == canon(SemDedup.pairs(deg, 0.9)))
   }
 
+  test("probe-routed salt: balanced corpora route PLAIN, the degenerate " +
+    "one-cell collapse routes SALTED, and the auto output is tier-invariant") {
+    import spark.implicits._
+    val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_a", "vec_b", "cell", "cos")
+        .as[(Long, Long, Int, Double)].collect().sorted.toSeq
+    // the gate corpus: balanced clustering → head share ≈ 1/k, well
+    // under the 0.4 rule → plain tier (so dedup_semantic_auto shares the
+    // plain oracle by DECISION, not just by output equality)
+    val asg = SemDedup.cells(emb, 8, 3).localCheckpoint()
+    val balanced = SemDedup.cellProfile(asg)
+    assert(balanced.nVecs > 0 && balanced.headCandShare < 0.4 / 2,
+      s"balanced profile ${balanced.headCandShare} not ≥2× under the rule")
+    assert(!SemDedup.useSaltedTier(balanced))
+    // degenerate: one cell owns everything → share ≈ 1, ≥ 2× over
+    val deg = (0L until 60L)
+      .map(i => (i, Array(1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val degProf = SemDedup.cellProfile(SemDedup.cells(deg, 8, 3))
+    assert(degProf.headCandShare > 0.4 * 2,
+      s"degenerate profile ${degProf.headCandShare} not ≥2× over the rule")
+    assert(SemDedup.useSaltedTier(degProf))
+    // and the AUTO form equals the plain form on both profiles
+    assert(canon(SemDedup.pairsAuto(emb, 0.3)) == canon(SemDedup.pairs(emb, 0.3)))
+    assert(canon(SemDedup.pairsAuto(deg, 0.9)) == canon(SemDedup.pairs(deg, 0.9)))
+    // empty assignment routes plain (zero-candidate profile, no NPE)
+    val empty = SemDedup.cellProfile(
+      Seq.empty[(Long, Int)].toDF("vec_id", "cell"))
+    assert(!SemDedup.useSaltedTier(empty) && empty.headCandShare == 0.0)
+  }
+
   test("clusterSample: two-phase bucket rank is invariant in nBuckets and survives an all-one-cell corpus") {
     import spark.implicits._
     val emb = graft.sources.Tables.embeddings(spark, TestSpark.sf0001)
