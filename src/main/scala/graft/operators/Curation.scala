@@ -334,6 +334,174 @@ object Curation {
       .select("doc_id", "n_tok", "start", "seq_id")
   }
 
+  /** One FFD placement segment: ranks rlo..rhi of class `cls` fill bins
+    * fbin, fbin+1, … at `q` items per bin (the last possibly partial).
+    */
+  final case class PackSeg(cls: Long, rlo: Long, rhi: Long, fbin: Long, q: Long)
+
+  /** First-fit-decreasing over a LENGTH-CLASS HISTOGRAM — the scalable
+    * reformulation of per-item FFD (Krell et al. 2021's histogram
+    * insight): with items quantized to ≤ budget/classWidth classes, FFD's
+    * bin state collapses to GROUPS of identical bins (same remaining
+    * capacity, contiguous indices), of which each class step creates at
+    * most three — so the driver walk is O(classes · groups), histogram-
+    * sized, never corpus-sized. Equal-class items fill a bin until it no
+    * longer fits (⌊rem/cls⌋ each, in bin-index order), which is exactly
+    * per-item FFD's behavior — CurationSpec pins equality against a
+    * naive per-item reference on random corpora. Returns the placement
+    * segments (rank ranges → bin arithmetic) and the bin count.
+    */
+  private[graft] def ffdSchedule(hist: Seq[(Long, Long)],
+                                 budget: Long): (Seq[PackSeg], Long) = {
+    var groups = Vector.empty[(Long, Long, Long)] // (rem, cnt, firstIdx)
+    var nb = 0L
+    val pl = Seq.newBuilder[PackSeg]
+    hist.sortBy(-_._1).foreach { case (cls, m) =>
+      val newg = Vector.newBuilder[(Long, Long, Long)]
+      var cumbef = 0L
+      groups.foreach { case (rem, cnt, fidx) =>
+        val q = if (rem >= cls) rem / cls else 0L
+        val cap = cnt * q
+        val x = math.max(0L, math.min(m - cumbef, cap))
+        if (x == 0 || q == 0) newg += ((rem, cnt, fidx))
+        else {
+          val f = x / q
+          val p = x - f * q
+          pl += PackSeg(cls, cumbef + 1, cumbef + x, fidx, q)
+          if (f > 0) newg += ((rem - q * cls, f, fidx))
+          if (p > 0) newg += ((rem - p * cls, 1L, fidx + f))
+          val left = cnt - f - (if (p > 0) 1L else 0L)
+          if (left > 0) newg += ((rem, left, fidx + f + (if (p > 0) 1L else 0L)))
+        }
+        cumbef += cap
+      }
+      val mRest = math.max(0L, m - cumbef)
+      if (mRest > 0) {
+        val q0 = budget / cls
+        val nNew = (mRest + q0 - 1) / q0
+        val r = mRest - (nNew - 1) * q0
+        pl += PackSeg(cls, m - mRest + 1, m, nb, q0)
+        if (nNew > 1) newg += ((budget - q0 * cls, nNew - 1, nb))
+        newg += ((budget - r * cls, 1L, nb + nNew - 1))
+        nb += nNew
+      }
+      groups = newg.result()
+    }
+    (pl.result(), nb)
+  }
+
+  /** Best-fit(-decreasing) sequence packing — the PADDING-FREE
+    * alternative to [[packSequences]]' concat-and-chunk: documents are
+    * never split across sequences; each doc's token count rounds UP to a
+    * length class (bucketed batching, classWidth-granular), classes pack
+    * first-fit-decreasing, and the residual per-bin slack is the honest
+    * padding cost (the [[packWasteCard]] comparison). What frames
+    * non-concatenative fine-tuning data.
+    *
+    * Scale shape: the histogram is one ≤ budget/classWidth-row
+    * aggregate; the FFD schedule is a driver walk over it (model-sized
+    * by construction — the k×dim contract); ranks within each class are
+    * computed DISTRIBUTED with the 16-hex-prefix trick (no corpus-wide
+    * window); the rank→bin map is segment arithmetic against the
+    * broadcast schedule. Within-class order is content-hash
+    * (md5(doc_id), doc_id) — the repo's deterministic-uniform order, and
+    * what makes the prefix buckets sort-align.
+    *
+    * Contract: docs with n_tok > budget get singleton sequences AFTER
+    * the packed bins (the loader truncates; slack 0); docs with
+    * n_tok < 1 carry no tokens and are dropped from the layout.
+    * Returns (doc_id, n_tok, cls, seq_id).
+    */
+  def packBestFitAssignments(counts: DataFrame, budget: Long,
+                             classWidth: Long = 20L): DataFrame = {
+    require(budget % classWidth == 0, s"budget $budget not a multiple of class width $classWidth")
+    val w = org.apache.spark.sql.expressions.Window
+    val in = counts
+      .withColumn("h", md5(col("doc_id").cast("string")))
+      .withColumn("pfx", substring(col("h"), 1, 1))
+    val t = in.filter(col("n_tok") >= 1 && col("n_tok") <= budget)
+      .withColumn("cls",
+        expr(s"((n_tok + ${classWidth - 1}) div ${classWidth}L) * ${classWidth}L"))
+    val offsets = t.groupBy("cls", "pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.partitionBy("cls").orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("cls", "pfx", "off") // ≤ 16·(budget/classWidth) rows
+    val ranked = t.join(broadcast(offsets), Seq("cls", "pfx"))
+      .withColumn("t", col("off") +
+        row_number().over(w.partitionBy("cls", "pfx").orderBy("h", "doc_id"))
+          .cast("long"))
+    val hist = t.groupBy("cls").agg(count(lit(1)).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val (pl, nBins) = ffdSchedule(hist, budget)
+    val spark = counts.sparkSession
+    import spark.implicits._
+    val packed = ranked
+      .join(broadcast(pl.toDF("cls", "rlo", "rhi", "fbin", "q")), Seq("cls"))
+      .filter(col("t").between(col("rlo"), col("rhi")))
+      .select(col("doc_id"), col("n_tok"), col("cls"),
+        expr("fbin + (t - rlo) div q").as("seq_id"))
+    // oversize singletons after the packed bins, in the same hash order
+    val overIn = in.filter(col("n_tok") > budget)
+    val overOff = overIn.groupBy("pfx").agg(count(lit(1)).as("n"))
+      .withColumn("off", coalesce(
+        sum("n").over(w.orderBy("pfx")
+          .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
+      .select("pfx", "off")
+    val over = overIn.join(broadcast(overOff), "pfx")
+      .withColumn("t", col("off") +
+        row_number().over(w.partitionBy("pfx").orderBy("h", "doc_id")).cast("long"))
+      .select(col("doc_id"), col("n_tok"), col("n_tok").as("cls"),
+        (lit(nBins) + col("t") - 1).as("seq_id"))
+    packed.unionByName(over)
+  }
+
+  /** The per-sequence best-fit layout: (seq_id, n_docs, n_tokens,
+    * class_tokens, slack) — slack is the bin's residual loader budget
+    * (0 for oversize singletons, which size themselves).
+    */
+  def packBestFit(counts: DataFrame, budget: Long,
+                  classWidth: Long = 20L): DataFrame = {
+    val asg = packBestFitAssignments(counts, budget, classWidth)
+    asg.groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("n_tokens"),
+        sum("cls").as("class_tokens"))
+      .withColumn("slack",
+        when(col("class_tokens") <= lit(budget), lit(budget) - col("class_tokens"))
+          .otherwise(lit(0L)))
+  }
+
+  /** The padding-waste honesty card: the SAME corpus at the SAME budget
+    * under both layouts. Concat-and-chunk pads only the final chunk but
+    * SPLITS documents across sequence boundaries (split_docs counts
+    * them); best-fit never splits a doc and pays per-bin slack + class
+    * round-up instead (pad_tokens = loader slots − real tokens in both
+    * rows, so the columns are directly comparable).
+    */
+  def packWasteCard(counts: DataFrame, budget: Long,
+                    classWidth: Long = 20L): DataFrame = {
+    val spark = counts.sparkSession
+    val bf = packBestFit(counts, budget, classWidth)
+      .agg(count(lit(1)).as("n_seqs"), sum("n_tokens").as("n_tokens"),
+        sum(when(col("slack") >= 0 && col("class_tokens") <= lit(budget),
+          lit(budget) - col("n_tokens")).otherwise(lit(0L))).as("pad_tokens"))
+      .select(lit("bestfit").as("layout"), col("n_seqs"), col("n_tokens"),
+        col("pad_tokens"), lit(0L).as("split_docs"))
+    val ca = packAssignmentsFrom(counts, budget)
+    val cc = ca.agg(
+        sum("n_tok").as("n_tokens"),
+        sum(when(col("n_tok") >= 1 &&
+          expr(s"start div ${budget}L") =!= expr(s"(start + n_tok - 1) div ${budget}L"),
+          1L).otherwise(0L)).as("split_docs"))
+      .select(lit("concat").as("layout"),
+        expr(s"(n_tokens + ${budget - 1}) div ${budget}L").as("n_seqs"),
+        col("n_tokens"),
+        expr(s"((n_tokens + ${budget - 1}) div ${budget}L) * ${budget}L - n_tokens")
+          .as("pad_tokens"),
+        col("split_docs"))
+    bf.unionByName(cc)
+  }
+
   /** Per-source quality cap: keep each source's top `k` documents by
     * (n_chars DESC, doc_id ASC) — the per-domain cap every crawl pipeline
     * applies so one over-represented domain cannot dominate the corpus

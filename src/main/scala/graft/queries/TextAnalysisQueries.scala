@@ -10,6 +10,111 @@ object TextAnalysisQueries {
   val stopListSql: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
+  /** The best-fit packing chain (round 16): the ENTIRE
+    * first-fit-decreasing run as a recursive CTE over the 20-token
+    * length classes (descending), the DuckDB twin of
+    * Curation.ffdSchedule. State is ONE row per iteration: the bin
+    * GROUPS list (identical bins share (remaining, count, first index)
+    * — each class step touches the groups in index order and splits at
+    * most the last touched one), the accumulated placement segments
+    * (rank range → first bin + items-per-bin), and the bin counter. The
+    * per-class fill is pure list arithmetic: per-group capacity
+    * ⌊rem/cls⌋·cnt, prefix capacities via list_slice sums, clamp to the
+    * class count, then overflow into ⌈rest/⌊500/cls⌋⌉ fresh bins.
+    * `allasg` maps every doc through rank→bin segment arithmetic; ranks
+    * are (md5(doc_id), doc_id) within class, oversize docs (> budget)
+    * take singleton bins after the packed ones. Emits tk, cl, fin,
+    * allasg.
+    */
+  def bestfitCtes: String =
+    """tk AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+      |    md5(CAST(doc_id AS VARCHAR)) AS h
+      |  FROM documents),
+      |cl AS (
+      |  SELECT doc_id, n_tok, LEAST(500, ((n_tok + 19) // 20) * 20) AS cls, h
+      |  FROM tk WHERE n_tok >= 1 AND n_tok <= 500),
+      |lens AS (
+      |  SELECT cls, CAST(count(*) AS BIGINT) AS m,
+      |    CAST(row_number() OVER (ORDER BY cls DESC) AS BIGINT) AS i
+      |  FROM cl GROUP BY cls),
+      |st AS (
+      |  SELECT CAST(0 AS BIGINT) AS i,
+      |    CAST([] AS STRUCT(rem BIGINT, cnt BIGINT, fidx BIGINT)[]) AS groups,
+      |    CAST([] AS STRUCT(cls BIGINT, rlo BIGINT, rhi BIGINT, fbin BIGINT, q BIGINT)[]) AS pl,
+      |    CAST(0 AS BIGINT) AS nb
+      |  UNION ALL
+      |  SELECT i, groups2 AS groups, pl2 AS pl, nb2 AS nb FROM (
+      |    SELECT b.i, b.m, b.cls, b.nb0, b.pl0,
+      |      list_transform(b.ext, e -> struct_pack(
+      |        rem := e.rem, cnt := e.cnt, fidx := e.fidx, q := e.q,
+      |        x := GREATEST(0, LEAST(b.m - e.cumbef, e.q * e.cnt)),
+      |        cumbef := e.cumbef)) AS ext2,
+      |      GREATEST(0, b.m - COALESCE(list_sum(list_transform(b.ext, e -> e.q * e.cnt)), 0)) AS m_rest,
+      |      500 // b.cls AS q0
+      |    FROM (
+      |      SELECT s.i + 1 AS i, l.m, l.cls, s.nb AS nb0, s.pl AS pl0,
+      |        list_transform(range(1, len(s.groups) + 1), j -> struct_pack(
+      |          rem := s.groups[j].rem, cnt := s.groups[j].cnt, fidx := s.groups[j].fidx,
+      |          q := CASE WHEN s.groups[j].rem >= l.cls THEN s.groups[j].rem // l.cls ELSE CAST(0 AS BIGINT) END,
+      |          cumbef := COALESCE(list_sum(list_transform(list_slice(s.groups, 1, j - 1),
+      |            y -> CASE WHEN y.rem >= l.cls THEN (y.rem // l.cls) * y.cnt ELSE CAST(0 AS BIGINT) END)), 0)))
+      |          AS ext
+      |      FROM st s JOIN lens l ON l.i = s.i + 1) b
+      |  ) w, LATERAL (
+      |    SELECT
+      |      list_concat(
+      |        flatten(list_transform(w.ext2, e -> list_filter([
+      |          struct_pack(rem := e.rem - e.q * w.cls,
+      |                      cnt := CASE WHEN e.q > 0 THEN e.x // e.q ELSE CAST(0 AS BIGINT) END,
+      |                      fidx := e.fidx),
+      |          struct_pack(rem := e.rem - (CASE WHEN e.q > 0 THEN e.x % e.q ELSE CAST(0 AS BIGINT) END) * w.cls,
+      |                      cnt := CASE WHEN e.q > 0 AND e.x % e.q > 0 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END,
+      |                      fidx := e.fidx + CASE WHEN e.q > 0 THEN e.x // e.q ELSE CAST(0 AS BIGINT) END),
+      |          struct_pack(rem := e.rem,
+      |                      cnt := e.cnt - (CASE WHEN e.q > 0 THEN e.x // e.q ELSE CAST(0 AS BIGINT) END)
+      |                             - (CASE WHEN e.q > 0 AND e.x % e.q > 0 THEN 1 ELSE 0 END),
+      |                      fidx := e.fidx + (CASE WHEN e.q > 0 THEN e.x // e.q ELSE CAST(0 AS BIGINT) END)
+      |                              + (CASE WHEN e.q > 0 AND e.x % e.q > 0 THEN 1 ELSE 0 END))
+      |          ], p -> p.cnt > 0))),
+      |        CASE WHEN w.m_rest > 0 THEN list_filter([
+      |          struct_pack(rem := 500 - w.q0 * w.cls,
+      |                      cnt := (w.m_rest + w.q0 - 1) // w.q0 - 1,
+      |                      fidx := w.nb0),
+      |          struct_pack(rem := 500 - (w.m_rest - ((w.m_rest + w.q0 - 1) // w.q0 - 1) * w.q0) * w.cls,
+      |                      cnt := CAST(1 AS BIGINT),
+      |                      fidx := w.nb0 + (w.m_rest + w.q0 - 1) // w.q0 - 1)
+      |          ], p -> p.cnt > 0)
+      |        ELSE [] END) AS groups2,
+      |      list_concat(w.pl0, list_concat(
+      |        list_transform(list_filter(w.ext2, e -> e.x > 0), e -> struct_pack(
+      |          cls := w.cls, rlo := e.cumbef + 1, rhi := e.cumbef + e.x,
+      |          fbin := e.fidx, q := e.q)),
+      |        CASE WHEN w.m_rest > 0 THEN [struct_pack(
+      |          cls := w.cls, rlo := w.m - w.m_rest + 1, rhi := w.m,
+      |          fbin := w.nb0, q := w.q0)] ELSE [] END)) AS pl2,
+      |      w.nb0 + CASE WHEN w.m_rest > 0 THEN (w.m_rest + w.q0 - 1) // w.q0 ELSE 0 END AS nb2
+      |  ) z
+      |),
+      |fin AS (SELECT * FROM st ORDER BY i DESC LIMIT 1),
+      |plr AS (SELECT u.p.cls AS cls, u.p.rlo AS rlo, u.p.rhi AS rhi, u.p.fbin AS fbin, u.p.q AS q
+      |        FROM fin, unnest(fin.pl) u(p)),
+      |rk AS (
+      |  SELECT doc_id, n_tok, cls,
+      |    CAST(row_number() OVER (PARTITION BY cls ORDER BY h, doc_id) AS BIGINT) AS t
+      |  FROM cl),
+      |ovr AS (
+      |  SELECT doc_id, n_tok,
+      |    CAST(row_number() OVER (ORDER BY h, doc_id) AS BIGINT) AS t
+      |  FROM tk WHERE n_tok > 500),
+      |allasg AS (
+      |  SELECT r.doc_id, r.n_tok, r.cls, p.fbin + (r.t - p.rlo) // p.q AS bin
+      |  FROM rk r JOIN plr p ON p.cls = r.cls AND r.t BETWEEN p.rlo AND p.rhi
+      |  UNION ALL
+      |  SELECT o.doc_id, o.n_tok, o.n_tok AS cls, (SELECT nb FROM fin) + o.t - 1 AS bin
+      |  FROM ovr o)""".stripMargin
+
   /** The bigram LM, trained once per SF dir and persisted — a pipeline
     * trains the model once and scores many corpora; the scorer then runs
     * ONE corpus pass + one model join (in-plan training re-scanned the
@@ -922,6 +1027,64 @@ object TextAnalysisQueries {
           |SELECT CAST(start // 500 AS BIGINT) AS seq_id,
           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
+
+    // Best-fit sequence packing (round 16 — the padding-free alternative
+    // to text_pack's concat-and-chunk; Krell et al. 2021's histogram
+    // framing): token counts round UP to 20-token length classes,
+    // classes pack first-fit-decreasing over a histogram-sized driver
+    // schedule (CurationSpec pins it equal to naive per-item FFD), ranks
+    // within class are content-hash order. The oracle re-runs the ENTIRE
+    // FFD as a recursive CTE over the length classes — single-row list
+    // state carrying the bin GROUPS (remaining capacity, count, first
+    // index) and the placement segments — then maps every doc through
+    // the same rank→bin arithmetic. A divergence in any fill step,
+    // group split, or rank lands here.
+    GraftQuery("text_pack_bestfit",
+      (s, d) => graft.operators.Curation.packBestFit(
+          graft.operators.TextAnalysis.tokenCounts(Tables.documents(s, d))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("alnum_tokens").as("n_tok")), 500L)
+        .orderBy("seq_id"),
+      Some(s"WITH RECURSIVE $bestfitCtes\n" +
+        """SELECT bin AS seq_id, count(*) AS n_docs,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(sum(cls) AS BIGINT) AS class_tokens,
+          |  CAST(CASE WHEN sum(cls) <= 500 THEN 500 - sum(cls) ELSE 0 END AS BIGINT) AS slack
+          |FROM allasg GROUP BY bin ORDER BY seq_id""".stripMargin)),
+
+    // The padding-waste honesty card: the SAME corpus at the SAME
+    // 500-token budget under both layouts. Concat pads only the final
+    // chunk but SPLITS documents across boundaries; best-fit never
+    // splits and pays per-bin slack + class round-up. pad_tokens =
+    // loader slots − real tokens in BOTH rows, so the two layouts'
+    // costs are directly comparable; split_docs counts the concat
+    // boundary crossings best-fit eliminates.
+    GraftQuery("text_pack_waste",
+      (s, d) => graft.operators.Curation.packWasteCard(
+          graft.operators.TextAnalysis.tokenCounts(Tables.documents(s, d))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("alnum_tokens").as("n_tok")), 500L)
+        .orderBy("layout"),
+      Some(s"WITH RECURSIVE $bestfitCtes,\n" +
+        """bfseq AS (SELECT bin, sum(n_tok) AS ntk, sum(cls) AS ctk
+          |  FROM allasg GROUP BY bin),
+          |bfrow AS (SELECT 'bestfit' AS layout,
+          |  CAST(count(*) AS BIGINT) AS n_seqs,
+          |  CAST(sum(ntk) AS BIGINT) AS n_tokens,
+          |  CAST(sum(CASE WHEN ctk <= 500 THEN 500 - ntk ELSE 0 END) AS BIGINT) AS pad_tokens,
+          |  CAST(0 AS BIGINT) AS split_docs FROM bfseq),
+          |cstart AS (
+          |  SELECT doc_id, n_tok, COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          |  FROM tk),
+          |crow AS (SELECT 'concat' AS layout,
+          |  CAST((sum(n_tok) + 499) // 500 AS BIGINT) AS n_seqs,
+          |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(((sum(n_tok) + 499) // 500) * 500 - sum(n_tok) AS BIGINT) AS pad_tokens,
+          |  CAST(sum(CASE WHEN n_tok >= 1 AND start // 500 <> (start + n_tok - 1) // 500
+          |    THEN 1 ELSE 0 END) AS BIGINT) AS split_docs
+          |  FROM cstart)
+          |SELECT * FROM bfrow UNION ALL SELECT * FROM crow ORDER BY layout""".stripMargin)),
 
     // Deterministic train/val/test split (90/5/5): salted content-hash
     // thresholds, row-local, reproducible on any cluster — adding docs

@@ -188,6 +188,69 @@ class CurationSpec extends AnyFunSuite {
     })
   }
 
+  test("packBestFit: histogram FFD equals naive per-item FFD; no doc splits; " +
+    "oversize singletons; zero-token docs dropped; deterministic") {
+    import spark.implicits._
+    import graft.operators.Curation
+    val C = 500L
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    // random corpora incl. a zero-token doc and two oversize docs
+    (1 to 3).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val docs = (0L until 800L).map(i => (i, (1 + rnd.nextInt(500)).toLong)) ++
+        Seq((800L, 0L), (801L, 900L), (802L, 700L))
+      val counts = docs.toDF("doc_id", "n_tok")
+      val got = Curation.packBestFitAssignments(counts, C).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      // zero-token doc dropped, everything else placed exactly once
+      assert(!got.contains(800L) && got.size == docs.size - 1)
+      // naive per-item FFD reference (the independent third
+      // implementation): items sorted (class desc, hash order), each
+      // into the lowest-index bin that fits
+      val cls = docs.collect { case (i, n) if n >= 1 && n <= C =>
+        (i, n, math.min(C, (n + 19) / 20 * 20)) }
+      val items = cls.sortBy { case (i, _, c) => (-c, md5hex(i.toString), i) }
+      val bins = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val want = scala.collection.mutable.Map.empty[Long, Long]
+      items.foreach { case (i, _, c) =>
+        val j = bins.indexWhere(_ >= c)
+        if (j >= 0) { bins(j) -= c; want(i) = j.toLong }
+        else { bins += (C - c); want(i) = (bins.size - 1).toLong }
+      }
+      cls.foreach { case (i, n, c) =>
+        assert(got(i) == ((n, c, want(i))), s"seed $seed doc $i")
+      }
+      // oversize singletons AFTER the packed bins, hash order, cls = n_tok
+      val overOrder = Seq(801L, 802L).sortBy(i => (md5hex(i.toString), i))
+      overOrder.zipWithIndex.foreach { case (i, t) =>
+        val n = docs.find(_._1 == i).get._2
+        assert(got(i) == ((n, n, bins.size.toLong + t)), s"oversize $i")
+      }
+      // per-bin class budget respected (no doc ever split)
+      val seqs = Curation.packBestFit(counts, C).collect()
+      seqs.foreach { r =>
+        val (ct, slack) = (r.getLong(3), r.getLong(4))
+        if (ct <= C) assert(slack == C - ct && ct <= C)
+        else assert(slack == 0L && r.getLong(1) == 1L) // oversize singleton
+      }
+      // deterministic
+      val again = Curation.packBestFitAssignments(counts, C).collect()
+        .map(r => r.getLong(0) -> r.getLong(3)).toMap
+      assert(cls.forall { case (i, _, _) => again(i) == got(i)._3 })
+    }
+    // waste card: tokens conserved across layouts, bestfit never splits
+    val counts = (0L until 300L).map(i => (i, (10 + (i % 90)))).toDF("doc_id", "n_tok")
+    val card = Curation.packWasteCard(counts, C).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(card("bestfit")._2 == card("concat")._2) // same real tokens
+    assert(card("bestfit")._4 == 0L && card("concat")._4 > 0L) // splits
+    // pad = slots − tokens in both rows
+    assert(card("bestfit")._3 == card("bestfit")._1 * C - card("bestfit")._2)
+    assert(card("concat")._3 == card("concat")._1 * C - card("concat")._2)
+  }
+
   test("capBySource: two-phase == one-window at every bucket count, incl. a skewed source") {
     import spark.implicits._
     val docs = graft.sources.Tables.documents(spark, TestSpark.sf001)
