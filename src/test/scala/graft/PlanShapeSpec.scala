@@ -267,6 +267,51 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("text_pack_bestfit: every rank window is (cls, pfx)-partitioned — no " +
+    "corpus-global window; placements and offsets broadcast") {
+    // the round-16 packing claim: ranks come from the 16-hex-prefix
+    // decomposition, so NO window may run on a single partition — a
+    // regression to a global row_number would serialize the corpus
+    // through one task at 100×
+    val p = plan("text_pack_bestfit")
+    assert(p.contains("Window"))
+    // the corpus-scale rank windows MUST be hash-partitioned on the
+    // bucket keys; the ONE allowed SinglePartition is the ≤16-row
+    // oversize offset window (the packAssignmentsFrom-documented
+    // aggregate-sized exception)
+    assert(p.contains("hashpartitioning(cls") && p.contains("hashpartitioning(pfx"),
+      "the bucketed rank exchanges lost their hash partitioning")
+    assert("SinglePartition".r.findAllIn(p).size <= 1,
+      "a corpus-scale single-partition exchange leaked into the packing plan")
+    assert(p.contains("BroadcastHashJoin"), "placement/offset joins must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("dedup_semantic_auto: the routed pair stage keeps the cell-keyed " +
+    "equi-join shape (no cartesian, no nested loop)") {
+    // the probe (a k-row histogram) runs at construction; whichever tier
+    // the router picks must plan as an equi self-join on cell
+    val p = plan("dedup_semantic_auto")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"))
+  }
+
+  test("jpeg + container-track decoders: narrow single-pass plans — no " +
+    "shuffle between the media scan and the decode") {
+    // decode is generate-in-place mapPartitions over the persisted media
+    // scan; any Exchange before the decode means payload BYTES crossed
+    // the wire
+    Seq("multimodal_jpeg_meta", "multimodal_mp4_tracks", "multimodal_webm_tracks")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.toLowerCase.contains("join"), s"$q: decode must not join")
+        // exactly the final presentation sort may exchange; the decode
+        // input itself is the raw scan feeding Scan ExistingRDD
+        assert(p.contains("Scan ExistingRDD"), s"$q: expected the decoded RDD scan")
+      }
+  }
+
   test("text_dsir_weights: ONE corpus pass (checkpointed cells), λ broadcast, no corpus cartesian") {
     // the single corpus gram scan happens once at construction, inside the
     // eager (doc_id, is_t, b) cell checkpoint; BOTH the λ trainer and the
