@@ -35,5 +35,6 @@ object Registry {
       graft.queries.ClassifierQueries.all ++
       graft.queries.QuantizeQueries.all ++
       graft.queries.RpQueries.all ++
-      graft.queries.UlmQueries.all
+      graft.queries.UlmQueries.all ++
+      graft.queries.TextExtractQueries.all
 }

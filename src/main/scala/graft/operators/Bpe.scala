@@ -325,6 +325,36 @@ object Bpe {
       .filter(col("oov") === 0)
       .drop("oov")
 
+  /** [[wordIdsFromFixed]] with BYTE-FALLBACK (SentencePiece
+    * `byte_fallback`): instead of dropping a word whose merged symbol
+    * state contains an out-of-vocabulary symbol, each OOV symbol encodes
+    * as its UTF-8 byte pieces (ids b0+1+byte above the closed
+    * vocabulary's max id — see ByteFallback). The encode is TOTAL: every
+    * word yields ids, known symbols still merge and map normally, and
+    * n_sym counts fallback symbols at their byte length. The b0 base is
+    * a broadcast 1-row aggregate — nothing collects.
+    */
+  def wordIdsFromFixedBytes(wt: DataFrame, merges: Seq[Merge],
+                            symIds: DataFrame): DataFrame = {
+    val b0 = symIds.agg(max(col("id")).cast("long").as("b0"))
+    applyMerges(wt, merges)
+      .select(col("word"), posexplode(split(trim(col("sym")), "  "))
+        .as(Seq("pos", "symbol")))
+      .join(broadcast(symIds), Seq("symbol"), "left")
+      .crossJoin(broadcast(b0))
+      .select(col("word"), col("pos"),
+        coalesce(col("id").cast("string"),
+          ByteFallback.byteIds(col("symbol"), col("b0"))).as("ids"),
+        when(col("id").isNull, ByteFallback.nBytes(col("symbol")))
+          .otherwise(1L).as("np"))
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x("ids")), " ").as("ids"),
+        sum(col("np")).as("n_sym"))
+  }
+
   /** Tokenizer fertility by source: subword tokens per whitespace word —
     * the compression diagnostic that decides whether a vocabulary suits a
     * corpus slice (a source the tokenizer fragments pays more of the

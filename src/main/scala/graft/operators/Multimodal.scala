@@ -1068,11 +1068,15 @@ object Multimodal {
         var ok = true
         val tracks = scala.collection.mutable.ArrayBuffer
           .empty[(Int, String, String, Integer, Integer, Integer, Integer)]
-        // per-trak working state
+        // per-trak working state; the first stsd entry's offset/size are
+        // BUFFERED and resolved after the trak walk completes — ISO BMFF
+        // does not mandate hdlr-before-minf box order, so audio/video
+        // fields must not depend on having seen the handler first
         var trkId = -1
         var handler: String = null
         var codec: String = null
         var ch, rate, tw, th: Integer = null
+        var entryOff, entrySz = -1
         def walk(start: Int, end: Int, in: String): Unit = {
           var off = start
           while (ok && off < end) {
@@ -1088,8 +1092,22 @@ object Multimodal {
                   case "trak" =>
                     trkId = -1; handler = null; codec = null
                     ch = null; rate = null; tw = null; th = null
+                    entryOff = -1; entrySz = -1
                     walk(off + 8, off + size.toInt, typ)
-                    if (ok) tracks += ((trkId, handler, codec, ch, rate, tw, th))
+                    if (ok) {
+                      // resolve the buffered sample entry now that the whole
+                      // trak (hdlr included, wherever it sat) has been walked
+                      if (entryOff >= 0) {
+                        if (handler == "soun" && entrySz >= 36) {
+                          ch = Integer.valueOf(be16(entryOff + 24))
+                          rate = Integer.valueOf((be32(entryOff + 32) >> 16).toInt)
+                        } else if (handler == "vide" && entrySz >= 36) {
+                          tw = Integer.valueOf(be16(entryOff + 32))
+                          th = Integer.valueOf(be16(entryOff + 34))
+                        }
+                      }
+                      tracks += ((trkId, handler, codec, ch, rate, tw, th))
+                    }
                   case "tkhd" if size >= 8 + 16 =>
                     trkId = be32(off + 20).toInt
                   case "hdlr" if in == "mdia" && size >= 8 + 12 =>
@@ -1101,13 +1119,7 @@ object Multimodal {
                     if (esz < 16 || e + esz > off + size) ok = false
                     else {
                       codec = new String(buf, e + 4, 4, "US-ASCII")
-                      if (handler == "soun" && esz >= 36) {
-                        ch = Integer.valueOf(be16(e + 24))
-                        rate = Integer.valueOf((be32(e + 32) >> 16).toInt)
-                      } else if (handler == "vide" && esz >= 36) {
-                        tw = Integer.valueOf(be16(e + 32))
-                        th = Integer.valueOf(be16(e + 34))
-                      }
+                      entryOff = e; entrySz = esz.toInt
                     }
                   case _ => ()
                 }
@@ -1541,6 +1553,9 @@ object Multimodal {
         def u16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
         try {
           while (ok && !done) {
+            // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+            // fill bytes — skip them so spec-valid foreign streams parse.
+            while (i + 1 < b.length && u8(i) == 0xff && u8(i + 1) == 0xff) i += 1
             if (i + 4 > b.length || u8(i) != 0xff) ok = false
             else {
               val m = u8(i + 1)
@@ -1556,20 +1571,27 @@ object Multimodal {
                       off += 1 + (if (pq == 0) 64 else 128)
                       if (off > end) ok = false else nDqt += 1
                     }
-                  case 0xc4 => // DHT: 17-byte header + Σ code counts
+                  case 0xc4 => // DHT: 17-byte header + Σ code counts —
+                    // the 17 header bytes must fit inside the segment
+                    // BEFORE being read, else a short len yields garbage
+                    // counts instead of the contractual null row
                     var off = i + 4
                     while (ok && off < end) {
-                      var tot = 0
-                      var k = 1
-                      while (k <= 16) { tot += u8(off + k); k += 1 }
-                      off += 17 + tot
-                      if (off > end) ok = false else nDht += 1
+                      if (off + 17 > end) ok = false
+                      else {
+                        var tot = 0
+                        var k = 1
+                        while (k <= 16) { tot += u8(off + k); k += 1 }
+                        off += 17 + tot
+                        if (off > end) ok = false else nDht += 1
+                      }
                     }
                   case 0xe0 => nApp0 += 1
                   case 0xda => done = true // SOS: entropy-coded data follows
                   case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc8 && mm != 0xcc =>
-                    sof = mm
-                    h = u16(i + 5); w = u16(i + 7); nc = u8(i + 9)
+                    // SOF payload is ≥ 6 bytes (precision, h, w, nc)
+                    if (len < 8) ok = false
+                    else { sof = mm; h = u16(i + 5); w = u16(i + 7); nc = u8(i + 9) }
                   case _ => () // APPn, COM, others: skip
                 }
                 i = end

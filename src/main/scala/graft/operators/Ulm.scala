@@ -131,7 +131,8 @@ object Ulm {
     * Unbounded in word length: the arrays size per word.
     */
   private def viterbiDp(w: String, cm: Map[String, Double],
-                        maxPieceLen: Int, excl: String): (Double, String) = {
+                        maxPieceLen: Int, excl: String,
+                        fbCost: Double = 0.0): (Double, String) = {
     val n = w.length
     val cost = new Array[Double](n + 1)
     val path = new Array[String](n + 1)
@@ -155,6 +156,19 @@ object Ulm {
           }
         }
         l -= 1
+      }
+      // byte-fallback edge (fbCost > 0): the single char at j always has
+      // a path at constant cost ByteFallbackCost — unconditional, because
+      // any real piece costs ≤ ln(Σ(cnt+1)) ≪ fbCost and dominates; only
+      // genuinely uncoverable chars ride it. Mirrored verbatim in the
+      // oracle's fbViterbiCtes unroll.
+      if (fbCost > 0 && path(j - 1) != null) {
+        val cc = cost(j - 1) + fbCost
+        val pp = path(j - 1) + " " + w.substring(j - 1, j)
+        if (bestP == null || cc < bestC ||
+            (cc == bestC && pp.compareTo(bestP) < 0)) {
+          bestC = cc; bestP = pp
+        }
       }
       cost(j) = bestC
       path(j) = bestP
@@ -336,6 +350,69 @@ object Ulm {
         max(when(col("id").isNull, 1).otherwise(0)).as("oov"))
       .filter(col("oov") === 0)
       .drop("oov")
+  }
+
+  /** Constant cost of a byte-fallback char edge — far above any real
+    * piece cost (≤ ln(Σ(cnt+1)) ≈ 35 even at 100 TB), so fallback only
+    * ever wins where no real path exists. Exact in IEEE-754; both
+    * engines fold it identically.
+    */
+  val ByteFallbackCost = 1000.0
+
+  /** [[segmentLenient]] with the byte-fallback edge: every word segments
+    * (OOV chars ride the constant-cost single-char edge and are
+    * byte-expanded downstream) — the encode is total, nothing drops.
+    */
+  def segmentFallback(wt: DataFrame, costs: Map[String, Double],
+                      maxPieceLen: Int): DataFrame = {
+    val spark = wt.sparkSession
+    val bc = spark.sparkContext.broadcast(costs)
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("n_pieces", IntegerType, nullable = false),
+      StructField("pieces", StringType, nullable = false),
+      StructField("cost", DoubleType, nullable = false)))
+    val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
+      val cm = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        val (c, p) = viterbiDp(w, cm, maxPieceLen, null, ByteFallbackCost)
+        val pieces = p.substring(1)
+        Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, c)
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** [[wordIdsFromFixed]] with BYTE-FALLBACK (SentencePiece
+    * `byte_fallback`; see Bpe.wordIdsFromFixedBytes for the family
+    * contract): the DP always finds a path via the fallback edge, a
+    * piece with no id in the closed vocabulary expands to UTF-8 byte
+    * pieces (ids b0+1+byte), and n_pieces counts fallback pieces at
+    * their byte length. Total — no word ever drops.
+    */
+  def wordIdsFromFixedBytes(wt: DataFrame, costs: Map[String, Double],
+                            maxPieceLen: Int, pieceIdTable: DataFrame): DataFrame = {
+    val inVocab = pieceIdTable.select("piece").collect()
+      .map(_.getString(0)).toSet
+    val b0 = pieceIdTable.agg(max(col("id")).cast("long").as("b0"))
+    segmentFallback(wt, costs.view.filterKeys(inVocab).toMap, maxPieceLen)
+      .select(col("word"), posexplode(split(col("pieces"), " "))
+        .as(Seq("pos", "piece")))
+      .join(broadcast(pieceIdTable), Seq("piece"), "left")
+      .crossJoin(broadcast(b0))
+      .select(col("word"), col("pos"),
+        coalesce(col("id").cast("string"),
+          ByteFallback.byteIds(col("piece"), col("b0"))).as("ids"),
+        when(col("id").isNull, ByteFallback.nBytes(col("piece")))
+          .otherwise(1L).as("np"))
+      .groupBy("word")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x("ids")), " ").as("ids"),
+        sum(col("np")).as("n_pieces"))
   }
 
   /** `segment` that DROPS unsegmentable words (an out-of-alphabet

@@ -106,7 +106,7 @@ object MultimodalQueries {
     // here as a hash fail, not a silent quality loss.
     GraftQuery("multimodal_jpeg_flat",
       (s, d) => Multimodal.decodeJpegFlat(
-        persistedMediaJpeg(s, d).filter((col("media_id") / 3).cast("long") % 2 === 0))
+        persistedMediaJpeg(s, d).filter(expr("media_id div 3") % 2 === 0))
         .orderBy("media_id"),
       Some(
         """SELECT doc_id AS media_id,
@@ -123,7 +123,7 @@ object MultimodalQueries {
     // also pins that errors are nonzero: the card is not vacuous).
     GraftQuery("multimodal_jpeg_error",
       (s, d) => Multimodal.decodeJpegError(
-        persistedMediaJpeg(s, d).filter((col("media_id") / 3).cast("long") % 2 === 1))
+        persistedMediaJpeg(s, d).filter(expr("media_id div 3") % 2 === 1))
         .orderBy("media_id"),
       Some(
         """SELECT doc_id AS media_id,

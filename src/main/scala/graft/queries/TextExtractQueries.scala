@@ -1,0 +1,77 @@
+package graft.queries
+
+import graft.GraftQuery
+import graft.operators.TextExtract
+import graft.sources.Tables
+
+/** Raw-markup extraction registry — the pipeline's missing FIRST stage
+  * (web page in, clean document out). All three queries run over the
+  * deterministic HTML-wrapper fixture (`TextExtract.wrapped` — the driver's
+  * documents are clean text, so markup is planted from md5 slices of doc_id
+  * and re-derived identically by the DuckDB twin `wrappedSql`). The
+  * extractor expressions are single-sourced from TextExtract into both
+  * engines; the keep rule is integer-only, so there is no float surface.
+  */
+object TextExtractQueries {
+
+  private val wrapCte = s"w AS (${TextExtract.wrappedSql("documents")})"
+
+  private def pages(s: org.apache.spark.sql.SparkSession, d: String) =
+    TextExtract.wrapped(Tables.documents(s, d).select("doc_id", "text"))
+
+  def all: Seq[GraftQuery] = Seq(
+
+    // The headline: HTML page -> extracted document. Row-local block walk
+    // (sentinel split + HOF filter/transform), boilerplate and link farms
+    // dropped, inline anchors kept, entities unescaped, malformed pages
+    // survive. No exchange before the gate's ORDER BY.
+    GraftQuery("text_extract_html",
+      (s, d) => TextExtract.extract(pages(s, d)).orderBy("doc_id"),
+      Some(
+        s"""WITH $wrapCte
+           |SELECT doc_id, ${TextExtract.extractSql} AS text
+           |FROM w ORDER BY doc_id""".stripMargin)),
+
+    // Per-block audit view: position, tag, visible chars, anchor chars,
+    // keep decision — the table a curation engineer tunes thresholds on.
+    GraftQuery("text_extract_blocks",
+      (s, d) => TextExtract.blocks(pages(s, d)).orderBy("doc_id", "pos"),
+      Some(
+        s"""WITH $wrapCte,
+           |b AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(${TextExtract.blocksSql},
+           |      (b, i) -> {'pos': i, 'blk': b})) AS s
+           |  FROM w),
+           |c AS (SELECT doc_id, CAST(s['pos'] AS BIGINT) AS pos,
+           |             s['blk'] AS blk FROM b)
+           |SELECT doc_id, pos,
+           |  regexp_extract(blk, '${TextExtract.TagRe}', 1) AS tag,
+           |  CAST(length(${TextExtract.txtSql("blk")}) AS BIGINT) AS n_chars,
+           |  CAST(${TextExtract.linkSql("blk")} AS BIGINT) AS n_link_chars,
+           |  ${TextExtract.keepSql("blk")} AS kept
+           |FROM c ORDER BY doc_id, pos""".stripMargin)),
+
+    // Corpus extraction card: the datasheet row (block/kept counts,
+    // html-in vs text-out chars, empty extractions). Single-row aggregate
+    // over row-locally derived per-doc numbers.
+    GraftQuery("text_extract_stats",
+      (s, d) => TextExtract.stats(pages(s, d)),
+      Some(
+        s"""WITH $wrapCte,
+           |p AS (
+           |  SELECT doc_id, length(html) AS ci,
+           |    len(${TextExtract.blocksSql}) AS nb,
+           |    len(list_filter(${TextExtract.blocksSql},
+           |      b -> ${TextExtract.keepSql("b")})) AS nk,
+           |    length(${TextExtract.extractSql}) AS co,
+           |    CASE WHEN ${TextExtract.extractSql} = '' THEN 1 ELSE 0 END AS emp
+           |  FROM w)
+           |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(nb) AS BIGINT) AS n_blocks,
+           |  CAST(sum(nk) AS BIGINT) AS n_kept,
+           |  CAST(sum(ci) AS BIGINT) AS chars_html,
+           |  CAST(sum(co) AS BIGINT) AS chars_out,
+           |  CAST(sum(emp) AS BIGINT) AS docs_empty
+           |FROM p""".stripMargin)))
+}

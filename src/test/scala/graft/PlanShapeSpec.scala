@@ -616,4 +616,24 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Join"), "the EBML walk is row-local")
     assert(p.count(_ == '\n') < 400) // a scan + mapPartitions + sort, nothing more
   }
+
+  test("text_extract family: row-local block walk — no UDF, no join, no early exchange") {
+    // the ingest stage's whole scale claim: HTML→text is scan→project
+    // (sentinel split + HOF filter/transform), so 100 TB of markup never
+    // crosses the wire; the only exchange is the gate sort's
+    for (q <- Seq("text_extract_html", "text_extract_blocks")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q: extraction left codegen-native expressions")
+      assert(!p.contains("Join"), s"$q: unexpected join")
+      assert(!p.contains("HashAggregate"), s"$q: unexpected aggregate")
+      assert(!p.contains("Exchange hashpartitioning"), s"$q: extra shuffle")
+      assert(!p.contains("Exchange SinglePartition"), s"$q: single-task funnel")
+    }
+    val s = plan("text_extract_stats")
+    assert(!s.contains("ScalaUDF"))
+    assert(s.contains("HashAggregate"), "extraction card must hash-aggregate")
+    assert(!s.contains("SortAggregate"))
+    assert(!s.contains("Exchange hashpartitioning"),
+      "per-doc numbers are row-local; only the single-row final agg exchanges")
+  }
 }
