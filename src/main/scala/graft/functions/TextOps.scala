@@ -43,6 +43,20 @@ object TextOps {
   def normalize(c: Column): Column =
     regexp_replace(lower(c), "[^a-z0-9\\s]", " ")
 
+  /** Unicode-keeping normalization for the multilingual (byte-fallback)
+    * encode tier: lowercase + anything that is not a letter, digit, or
+    * whitespace to space. \p{L}/\p{N} mean the same classes in Java
+    * regex and RE2, so both engines tokenize identically; the ASCII
+    * `normalize` above (which would strip every non-Latin char — data
+    * loss on a multilingual corpus) stays the reference-parity tier.
+    */
+  def normalizeUnicode(c: Column): Column =
+    regexp_replace(lower(c), "[^\\p{L}\\p{N}\\s]", " ")
+
+  /** DuckDB twin of `normalizeUnicode` over a SQL expression. */
+  def normalizeUnicodeSql(e: String): String =
+    s"regexp_replace(lower($e), '[^\\p{L}\\p{N}\\s]', ' ', 'g')"
+
   /** Whitespace-split to an array; may contain empty strings (filter after
     * explode — mirrors the StringTokenizer note in SURVEY.md §2.1/V3).
     */

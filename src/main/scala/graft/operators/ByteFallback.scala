@@ -67,7 +67,7 @@ object ByteFallback {
   def byteIds(piece: Column, b0: Column): Column =
     array_join(transform(
       regexp_extract_all(hex(encode(piece, "UTF-8")), lit("(..)"), lit(1)),
-      p => (b0 + lit(1L) + conv(p, lit(16), lit(10)).cast("long")).cast("string")), " ")
+      p => (b0 + lit(1L) + conv(p, 16, 10).cast("long")).cast("string")), " ")
 
   /** DuckDB twin of `byteIds` over expressions `piece` / `b0`. */
   def byteIdsSql(piece: String, b0: String): String =
@@ -78,6 +78,41 @@ object ByteFallback {
   def nBytes(piece: Column): Column = length(encode(piece, "UTF-8")).cast("long")
 
   def nBytesSql(piece: String): String = s"octet_length(encode($piece))"
+
+  // ---- Unicode-keeping tokenize tier --------------------------------------
+  // The standard pipeline tokenizes through TextOps.normalize, which strips
+  // every non-[a-z0-9] char (reference parity) — a foreign word would never
+  // reach the model at all. The byte-fallback tier tokenizes through
+  // normalizeUnicode instead, so out-of-alphabet WORDS survive to the
+  // encode and the fallback actually has something to do.
+
+  /** (doc_id, pos, word) tokens under the Unicode-keeping normalizer. */
+  def tokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(graft.functions.TextOps.splitWords(
+          graft.functions.TextOps.normalizeUnicode(col("text")))).as(Seq("pos", "word")))
+      .filter(graft.functions.TextOps.isKeptToken(col("word")))
+
+  /** (word, freq, sym) word types under the Unicode-keeping normalizer —
+    * the Bpe.wordTypes shape (chars space-wrapped for the merge chain).
+    */
+  def wordTypes(docs: DataFrame): DataFrame =
+    tokens(docs).groupBy("word").agg(count(lit(1)).as("freq"))
+      .withColumn("sym", regexp_replace(col("word"), "(.)", " $1 "))
+
+  /** Bpe/Ulm.encodeFrom against the Unicode-keeping tokenize: (doc_id,
+    * ids, <outCount>) with `inCount` the wids table's per-word piece
+    * count column (n_sym for BPE, n_pieces for ULM).
+    */
+  def encodeFrom(docs: DataFrame, wids: DataFrame,
+                 inCount: String, outCount: String): DataFrame =
+    tokens(docs).join(broadcast(wids), "word")
+      .groupBy("doc_id")
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ids")))),
+          x => x("ids")), " ").as("ids"),
+        sum(col(inCount)).as(outCount))
 
   /** The byte-piece half of the extended decode vocabulary:
     * (piece `<0xNN>`, id b0+1+n) — for decode round-trips and vocab dumps.

@@ -400,6 +400,77 @@ object BpeQueries {
            |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
            |  CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens
            |FROM tokp k JOIN wids w USING (word)
-           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin))
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ENCODE with BYTE-FALLBACK over a foreign-token corpus — the
+    // deployment case the plain encode can't serve: a frozen model meets
+    // out-of-alphabet text (CJK/accented words planted per doc by md5
+    // slice), OOV symbols expand to UTF-8 byte-piece ids above the
+    // closed vocabulary instead of dropping the word. The oracle
+    // re-applies the trained merge ledger to the FOREIGN word types
+    // (fw0..fw8), mints the same base-corpus id table, and byte-expands
+    // with the identical hex(encode(·)) pair walk — a dropped word, a
+    // wrong byte id, or an id-base drift all hash-fail.
+    GraftQuery("bpe_encode_bytes",
+      (s, d) => {
+        val bf = graft.operators.ByteFallback
+        val base = Tables.documents(s, d)
+        val merges = trainedMerges(s, d)
+        val docsF = bf.planted(base.select("doc_id", "text"))
+        val symIds = Bpe.symbolIds(Bpe.wordTypes(base), merges)
+        bf.encodeFrom(docsF,
+          Bpe.wordIdsFromFixedBytes(bf.wordTypes(docsF), merges, symIds),
+          "n_sym", "n_bpe_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val fApply = (1 to NumMerges).map { k =>
+          s"""fw$k AS MATERIALIZED (SELECT word, freq,
+             |  replace(sym, ' ' || replace((SELECT pair FROM m$k), ' ', '  ') || ' ',
+             |    ' ' || replace((SELECT pair FROM m$k), ' ', '') || ' ') AS sym FROM fw${k - 1})""".stripMargin
+        }.mkString(",\n")
+        s"""WITH ${chainCtes(NumMerges)},
+           |syms AS (SELECT word, string_split(trim(sym), '  ') AS syms FROM w$NumMerges),
+           |vocab AS (
+           |  SELECT symbol, CAST(row_number() OVER (ORDER BY symbol) AS INT) AS id
+           |  FROM (SELECT DISTINCT t.s AS symbol FROM syms, unnest(syms.syms) t(s))),
+           |b0 AS (SELECT CAST(max(id) AS BIGINT) AS b0 FROM vocab),
+           |fdocs AS (${graft.operators.ByteFallback.plantedSql("documents")}),
+           |ftok AS MATERIALIZED (
+           |  SELECT doc_id, w AS word
+           |  FROM fdocs, unnest(regexp_split_to_array(
+           |    ${graft.functions.TextOps.normalizeUnicodeSql("text")}, '\\s+')) t(w)
+           |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$$')),
+           |fw0 AS MATERIALIZED (
+           |  SELECT word, count(*) AS freq, regexp_replace(word, '(.)', ' \\1 ', 'g') AS sym
+           |  FROM ftok GROUP BY word),
+           |$fApply,
+           |fsyms AS (SELECT word, string_split(trim(sym), '  ') AS syms FROM fw$NumMerges),
+           |fwsym AS (
+           |  SELECT s.word, t.i, s.syms[t.i] AS symbol
+           |  FROM fsyms s, unnest(range(1, len(s.syms) + 1)) t(i)),
+           |sid AS (
+           |  SELECT w.word, w.i,
+           |    coalesce(CAST(v.id AS VARCHAR),
+           |      ${graft.operators.ByteFallback.byteIdsSql("w.symbol", "b.b0")}) AS ids,
+           |    CASE WHEN v.id IS NULL
+           |      THEN CAST(${graft.operators.ByteFallback.nBytesSql("w.symbol")} AS BIGINT)
+           |      ELSE 1 END AS np
+           |  FROM fwsym w CROSS JOIN b0 b LEFT JOIN vocab v ON v.symbol = w.symbol),
+           |wids AS (
+           |  SELECT word, string_agg(ids, ' ' ORDER BY i) AS ids,
+           |    CAST(sum(np) AS BIGINT) AS n_sym
+           |  FROM sid GROUP BY word),
+           |ftokp AS (
+           |  SELECT doc_id, t.i AS pos, arr[t.i] AS word
+           |  FROM (SELECT doc_id, regexp_split_to_array(
+           |    ${graft.functions.TextOps.normalizeUnicodeSql("text")}, '\\s+') AS arr FROM fdocs) d,
+           |    unnest(range(1, len(arr) + 1)) t(i)
+           |  WHERE length(arr[t.i]) > 0 AND NOT regexp_matches(arr[t.i], '^[0-9]+$$'))
+           |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
+           |  CAST(sum(w.n_sym) AS BIGINT) AS n_bpe_tokens
+           |FROM ftokp k JOIN wids w USING (word)
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
+      })
   )
 }

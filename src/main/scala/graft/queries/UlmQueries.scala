@@ -111,6 +111,42 @@ object UlmQueries {
        |  FROM ($fin))""".stripMargin
   }
 
+  /** Byte-fallback Viterbi unroll over word-type table `fwt` against
+    * cost table `ck` — [[viterbiCtes]] plus, at every position j, the
+    * unconditional constant-cost single-char edge (Ulm.ByteFallbackCost),
+    * mirroring Ulm.segmentFallback verbatim: any real piece dominates
+    * the 1000.0 edge, so fallback only survives where no real path
+    * exists. Emits fup0..fupL and fseg (word, freq, pieces).
+    */
+  private def fbViterbiCtes(ck: String): String = {
+    val fb = Ulm.ByteFallbackCost
+    val steps = (1 to L).map { j =>
+      val branches = (1 to math.min(P.maxPieceLen, j)).map { l =>
+        s"""SELECT v.word, v.freq, v.cost + c.cost AS cost,
+           |      v.path || ' ' || c.piece AS path
+           |    FROM fup${j - l} v JOIN $ck c
+           |      ON c.piece = substr(v.word, ${j - l + 1}, $l)
+           |    WHERE length(v.word) >= $j""".stripMargin
+      }.mkString("\n    UNION ALL ") +
+        s"""
+           |    UNION ALL SELECT v.word, v.freq, v.cost + $fb AS cost,
+           |      v.path || ' ' || substr(v.word, $j, 1) AS path
+           |    FROM fup${j - 1} v WHERE length(v.word) >= $j""".stripMargin
+      s"""fup$j AS MATERIALIZED (
+         |  SELECT word, freq, cost, path FROM (
+         |    SELECT word, freq, cost, path,
+         |      row_number() OVER (PARTITION BY word ORDER BY cost, path) AS rn
+         |    FROM ($branches)) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val fin = (1 to L)
+      .map(j => s"SELECT word, freq, cost, path FROM fup$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    s"""fup0 AS (SELECT word, freq, CAST(0 AS DOUBLE) AS cost, '' AS path FROM fwt),
+       |$steps,
+       |fseg AS MATERIALIZED (
+       |  SELECT word, freq, substr(path, 2) AS pieces FROM ($fin))""".stripMargin
+  }
+
   /** Recount CTE cnt{k} over the fixed seed vocabulary from seg{k}. */
   private def recountCte(k: Int): String =
     s"""cnt$k AS MATERIALIZED (
@@ -302,6 +338,75 @@ object UlmQueries {
            |  CAST(sum(w.n_pieces) AS BIGINT) AS n_ulm_tokens
            |FROM tokp k JOIN wids w USING (word)
            |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // ENCODE with BYTE-FALLBACK over the foreign-token corpus — the ULM
+    // half of the SentencePiece byte_fallback contract (see
+    // bpe_encode_bytes): the frozen model (final recount costs restricted
+    // to the USED closed vocabulary) segments every word via the
+    // constant-cost single-char fallback edge, OOV pieces expand to UTF-8
+    // byte ids above the vocabulary, and nothing drops. The oracle runs a
+    // THIRD Viterbi unroll (fbViterbiCtes) over the foreign word types
+    // against the same restricted cost table — fallback edge, byte
+    // expansion, and id base all re-derived independently.
+    GraftQuery("ulm_encode_bytes",
+      (s, d) => {
+        val bf = graft.operators.ByteFallback
+        val seg = persistedUlmSeg(s, d)
+        // frozen model costs: the final recount NLL (model-sized collect —
+        // the tokenizer-artifact contract, same bound as trainedMerges)
+        val costs = vocabFrom(s, d).select("piece", "nll").collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toMap
+        val pids = Ulm.pieceIds(seg)
+        val docsF = bf.planted(Tables.documents(s, d).select("doc_id", "text"))
+        val fwt = bf.wordTypes(docsF).drop("sym")
+        bf.encodeFrom(docsF,
+          Ulm.wordIdsFromFixedBytes(fwt, costs, P.maxPieceLen, pids),
+          "n_pieces", "n_ulm_tokens")
+          .orderBy("doc_id")
+      },
+      Some {
+        val uniTok = graft.functions.TextOps.normalizeUnicodeSql("text")
+        s"""WITH $trainerCtes,
+           |${costCte("c2", "cnt2")},
+           |pv AS (
+           |  SELECT piece, CAST(row_number() OVER (ORDER BY piece) AS INT) AS id
+           |  FROM (SELECT DISTINCT t.p AS piece
+           |        FROM seg2, unnest(string_split(seg2.pieces, ' ')) t(p))),
+           |c2r AS MATERIALIZED (SELECT c.piece, c.cost FROM c2 c JOIN pv USING (piece)),
+           |b0 AS (SELECT CAST(max(id) AS BIGINT) AS b0 FROM pv),
+           |fdocs AS (${graft.operators.ByteFallback.plantedSql("documents")}),
+           |ftok AS MATERIALIZED (
+           |  SELECT doc_id, w AS word
+           |  FROM fdocs, unnest(regexp_split_to_array($uniTok, '\\s+')) t(w)
+           |  WHERE length(w) > 0 AND NOT regexp_matches(w, '^[0-9]+$$')),
+           |fwt AS MATERIALIZED (
+           |  SELECT word, CAST(count(*) AS BIGINT) AS freq FROM ftok GROUP BY word),
+           |${fbViterbiCtes("c2r")},
+           |fwp AS (
+           |  SELECT s.word, t.i, string_split(s.pieces, ' ')[CAST(t.i AS INT)] AS piece
+           |  FROM fseg s, unnest(range(1, len(string_split(s.pieces, ' ')) + 1)) t(i)),
+           |sid AS (
+           |  SELECT w.word, w.i,
+           |    coalesce(CAST(v.id AS VARCHAR),
+           |      ${graft.operators.ByteFallback.byteIdsSql("w.piece", "b.b0")}) AS ids,
+           |    CASE WHEN v.id IS NULL
+           |      THEN CAST(${graft.operators.ByteFallback.nBytesSql("w.piece")} AS BIGINT)
+           |      ELSE 1 END AS np
+           |  FROM fwp w CROSS JOIN b0 b LEFT JOIN pv v ON v.piece = w.piece),
+           |wids AS (
+           |  SELECT word, string_agg(ids, ' ' ORDER BY i) AS ids,
+           |    CAST(sum(np) AS BIGINT) AS n_pieces
+           |  FROM sid GROUP BY word),
+           |ftokp AS (
+           |  SELECT doc_id, t.i AS pos, arr[t.i] AS word
+           |  FROM (SELECT doc_id, regexp_split_to_array($uniTok, '\\s+') AS arr FROM fdocs) d,
+           |    unnest(range(1, len(arr) + 1)) t(i)
+           |  WHERE length(arr[t.i]) > 0 AND NOT regexp_matches(arr[t.i], '^[0-9]+$$'))
+           |SELECT k.doc_id, string_agg(w.ids, ' ' ORDER BY k.pos) AS ids,
+           |  CAST(sum(w.n_pieces) AS BIGINT) AS n_ulm_tokens
+           |FROM ftokp k JOIN wids w USING (word)
+           |GROUP BY k.doc_id ORDER BY doc_id""".stripMargin
+      }),
 
     // Sequence packing by the unigram model's budget — bpe_pack's twin
     // through the same Curation.packSequencesFrom hook: frames cut in

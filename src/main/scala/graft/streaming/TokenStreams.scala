@@ -19,9 +19,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * broadcast join against the bounded id cache (Bpe.encodeFrom /
   * Ulm.encodeFrom); word types the cache has never seen fall back to the
   * model itself — the merge chain (BPE) or a lenient Viterbi pass (ULM)
-  * over just the UNSEEN types — and words that reach outside the closed
-  * symbol/piece vocabulary are dropped whole (spec-pinned; byte-fallback
-  * is the production alternative, documented not implemented).
+  * over just the UNSEEN types. OOV words: the plain batch encodes drop
+  * words that reach outside the closed symbol/piece vocabulary whole
+  * (spec-pinned — the strict-closed-vocabulary contract); the `*Bytes`
+  * variants implement the production alternative, SentencePiece-style
+  * byte-fallback (OOV symbols/chars expand to UTF-8 byte-piece ids above
+  * the closed vocabulary — nothing drops, decode round-trips; gated
+  * batch-side as bpe_encode_bytes / ulm_encode_bytes).
   *
   * Prefix equality (StreamingSpec): because encoding is per-doc
   * deterministic under the frozen model, the stream's accumulated output
@@ -55,6 +59,41 @@ object TokenStreams {
     Ulm.encodeFrom(batch,
       wids.unionByName(
         Ulm.wordIdsFromFixed(unseen, costs, maxPieceLen, pieceIdTable)))
+  }
+
+  /** [[bpeEncodeBatch]] with BYTE-FALLBACK (the production OOV story —
+    * SentencePiece byte_fallback): unseen types encode through
+    * Bpe.wordIdsFromFixedBytes, so out-of-alphabet symbols expand to
+    * UTF-8 byte-piece ids instead of dropping the word. Tokenize runs
+    * Unicode-keeping (ByteFallback.tokens) — an ASCII normalize would
+    * strip the foreign words before the model ever saw them. The cached
+    * `wids` half is unchanged: train-corpus docs encode bit-identically
+    * to the plain batch encode.
+    */
+  def bpeEncodeBatchBytes(batch: DataFrame, merges: Seq[Bpe.Merge],
+                          wids: DataFrame, symIds: DataFrame): DataFrame = {
+    val bf = graft.operators.ByteFallback
+    val unseen = bf.wordTypes(batch)
+      .join(wids.select("word"), Seq("word"), "left_anti")
+    bf.encodeFrom(batch,
+      wids.unionByName(Bpe.wordIdsFromFixedBytes(unseen, merges, symIds)),
+      "n_sym", "n_bpe_tokens")
+  }
+
+  /** [[ulmEncodeBatch]] with BYTE-FALLBACK — the ULM family twin of
+    * [[bpeEncodeBatchBytes]] (fallback Viterbi edge + byte expansion,
+    * see Ulm.wordIdsFromFixedBytes).
+    */
+  def ulmEncodeBatchBytes(batch: DataFrame, costs: Map[String, Double],
+                          maxPieceLen: Int, wids: DataFrame,
+                          pieceIdTable: DataFrame): DataFrame = {
+    val bf = graft.operators.ByteFallback
+    val unseen = bf.wordTypes(batch).drop("sym")
+      .join(wids.select("word"), Seq("word"), "left_anti")
+    bf.encodeFrom(batch,
+      wids.unionByName(
+        Ulm.wordIdsFromFixedBytes(unseen, costs, maxPieceLen, pieceIdTable)),
+      "n_pieces", "n_ulm_tokens")
   }
 
   /** Always-on streaming BPE encode: text in, model-ready token ids out,
