@@ -502,6 +502,37 @@ object Curation {
     bf.unionByName(cc)
   }
 
+  /** Training-shard assignment — the loader-facing LAST step of the
+    * packing pipeline: the packed sequence stream cut into size-bounded
+    * shards in the same content-hash order, `seqsPerShard` fixed-budget
+    * sequences per shard (shard token budget = seqsPerShard·budget).
+    * Pure arithmetic over [[packAssignmentsFrom]]'s layout — shard_id =
+    * seq_id div seqsPerShard — so the assignment inherits the
+    * distributed prefix-sum's scale shape (no new shuffle beyond it).
+    * Returns (doc_id, n_tok, start, seq_id, shard_id).
+    */
+  def shardAssignmentsFrom(counts: DataFrame, budget: Long,
+                           seqsPerShard: Long): DataFrame =
+    packAssignmentsFrom(counts, budget)
+      .withColumn("shard_id", expr(s"seq_id div ${seqsPerShard}L"))
+
+  /** The shard MANIFEST a data loader consumes: one row per shard with
+    * its sequence/doc/token counts and the fixed loader budget —
+    * (shard_id, n_seqs, n_docs, n_tokens, token_budget). n_seqs counts
+    * the shard's DISTINCT sequences (a doc straddling a chunk boundary
+    * belongs to the chunk its first token lands in, so the last shard
+    * may run ragged — the manifest records actual content, the budget
+    * column the loader's allocation).
+    */
+  def shardManifestFrom(counts: DataFrame, budget: Long,
+                        seqsPerShard: Long): DataFrame =
+    shardAssignmentsFrom(counts, budget, seqsPerShard)
+      .groupBy("shard_id")
+      .agg(countDistinct("seq_id").as("n_seqs"),
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"))
+      .withColumn("token_budget", lit(budget * seqsPerShard))
+
   /** Per-source quality cap: keep each source's top `k` documents by
     * (n_chars DESC, doc_id ASC) — the per-domain cap every crawl pipeline
     * applies so one over-represented domain cannot dominate the corpus

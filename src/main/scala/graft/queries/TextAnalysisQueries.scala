@@ -1028,6 +1028,59 @@ object TextAnalysisQueries {
           |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
           |FROM c GROUP BY 1 ORDER BY seq_id""".stripMargin)),
 
+    // Training-shard assignment — the loader-facing LAST step: the packed
+    // sequence stream cut into size-bounded shards (8 × 500-token
+    // sequences per shard) in the same content-hash order. Pure
+    // arithmetic over the pack layout (shard_id = seq_id div 8), so the
+    // oracle extends the text_pack window with two integer divisions.
+    GraftQuery("text_shards",
+      (s, d) => graft.operators.Curation.shardAssignmentsFrom(
+          TextAnalysis.tokenCounts(Tables.documents(s, d))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("alnum_tokens").as("n_tok")),
+          500L, 8L).orderBy("doc_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tok,
+          |    COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          |  FROM t)
+          |SELECT doc_id, n_tok, CAST(start AS BIGINT) AS start,
+          |  CAST(start // 500 AS BIGINT) AS seq_id,
+          |  CAST((start // 500) // 8 AS BIGINT) AS shard_id
+          |FROM c ORDER BY doc_id""".stripMargin)),
+
+    // The shard MANIFEST a data loader consumes: per shard, distinct
+    // sequences, docs, real tokens, and the fixed loader budget
+    // (8·500 = 4000). One hash-agg over the assignment frame.
+    GraftQuery("text_shard_manifest",
+      (s, d) => graft.operators.Curation.shardManifestFrom(
+          TextAnalysis.tokenCounts(Tables.documents(s, d))
+            .select(org.apache.spark.sql.functions.col("doc_id"),
+              org.apache.spark.sql.functions.col("alnum_tokens").as("n_tok")),
+          500L, 8L).orderBy("shard_id"),
+      Some(
+        """WITH t AS (
+          |  SELECT doc_id,
+          |    len(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), w -> length(w) > 0))::BIGINT AS n_tok,
+          |    md5(CAST(doc_id AS VARCHAR)) AS h
+          |  FROM documents),
+          |c AS (
+          |  SELECT doc_id, n_tok,
+          |    COALESCE(sum(n_tok) OVER (ORDER BY h, doc_id
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start
+          |  FROM t)
+          |SELECT CAST((start // 500) // 8 AS BIGINT) AS shard_id,
+          |  CAST(count(DISTINCT start // 500) AS BIGINT) AS n_seqs,
+          |  count(*) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+          |  CAST(4000 AS BIGINT) AS token_budget
+          |FROM c GROUP BY 1 ORDER BY shard_id""".stripMargin)),
+
     // Best-fit sequence packing (round 16 — the padding-free alternative
     // to text_pack's concat-and-chunk; Krell et al. 2021's histogram
     // framing): token counts round UP to 20-token length classes,

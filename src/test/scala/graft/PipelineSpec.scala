@@ -82,6 +82,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(packedDocs == bySplit.getOrElse("train", 0L),
       "packing must place every train doc exactly once")
 
+    // 7. Shard the packed stream (4 sequences per shard): shards
+    //    partition the sequences, every doc lands in exactly one shard,
+    //    and the manifest's content sums reconcile with the pack
+    val counts = graft.operators.TextAnalysis.tokenCounts(train)
+      .select(col("doc_id"), col("alnum_tokens").as("n_tok"))
+    val asg = Curation.shardAssignmentsFrom(counts, 200L, 4L)
+    assert(asg.count() == packedDocs, "sharding must keep every packed doc")
+    assert(asg.filter(col("shard_id") =!= expr("seq_id div 4")).count() == 0)
+    val manifest = Curation.shardManifestFrom(counts, 200L, 4L).collect()
+    assert(manifest.map(_.getLong(2)).sum == packedDocs,
+      "manifest docs must sum to the packed docs")
+    assert(manifest.map(_.getLong(1)).sum ==
+      packed.count(), "manifest sequences must sum to the pack's chunks")
+    assert(manifest.forall(_.getLong(4) == 800L), "loader budget column fixed")
+
     (novelIds, cleanIds, mixedIds, bySplit, packedDocs)
   }
 
