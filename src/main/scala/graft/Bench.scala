@@ -68,6 +68,7 @@ object Bench {
       "pq_index" -> (() => graft.queries.SimilarityQueries.pqIndexDir(spark, sfDir)),
       "bpe_model" -> (() => graft.queries.BpeQueries.persistedMerges(spark, sfDir).count()),
       "ulm_model" -> (() => graft.queries.UlmQueries.persistedUlmSeg(spark, sfDir).count()),
+      "ulm_soft_model" -> (() => graft.queries.UlmQueries.persistedUlmSoft(spark, sfDir).count()),
       "bpe_model_deep" -> (() => graft.queries.BpeQueries.persistedMergesDeep(spark, sfDir).count()))
     // SPARK_GRAFT_SKIP_SETUP=1: skip the persisted-artifact pre-build —
     // for filtered runs (SPARK_GRAFT_ONLY) against ad-hoc corpora (the

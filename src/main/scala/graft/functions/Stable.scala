@@ -48,6 +48,13 @@ object Stable {
     */
   def stab6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
+  /** Driver-side twin of `stab(c, 12)` — the PROBABILITY grid (the soft-EM
+    * lattice runs in probability space, where the stab(6) grid would
+    * crush small piece probabilities; 12 digits keeps ~6 significant
+    * digits at p ≈ 10⁻⁶). Headroom contract: x ≤ 1 (x·10¹² < 2⁵³).
+    */
+  def stab12(x: Double): Double = math.floor(x * 1e12 + 0.5) / 1e12
+
   /** SQL twin of `stab` for oracle strings. */
   def stabSql(expr: String, digits: Int): String = {
     val p = "1" + ("0" * digits) + ".0"

@@ -501,6 +501,182 @@ object Ulm {
     rows.toDF("round", "total_nll", "total_pieces")
   }
 
+  // ==================== SOFT EM (forward-backward) ====================
+  // Kudo 2018 §4.2 PROPER: the E-step takes expectations over ALL
+  // segmentations of each word (forward-backward on the piece lattice),
+  // not just the Viterbi path — closing §2.9's "hard-EM only" caveat.
+  //
+  // Cross-engine float discipline (the reason this hash-gates): the
+  // lattice runs in PROBABILITY space with stab(12)-quantized piece
+  // probabilities (stab(6) would crush p ≈ 10⁻⁶ pieces; headroom
+  // contract: the grid dies at Σ(cnt+1) ≳ 10¹² — raise the digits for a
+  // corpus beyond that); every α/β cell is a fixed ASCENDING-l left-fold
+  // of products (the SQL twin writes the same + chain, so the IEEE
+  // sequences are identical); each edge posterior contribution is
+  // stab(6)'d per (word, position, piece) row and DECIMAL-summed —
+  // order-free — into soft counts; totals Σ(e+1) go through exact
+  // micro-unit integer arithmetic on both sides.
+
+  /** stab(12)-quantized piece probabilities from integer seed counts. */
+  private[graft] def probMap0(pieces: Seq[(String, Long)]): Map[String, Double] = {
+    val tot = pieces.map(_._2 + 1L).sum.toDouble
+    pieces.map { case (p, c) =>
+      p -> Stable.stab12((c + 1L).toDouble / tot)
+    }.toMap
+  }
+
+  /** stab(12)-quantized piece probabilities from SOFT (stab(6)-grid)
+    * counts; the total Σ(e+1) is computed in exact micro-units.
+    */
+  private[graft] def probMapSoft(pieces: Seq[(String, Double)]): Map[String, Double] = {
+    val micros = pieces.map { case (_, e) => math.floor(e * 1e6 + 0.5).toLong }.sum
+    val tot = (micros + pieces.size * 1000000L).toDouble / 1e6
+    pieces.map { case (p, e) =>
+      p -> Stable.stab12((e + 1.0) / tot)
+    }.toMap
+  }
+
+  /** Row-local forward/backward over one word's piece lattice: α(j) =
+    * Σ_l α(j−l)·p(w[j−l..j]) and β(j) = Σ_l β(j+l)·p(w[j..j+l]), both
+    * folded in ascending l (the SQL twin's + chain order). Returns
+    * (α, β) arrays of length n+1.
+    */
+  private def lattice(w: String, pm: Map[String, Double],
+                      maxPieceLen: Int): (Array[Double], Array[Double]) = {
+    val n = w.length
+    val a = new Array[Double](n + 1)
+    a(0) = 1.0
+    var j = 1
+    while (j <= n) {
+      var s = 0.0
+      var l = 1
+      val lm = math.min(maxPieceLen, j)
+      while (l <= lm) {
+        val p = pm.getOrElse(w.substring(j - l, j), -1.0)
+        if (p >= 0) s += a(j - l) * p
+        l += 1
+      }
+      a(j) = s
+      j += 1
+    }
+    val b = new Array[Double](n + 1)
+    b(n) = 1.0
+    j = n - 1
+    while (j >= 0) {
+      var s = 0.0
+      var l = 1
+      val lm = math.min(maxPieceLen, n - j)
+      while (l <= lm) {
+        val p = pm.getOrElse(w.substring(j, j + l), -1.0)
+        if (p >= 0) s += b(j + l) * p
+        l += 1
+      }
+      b(j) = s
+      j -= 1
+    }
+    (a, b)
+  }
+
+  /** Per-word marginal likelihoods under the current probabilities:
+    * (word, freq, an) with an = α(n) = P(word | model), the soft
+    * objective's per-type term. Row-local.
+    */
+  def marginals(wt: DataFrame, probs: Map[String, Double],
+                maxPieceLen: Int): DataFrame = {
+    val spark = wt.sparkSession
+    val bc = spark.sparkContext.broadcast(probs)
+    val schema = StructType(Seq(
+      StructField("word", StringType, nullable = false),
+      StructField("freq", LongType, nullable = false),
+      StructField("an", DoubleType, nullable = false)))
+    val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
+      val pm = bc.value
+      rows.map { r =>
+        val w = r.getString(0)
+        val (a, _) = lattice(w, pm, maxPieceLen)
+        require(a(w.length) > 0, s"word '$w' has no lattice path — singles missing?")
+        Row(w, r.getLong(1), a(w.length))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** E-step edge posteriors: one row per (word, start, piece) lattice
+    * edge with its stab(6)'d expected-count contribution
+    * freq·α(i)·p·β(i+l)/α(n). Row-local; the downstream DECIMAL sum is
+    * order-free, so nothing about partitioning can move the gate.
+    */
+  def softEdges(wt: DataFrame, probs: Map[String, Double],
+                maxPieceLen: Int): DataFrame = {
+    val spark = wt.sparkSession
+    val bc = spark.sparkContext.broadcast(probs)
+    val schema = StructType(Seq(
+      StructField("piece", StringType, nullable = false),
+      StructField("c", DoubleType, nullable = false)))
+    val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
+      val pm = bc.value
+      rows.flatMap { r =>
+        val w = r.getString(0)
+        val freq = r.getLong(1)
+        val n = w.length
+        val (a, b) = lattice(w, pm, maxPieceLen)
+        require(a(n) > 0, s"word '$w' has no lattice path — singles missing?")
+        val an = a(n)
+        for {
+          i <- 0 until n
+          l <- 1 to math.min(maxPieceLen, n - i)
+          piece = w.substring(i, i + l)
+          p <- pm.get(piece)
+        } yield Row(piece, Stable.stab6(freq * a(i) * p * b(i + l) / an))
+      }
+    }
+    spark.createDataFrame(out, schema)
+  }
+
+  /** M-step soft recount over the FIXED seed vocabulary: (piece, e) with
+    * e the order-free DECIMAL sum of edge contributions (absent → 0).
+    */
+  def softCounts(wt: DataFrame, probs: Map[String, Double],
+                 maxPieceLen: Int, vocab: DataFrame): DataFrame =
+    vocab.select("piece").join(
+        softEdges(wt, probs, maxPieceLen)
+          .groupBy("piece").agg(Stable.dsum(col("c"), 6).as("e")),
+        Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("e"), lit(0.0)).as("e"))
+
+  /** The soft-EM trainer: `iters` forward-backward rounds from the same
+    * seed as [[train]]. Returns (model (piece, cnt_soft, nll), curve
+    * (round, total_nll_soft)) — total_nll_soft = Σ freq·(−ln α(n)) under
+    * that round's INPUT probabilities, the marginal-likelihood objective
+    * the E-step optimizes (≤ the Viterbi NLL of ulm_em_curve by
+    * construction — UlmSoftSpec pins the inequality). Driver traffic per
+    * round: one model-sized (piece, e) collect + one 1-row NLL collect.
+    */
+  def softTrain(docs: DataFrame, p: Params = Params()): (DataFrame, DataFrame) = {
+    require(p.iters >= 1, s"ulm needs >= 1 EM round, got ${p.iters}")
+    val spark = docs.sparkSession
+    val wt = Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
+    var pm = probMap0(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    var e: Seq[(String, Double)] = null
+    var eDf: DataFrame = null
+    val curve = (1 to p.iters).map { k =>
+      val nll = marginals(wt, pm, p.maxPieceLen)
+        .agg(Stable.dsum(Stable.stab(col("freq") * -log(col("an")), 6), 6))
+        .collect()(0).getDouble(0)
+      eDf = softCounts(wt, pm, p.maxPieceLen, vocab).localCheckpoint()
+      e = eDf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      pm = probMapSoft(e)
+      (k, nll)
+    }
+    val micros = e.map { case (_, ev) => math.floor(ev * 1e6 + 0.5).toLong }.sum
+    val tot = (micros + e.size * 1000000L).toDouble / 1e6
+    val model = eDf.select(col("piece"), col("e").as("cnt_soft"),
+      Stable.stab(log(lit(tot)) - log(col("e") + lit(1.0)), 6).as("nll"))
+    import spark.implicits._
+    (model, curve.toDF("round", "total_nll_soft"))
+  }
+
   /** Tokenizer fertility by source under the unigram model — the
     * Bpe.sourceFertility diagnostic for the OTHER family: with both
     * cards registered, the mixing planner can compare the two

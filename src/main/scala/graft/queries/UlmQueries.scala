@@ -35,6 +35,16 @@ object UlmQueries {
       Ulm.train(Tables.documents(s, d), P)._2
     }
 
+  /** The SOFT-EM model as a persisted setup artifact (the ulmseg
+    * discipline): forward-backward trained once per corpus, read by
+    * ulm_vocab_soft.
+    */
+  def persistedUlmSoft(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "ulmsoft", "documents.parquet",
+      s"_p${P.maxPieceLen}s${P.seedSize}i${P.iters}") {
+      Ulm.softTrain(Tables.documents(s, d), P)._1
+    }
+
   /** In-plan model card from the persisted segmentation: final recounts
     * over the (recomputed, cheap) seed vocabulary + stab(6) NLL, the
     * 1-row total broadcast-crossed (no driver collect).
@@ -146,6 +156,98 @@ object UlmQueries {
        |fseg AS MATERIALIZED (
        |  SELECT word, freq, substr(path, 2) AS pieces FROM ($fin))""".stripMargin
   }
+
+  // ---------------- soft-EM oracle CTE generators ----------------
+
+  /** One soft-EM round `k` against probability table `sp`: forward CTEs
+    * fa{k}p0..L and backward fb{k}pL..0 (every cell the same
+    * ascending-l `+` chain the Scala lattice folds — identical IEEE
+    * sequences), marginals wan{k}, unified lattice tables au{k}/bu{k},
+    * stab(6) edge posteriors edges{k}, the DECIMAL soft recount scnt{k}
+    * over the fixed seed, and the next stab(12) probability table sp{k}.
+    */
+  private def softRound(k: Int, sp: String): String = {
+    val fwd = (1 to L).map { j =>
+      val ls = 1 to math.min(P.maxPieceLen, j)
+      val terms = ls.map(l => s"coalesce(a$l.a * p$l.p, 0.0)").mkString(" + ")
+      val joins = ls.map { l =>
+        s"  JOIN fa${k}p${j - l} a$l ON a$l.word = w.word\n" +
+          s"  LEFT JOIN $sp p$l ON p$l.piece = substr(w.word, ${j - l + 1}, $l)"
+      }.mkString("\n")
+      s"""fa${k}p$j AS MATERIALIZED (
+         |  SELECT w.word, w.freq,
+         |    CASE WHEN length(w.word) >= $j THEN $terms ELSE 0.0 END AS a
+         |  FROM wt w
+         |$joins)""".stripMargin
+    }.mkString(",\n")
+    val bwd = (L - 1 to 0 by -1).map { j =>
+      val ls = 1 to math.min(P.maxPieceLen, L - j)
+      val terms = ls.map(l =>
+        s"(CASE WHEN $j + $l <= length(w.word) THEN coalesce(b$l.b * p$l.p, 0.0) ELSE 0.0 END)")
+        .mkString(" + ")
+      val joins = ls.map { l =>
+        s"  JOIN fb${k}p${j + l} b$l ON b$l.word = w.word\n" +
+          s"  LEFT JOIN $sp p$l ON p$l.piece = substr(w.word, ${j + 1}, $l)"
+      }.mkString("\n")
+      s"""fb${k}p$j AS MATERIALIZED (
+         |  SELECT w.word,
+         |    CASE WHEN length(w.word) = $j THEN 1.0
+         |         WHEN length(w.word) > $j THEN $terms ELSE 0.0 END AS b
+         |  FROM wt w
+         |$joins)""".stripMargin
+    }.mkString(",\n")
+    val wan = (1 to L)
+      .map(j => s"SELECT word, freq, a FROM fa${k}p$j WHERE length(word) = $j")
+      .mkString("\n  UNION ALL ")
+    val au = (0 to L).map(j => s"SELECT word, $j AS j, a FROM fa${k}p$j")
+      .mkString("\n  UNION ALL ")
+    val bu = (0 to L).map(j => s"SELECT word, $j AS j, b FROM fb${k}p$j")
+      .mkString("\n  UNION ALL ")
+    s"""fa${k}p0 AS (SELECT word, freq, CAST(1.0 AS DOUBLE) AS a FROM wt),
+       |$fwd,
+       |fb${k}p$L AS MATERIALIZED (
+       |  SELECT w.word, CASE WHEN length(w.word) = $L THEN 1.0 ELSE 0.0 END AS b
+       |  FROM wt w),
+       |$bwd,
+       |wan$k AS MATERIALIZED (
+       |  $wan),
+       |au$k AS MATERIALIZED (
+       |  $au),
+       |bu$k AS MATERIALIZED (
+       |  $bu),
+       |edges$k AS MATERIALIZED (
+       |  SELECT s.piece,
+       |    floor((w.freq * a.a * s.p * b.b / n.a) * 1000000.0 + 0.5) / 1000000.0 AS c
+       |  FROM wt w, range(0, $L) ii(i), range(1, ${P.maxPieceLen + 1}) ll(l),
+       |    au$k a, bu$k b, wan$k n, $sp s
+       |  WHERE a.word = w.word AND a.j = ii.i
+       |    AND b.word = w.word AND b.j = ii.i + ll.l
+       |    AND n.word = w.word
+       |    AND ii.i + ll.l <= length(w.word)
+       |    AND s.piece = substr(w.word, CAST(ii.i + 1 AS INT), CAST(ll.l AS INT))),
+       |scnt$k AS MATERIALIZED (
+       |  SELECT s0.piece, COALESCE(x.e, CAST(0 AS DECIMAL(18,6))) AS e
+       |  FROM seed0 s0 LEFT JOIN (
+       |    SELECT piece, sum(CAST(c AS DECIMAL(18,6))) AS e
+       |    FROM edges$k GROUP BY piece) x USING (piece)),
+       |sp$k AS MATERIALIZED (SELECT piece,
+       |  floor(((CAST(CAST(e AS VARCHAR) AS DOUBLE) + 1.0) /
+       |    (SELECT CAST(CAST(sum(e) + count(*) AS VARCHAR) AS DOUBLE) FROM scnt$k))
+       |    * 1000000000000.0 + 0.5) / 1000000000000.0 AS p
+       |  FROM scnt$k)""".stripMargin
+  }
+
+  /** The 2-round soft-EM chain (requires [[seedCtes]] upstream): sp0
+    * from integer seed counts, then two forward-backward rounds. Emits
+    * wan1/wan2 (the curve's marginals) and scnt2 (the soft model).
+    */
+  private def softCtes: String =
+    s"""sp0 AS MATERIALIZED (SELECT piece,
+       |  floor((CAST(cnt + 1 AS DOUBLE) / (SELECT CAST(sum(cnt + 1) AS DOUBLE) FROM seed0))
+       |    * 1000000000000.0 + 0.5) / 1000000000000.0 AS p
+       |  FROM seed0),
+       |${softRound(1, "sp0")},
+       |${softRound(2, "sp1")}""".stripMargin
 
   /** Recount CTE cnt{k} over the fixed seed vocabulary from seg{k}. */
   private def recountCte(k: Int): String =
@@ -437,6 +539,61 @@ object UlmQueries {
     // sum) and the corpus token count under that round's segmentation —
     // the estimator-honesty card for the trainer itself (UlmSpec pins
     // the Viterbi-optimality inequality behind it).
+    // SOFT-EM vocabulary (Kudo 2018 §4.2 PROPER — forward-backward
+    // expectations over the whole segmentation lattice, closing §2.9's
+    // hard-EM caveat): (piece, soft count, NLL) after 2 rounds from the
+    // same seed as ulm_vocab. The oracle re-derives both rounds' α/β
+    // lattices as unrolled position CTEs whose cells fold the identical
+    // ascending-l IEEE + chains, quantizes each edge posterior to the
+    // stab(6) grid, DECIMAL-sums the expectations (order-free), and
+    // rebuilds the stab(12) probability tables — a drift in any lattice
+    // cell, posterior, or total hash-fails.
+    GraftQuery("ulm_vocab_soft",
+      (s, d) => persistedUlmSoft(s, d).orderBy("piece"),
+      Some {
+        val totSql = "(SELECT CAST(CAST(sum(e) + count(*) AS VARCHAR) AS DOUBLE) FROM scnt2)"
+        val eDbl = "CAST(CAST(e AS VARCHAR) AS DOUBLE)"
+        s"""WITH $seedCtes,
+           |$softCtes
+           |SELECT piece, $eDbl AS cnt_soft,
+           |  ${graft.functions.Stable.stabSql(s"ln($totSql) - ln($eDbl + 1.0)", 6)} AS nll
+           |FROM scnt2 ORDER BY piece""".stripMargin
+      }),
+
+    // The hard-vs-soft honesty card: per EM round, the SOFT trainer's
+    // marginal NLL Σ freq·(−ln α(n)) next to the HARD trainer's Viterbi
+    // NLL Σ freq·cost, each under its OWN round-input model. In round 1
+    // both trainers start from the same seed model, so marginal ≤
+    // Viterbi is guaranteed (all-segmentations mass ≥ best-path mass —
+    // UlmSoftSpec pins it); from round 2 the models diverge and the
+    // card shows the two learning curves side by side (both must
+    // decrease — also spec-pinned). The round-1 gap is exactly the
+    // segmentation-posterior mass §2.9's hard-EM simplification
+    // discarded.
+    GraftQuery("ulm_em_curve_soft",
+      (s, d) => {
+        val soft = Ulm.softTrain(Tables.documents(s, d), P)._2
+        val hard = Ulm.emCurve(Tables.documents(s, d), P)
+          .select(col("round"), col("total_nll").as("total_nll_hard"))
+        soft.join(hard, "round").orderBy("round")
+      },
+      Some {
+        def softNll(k: Int) = graft.functions.Stable.dsumSql(
+          graft.functions.Stable.stabSql("freq * (-ln(a))", 6), 6)
+        def hardNll = graft.functions.Stable.dsumSql(
+          graft.functions.Stable.stabSql("freq * cost", 6), 6)
+        s"""WITH $trainerCtes,
+           |$softCtes
+           |SELECT 1 AS round,
+           |  (SELECT ${softNll(1)} FROM wan1) AS total_nll_soft,
+           |  (SELECT $hardNll FROM seg1) AS total_nll_hard
+           |UNION ALL
+           |SELECT 2,
+           |  (SELECT ${softNll(2)} FROM wan2),
+           |  (SELECT $hardNll FROM seg2)
+           |ORDER BY round""".stripMargin
+      }),
+
     GraftQuery("ulm_em_curve",
       (s, d) => Ulm.emCurve(Tables.documents(s, d), P).orderBy("round"),
       Some(

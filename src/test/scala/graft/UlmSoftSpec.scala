@@ -1,0 +1,85 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Soft-EM (forward-backward) verified against brute-force enumeration of
+  * ALL segmentations: the lattice marginal α(n) equals the enumerated
+  * Σ_seg Π p, and the edge-posterior soft counts equal the enumerated
+  * expectations — on adversarial toy words with overlapping pieces. Plus
+  * the corpus-level pins that make the honesty card meaningful: round-1
+  * marginal NLL ≤ round-1 Viterbi NLL (same seed model), and both
+  * trainers' curves decrease.
+  */
+class UlmSoftSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+  import graft.operators.Ulm
+
+  private val mpl = 6
+
+  /** All segmentations of `w` into pieces of `pm`. */
+  private def segs(w: String, pm: Map[String, Double]): Seq[Seq[String]] =
+    if (w.isEmpty) Seq(Seq.empty)
+    else (1 to math.min(mpl, w.length)).flatMap { l =>
+      val h = w.substring(0, l)
+      if (pm.contains(h)) segs(w.substring(l), pm).map(h +: _) else Seq.empty
+    }
+
+  private def close(a: Double, b: Double, tol: Double): Boolean =
+    math.abs(a - b) <= tol * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  // overlapping pieces force genuinely multi-path lattices
+  private val pm = Map("a" -> 0.3, "b" -> 0.2, "ab" -> 0.1, "ba" -> 0.05,
+    "bb" -> 0.04, "abba" -> 0.01)
+  private val words = Seq("ab", "ba", "abba", "babab", "aabbaa", "bbbb")
+
+  test("lattice marginal α(n) equals brute-force Σ over ALL segmentations") {
+    val wt = words.map(w => (w, 1L)).toDF("word", "freq")
+    val got = Ulm.marginals(wt, pm, mpl).as[(String, Long, Double)]
+      .collect().map(r => r._1 -> r._3).toMap
+    words.foreach { w =>
+      val want = segs(w, pm).map(_.map(pm).product).sum
+      assert(close(got(w), want, 1e-12), s"'$w': ${got(w)} vs $want")
+    }
+  }
+
+  test("soft counts equal brute-force posterior expectations") {
+    val freq = 3L
+    val wt = words.map(w => (w, freq)).toDF("word", "freq")
+    val got = Ulm.softEdges(wt, pm, mpl)
+      .groupBy("piece").agg(org.apache.spark.sql.functions.sum("c").as("e"))
+      .as[(String, Double)].collect().toMap
+    val want = collection.mutable.Map.empty[String, Double].withDefaultValue(0.0)
+    words.foreach { w =>
+      val ss = segs(w, pm)
+      val pw = ss.map(_.map(pm).product).sum
+      ss.foreach { s =>
+        val post = s.map(pm).product / pw
+        s.foreach(p => want(p) += freq * post)
+      }
+    }
+    want.foreach { case (p, e) =>
+      // stab(6) per edge: tolerance a few grid steps per contributing edge
+      assert(close(got.getOrElse(p, 0.0), e, 1e-4), s"'$p': ${got.get(p)} vs $e")
+    }
+    // total expected pieces == Σ freq·E[n_pieces]: conservation check
+    val totWant = words.map { w =>
+      val ss = segs(w, pm)
+      val pw = ss.map(_.map(pm).product).sum
+      freq * ss.map(s => s.map(pm).product * s.size).sum / pw
+    }.sum
+    assert(close(got.values.sum, totWant, 1e-4))
+  }
+
+  test("round 1: soft marginal NLL ≤ hard Viterbi NLL (same seed model); both curves decrease") {
+    val docs = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+    val P = graft.queries.UlmQueries.P
+    val soft = Ulm.softTrain(docs, P)._2.as[(Int, Double)].collect().toMap
+    val hard = Ulm.emCurve(docs, P).as[(Int, Double, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(soft(1) <= hard(1),
+      s"all-segmentations mass must be ≥ best-path mass: ${soft(1)} vs ${hard(1)}")
+    assert(soft(2) < soft(1), "soft-EM objective must improve")
+    assert(hard(2) < hard(1), "hard-EM objective must improve")
+  }
+}
