@@ -1474,11 +1474,31 @@ object Multimodal {
   /** Deterministic JPEG fixture contract per image doc (doc_id%3==0):
     * (width 8..16, height 8..16, flat?) — flat payloads are uniform gray
     * (id%256) written at quality 1.0; textured payloads carry the PNG
-    * tier's gradient pattern at quality 0.75.
+    * tier's gradient pattern at quality 0.75 in one of THREE variants
+    * ([[jpegVariant]], round 17): 0 = baseline gray, 1 = baseline COLOR
+    * (per-channel gradients — real 4:2:0 chroma subsampling does real
+    * damage), 2 = PROGRESSIVE color (SOF2 multi-scan).
     */
   def jpegParams(mediaId: Long): (Int, Int, Boolean) =
     ((8 + mediaId % 9).toInt, (8 + (mediaId / 9) % 9).toInt,
       (mediaId / 3) % 2 == 0)
+
+  /** Textured-population variant: 0 gray / 1 color / 2 progressive
+    * (flat payloads are always variant 0 — the pixel-exact gate needs
+    * uniform gray).
+    */
+  def jpegVariant(mediaId: Long): Int =
+    if ((mediaId / 3) % 2 == 0) 0 else ((mediaId / 3) / 2 % 3).toInt
+
+  /** Per-channel source pattern of a textured payload. Gray variants
+    * repeat the r-channel gradient on all three channels.
+    */
+  def jpegRgb(mediaId: Long, x: Int, y: Int): (Int, Int, Int) = {
+    val r = ((x * 31 + y * 7 + mediaId) % 256).toInt
+    if (jpegVariant(mediaId) == 0) (r, r, r)
+    else (r, ((x * 13 + y * 17 + mediaId * 3) % 256).toInt,
+      ((x * 7 + y * 29 + mediaId * 5) % 256).toInt)
+  }
 
   private def encodeJpeg(mediaId: Long): Array[Byte] = {
     val (w, h, flat) = jpegParams(mediaId)
@@ -1489,8 +1509,12 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
-        val g = if (flat) g0 else ((x * 31 + y * 7 + mediaId) % 256).toInt
-        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        val px = if (flat) (g0 << 16) | (g0 << 8) | g0
+        else {
+          val (r, g, b) = jpegRgb(mediaId, x, y)
+          (r << 16) | (g << 8) | b
+        }
+        img.setRGB(x, y, px)
         x += 1
       }
       y += 1
@@ -1499,6 +1523,8 @@ object Multimodal {
     val p = writer.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(if (flat) 1.0f else 0.75f)
+    if (jpegVariant(mediaId) == 2)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
     writer.setOutput(ios)
@@ -1648,20 +1674,30 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
-  /** The JPEG decode-error honesty card: re-derive each textured
-    * payload's SOURCE pattern from the synthesis contract, decode the
-    * real bytes, and claim a bounded max per-pixel error. The error
-    * itself is codec arithmetic (IDCT + chroma resample) with no SQL
-    * twin, so the GATE is the bound; the measured distribution (max 44,
-    * mean ≈ 6 at quality 0.75 on this fixture) is JpegSpec-pinned.
-    * (media_id, n_px, within_tol).
+  /** The JPEG decode-error honesty card, split by what 4:2:0 can and
+    * cannot damage: re-derive each textured payload's SOURCE pattern
+    * from the synthesis contract ([[jpegRgb]] — gray, color, or
+    * progressive-color per [[jpegVariant]]), decode the real bytes, and
+    * claim TWO bounds per image. `within_tol` bounds the LUMA error
+    * (integer BT.601 (77r+150g+29b)>>8) at `tol` — luma keeps full
+    * resolution under 4:2:0, so the bound stays tight for every variant
+    * (measured max 44 gray / 43 color / 43 progressive; JpegSpec pins
+    * nonzero). `chroma_within_tol` bounds the raw per-channel RGB error
+    * at `chromaTol` — on adversarial per-channel gradients the 2×2
+    * chroma average is the dominant loss (measured max 210 baseline /
+    * 229 progressive, vs 44 on gray), which is exactly the honest story
+    * of a subsampled codec. The errors are codec arithmetic with no SQL
+    * twin, so the GATE is the bounds; distributions are JpegSpec-pinned.
+    * (media_id, n_px, within_tol, chroma_within_tol).
     */
-  def decodeJpegError(media: DataFrame, tol: Int = 64): DataFrame = {
+  def decodeJpegError(media: DataFrame, tol: Int = 64,
+                      chromaTol: Int = 240): DataFrame = {
     val spark = media.sparkSession
     val schema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("n_px", LongType),
-      StructField("within_tol", BooleanType)))
+      StructField("within_tol", BooleanType),
+      StructField("chroma_within_tol", BooleanType)))
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val id = r.getLong(0)
@@ -1669,22 +1705,31 @@ object Multimodal {
           javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
         } catch { case scala.util.control.NonFatal(_) => null }
-        if (img == null) Row(id, null, null)
+        if (img == null) Row(id, null, null, null)
         else {
-          var maxErr = 0
+          def luma(r0: Int, g0: Int, b0: Int): Int = (77 * r0 + 150 * g0 + 29 * b0) >> 8
+          var maxLuma = 0
+          var maxRgb = 0
           var y = 0
           while (y < img.getHeight) {
             var x = 0
             while (x < img.getWidth) {
-              val want = ((x * 31 + y * 7 + id) % 256).toInt
-              val got = img.getRGB(x, y) & 0xff
-              val e = math.abs(want - got)
-              if (e > maxErr) maxErr = e
+              val (wr, wg, wb) = jpegRgb(id, x, y)
+              val px = img.getRGB(x, y)
+              val gr = (px >> 16) & 0xff
+              val gg = (px >> 8) & 0xff
+              val gb = px & 0xff
+              val eRgb = math.max(math.abs(wr - gr),
+                math.max(math.abs(wg - gg), math.abs(wb - gb)))
+              if (eRgb > maxRgb) maxRgb = eRgb
+              val eL = math.abs(luma(wr, wg, wb) - luma(gr, gg, gb))
+              if (eL > maxLuma) maxLuma = eL
               x += 1
             }
             y += 1
           }
-          Row(id, (img.getWidth.toLong * img.getHeight), maxErr <= tol)
+          Row(id, (img.getWidth.toLong * img.getHeight),
+            maxLuma <= tol, maxRgb <= chromaTol)
         }
       }
     }

@@ -58,7 +58,9 @@ object MultimodalQueries {
     * error card).
     */
   def persistedMediaJpeg(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
-    Persisted(s, d, "mediajpeg", "documents.parquet") {
+    // _v2: round 17 added color + progressive variants to the textured
+    // population (jpegVariant) — the payload bytes changed
+    Persisted(s, d, "mediajpeg", "documents.parquet", "_v2") {
       Multimodal.withJpegMedia(Tables.documents(s, d))
     }
 
@@ -67,11 +69,12 @@ object MultimodalQueries {
     // JPEG marker-structure walk, hash-gated: dims and component count
     // from the SOF segment of a REAL T.81 marker parse, quantization and
     // Huffman TABLE counts from inside the DQT/DHT segments, APP0/JFIF
-    // presence. The structural constants (3-component YCbCr, 2 qtables,
-    // 4 htables, baseline SOF0, one JFIF APP0) are the codec's
-    // deterministic output for this fixture — synthesis drift, a wrong
-    // segment-length walk, or a miscounted multi-table segment all
-    // hash-fail.
+    // presence — now over all THREE variants (round 17): baseline gray,
+    // baseline color, and PROGRESSIVE color, whose first scan carries
+    // SOF2 (194) and only 2 pre-SOS Huffman tables (measured constant
+    // across 50k ids — JpegMetaSweep). The oracle re-derives the variant
+    // from the id formula; a wrong multi-scan walk or variant drift
+    // hash-fails.
     GraftQuery("multimodal_jpeg_meta",
       (s, d) => Multimodal.decodeJpegMarkers(persistedMediaJpeg(s, d))
         .orderBy("media_id"),
@@ -81,8 +84,10 @@ object MultimodalQueries {
           |  CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
           |  CAST(3 AS INT) AS n_components,
           |  CAST(2 AS INT) AS n_dqt,
-          |  CAST(4 AS INT) AS n_dht,
-          |  CAST(192 AS INT) AS sof_marker,
+          |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 AND ((doc_id // 3) // 2) % 3 = 2
+          |       THEN 2 ELSE 4 END AS INT) AS n_dht,
+          |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 AND ((doc_id // 3) // 2) % 3 = 2
+          |       THEN 194 ELSE 192 END AS INT) AS sof_marker,
           |  CAST(1 AS INT) AS n_app0
           |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)),
 
@@ -115,12 +120,15 @@ object MultimodalQueries {
           |FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 0
           |ORDER BY media_id""".stripMargin)),
 
-    // The decode-error honesty card for the textured tier: source
-    // pattern re-derived from the synthesis contract, decoded bytes
-    // compared per pixel, a BOUNDED max-error claim per image (the
-    // emb_pq_error pattern — the bound gates; the measured distribution,
-    // max 44 / mean ~6 at quality 0.75, is JpegSpec-pinned, and the spec
-    // also pins that errors are nonzero: the card is not vacuous).
+    // The decode-error honesty card for the textured tier, split by what
+    // 4:2:0 subsampling can damage (round 17): within_tol bounds the
+    // full-resolution LUMA error at 64 (measured max 44/43/43 across
+    // gray/color/progressive — tight for every variant); chroma_within_tol
+    // bounds the raw per-channel RGB error at 240 (measured max 210
+    // baseline color / 229 progressive vs 44 gray — the honest cost of a
+    // subsampled codec on adversarial per-channel gradients). The bounds
+    // gate; JpegSpec pins the measured distributions and that both error
+    // kinds are NONZERO (the card can't go vacuous).
     GraftQuery("multimodal_jpeg_error",
       (s, d) => Multimodal.decodeJpegError(
         persistedMediaJpeg(s, d).filter(expr("media_id div 3") % 2 === 1))
@@ -128,7 +136,7 @@ object MultimodalQueries {
       Some(
         """SELECT doc_id AS media_id,
           |  CAST((8 + doc_id % 9) * (8 + (doc_id // 9) % 9) AS BIGINT) AS n_px,
-          |  TRUE AS within_tol
+          |  TRUE AS within_tol, TRUE AS chroma_within_tol
           |FROM documents WHERE doc_id % 3 = 0 AND (doc_id // 3) % 2 = 1
           |ORDER BY media_id""".stripMargin)),
 

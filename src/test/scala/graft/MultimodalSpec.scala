@@ -334,9 +334,14 @@ class MultimodalSpec extends AnyFunSuite {
     meta.foreach { r =>
       val id = r.getLong(0)
       val (w, h, _) = Multimodal.jpegParams(id)
+      // progressive variant: SOF2 first scan with 2 pre-SOS Huffman tables
+      val (nDht, sof) = if (Multimodal.jpegVariant(id) == 2) (2, 0xc2) else (4, 0xc0)
       assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
-        r.getInt(6), r.getInt(7)) == ((w, h, 3, 2, 4, 0xc0, 1)), s"media $id")
+        r.getInt(6), r.getInt(7)) == ((w, h, 3, 2, nDht, sof, 1)), s"media $id")
     }
+    // all three textured variants present in the fixture slice
+    val variants = meta.map(r => Multimodal.jpegVariant(r.getLong(0))).toSet
+    assert(variants == Set(0, 1, 2))
     // flat rows: bit-exact decoded gray, uniform
     val flat = Multimodal.decodeJpegFlat(
       media.filter((col("media_id") / 3).cast("long") % 2 === 0)).collect()
@@ -363,21 +368,34 @@ class MultimodalSpec extends AnyFunSuite {
       (0 until 10).forall(y => (0 until 12).forall(x => d.getRGB(x, y) == ((0xff << 24) | (g << 16) | (g << 8) | g)))
     }
     assert(allGrays.forall(identity), "a flat gray failed to round-trip bit-exactly")
-    // textured rows: within tol, and the codec is REALLY lossy (card not vacuous)
+    // textured rows: both bounds hold, and the codec is REALLY lossy
     val texturedMedia = media.filter((col("media_id") / 3).cast("long") % 2 === 1)
     val err = Multimodal.decodeJpegError(texturedMedia).collect()
-    assert(err.length == 48 && err.forall(_.getBoolean(2)))
-    // measure the actual distribution the card's bound covers
+    assert(err.length == 48 && err.forall(r => r.getBoolean(2) && r.getBoolean(3)))
+    // measure the distributions the card's two bounds cover, per variant
+    def lum(r0: Int, g0: Int, b0: Int): Int = (77 * r0 + 150 * g0 + 29 * b0) >> 8
     val measured = texturedMedia.collect().map { r =>
       val id = r.getLong(0)
       val d = javax.imageio.ImageIO.read(
         new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
-      (0 until d.getHeight).flatMap(y => (0 until d.getWidth).map { x =>
-        math.abs(((x * 31 + y * 7 + id) % 256).toInt - (d.getRGB(x, y) & 0xff))
-      }).max
+      val errs = (0 until d.getHeight).flatMap(y => (0 until d.getWidth).map { x =>
+        val (wr, wg, wb) = Multimodal.jpegRgb(id, x, y)
+        val px = d.getRGB(x, y)
+        val (gr, gg, gb) = ((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+        (math.abs(lum(wr, wg, wb) - lum(gr, gg, gb)),
+          math.max(math.abs(wr - gr), math.max(math.abs(wg - gg), math.abs(wb - gb))))
+      })
+      (Multimodal.jpegVariant(id), errs.map(_._1).max, errs.map(_._2).max)
     }
-    assert(measured.max <= 64, s"textured max err ${measured.max} exceeds the card's bound")
-    assert(measured.max >= 8, "textured decode is suspiciously exact - the lossy card is vacuous")
+    val lumaMax = measured.map(_._2).max
+    assert(lumaMax <= 64, s"max luma err $lumaMax exceeds the card's bound")
+    assert(lumaMax >= 8, "decode suspiciously exact - the lossy card is vacuous")
+    val chromaMax = measured.filter(_._1 >= 1).map(_._3).max
+    assert(chromaMax <= 240, s"max rgb err $chromaMax exceeds the chroma bound")
+    assert(chromaMax > 64,
+      "color variants show no subsampling damage - the chroma bound is the luma bound")
+    // gray variant: rgb error IS the luma error (no chroma content)
+    assert(measured.filter(_._1 == 0).map(_._3).max <= 64)
     // corrupt streams: garbage, truncated segment, stray non-marker byte
     val good = media.select("payload").head().getAs[Array[Byte]](0)
     val badLen = good.clone(); badLen(4) = 0x7f.toByte // APP0 length huge
