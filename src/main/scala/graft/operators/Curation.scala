@@ -411,14 +411,38 @@ object Curation {
     * the packed bins (the loader truncates; slack 0); docs with
     * n_tok < 1 carry no tokens and are dropped from the layout.
     * Returns (doc_id, n_tok, cls, seq_id).
+    *
+    * `prefixHex` widens the hash-prefix bucketing (16^k sort-aligned
+    * buckets): 0 (default) DERIVES it from the class histogram the
+    * schedule already collects — the largest class's count caps a rank
+    * partition, so k grows one hex char per 16× beyond 4M rows. A
+    * dominant single class at 100× scale therefore gets 256/4096-way
+    * rank partitions instead of m/16-row sorts. Ranks are prefix-width
+    * INVARIANT (buckets sort-align with the global (h, doc_id) order),
+    * so the choice moves partition sizes, never results —
+    * CurationSpec pins width-1 ≡ width-2 output equality.
     */
   def packBestFitAssignments(counts: DataFrame, budget: Long,
-                             classWidth: Long = 20L): DataFrame = {
+                             classWidth: Long = 20L,
+                             prefixHex: Int = 0): DataFrame = {
     require(budget % classWidth == 0, s"budget $budget not a multiple of class width $classWidth")
     val w = org.apache.spark.sql.expressions.Window
+    // class histogram first: it feeds BOTH the FFD schedule and the
+    // prefix-width derivation (one model-sized collect, as before)
+    val pre = counts.filter(col("n_tok") >= 1 && col("n_tok") <= budget)
+      .withColumn("cls",
+        expr(s"((n_tok + ${classWidth - 1}) div ${classWidth}L) * ${classWidth}L"))
+    val hist = pre.groupBy("cls").agg(count(lit(1)).as("m")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val maxM = if (hist.isEmpty) 0L else hist.map(_._2).max
+    // cap at 4 hex chars (65536 buckets): beyond that the offsets table
+    // itself stops being metadata-sized — at maxM > ~2·10¹¹ rows per
+    // class, re-shard upstream instead
+    val k = if (prefixHex > 0) prefixHex
+    else (1 to 4).find(i => maxM / math.pow(16, i).toLong <= (1L << 22)).getOrElse(4)
     val in = counts
       .withColumn("h", md5(col("doc_id").cast("string")))
-      .withColumn("pfx", substring(col("h"), 1, 1))
+      .withColumn("pfx", substring(col("h"), 1, k))
     val t = in.filter(col("n_tok") >= 1 && col("n_tok") <= budget)
       .withColumn("cls",
         expr(s"((n_tok + ${classWidth - 1}) div ${classWidth}L) * ${classWidth}L"))
@@ -426,13 +450,11 @@ object Curation {
       .withColumn("off", coalesce(
         sum("n").over(w.partitionBy("cls").orderBy("pfx")
           .rowsBetween(w.unboundedPreceding, -1)), lit(0L)))
-      .select("cls", "pfx", "off") // ≤ 16·(budget/classWidth) rows
+      .select("cls", "pfx", "off") // ≤ 16^k·(budget/classWidth) rows
     val ranked = t.join(broadcast(offsets), Seq("cls", "pfx"))
       .withColumn("t", col("off") +
         row_number().over(w.partitionBy("cls", "pfx").orderBy("h", "doc_id"))
           .cast("long"))
-    val hist = t.groupBy("cls").agg(count(lit(1)).as("m")).collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSeq
     val (pl, nBins) = ffdSchedule(hist, budget)
     val spark = counts.sparkSession
     import spark.implicits._

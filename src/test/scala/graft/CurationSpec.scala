@@ -240,6 +240,23 @@ class CurationSpec extends AnyFunSuite {
         .map(r => r.getLong(0) -> r.getLong(3)).toMap
       assert(cls.forall { case (i, _, _) => again(i) == got(i)._3 })
     }
+    // prefix-width invariance (round 17 — the auto-derived 16^k rank
+    // bucketing): wider prefixes move partition sizes, never results,
+    // even on a DOMINANT-single-class corpus (the skew case that
+    // motivated the parameterization)
+    locally {
+      val skew = ((0L until 900L).map(i => (i, 137L)) ++ // one dominant class
+        (900L until 950L).map(i => (i, (1 + i % 499)))).toDF("doc_id", "n_tok")
+      def run(k: Int) = Curation.packBestFitAssignments(skew, C, 20L, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      val w1 = run(1)
+      assert(w1 == run(2) && w1 == run(3), "rank bucketing width changed the layout")
+      assert(w1 == Curation.packBestFitAssignments(skew, C).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq, "auto-derived width diverged")
+    }
+
     // waste card: tokens conserved across layouts, bestfit never splits
     val counts = (0L until 300L).map(i => (i, (10 + (i % 90)))).toDF("doc_id", "n_tok")
     val card = Curation.packWasteCard(counts, C).collect()
