@@ -52,6 +52,42 @@ object TextExtractQueries {
            |  ${TextExtract.keepSql("blk")} AS kept
            |FROM c ORDER BY doc_id, pos""".stripMargin)),
 
+    // The ingest chain closed: HTML page -> extracted document -> the
+    // C4-style clean gate (length floor + quality floor + language
+    // gate) — the curate pipeline's first two stages composed, web
+    // markup in, training-ready doc set out. Boilerplate removal
+    // changes the gate's inputs (nav/footer words never pollute the
+    // stopword or digit ratios), which is exactly why extraction must
+    // run FIRST. Both stages row-local; one hash aggregate.
+    GraftQuery("text_extract_clean",
+      (s, d) => graft.operators.TextAnalysis.cleanCorpus(
+          TextExtract.extract(pages(s, d))).orderBy("doc_id"),
+      Some(
+        s"""WITH $wrapCte,
+           |e AS (SELECT doc_id, ${TextExtract.extractSql} AS text FROM w),
+           |tok AS (
+           |  SELECT doc_id, t.w AS word
+           |  FROM e, unnest(regexp_split_to_array(
+           |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
+           |  WHERE length(t.w) > 0 AND NOT regexp_matches(t.w, '^[0-9]+$$')),
+           |f AS (
+           |  SELECT doc_id, count(*) AS n_tokens,
+           |    CAST(sum(CASE WHEN word IN ${TextAnalysisQueries.stopListSql} THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS stopword_ratio,
+           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+           |      / count(*) AS digit_ratio,
+           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+           |  FROM tok GROUP BY doc_id),
+           |q AS (
+           |  SELECT doc_id, n_tokens, stopword_ratio,
+           |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
+           |  FROM f)
+           |SELECT doc_id, n_tokens, quality,
+           |  CASE WHEN stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+           |FROM q
+           |WHERE n_tokens >= 30 AND quality >= 0.32 AND stopword_ratio >= 0.02
+           |ORDER BY doc_id""".stripMargin)),
+
     // Corpus extraction card: the datasheet row (block/kept counts,
     // html-in vs text-out chars, empty extractions). Single-row aggregate
     // over row-locally derived per-doc numbers.
