@@ -37,14 +37,19 @@ import org.apache.spark.sql.functions._
   * 1-2 nav links 2+(%4) · 3-4 promo present (<4 of 10) · 5-6 promo number
   * (%100) · 7-8 para1 words k=5+(%10) · 9-10 inline anchor in para1
   * (<3 of 10) · 11-12 para2 italic (<5 of 10) · 13-14 entity edge (=7) ·
-  * 15-16 malformed unclosed tags (=9) · 17-18 empty content (=8).
+  * 15-16 malformed unclosed tags (=9) · 17-18 empty content (=8) ·
+  * 19-20 inline script after the header (<2 of 10) and inline style
+  * before the footer (=5) — code/CSS payloads that must drop whole.
   */
 object TextExtract {
 
   /** Block-level tags that OPEN a new block in the walk. Inline tags
     * (<a>, <b>, <i>) deliberately absent — they stay inside their block.
+    * script/style are block OPENERS so their PAYLOAD lands in a
+    * non-content block and drops whole (round 17 — code and CSS must
+    * never leak into training text; the keep rule only admits <p>).
     */
-  val BlockTags = "p|nav|header|footer|h1|title"
+  val BlockTags = "p|nav|header|footer|h1|title|script|style"
 
   /** Identical Java-regex / RE2 semantics: literal alternation + \b. */
   val BlockRe: String = s"<($BlockTags)\\b"
@@ -102,6 +107,11 @@ object TextExtract {
     val emptyC = slice(h, 17, 2) % 10 === 8
     val content = when(emptyC, lit("<p></p>")).otherwise(concat(
       lit("<p>"), para1Html, lit("</p><p>"), para2Html, lit("</p>")))
+    val script = when(slice(h, 19, 2) % 10 < 2, concat(
+      lit("""<script>var t = """), (col("doc_id") % 97).cast("string"),
+      lit("; track(t);</script>"))).otherwise(lit(""))
+    val style = when(slice(h, 19, 2) % 10 === 5,
+      lit("""<style>.promo div span { color: red; }</style>""")).otherwise(lit(""))
     val footer = when(malformed,
       lit("""<footer>copyright <a href="/about">about"""))
       .otherwise(concat(lit("<footer>copyright site "),
@@ -109,7 +119,8 @@ object TextExtract {
         lit(""" <a href="/about">about</a> <a href="/terms">terms</a></footer></body></html>""")))
     val html = concat(
       lit("<html><head><title>site "), (col("doc_id") % 50).cast("string"),
-      lit("</title></head><body>"), nav, header, promo, content, footer)
+      lit("</title></head><body>"), nav, header, script, promo, content,
+      style, footer)
     docs.select(col("doc_id"), html.as("html"))
   }
 
@@ -144,11 +155,16 @@ object TextExtract {
       s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN ' x &lt; y &amp; z' ELSE '' END)"
     val content = s"CASE WHEN ${sl(17, 2)} % 10 = 8 THEN '<p></p>' ELSE" +
       s" '<p>' || $para1Html || '</p><p>' || $para2Html || '</p>' END"
+    val script = s"CASE WHEN ${sl(19, 2)} % 10 < 2 THEN" +
+      s" '<script>var t = ' || CAST(doc_id % 97 AS VARCHAR) || '; track(t);</script>' ELSE '' END"
+    val style = s"CASE WHEN ${sl(19, 2)} % 10 = 5 THEN" +
+      s" '<style>.promo div span { color: red; }</style>' ELSE '' END"
     val footer = s"CASE WHEN $malformed THEN '<footer>copyright <a href=\"/about\">about' ELSE" +
       s" '<footer>copyright site ' || CAST(doc_id % 50 AS VARCHAR) ||" +
       s" ' <a href=\"/about\">about</a> <a href=\"/terms\">terms</a></footer></body></html>' END"
     s"SELECT doc_id, '<html><head><title>site ' || CAST(doc_id % 50 AS VARCHAR) ||" +
-      s" '</title></head><body>' || $nav || $header || $promo || $content || $footer AS html FROM $src"
+      s" '</title></head><body>' || $nav || $header || $script || $promo || $content ||" +
+      s" $style || $footer AS html FROM $src"
   }
 
   // ---- the extractor (Spark side) ---------------------------------------

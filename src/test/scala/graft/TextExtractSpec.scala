@@ -15,7 +15,8 @@ class TextExtractSpec extends AnyFunSuite {
   import spark.implicits._
   import graft.operators.TextExtract
 
-  private val BlockTags = Set("p", "nav", "header", "footer", "h1", "title")
+  private val BlockTags =
+    Set("p", "nav", "header", "footer", "h1", "title", "script", "style")
 
   // ---- the reference extractor: a hand-rolled char walk ------------------
 
@@ -107,13 +108,19 @@ class TextExtractSpec extends AnyFunSuite {
     }
   }
 
-  test("boilerplate never leaks: nav/footer/promo text absent from every extraction") {
+  test("boilerplate never leaks: nav/footer/promo/script/style text absent from every extraction") {
     extractedById.values.foreach { t =>
       assert(!t.contains("go 0") && !t.contains("copyright") &&
         !t.contains("buy now") && !t.contains("page "))
+      // code and CSS payloads drop whole
+      assert(!t.contains("track(") && !t.contains("var t") &&
+        !t.contains("color: red"))
     }
     // ...and no markup survives tag stripping
     extractedById.values.foreach(t => assert(!t.contains("<a ") && !t.contains("</")))
+    // the script/style populations are actually planted
+    assert(htmlById.values.count(_.contains("<script>")) > 20)
+    assert(htmlById.values.count(_.contains("<style>")) > 20)
   }
 
   test("round trip: a clean two-para doc reassembles to the original text") {
