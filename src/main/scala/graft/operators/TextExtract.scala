@@ -36,7 +36,8 @@ import org.apache.spark.sql.functions._
   * Slice layout (h = md5('ext:'||doc_id), hex positions 1-based):
   * 1-2 nav links 2+(%4) · 3-4 promo present (<4 of 10) · 5-6 promo number
   * (%100) · 7-8 para1 words k=5+(%10) · 9-10 inline anchor in para1
-  * (<3 of 10) · 11-12 para2 italic (<5 of 10) · 13-14 entity edge (=7) ·
+  * (<3 of 10) · 11-12 para2 italic (<5 of 10) · 13-14 entity edges
+  * (named =7, numeric =3) ·
   * 15-16 malformed unclosed tags (=9) · 17-18 empty content (=8) ·
   * 19-20 inline script after the header (<2 of 10) and inline style
   * before the footer (=5) — code/CSS payloads that must drop whole.
@@ -101,9 +102,11 @@ object TextExtract {
       element_at(words, 1), lit("</a> "), rest1)).otherwise(para1)
     val italic = slice(h, 11, 2) % 10 < 5
     val entity = slice(h, 13, 2) % 10 === 7
+    val entityNum = slice(h, 13, 2) % 10 === 3
     val para2Html = concat(
       when(italic, concat(lit("<i>"), para2, lit("</i>"))).otherwise(para2),
-      when(entity, lit(" x &lt; y &amp; z")).otherwise(lit("")))
+      when(entity, lit(" x &lt; y &amp; z")).otherwise(lit("")),
+      when(entityNum, lit(" q &#60; r &#38; s &quot;t&#39;")).otherwise(lit("")))
     val emptyC = slice(h, 17, 2) % 10 === 8
     val content = when(emptyC, lit("<p></p>")).otherwise(concat(
       lit("<p>"), para1Html, lit("</p><p>"), para2Html, lit("</p>")))
@@ -152,7 +155,8 @@ object TextExtract {
     val para1Html = s"CASE WHEN ${sl(9, 2)} % 10 < 3 THEN" +
       s" '<a href=\"/w\">' || $words[1] || '</a> ' || $rest1 ELSE $para1 END"
     val para2Html = s"(CASE WHEN ${sl(11, 2)} % 10 < 5 THEN '<i>' || $para2 || '</i>' ELSE $para2 END)" +
-      s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN ' x &lt; y &amp; z' ELSE '' END)"
+      s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN ' x &lt; y &amp; z' ELSE '' END)" +
+      s" || (CASE WHEN ${sl(13, 2)} % 10 = 3 THEN ' q &#60; r &#38; s &quot;t&#39;' ELSE '' END)"
     val content = s"CASE WHEN ${sl(17, 2)} % 10 = 8 THEN '<p></p>' ELSE" +
       s" '<p>' || $para1Html || '</p><p>' || $para2Html || '</p>' END"
     val script = s"CASE WHEN ${sl(19, 2)} % 10 < 2 THEN" +
@@ -169,12 +173,18 @@ object TextExtract {
 
   // ---- the extractor (Spark side) ---------------------------------------
 
-  /** Entity unescape, fixed order (&lt;, &gt;, then &amp; last) — the
-    * order is part of the contract, mirrored in SQL.
+  /** Entity table, applied in this fixed order (ampersand-producing
+    * entities LAST so their output can't be re-interpreted) — the order
+    * is part of the contract, mirrored in SQL. Named core + the numeric
+    * forms of the same characters (round 17).
     */
+  val Entities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&#60;" -> "<", "&#62;" -> ">",
+    "&quot;" -> "\"", "&#34;" -> "\"", "&#39;" -> "'",
+    "&amp;" -> "&", "&#38;" -> "&")
+
   private def unescape(c: Column): Column =
-    replace(replace(replace(c, lit("&lt;"), lit("<")),
-      lit("&gt;"), lit(">")), lit("&amp;"), lit("&"))
+    Entities.foldLeft(c) { case (x, (e, v)) => replace(x, lit(e), lit(v)) }
 
   private def blocksArr(html: Column): Column =
     split(regexp_replace(html, BlockRe, Sent + "<$1"), Sent)
@@ -245,9 +255,12 @@ object TextExtract {
   def blocksSql: String =
     s"string_split(regexp_replace(html, '$BlockRe', chr(1) || '<\\1', 'g'), chr(1))"
 
-  def txtSql(b: String): String =
-    s"trim(replace(replace(replace(regexp_replace($b, '$StripRe', '', 'g')," +
-      s" '&lt;', '<'), '&gt;', '>'), '&amp;', '&'))"
+  def txtSql(b: String): String = {
+    val un = Entities.foldLeft(s"regexp_replace($b, '$StripRe', '', 'g')") {
+      case (x, (e, v)) => s"replace($x, '$e', '${v.replace("'", "''")}')"
+    }
+    s"trim($un)"
+  }
 
   def linkSql(b: String): String =
     s"length(coalesce(array_to_string(regexp_extract_all($b, '$LinkRe', 1), ''), ''))"
