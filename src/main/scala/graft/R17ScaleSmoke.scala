@@ -84,8 +84,10 @@ object R17ScaleSmoke {
     val (jpegCnt, jpegSec) = timed(Multimodal.decodeJpegMarkers(jm).count())
     val (jerrCnt, jerrSec) = timed(Multimodal.decodeJpegError(
       jm.filter(expr("media_id div 3") % 2 === 1)).count())
+    // video fixtures keep doc_id % 3 == 2 — align the ids so the phase
+    // really walks n/5 payloads (review finding: raw ids gave n/15)
     val vids = spark.range(n.toLong / 5)
-      .select(col("id").as("doc_id"), lit("x").as("text"), lit("s").as("source"))
+      .select((col("id") * 3 + 2).as("doc_id"), lit("x").as("text"), lit("s").as("source"))
     val mp4 = Multimodal.withMp4Media(vids).localCheckpoint()
     val (mp4Cnt, mp4Sec) = timed(Multimodal.decodeMp4Tracks(mp4).count())
     val webm = Multimodal.withWebmMedia(vids).localCheckpoint()

@@ -362,9 +362,15 @@ object Ulm {
   /** [[segmentLenient]] with the byte-fallback edge: every word segments
     * (OOV chars ride the constant-cost single-char edge and are
     * byte-expanded downstream) — the encode is total, nothing drops.
+    * `assertLen` is the oracle-unroll honesty guard (the `segment`
+    * discipline): oracle-GATED callers pass the SQL unroll depth so a
+    * word the fbViterbiCtes chain cannot represent aborts loudly
+    * instead of silently hash-failing; the production path leaves it
+    * None (unbounded).
     */
   def segmentFallback(wt: DataFrame, costs: Map[String, Double],
-                      maxPieceLen: Int): DataFrame = {
+                      maxPieceLen: Int,
+                      assertLen: Option[Int] = None): DataFrame = {
     val spark = wt.sparkSession
     val bc = spark.sparkContext.broadcast(costs)
     val schema = StructType(Seq(
@@ -373,10 +379,13 @@ object Ulm {
       StructField("n_pieces", IntegerType, nullable = false),
       StructField("pieces", StringType, nullable = false),
       StructField("cost", DoubleType, nullable = false)))
+    val maxL = assertLen.getOrElse(Int.MaxValue)
     val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
       val cm = bc.value
       rows.map { r =>
         val w = r.getString(0)
+        require(w.length <= maxL,
+          s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val (c, p) = viterbiDp(w, cm, maxPieceLen, null, ByteFallbackCost)
         val pieces = p.substring(1)
         Row(w, r.getLong(1), pieces.count(_ == ' ') + 1, pieces, c)
@@ -393,11 +402,12 @@ object Ulm {
     * their byte length. Total — no word ever drops.
     */
   def wordIdsFromFixedBytes(wt: DataFrame, costs: Map[String, Double],
-                            maxPieceLen: Int, pieceIdTable: DataFrame): DataFrame = {
+                            maxPieceLen: Int, pieceIdTable: DataFrame,
+                            assertLen: Option[Int] = None): DataFrame = {
     val inVocab = pieceIdTable.select("piece").collect()
       .map(_.getString(0)).toSet
     val b0 = pieceIdTable.agg(max(col("id")).cast("long").as("b0"))
-    segmentFallback(wt, costs.view.filterKeys(inVocab).toMap, maxPieceLen)
+    segmentFallback(wt, costs.view.filterKeys(inVocab).toMap, maxPieceLen, assertLen)
       .select(col("word"), posexplode(split(col("pieces"), " "))
         .as(Seq("pos", "piece")))
       .join(broadcast(pieceIdTable), Seq("piece"), "left")
@@ -582,17 +592,20 @@ object Ulm {
     * objective's per-type term. Row-local.
     */
   def marginals(wt: DataFrame, probs: Map[String, Double],
-                maxPieceLen: Int): DataFrame = {
+                maxPieceLen: Int, assertLen: Option[Int] = None): DataFrame = {
     val spark = wt.sparkSession
     val bc = spark.sparkContext.broadcast(probs)
     val schema = StructType(Seq(
       StructField("word", StringType, nullable = false),
       StructField("freq", LongType, nullable = false),
       StructField("an", DoubleType, nullable = false)))
+    val maxL = assertLen.getOrElse(Int.MaxValue)
     val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
       val pm = bc.value
       rows.map { r =>
         val w = r.getString(0)
+        require(w.length <= maxL,
+          s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val (a, _) = lattice(w, pm, maxPieceLen)
         require(a(w.length) > 0, s"word '$w' has no lattice path — singles missing?")
         Row(w, r.getLong(1), a(w.length))
@@ -607,16 +620,19 @@ object Ulm {
     * order-free, so nothing about partitioning can move the gate.
     */
   def softEdges(wt: DataFrame, probs: Map[String, Double],
-                maxPieceLen: Int): DataFrame = {
+                maxPieceLen: Int, assertLen: Option[Int] = None): DataFrame = {
     val spark = wt.sparkSession
     val bc = spark.sparkContext.broadcast(probs)
     val schema = StructType(Seq(
       StructField("piece", StringType, nullable = false),
       StructField("c", DoubleType, nullable = false)))
+    val maxL = assertLen.getOrElse(Int.MaxValue)
     val out = wt.select("word", "freq").rdd.mapPartitions { rows =>
       val pm = bc.value
       rows.flatMap { r =>
         val w = r.getString(0)
+        require(w.length <= maxL,
+          s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val freq = r.getLong(1)
         val n = w.length
         val (a, b) = lattice(w, pm, maxPieceLen)
@@ -637,9 +653,10 @@ object Ulm {
     * e the order-free DECIMAL sum of edge contributions (absent → 0).
     */
   def softCounts(wt: DataFrame, probs: Map[String, Double],
-                 maxPieceLen: Int, vocab: DataFrame): DataFrame =
+                 maxPieceLen: Int, vocab: DataFrame,
+                 assertLen: Option[Int] = None): DataFrame =
     vocab.select("piece").join(
-        softEdges(wt, probs, maxPieceLen)
+        softEdges(wt, probs, maxPieceLen, assertLen)
           .groupBy("piece").agg(Stable.dsum(col("c"), 6).as("e")),
         Seq("piece"), "left")
       .select(col("piece"), coalesce(col("e"), lit(0.0)).as("e"))
@@ -661,10 +678,11 @@ object Ulm {
     var e: Seq[(String, Double)] = null
     var eDf: DataFrame = null
     val curve = (1 to p.iters).map { k =>
-      val nll = marginals(wt, pm, p.maxPieceLen)
+      val nll = marginals(wt, pm, p.maxPieceLen, p.assertMaxWordLen)
         .agg(Stable.dsum(Stable.stab(col("freq") * -log(col("an")), 6), 6))
         .collect()(0).getDouble(0)
-      eDf = softCounts(wt, pm, p.maxPieceLen, vocab).localCheckpoint()
+      eDf = softCounts(wt, pm, p.maxPieceLen, vocab, p.assertMaxWordLen)
+        .localCheckpoint()
       e = eDf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
       pm = probMapSoft(e)
       (k, nll)

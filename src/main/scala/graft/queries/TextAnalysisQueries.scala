@@ -7,6 +7,30 @@ import graft.sources.Tables
 /** Text-analysis suite over `documents`, with DuckDB oracles. */
 object TextAnalysisQueries {
 
+  /** The clean gate's oracle tail over a CTE named `tok` (doc_id, word):
+    * per-doc ratios, the quality formula, and the 30/0.32/0.02 gates —
+    * single-sourced into text_clean_corpus and text_extract_clean so a
+    * threshold tune cannot leave a stale copy behind.
+    */
+  lazy val cleanGateTailSql: String =
+    s"""f AS (
+       |  SELECT doc_id, count(*) AS n_tokens,
+       |    CAST(sum(CASE WHEN word IN $stopListSql THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS stopword_ratio,
+       |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
+       |      / count(*) AS digit_ratio,
+       |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
+       |  FROM tok GROUP BY doc_id),
+       |q AS (
+       |  SELECT doc_id, n_tokens, stopword_ratio,
+       |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
+       |  FROM f)
+       |SELECT doc_id, n_tokens, quality,
+       |  CASE WHEN stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
+       |FROM q
+       |WHERE n_tokens >= 30 AND quality >= 0.32 AND stopword_ratio >= 0.02
+       |ORDER BY doc_id""".stripMargin
+
   val stopListSql: String =
     TextAnalysis.Stopwords.map(w => s"'$w'").mkString("(", ",", ")")
 
@@ -580,27 +604,13 @@ object TextAnalysisQueries {
 
     // The cleaning pass a training pipeline runs first: length floor +
     // quality floor + language gate, all from one hash aggregate.
+    // Oracle tail shared with text_extract_clean via cleanGateTailSql —
+    // the gate thresholds/formula live in ONE place per engine.
     GraftQuery("text_clean_corpus",
       (s, d) => TextAnalysis.cleanCorpus(Tables.documents(s, d)).orderBy("doc_id"),
       Some(
         s"""WITH ${SearchQueries.tokCte},
-           |f AS (
-           |  SELECT doc_id, count(*) AS n_tokens,
-           |    CAST(sum(CASE WHEN word IN $stopListSql THEN 1 ELSE 0 END) AS DOUBLE)
-           |      / count(*) AS stopword_ratio,
-           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
-           |      / count(*) AS digit_ratio,
-           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
-           |  FROM tok GROUP BY doc_id),
-           |q AS (
-           |  SELECT doc_id, n_tokens, stopword_ratio,
-           |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
-           |  FROM f)
-           |SELECT doc_id, n_tokens, quality,
-           |  CASE WHEN stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
-           |FROM q
-           |WHERE n_tokens >= 30 AND quality >= 0.32 AND stopword_ratio >= 0.02
-           |ORDER BY doc_id""".stripMargin)),
+           |$cleanGateTailSql""".stripMargin)),
 
     // PII redaction, oracle-checked end to end: both engines append the
     // SAME deterministic email/phone/IP to every even doc (the corpus

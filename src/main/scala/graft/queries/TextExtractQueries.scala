@@ -70,23 +70,7 @@ object TextExtractQueries {
            |  FROM e, unnest(regexp_split_to_array(
            |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
            |  WHERE length(t.w) > 0 AND NOT regexp_matches(t.w, '^[0-9]+$$')),
-           |f AS (
-           |  SELECT doc_id, count(*) AS n_tokens,
-           |    CAST(sum(CASE WHEN word IN ${TextAnalysisQueries.stopListSql} THEN 1 ELSE 0 END) AS DOUBLE)
-           |      / count(*) AS stopword_ratio,
-           |    CAST(sum(CASE WHEN regexp_matches(word, '[0-9]') THEN 1 ELSE 0 END) AS DOUBLE)
-           |      / count(*) AS digit_ratio,
-           |    CAST(count(DISTINCT word) AS DOUBLE) / count(*) AS ttr
-           |  FROM tok GROUP BY doc_id),
-           |q AS (
-           |  SELECT doc_id, n_tokens, stopword_ratio,
-           |    least(1.0, CAST(n_tokens AS DOUBLE) / 50.0) * ttr * (1.0 - digit_ratio) AS quality
-           |  FROM f)
-           |SELECT doc_id, n_tokens, quality,
-           |  CASE WHEN stopword_ratio >= 0.02 THEN 'en' ELSE 'und' END AS lang_pred
-           |FROM q
-           |WHERE n_tokens >= 30 AND quality >= 0.32 AND stopword_ratio >= 0.02
-           |ORDER BY doc_id""".stripMargin)),
+           |${TextAnalysisQueries.cleanGateTailSql}""".stripMargin)),
 
     // Corpus extraction card: the datasheet row (block/kept counts,
     // html-in vs text-out chars, empty extractions). Single-row aggregate
@@ -94,20 +78,27 @@ object TextExtractQueries {
     GraftQuery("text_extract_stats",
       (s, d) => TextExtract.stats(pages(s, d)),
       Some(
+        // blocks/kept/extracted bound ONCE per row (p0/p1) — inlining
+        // extractSql per derived column would re-run the full regex walk
+        // up to 6x per page on the decade-gate corpus
         s"""WITH $wrapCte,
+           |p0 AS (SELECT doc_id, length(html) AS ci,
+           |         ${TextExtract.blocksSql} AS blks FROM w),
+           |p1 AS (
+           |  SELECT doc_id, ci, len(blks) AS nb,
+           |    list_filter(blks, b -> ${TextExtract.keepSql("b")}) AS kept
+           |  FROM p0),
            |p AS (
-           |  SELECT doc_id, length(html) AS ci,
-           |    len(${TextExtract.blocksSql}) AS nb,
-           |    len(list_filter(${TextExtract.blocksSql},
-           |      b -> ${TextExtract.keepSql("b")})) AS nk,
-           |    length(${TextExtract.extractSql}) AS co,
-           |    CASE WHEN ${TextExtract.extractSql} = '' THEN 1 ELSE 0 END AS emp
-           |  FROM w)
+           |  SELECT doc_id, ci, nb, len(kept) AS nk,
+           |    length(coalesce(array_to_string(
+           |      list_transform(kept, b -> ${TextExtract.txtSql("b")}),
+           |      chr(10)), '')) AS co
+           |  FROM p1)
            |SELECT CAST(count(*) AS BIGINT) AS n_docs,
            |  CAST(sum(nb) AS BIGINT) AS n_blocks,
            |  CAST(sum(nk) AS BIGINT) AS n_kept,
            |  CAST(sum(ci) AS BIGINT) AS chars_html,
            |  CAST(sum(co) AS BIGINT) AS chars_out,
-           |  CAST(sum(emp) AS BIGINT) AS docs_empty
+           |  CAST(sum(CASE WHEN co = 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_empty
            |FROM p""".stripMargin)))
 }

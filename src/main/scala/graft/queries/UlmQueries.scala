@@ -462,7 +462,8 @@ object UlmQueries {
         val docsF = bf.planted(Tables.documents(s, d).select("doc_id", "text"))
         val fwt = bf.wordTypes(docsF).drop("sym")
         bf.encodeFrom(docsF,
-          Ulm.wordIdsFromFixedBytes(fwt, costs, P.maxPieceLen, pids),
+          Ulm.wordIdsFromFixedBytes(fwt, costs, P.maxPieceLen, pids,
+            P.assertMaxWordLen), // fbViterbiCtes unrolls to L — fail loudly past it
           "n_pieces", "n_ulm_tokens")
           .orderBy("doc_id")
       },

@@ -239,6 +239,37 @@ class MultimodalSpec extends AnyFunSuite {
     assert(nulls.length == 3 && nulls.forall(_.isNullAt(1)))
   }
 
+  test("mp4 track walk: hdlr AFTER stbl still resolves audio fields (ISO " +
+    "BMFF does not mandate box order inside mdia)") {
+    import spark.implicits._
+    // hand-built trak with the hdlr placed LAST inside mdia — the foreign
+    // box order the round-17 buffered-stsd fix exists for; the fixture
+    // encoder always writes hdlr first, so this path needs its own bytes
+    def be32(v: Long): Array[Byte] =
+      Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def be16(v: Int): Array[Byte] = Array(((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+    def box(typ: String, payload: Array[Byte]): Array[Byte] =
+      be32(8L + payload.length) ++ typ.getBytes("US-ASCII") ++ payload
+    // AudioSampleEntry 'opus': 36 bytes total — channels at +24, 16.16 rate at +32
+    val entry = be32(36L) ++ "opus".getBytes("US-ASCII") ++
+      new Array[Byte](16) ++ be16(2) ++ be16(16) ++ new Array[Byte](4) ++
+      be32(44100L << 16)
+    val stsd = box("stsd", new Array[Byte](8) ++ entry)
+    val hdlr = box("hdlr", new Array[Byte](8) ++ "soun".getBytes("US-ASCII") ++ new Array[Byte](4))
+    val tkhd = box("tkhd", new Array[Byte](84).patch(12, be32(7L), 4)) // track id 7 at +20
+    def trak(mdiaKids: Array[Byte]) = box("trak", tkhd ++ box("mdia", mdiaKids))
+    val hdlrLast = box("moov", trak(box("minf", box("stbl", stsd)) ++ hdlr))
+    val hdlrFirst = box("moov", trak(hdlr ++ box("minf", box("stbl", stsd))))
+    val got = Multimodal.decodeMp4Tracks(
+        Seq((1L, hdlrLast), (2L, hdlrFirst)).toDF("media_id", "payload"))
+      .as[(Long, Option[Int], Option[String], Option[String], Option[Int], Option[Int], Option[Int], Option[Int])]
+      .collect().map(r => r._1 -> ((r._2.get, r._3.get, r._4.get, r._5, r._6))).toMap
+    val want = ((7, "soun", "opus", Some(2), Some(44100)))
+    assert(got(2L) == want, "hdlr-first baseline broke")
+    assert(got(1L) == want, "hdlr-after-stbl order must resolve identically")
+  }
+
   test("webm EBML walk: round-trips the synthesis contract at both VINT " +
     "widths; corrupt trees yield null rows") {
     import spark.implicits._

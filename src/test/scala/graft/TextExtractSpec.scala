@@ -87,7 +87,7 @@ class TextExtractSpec extends AnyFunSuite {
   // ---- fixtures -----------------------------------------------------------
 
   private lazy val docs =
-    graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    graft.sources.Tables.documents(spark, TestSpark.sf0001)
       .select("doc_id", "text")
   private lazy val pages = TextExtract.wrapped(docs)
   private lazy val htmlById =
