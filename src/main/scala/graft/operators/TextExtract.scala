@@ -10,16 +10,35 @@ import org.apache.spark.sql.functions._
   * jusText / C4 recipe: segment the page into blocks at block-level tags,
   * score each block by its visible-text length and LINK DENSITY (share of
   * visible chars that sit inside anchors), keep the low-link-density
-  * content paragraphs, and join them back into a document.
+  * content blocks, and join them back into a document.
+  *
+  * Round 18 generalizes the walk from the fixture-shaped subset to the
+  * real-web core: the tag walk is CASE-INSENSITIVE (`(?i)` — `<P>`/`<DIV>`
+  * pages segment identically to lowercase ones), the content-eligible set
+  * is the jusText block-level family (`p div li td th blockquote`, all
+  * under the SAME integer density rule) so div-soup pages extract, HTML
+  * comments (including `>` inside them) and CDATA sections are stripped
+  * BEFORE the block walk, and character references decode in ONE pass —
+  * named core + ARBITRARY `&#NNNN;` / `&#xHHHH;` numeric entities
+  * (any codepoint incl. non-BMP, via a conv→UTF-32 native expression;
+  * out-of-range / surrogate codepoints clamp to U+FFFD; unknown named
+  * entities pass through literally). Single-pass matters: `&amp;#60;`
+  * must yield the literal `&#60;`, never `<` — a decode-then-decode
+  * cascade double-unescapes (the old ordered replace table could not
+  * express this for arbitrary numerics).
   *
   * Engine shape: the whole stage is a ROW-LOCAL projection — one
-  * `regexp_replace` plants a  sentinel before every block-level tag,
-  * `split` turns the page into a block array, and higher-order `filter` /
-  * `transform` + `array_join` rebuild the document — native Catalyst
-  * expressions end to end, zero exchanges, zero UDFs. At 100 TB this is the
-  * ideal operator class: embarrassingly parallel, scan-bound, no state.
-  * (A lookahead split would be simpler but RE2 — DuckDB's engine — has no
-  * lookahead; the sentinel trick keeps BOTH engines on one pattern.)
+  * `regexp_replace` plants a sentinel before every block-level tag,
+  * `split` turns the page into a block array, one `transform` computes a
+  * (tag, txt, link_chars) struct per block ONCE, and higher-order
+  * `filter` / `transform` + `array_join` rebuild the document — native
+  * Catalyst expressions end to end, zero exchanges, zero UDFs. At 100 TB
+  * this is the ideal operator class: embarrassingly parallel, scan-bound,
+  * no state. (A lookahead split would be simpler but RE2 — DuckDB's
+  * engine — has no lookahead; the sentinel trick keeps BOTH engines on
+  * one pattern. The same sentinel trick drives the entity decode: RE2 has
+  * no replace-with-callback either, so the one entity regex plants token
+  * delimiters and an indexed `transform` decodes each token.)
   *
   * Determinism/gate shape: the driver's documents are already clean text,
   * so the fixture WRAPS each doc in a deterministic HTML page keyed on md5
@@ -28,41 +47,80 @@ import org.apache.spark.sql.functions._
   * hazard the extractor must survive: a nav link farm, header/footer
   * boilerplate, a link-heavy promo paragraph (tag <p> — only the DENSITY
   * rule can drop it), an inline anchor INSIDE content (must be kept and
-  * tag-stripped), entity-escaped text (must unescape), an UNCLOSED-tag
-  * malformed population, and an empty-content population. The keep rule is
-  * integer-only (3·link_chars ≤ text_chars — density ≤ 1/3) so the gate
-  * has no float surface.
+  * tag-stripped), entity-escaped text (named, fixed numeric, ARBITRARY
+  * numeric incl. a non-BMP emoji, unknown-named passthrough), an
+  * UNCLOSED-tag malformed population, an empty-content population,
+  * inline script/style payloads that must drop whole, MIXED-CASE tags,
+  * div/li/td content blocks, a comment containing `>`, and a CDATA
+  * section wrapping markup. The keep rule is integer-only
+  * (3·link_chars ≤ text_chars — density ≤ 1/3) so the gate has no float
+  * surface; char counts are CODEPOINTS in both engines (Spark `length`
+  * and DuckDB `length` both count codepoints, so the emoji plant is safe).
   *
   * Slice layout (h = md5('ext:'||doc_id), hex positions 1-based):
   * 1-2 nav links 2+(%4) · 3-4 promo present (<4 of 10) · 5-6 promo number
   * (%100) · 7-8 para1 words k=5+(%10) · 9-10 inline anchor in para1
   * (<3 of 10) · 11-12 para2 italic (<5 of 10) · 13-14 entity edges
-  * (named =7, numeric =3) ·
-  * 15-16 malformed unclosed tags (=9) · 17-18 empty content (=8) ·
-  * 19-20 inline script after the header (<2 of 10) and inline style
-  * before the footer (=5) — code/CSS payloads that must drop whole.
+  * (named =7, numeric =3) · 15-16 malformed unclosed tags (=9) ·
+  * 17-18 empty content (=8) · 19-20 inline script after the header
+  * (<2 of 10) and inline style before the footer (=5) ·
+  * 21-22 MIXED-CASE content/nav tags (<3 of 10) · 23-24 div-soup: para2
+  * in <div> + a <ul><li> list (<4 of 10) · 25-26 comment-with-`>` after
+  * the header (<3 of 10), CDATA-wrapped markup before the footer (=7) ·
+  * 27-28 arbitrary numeric entities: rsquo/em-dash (=4), non-BMP emoji
+  * (=6) · 29-30 table row with a kept <td> and a too-short <td> (<2 of
+  * 10) · 31-32 unknown named entity passthrough (=5).
   */
 object TextExtract {
 
-  /** Block-level tags that OPEN a new block in the walk. Inline tags
-    * (<a>, <b>, <i>) deliberately absent — they stay inside their block.
-    * script/style are block OPENERS so their PAYLOAD lands in a
-    * non-content block and drops whole (round 17 — code and CSS must
-    * never leak into training text; the keep rule only admits <p>).
+  /** Block-level tags that OPEN a new block in the walk — the jusText
+    * block-level family. Inline tags (<a>, <b>, <i>, <span>) deliberately
+    * absent — they stay inside their block. script/style/pre are block
+    * OPENERS so their PAYLOAD lands in a non-content block and drops
+    * whole (code and CSS must never leak into training text; the keep
+    * rule only admits ContentTags). NB alternation is leftmost-FIRST in
+    * both engines and every prefix collision (p|pre, t*-family) is
+    * disambiguated by the trailing \b.
     */
-  val BlockTags = "p|nav|header|footer|h1|title|script|style"
+  val BlockTags: String =
+    "p|div|ul|ol|li|td|th|tr|table|blockquote|pre|section|article|aside|" +
+      "main|nav|header|footer|h1|h2|h3|h4|h5|h6|title|script|style"
 
-  /** Identical Java-regex / RE2 semantics: literal alternation + \b. */
-  val BlockRe: String = s"<($BlockTags)\\b"
-  val TagRe: String = "^<([a-z0-9]+)"
+  /** Content-ELIGIBLE tags: kept iff the integer density rule passes.
+    * Everything else (nav/header/footer/script/style/pre/h1-h6/…) drops.
+    */
+  val ContentTags: Seq[String] = Seq("p", "div", "li", "td", "th", "blockquote")
+
+  /** Identical Java-regex / RE2 semantics: case-insensitive literal
+    * alternation + \b; comments/CDATA strip is dotall non-greedy.
+    */
+  val BlockRe: String = s"(?i)<($BlockTags)\\b"
+  val TagRe: String = "(?i)^<([a-z0-9]+)"
   val StripRe: String = "<[^>]*>"
-  val LinkRe: String = "<a[^>]*>([^<]*)</a>"
+  val LinkRe: String = "(?i)<a\\b[^>]*>([^<]*)</a>"
+  val PreRe: String = "(?is)<!--.*?-->|<!\\[CDATA\\[.*?\\]\\]>"
+
+  /** One pass, one pattern: named (2-8 letters) OR numeric dec/hex.
+    * Anchoring on the closing ';' makes the hand-walk in TextExtractSpec
+    * provably equivalent (a shorter digit run is followed by a digit,
+    * never ';', so backtracking can't produce a different match).
+    */
+  val EntityRe: String = "&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z]{2,8});"
+
+  /** Named core (case-sensitive, HTML5 lowercase forms). Unknown names
+    * reconstruct literally — `&copy;` stays `&copy;`, honest passthrough.
+    */
+  val Named: Seq[(String, String)] = Seq(
+    "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
+    "nbsp" -> "\u00a0", "amp" -> "&")
 
   /** Keep rule constants: visible chars ≥ MinChars, link density ≤ 1/Den. */
   val MinChars = 2
   val Den = 3
 
   private val Sent = "\u0001"
+  private val EntA = "\u0002"
+  private val EntB = "\u0003"
 
   private def slice(h: Column, pos: Int, len: Int): Column =
     conv(substring(h, pos, len), 16, 10).cast("long")
@@ -82,10 +140,16 @@ object TextExtract {
       when(nl > 3, lit(" " + navLink(3))).otherwise(lit("")),
       when(nl > 4, lit(" " + navLink(4))).otherwise(lit("")))
     val malformed = slice(h, 15, 2) % 10 === 9
-    val nav = concat(lit("<nav>"), navLinks,
-      when(malformed, lit("")).otherwise(lit("</nav>")))
+    val mixed = slice(h, 21, 2) % 10 < 3
+    val navOpen = when(mixed, lit("<NAV>")).otherwise(lit("<nav>"))
+    val navClose = when(malformed, lit(""))
+      .otherwise(when(mixed, lit("</NAV>")).otherwise(lit("</nav>")))
+    val nav = concat(navOpen, navLinks, navClose)
     val header = concat(lit("<header><h1>page "),
       (col("doc_id") % 1000).cast("string"), lit("</h1></header>"))
+    val comment = when(slice(h, 25, 2) % 10 < 3, concat(
+      lit("<!-- hidden > tracker "), (col("doc_id") % 31).cast("string"),
+      lit(" -->"))).otherwise(lit(""))
     val promo = when(slice(h, 3, 2) % 10 < 4, concat(
       lit("""<p class="promo"><a href="/buy">buy now</a> <a href="/win">win """),
       (slice(h, 5, 2) % 100).cast("string"), lit("</a></p>"))).otherwise(lit(""))
@@ -103,18 +167,37 @@ object TextExtract {
     val italic = slice(h, 11, 2) % 10 < 5
     val entity = slice(h, 13, 2) % 10 === 7
     val entityNum = slice(h, 13, 2) % 10 === 3
+    val entArb = slice(h, 27, 2) % 10 === 4
+    val entAstral = slice(h, 27, 2) % 10 === 6
+    val entUnknown = slice(h, 31, 2) % 10 === 5
     val para2Html = concat(
       when(italic, concat(lit("<i>"), para2, lit("</i>"))).otherwise(para2),
       when(entity, lit(" x &lt; y &amp; z")).otherwise(lit("")),
-      when(entityNum, lit(" q &#60; r &#38; s &quot;t&#39;")).otherwise(lit("")))
+      when(entityNum, lit(" q &#60; r &#38; s &quot;t&#39;")).otherwise(lit("")),
+      when(entArb, lit(" a&#8217;b &#x2014; c")).otherwise(lit("")),
+      when(entAstral, lit(" e&#x1F600;f")).otherwise(lit("")),
+      when(entUnknown, lit(" AT&amp;T &copy; rights")).otherwise(lit("")))
+    val pOpen = when(mixed, lit("<P>")).otherwise(lit("<p>"))
+    val pClose = when(mixed, lit("</P>")).otherwise(lit("</p>"))
+    val divSoup = slice(h, 23, 2) % 10 < 4
+    val p2Open = when(divSoup, lit("<div>")).otherwise(pOpen)
+    val p2Close = when(divSoup, lit("</div>")).otherwise(pClose)
     val emptyC = slice(h, 17, 2) % 10 === 8
-    val content = when(emptyC, lit("<p></p>")).otherwise(concat(
-      lit("<p>"), para1Html, lit("</p><p>"), para2Html, lit("</p>")))
+    val content = when(emptyC, concat(pOpen, pClose)).otherwise(concat(
+      pOpen, para1Html, pClose, p2Open, para2Html, p2Close))
+    val list = when(divSoup, concat(lit("<ul><li>item alpha "),
+      (slice(h, 23, 2) % 9).cast("string"),
+      lit("</li><li>x</li></ul>"))).otherwise(lit(""))
+    val table = when(slice(h, 29, 2) % 10 < 2, concat(
+      lit("<table><tr><td>cell data "), (col("doc_id") % 13).cast("string"),
+      lit("</td><td>x</td></tr></table>"))).otherwise(lit(""))
     val script = when(slice(h, 19, 2) % 10 < 2, concat(
       lit("""<script>var t = """), (col("doc_id") % 97).cast("string"),
       lit("; track(t);</script>"))).otherwise(lit(""))
     val style = when(slice(h, 19, 2) % 10 === 5,
       lit("""<style>.promo div span { color: red; }</style>""")).otherwise(lit(""))
+    val cdata = when(slice(h, 25, 2) % 10 === 7,
+      lit("<![CDATA[ <p>raw junk</p> ]]>")).otherwise(lit(""))
     val footer = when(malformed,
       lit("""<footer>copyright <a href="/about">about"""))
       .otherwise(concat(lit("<footer>copyright site "),
@@ -122,8 +205,8 @@ object TextExtract {
         lit(""" <a href="/about">about</a> <a href="/terms">terms</a></footer></body></html>""")))
     val html = concat(
       lit("<html><head><title>site "), (col("doc_id") % 50).cast("string"),
-      lit("</title></head><body>"), nav, header, script, promo, content,
-      style, footer)
+      lit("</title></head><body>"), nav, header, comment, script, promo,
+      content, list, table, style, cdata, footer)
     docs.select(col("doc_id"), html.as("html"))
   }
 
@@ -140,8 +223,12 @@ object TextExtract {
       s" CASE WHEN 2 + ${sl(1, 2)} % 4 > 3 THEN ' ${navLink(3)}' ELSE '' END ||" +
       s" CASE WHEN 2 + ${sl(1, 2)} % 4 > 4 THEN ' ${navLink(4)}' ELSE '' END"
     val malformed = s"${sl(15, 2)} % 10 = 9"
-    val nav = s"'<nav>' || $navLinks || CASE WHEN $malformed THEN '' ELSE '</nav>' END"
+    val mixed = s"${sl(21, 2)} % 10 < 3"
+    val nav = s"(CASE WHEN $mixed THEN '<NAV>' ELSE '<nav>' END) || $navLinks ||" +
+      s" CASE WHEN $malformed THEN '' WHEN $mixed THEN '</NAV>' ELSE '</nav>' END"
     val header = s"'<header><h1>page ' || CAST(doc_id % 1000 AS VARCHAR) || '</h1></header>'"
+    val comment = s"CASE WHEN ${sl(25, 2)} % 10 < 3 THEN" +
+      s" '<!-- hidden > tracker ' || CAST(doc_id % 31 AS VARCHAR) || ' -->' ELSE '' END"
     val promo = s"CASE WHEN ${sl(3, 2)} % 10 < 4 THEN" +
       s" '<p class=\"promo\"><a href=\"/buy\">buy now</a> <a href=\"/win\">win ' ||" +
       s" CAST(${sl(5, 2)} % 100 AS VARCHAR) || '</a></p>' ELSE '' END"
@@ -156,40 +243,81 @@ object TextExtract {
       s" '<a href=\"/w\">' || $words[1] || '</a> ' || $rest1 ELSE $para1 END"
     val para2Html = s"(CASE WHEN ${sl(11, 2)} % 10 < 5 THEN '<i>' || $para2 || '</i>' ELSE $para2 END)" +
       s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN ' x &lt; y &amp; z' ELSE '' END)" +
-      s" || (CASE WHEN ${sl(13, 2)} % 10 = 3 THEN ' q &#60; r &#38; s &quot;t&#39;' ELSE '' END)"
-    val content = s"CASE WHEN ${sl(17, 2)} % 10 = 8 THEN '<p></p>' ELSE" +
-      s" '<p>' || $para1Html || '</p><p>' || $para2Html || '</p>' END"
+      s" || (CASE WHEN ${sl(13, 2)} % 10 = 3 THEN ' q &#60; r &#38; s &quot;t&#39;' ELSE '' END)" +
+      s" || (CASE WHEN ${sl(27, 2)} % 10 = 4 THEN ' a&#8217;b &#x2014; c' ELSE '' END)" +
+      s" || (CASE WHEN ${sl(27, 2)} % 10 = 6 THEN ' e&#x1F600;f' ELSE '' END)" +
+      s" || (CASE WHEN ${sl(31, 2)} % 10 = 5 THEN ' AT&amp;T &copy; rights' ELSE '' END)"
+    val pOpen = s"CASE WHEN $mixed THEN '<P>' ELSE '<p>' END"
+    val pClose = s"CASE WHEN $mixed THEN '</P>' ELSE '</p>' END"
+    val divSoup = s"${sl(23, 2)} % 10 < 4"
+    val p2Open = s"CASE WHEN $divSoup THEN '<div>' ELSE $pOpen END"
+    val p2Close = s"CASE WHEN $divSoup THEN '</div>' ELSE $pClose END"
+    val content = s"CASE WHEN ${sl(17, 2)} % 10 = 8 THEN ($pOpen) || ($pClose) ELSE" +
+      s" ($pOpen) || $para1Html || ($pClose) || ($p2Open) || $para2Html || ($p2Close) END"
+    val list = s"CASE WHEN $divSoup THEN '<ul><li>item alpha ' ||" +
+      s" CAST(${sl(23, 2)} % 9 AS VARCHAR) || '</li><li>x</li></ul>' ELSE '' END"
+    val table = s"CASE WHEN ${sl(29, 2)} % 10 < 2 THEN '<table><tr><td>cell data ' ||" +
+      s" CAST(doc_id % 13 AS VARCHAR) || '</td><td>x</td></tr></table>' ELSE '' END"
     val script = s"CASE WHEN ${sl(19, 2)} % 10 < 2 THEN" +
       s" '<script>var t = ' || CAST(doc_id % 97 AS VARCHAR) || '; track(t);</script>' ELSE '' END"
     val style = s"CASE WHEN ${sl(19, 2)} % 10 = 5 THEN" +
       s" '<style>.promo div span { color: red; }</style>' ELSE '' END"
+    val cdata = s"CASE WHEN ${sl(25, 2)} % 10 = 7 THEN" +
+      s" '<![CDATA[ <p>raw junk</p> ]]>' ELSE '' END"
     val footer = s"CASE WHEN $malformed THEN '<footer>copyright <a href=\"/about\">about' ELSE" +
       s" '<footer>copyright site ' || CAST(doc_id % 50 AS VARCHAR) ||" +
       s" ' <a href=\"/about\">about</a> <a href=\"/terms\">terms</a></footer></body></html>' END"
     s"SELECT doc_id, '<html><head><title>site ' || CAST(doc_id % 50 AS VARCHAR) ||" +
-      s" '</title></head><body>' || $nav || $header || $script || $promo || $content ||" +
-      s" $style || $footer AS html FROM $src"
+      s" '</title></head><body>' || $nav || $header || $comment || $script || $promo ||" +
+      s" $content || $list || $table || $style || $cdata || $footer AS html FROM $src"
   }
 
   // ---- the extractor (Spark side) ---------------------------------------
 
-  /** Entity table, applied in this fixed order (ampersand-producing
-    * entities LAST so their output can't be re-interpreted) — the order
-    * is part of the contract, mirrored in SQL. Named core + the numeric
-    * forms of the same characters (round 17).
+  /** Codepoint → its character; out-of-range / surrogate clamps to U+FFFD.
+    * Native: hex → 4-byte big-endian → UTF-32 decode (Spark's decode
+    * supports UTF-32; non-BMP codepoints round-trip, probed round 18).
     */
-  val Entities: Seq[(String, String)] = Seq(
-    "&lt;" -> "<", "&gt;" -> ">", "&#60;" -> "<", "&#62;" -> ">",
-    "&quot;" -> "\"", "&#34;" -> "\"", "&#39;" -> "'",
-    "&amp;" -> "&", "&#38;" -> "&")
+  private def cpChar(cp: Column): Column = {
+    val v = when(cp.between(1, 0x10FFFF) && !cp.between(0xD800, 0xDFFF), cp)
+      .otherwise(lit(0xFFFD))
+    decode(unhex(lpad(hex(v), 8, "0")), "UTF-32")
+  }
 
-  private def unescape(c: Column): Column =
-    Entities.foldLeft(c) { case (x, (e, v)) => replace(x, lit(e), lit(v)) }
+  /** Decode one entity token (regex group 1: `#x1F600` / `#8217` / name). */
+  private def entityVal(tok: Column): Column = {
+    val isNum = substring(tok, 1, 1) === "#"
+    val isHex = upper(substring(tok, 2, 1)) === "X"
+    val cp = when(isHex, conv(tok.substr(lit(3), lit(8)), 16, 10))
+      .otherwise(conv(tok.substr(lit(2), lit(8)), 10, 10)).cast("long")
+    val named = Named.foldRight(concat(lit("&"), tok, lit(";")): Column) {
+      case ((n, v), els) => when(tok === n, lit(v)).otherwise(els)
+    }
+    when(isNum, cpChar(cp)).otherwise(named)
+  }
+
+  /** Single-pass character-reference decode: ONE regex plants token
+    * delimiters (sentinel trick — no replace-with-callback in either
+    * engine), an indexed transform decodes each token. Decoded output is
+    * never re-scanned, so `&amp;#60;` yields literal `&#60;`.
+    */
+  def unescape(c: Column): Column = {
+    val safe = translate(c, EntA + EntB, "")
+    val marked = regexp_replace(safe, EntityRe, EntA + "$1" + EntB)
+    val parts = split(marked, EntA)
+    val dec = transform(parts, (p, i) => when(i === 0, p).otherwise {
+      val tok = substring_index(p, EntB, 1)
+      concat(entityVal(tok), p.substr(length(tok) + lit(2), lit(1000000000)))
+    })
+    array_join(dec, "")
+  }
+
+  private def preClean(html: Column): Column = regexp_replace(html, PreRe, "")
 
   private def blocksArr(html: Column): Column =
-    split(regexp_replace(html, BlockRe, Sent + "<$1"), Sent)
+    split(regexp_replace(preClean(html), BlockRe, Sent + "<$1"), Sent)
 
-  private def tagOf(b: Column): Column = regexp_extract(b, TagRe, 1)
+  private def tagOf(b: Column): Column = lower(regexp_extract(b, TagRe, 1))
 
   /** Visible text of a block: tags stripped, entities unescaped, trimmed. */
   def txtOf(b: Column): Column =
@@ -199,11 +327,25 @@ object TextExtract {
   def linkTxt(b: Column): Column =
     coalesce(array_join(regexp_extract_all(b, lit(LinkRe), lit(1)), ""), lit(""))
 
-  /** jusText/C4-flavored keep rule: a content-tag block with enough
-    * visible text and ≤ 1/3 of it inside anchors. Integer-only.
+  /** Per-block (tag, txt, lc) struct — computed ONCE per block so the
+    * keep rule and the rebuild never re-run the regex/entity walk.
+    */
+  private def infoArr(html: Column): Column =
+    transform(blocksArr(html), b => struct(
+      tagOf(b).as("tag"), txtOf(b).as("txt"),
+      length(linkTxt(b)).as("lc")))
+
+  private def keepInfo(s: Column): Column =
+    s.getField("tag").isin(ContentTags: _*) &&
+      length(s.getField("txt")) >= MinChars &&
+      lit(Den) * s.getField("lc") <= length(s.getField("txt"))
+
+  /** jusText/C4-flavored keep rule over a raw block string: a
+    * content-tag block with enough visible text and ≤ 1/3 of it inside
+    * anchors. Integer-only. (Struct-free form for the audit view tests.)
     */
   def keepBlock(b: Column): Column =
-    tagOf(b) === "p" && length(txtOf(b)) >= MinChars &&
+    tagOf(b).isin(ContentTags: _*) && length(txtOf(b)) >= MinChars &&
       lit(Den) * length(linkTxt(b)) <= length(txtOf(b))
 
   /** (doc_id, text): the extracted document — kept blocks' visible text
@@ -211,9 +353,9 @@ object TextExtract {
     */
   def extract(pages: DataFrame): DataFrame = {
     val kept = org.apache.spark.sql.functions.filter(
-      blocksArr(col("html")), b => keepBlock(b))
+      infoArr(col("html")), s => keepInfo(s))
     pages.select(col("doc_id"),
-      array_join(transform(kept, b => txtOf(b)), "\n").as("text"))
+      array_join(transform(kept, s => s.getField("txt")), "\n").as("text"))
   }
 
   /** Per-block audit view: (doc_id, pos 1-based, tag, n_chars,
@@ -222,22 +364,22 @@ object TextExtract {
     */
   def blocks(pages: DataFrame): DataFrame =
     pages.select(col("doc_id"),
-      posexplode(blocksArr(col("html"))).as(Seq("pos0", "blk")))
+      posexplode(infoArr(col("html"))).as(Seq("pos0", "s")))
       .select(col("doc_id"),
         (col("pos0") + 1).cast("long").as("pos"),
-        tagOf(col("blk")).as("tag"),
-        length(txtOf(col("blk"))).cast("long").as("n_chars"),
-        length(linkTxt(col("blk"))).cast("long").as("n_link_chars"),
-        keepBlock(col("blk")).as("kept"))
+        col("s").getField("tag").as("tag"),
+        length(col("s").getField("txt")).cast("long").as("n_chars"),
+        col("s").getField("lc").cast("long").as("n_link_chars"),
+        keepInfo(col("s")).as("kept"))
 
   /** Corpus extraction card: docs, blocks, kept blocks, html-in vs
     * text-out chars, empty-extraction docs. Per-doc numbers are computed
     * row-locally; the ONLY exchange is the final single-row aggregate.
     */
   def stats(pages: DataFrame): DataFrame = {
-    val arr = blocksArr(col("html"))
-    val kept = org.apache.spark.sql.functions.filter(arr, b => keepBlock(b))
-    val extracted = array_join(transform(kept, b => txtOf(b)), "\n")
+    val arr = infoArr(col("html"))
+    val kept = org.apache.spark.sql.functions.filter(arr, s => keepInfo(s))
+    val extracted = array_join(transform(kept, s => s.getField("txt")), "\n")
     pages.select(
       size(arr).cast("long").as("nb"),
       size(kept).cast("long").as("nk"),
@@ -251,26 +393,62 @@ object TextExtract {
 
   // ---- the extractor (DuckDB twins) --------------------------------------
 
-  /** DuckDB block array over a column named `html`. */
+  /** DuckDB block array over a column named `html` (comments/CDATA
+    * stripped first, same PreRe).
+    */
   def blocksSql: String =
-    s"string_split(regexp_replace(html, '$BlockRe', chr(1) || '<\\1', 'g'), chr(1))"
+    s"string_split(regexp_replace(regexp_replace(html, '$PreRe', '', 'g')," +
+      s" '$BlockRe', chr(1) || '<\\1', 'g'), chr(1))"
 
-  def txtSql(b: String): String = {
-    val un = Entities.foldLeft(s"regexp_replace($b, '$StripRe', '', 'g')") {
-      case (x, (e, v)) => s"replace($x, '$e', '${v.replace("'", "''")}')"
+  /** chr(codepoint) literal for a 1-char named value — quote-safe. */
+  private def chrSql(v: String): String = s"chr(${v.codePointAt(0)})"
+
+  /** DuckDB twin of the single-pass entity decode over expr `x`. */
+  def unescSql(x: String): String = {
+    val safe = s"replace(replace($x, chr(2), ''), chr(3), '')"
+    val marked = s"regexp_replace($safe, '$EntityRe', chr(2) || '\\1' || chr(3), 'g')"
+    val t = "string_split(p, chr(3))[1]"
+    val cpRaw = s"CASE WHEN $t LIKE '#x%' OR $t LIKE '#X%'" +
+      s" THEN CAST(CONCAT('0x', substr($t, 3)) AS BIGINT)" +
+      s" ELSE CAST(substr($t, 2) AS BIGINT) END"
+    val cpv = s"CASE WHEN $cpRaw BETWEEN 1 AND 1114111 AND" +
+      s" $cpRaw NOT BETWEEN 55296 AND 57343 THEN $cpRaw ELSE 65533 END"
+    val named = Named.foldRight(s"'&' || $t || ';'") {
+      case ((n, v), els) => s"CASE WHEN $t = '$n' THEN ${chrSql(v)} ELSE $els END"
     }
-    s"trim($un)"
+    val dec = s"CASE WHEN $t LIKE '#%' THEN chr(CAST(($cpv) AS INT)) ELSE $named END"
+    s"coalesce(array_to_string(list_transform(string_split($marked, chr(2))," +
+      s" (p, i) -> CASE WHEN i = 1 THEN p ELSE ($dec) ||" +
+      s" substr(p, length($t) + 2) END), ''), '')"
   }
+
+  def txtSql(b: String): String =
+    s"trim(${unescSql(s"regexp_replace($b, '$StripRe', '', 'g')")})"
 
   def linkSql(b: String): String =
     s"length(coalesce(array_to_string(regexp_extract_all($b, '$LinkRe', 1), ''), ''))"
 
+  private def inTagsSql(x: String): String =
+    s"$x IN (${ContentTags.map(c => s"'$c'").mkString(", ")})"
+
   def keepSql(b: String): String =
-    s"regexp_extract($b, '$TagRe', 1) = 'p' AND length(${txtSql(b)}) >= $MinChars" +
+    s"${inTagsSql(s"lower(regexp_extract($b, '$TagRe', 1))")}" +
+      s" AND length(${txtSql(b)}) >= $MinChars" +
       s" AND $Den * ${linkSql(b)} <= length(${txtSql(b)})"
+
+  /** DuckDB per-block struct list — the twin of `infoArr`: tag/txt/lc
+    * bound ONCE per block so keep + rebuild don't re-run the entity walk.
+    */
+  def infoSql: String =
+    s"list_transform($blocksSql, b -> {'tag': lower(regexp_extract(b," +
+      s" '$TagRe', 1)), 'txt': ${txtSql("b")}, 'lc': ${linkSql("b")}})"
+
+  def keepInfoSql(s: String): String =
+    s"${inTagsSql(s"$s['tag']")} AND length($s['txt']) >= $MinChars" +
+      s" AND $Den * $s['lc'] <= length($s['txt'])"
 
   /** DuckDB extracted-text expression over a column named `html`. */
   def extractSql: String =
-    s"coalesce(array_to_string(list_transform(list_filter($blocksSql," +
-      s" b -> ${keepSql("b")}), b -> ${txtSql("b")}), chr(10)), '')"
+    s"coalesce(array_to_string(list_transform(list_filter($infoSql," +
+      s" s -> ${keepInfoSql("s")}), s -> s['txt']), chr(10)), '')"
 }

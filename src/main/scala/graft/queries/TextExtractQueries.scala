@@ -37,19 +37,21 @@ object TextExtractQueries {
     GraftQuery("text_extract_blocks",
       (s, d) => TextExtract.blocks(pages(s, d)).orderBy("doc_id", "pos"),
       Some(
+        // the info struct (tag/txt/lc) is bound ONCE per block — the twin
+        // of the Spark side's infoArr; keep + fields never re-run the
+        // entity walk
         s"""WITH $wrapCte,
            |b AS (
            |  SELECT doc_id,
-           |    unnest(list_transform(${TextExtract.blocksSql},
-           |      (b, i) -> {'pos': i, 'blk': b})) AS s
+           |    unnest(list_transform(${TextExtract.infoSql},
+           |      (s, i) -> {'pos': i, 's': s})) AS r
            |  FROM w),
-           |c AS (SELECT doc_id, CAST(s['pos'] AS BIGINT) AS pos,
-           |             s['blk'] AS blk FROM b)
-           |SELECT doc_id, pos,
-           |  regexp_extract(blk, '${TextExtract.TagRe}', 1) AS tag,
-           |  CAST(length(${TextExtract.txtSql("blk")}) AS BIGINT) AS n_chars,
-           |  CAST(${TextExtract.linkSql("blk")} AS BIGINT) AS n_link_chars,
-           |  ${TextExtract.keepSql("blk")} AS kept
+           |c AS (SELECT doc_id, CAST(r['pos'] AS BIGINT) AS pos,
+           |             r['s'] AS s FROM b)
+           |SELECT doc_id, pos, s['tag'] AS tag,
+           |  CAST(length(s['txt']) AS BIGINT) AS n_chars,
+           |  CAST(s['lc'] AS BIGINT) AS n_link_chars,
+           |  ${TextExtract.keepInfoSql("s")} AS kept
            |FROM c ORDER BY doc_id, pos""".stripMargin)),
 
     // The ingest chain closed: HTML page -> extracted document -> the
@@ -78,20 +80,20 @@ object TextExtractQueries {
     GraftQuery("text_extract_stats",
       (s, d) => TextExtract.stats(pages(s, d)),
       Some(
-        // blocks/kept/extracted bound ONCE per row (p0/p1) — inlining
-        // extractSql per derived column would re-run the full regex walk
+        // info structs bound ONCE per row (p0/p1) — inlining extractSql
+        // per derived column would re-run the full regex + entity walk
         // up to 6x per page on the decade-gate corpus
         s"""WITH $wrapCte,
            |p0 AS (SELECT doc_id, length(html) AS ci,
-           |         ${TextExtract.blocksSql} AS blks FROM w),
+           |         ${TextExtract.infoSql} AS info FROM w),
            |p1 AS (
-           |  SELECT doc_id, ci, len(blks) AS nb,
-           |    list_filter(blks, b -> ${TextExtract.keepSql("b")}) AS kept
+           |  SELECT doc_id, ci, len(info) AS nb,
+           |    list_filter(info, s -> ${TextExtract.keepInfoSql("s")}) AS kept
            |  FROM p0),
            |p AS (
            |  SELECT doc_id, ci, nb, len(kept) AS nk,
            |    length(coalesce(array_to_string(
-           |      list_transform(kept, b -> ${TextExtract.txtSql("b")}),
+           |      list_transform(kept, s -> s['txt']),
            |      chr(10)), '')) AS co
            |  FROM p1)
            |SELECT CAST(count(*) AS BIGINT) AS n_docs,
