@@ -36,5 +36,6 @@ object Registry {
       graft.queries.QuantizeQueries.all ++
       graft.queries.RpQueries.all ++
       graft.queries.UlmQueries.all ++
-      graft.queries.TextExtractQueries.all
+      graft.queries.TextExtractQueries.all ++
+      graft.queries.WarcQueries.all
 }

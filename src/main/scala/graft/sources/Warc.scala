@@ -1,0 +1,336 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** WARC-style crawl-record ingest — the stage BEFORE raw-markup
+  * extraction. A real training-data pipeline does not start at an `html`
+  * column: it starts at crawl archives (WARC: framed records with a
+  * version line, named headers, and a Content-Length-delimited payload),
+  * canonicalizes the target URLs, and deduplicates AT THE CRAWL LEVEL
+  * (keep the latest fetch per canonical URL) before any content stage
+  * runs. All three steps here are row-local string walks / one hash
+  * aggregate — native expressions in both engines, no UDFs.
+  *
+  * Record framing is parsed the way a WARC reader must: the header block
+  * ends at the first CRLFCRLF, `Content-Length` gives the payload size,
+  * and the NEXT record starts after payload + CRLFCRLF — a delimiter
+  * split cannot work because payloads may contain "WARC/1.0" (the
+  * fixture PLANTS exactly that decoy in record 1's body). The walk is a
+  * fixed 2-record unroll per blob (record 1 = a synthetic `metadata`
+  * record with the decoy payload, record 2 = the `response` carrying the
+  * wrapped HTML page), which exercises the length-based traversal while
+  * staying a pure projection. Payload slicing is char-based in both
+  * engines with an `ok` flag asserting `Content-Length == payload bytes`
+  * — the fixture pages are ASCII (entities, not raw codepoints), so
+  * chars == octets; a violation flips `ok` loudly instead of silently
+  * corrupting. (Multi-record STREAM splitting at arbitrary k — the
+  * byte-offset iterative walk — is out of scope; see SURVEY §2.9.)
+  *
+  * URL canonicalization (the crawl-dedup key): lowercase scheme + host,
+  * strip the scheme's default port (:80 / :443), strip the fragment,
+  * drop tracking query params (utm_* prefix, fbclid/gclid) while
+  * PRESERVING the order of the rest, and resolve a trailing slash
+  * (except the root path). Scheme is NOT folded across http/https — they
+  * are different resources.
+  *
+  * Crawl-level dedup: keep the LATEST fetch per canonical URL —
+  * `max(struct(wdate, doc_id))` so the aggregate is partial-aggregable
+  * (map-side combine collapses each partition to one candidate per URL;
+  * no window over the full fetch log). WARC-Dates are ISO-8601 strings,
+  * so lexicographic max == chronological max; doc_id breaks exact-time
+  * ties deterministically.
+  *
+  * Fixture (driver docs carry no crawl metadata, so it is planted from
+  * md5 slices and re-derived identically in SQL): fetch GROUPS are
+  * doc_id DIV 3 — three fetches of the same logical page, each with an
+  * independent URL VARIANT (plain / uppercase scheme+host / explicit :80
+  * / #fragment / ?utm_source only / trailing slash / mixed real+tracking
+  * params / https:443+fragment — the https variant canonicalizes to a
+  * DIFFERENT url, deliberately). Slice layout (h = md5('warc:'||doc_id)):
+  * 1-2 month · 3-4 day · 5-6 hour · 7-8 minute · 9-10 second ·
+  * 13-14 variant (%8).
+  */
+object Warc {
+
+  val TrackingPrefix = "utm_"
+  val TrackingExact: Seq[String] = Seq("fbclid", "gclid")
+
+  private val CrLf = "\r\n"
+  private val HdrEnd = "\r\n\r\n"
+
+  private def slice(h: Column, pos: Int, len: Int): Column =
+    conv(substring(h, pos, len), 16, 10).cast("long")
+
+  private def pad2(c: Column): Column = lpad(c.cast("string"), 2, "0")
+
+  // ---- planted fixture: deterministic WARC blobs -------------------------
+
+  private def hOf: Column = md5(concat(lit("warc:"), col("doc_id").cast("string")))
+
+  private def gid: Column = expr("doc_id DIV 3")
+
+  private def site: Column = (gid % 50).cast("string")
+
+  private def hostOf: Column = concat(lit("www.site"), site, lit(".example"))
+
+  /** ISO-8601 WARC-Date — built by integer arithmetic (no calendar /
+    * timezone surface; lexicographic order == chronological order).
+    */
+  def dateOf(h: Column): Column = concat(
+    lit("2014-"), pad2(lit(1) + slice(h, 1, 2) % 12),
+    lit("-"), pad2(lit(1) + slice(h, 3, 2) % 28),
+    lit("T"), pad2(slice(h, 5, 2) % 24),
+    lit(":"), pad2(slice(h, 7, 2) % 60),
+    lit(":"), pad2(slice(h, 9, 2) % 60), lit("Z"))
+
+  /** The fetch URL: one of 8 variants of the group's canonical page. */
+  def urlOf(h: Column): Column = {
+    val path = concat(lit("/d/"), gid.cast("string"))
+    val v = slice(h, 13, 2) % 8
+    when(v === 0, concat(lit("http://"), hostOf, path))
+      .when(v === 1, concat(upper(concat(lit("HTTP://"), hostOf)), path))
+      .when(v === 2, concat(lit("http://"), hostOf, lit(":80"), path))
+      .when(v === 3, concat(lit("http://"), hostOf, path, lit("#section2")))
+      .when(v === 4, concat(lit("http://"), hostOf, path, lit("?utm_source=feed")))
+      .when(v === 5, concat(lit("http://"), hostOf, path, lit("/")))
+      .when(v === 6, concat(lit("http://"), hostOf, path,
+        lit("?id=7&utm_campaign=x&b=2")))
+      .otherwise(concat(lit("https://"), hostOf, lit(":443"), path, lit("#top")))
+  }
+
+  private def record(wtype: String, url: Column, wdate: Column,
+      recId: Column, payload: Column): Column = concat(
+    lit("WARC/1.0" + CrLf),
+    lit(s"WARC-Type: $wtype" + CrLf),
+    lit("WARC-Target-URI: "), url, lit(CrLf),
+    lit("WARC-Date: "), wdate, lit(CrLf),
+    lit("WARC-Record-ID: <urn:md5:"), recId, lit(">" + CrLf),
+    lit("Content-Type: text/html" + CrLf),
+    lit("Content-Length: "), octet_length(payload).cast("string"), lit(HdrEnd),
+    payload, lit(HdrEnd))
+
+  /** (doc_id, url): the planted fetch URLs, standalone (for the
+    * canonicalization gate).
+    */
+  def urls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), urlOf(hOf).as("url"))
+
+  /** (doc_id, blob): a 2-record WARC blob per page — record 1 a synthetic
+    * metadata record whose payload CONTAINS the decoy line "WARC/1.0"
+    * (delimiter splits die; the Content-Length walk survives), record 2
+    * the response with the wrapped HTML. Input: (doc_id, html).
+    */
+  def records(pages: DataFrame): DataFrame = {
+    val h = hOf
+    val decoy = concat(lit("# robots "), (col("doc_id") % 7).cast("string"),
+      lit("\nWARC/1.0 decoy line\nallow: /"))
+    val r1 = record("metadata",
+      concat(lit("http://"), hostOf, lit("/robots.txt")),
+      dateOf(h), md5(concat(lit("w1:"), col("doc_id").cast("string"))), decoy)
+    val r2 = record("response", urlOf(h), dateOf(h),
+      md5(concat(lit("w2:"), col("doc_id").cast("string"))), col("html"))
+    pages.select(col("doc_id"), concat(r1, r2).as("blob"))
+  }
+
+  private def slSql(pos: Int, len: Int): String =
+    s"CAST(CONCAT('0x', substr(md5('warc:' || CAST(doc_id AS VARCHAR)), $pos, $len)) AS BIGINT)"
+
+  private val hostSql = "'www.site' || CAST((doc_id // 3) % 50 AS VARCHAR) || '.example'"
+
+  /** DuckDB twin of `urlOf` (over a doc_id column). */
+  def urlSql: String = {
+    val host = hostSql
+    val path = s"'/d/' || CAST(doc_id // 3 AS VARCHAR)"
+    val v = s"${slSql(13, 2)} % 8"
+    s"CASE WHEN $v = 0 THEN 'http://' || $host || $path" +
+      s" WHEN $v = 1 THEN upper('HTTP://' || $host) || $path" +
+      s" WHEN $v = 2 THEN 'http://' || $host || ':80' || $path" +
+      s" WHEN $v = 3 THEN 'http://' || $host || $path || '#section2'" +
+      s" WHEN $v = 4 THEN 'http://' || $host || $path || '?utm_source=feed'" +
+      s" WHEN $v = 5 THEN 'http://' || $host || $path || '/'" +
+      s" WHEN $v = 6 THEN 'http://' || $host || $path || '?id=7&utm_campaign=x&b=2'" +
+      s" ELSE 'https://' || $host || ':443' || $path || '#top' END"
+  }
+
+  /** DuckDB twin of `records` over a CTE `src` with (doc_id, html). */
+  def recordsSql(src: String): String = {
+    def sl(pos: Int, len: Int) = slSql(pos, len)
+    def p2(x: String) = s"lpad(CAST(($x) AS VARCHAR), 2, '0')"
+    val wdate = s"'2014-' || ${p2(s"1 + ${sl(1, 2)} % 12")} || '-' || ${p2(s"1 + ${sl(3, 2)} % 28")}" +
+      s" || 'T' || ${p2(s"${sl(5, 2)} % 24")} || ':' || ${p2(s"${sl(7, 2)} % 60")}" +
+      s" || ':' || ${p2(s"${sl(9, 2)} % 60")} || 'Z'"
+    val host = hostSql
+    val url = urlSql
+    val crlf = "chr(13) || chr(10)"
+    val hdrEnd = s"$crlf || $crlf"
+    def rec(wtype: String, u: String, idPfx: String, payload: String) =
+      s"'WARC/1.0' || $crlf || 'WARC-Type: $wtype' || $crlf ||" +
+        s" 'WARC-Target-URI: ' || $u || $crlf || 'WARC-Date: ' || $wdate || $crlf ||" +
+        s" 'WARC-Record-ID: <urn:md5:' || md5('$idPfx:' || CAST(doc_id AS VARCHAR)) || '>' || $crlf ||" +
+        s" 'Content-Type: text/html' || $crlf ||" +
+        s" 'Content-Length: ' || CAST(strlen($payload) AS VARCHAR) || $hdrEnd ||" +
+        s" ($payload) || $hdrEnd"
+    val decoy = s"'# robots ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) ||" +
+      s" 'WARC/1.0 decoy line' || chr(10) || 'allow: /'"
+    s"SELECT doc_id, ${rec("metadata", s"'http://' || $host || '/robots.txt'", "w1", decoy)} ||" +
+      s" ${rec("response", url, "w2", "html")} AS blob FROM $src"
+  }
+
+  // ---- the parser (Spark side) -------------------------------------------
+
+  /** Parse ONE record starting at the head of `r`: (wtype, url, wdate,
+    * clen, body_chars, ok, payload, next_off). `ok` requires the version
+    * line, a parseable Content-Length, and payload bytes == Content-Length.
+    */
+  private def parseRec(r: Column): Column = {
+    val hdrPos = locate(HdrEnd, r) // 1-based; 0 = not found
+    val hdrs = r.substr(lit(1), hdrPos - 1)
+    val clen = regexp_extract(hdrs, "Content-Length: ([0-9]+)", 1)
+      .cast("long")
+    val payload = r.substr(hdrPos + 4, coalesce(clen, lit(0L)).cast("int"))
+    val ok = hdrPos > 0 && substring(r, 1, 10) === ("WARC/1.0" + CrLf) &&
+      clen.isNotNull && octet_length(payload).cast("long") === clen
+    struct(
+      regexp_extract(hdrs, "WARC-Type: ([^\\r\\n]+)", 1).as("wtype"),
+      regexp_extract(hdrs, "WARC-Target-URI: ([^\\r\\n]+)", 1).as("url"),
+      regexp_extract(hdrs, "WARC-Date: ([^\\r\\n]+)", 1).as("wdate"),
+      coalesce(clen, lit(-1L)).as("clen"),
+      length(payload).cast("long").as("body_chars"),
+      coalesce(ok, lit(false)).as("ok"),
+      payload.as("payload"),
+      (hdrPos + 4 + coalesce(clen, lit(0L)) + 4).cast("int").as("next_off"))
+  }
+
+  /** (doc_id, rec, wtype, url, wdate, clen, body_chars, ok, payload):
+    * the fixed 2-record Content-Length framing walk over (doc_id, blob).
+    * Row-local: one struct per record, posexplode, no shuffle.
+    */
+  def parse(blobs: DataFrame): DataFrame = {
+    val r1 = parseRec(col("blob"))
+    val r2 = parseRec(col("blob").substr(r1.getField("next_off"),
+      lit(Int.MaxValue)))
+    blobs
+      .select(col("doc_id"), posexplode(array(r1, r2)).as(Seq("rec0", "r")))
+      .select(col("doc_id"), (col("rec0") + 1).cast("long").as("rec"),
+        col("r").getField("wtype").as("wtype"),
+        col("r").getField("url").as("url"),
+        col("r").getField("wdate").as("wdate"),
+        col("r").getField("clen").as("clen"),
+        col("r").getField("body_chars").as("body_chars"),
+        col("r").getField("ok").as("ok"),
+        col("r").getField("payload").as("payload"))
+  }
+
+  // ---- the parser (DuckDB twin) --------------------------------------------
+
+  /** DuckDB record parse over expr `r`, as a struct literal. */
+  private def parseRecSql(r: String): String = {
+    val hdrEnd = "chr(13) || chr(10) || chr(13) || chr(10)"
+    val hdrPos = s"strpos($r, $hdrEnd)"
+    val hdrs = s"substr($r, 1, $hdrPos - 1)"
+    val clen = s"TRY_CAST(regexp_extract($hdrs, 'Content-Length: ([0-9]+)', 1) AS BIGINT)"
+    val payload = s"substr($r, $hdrPos + 4, CAST(coalesce($clen, 0) AS INT))"
+    val ok = s"($hdrPos > 0 AND substr($r, 1, 10) = 'WARC/1.0' || chr(13) || chr(10)" +
+      s" AND $clen IS NOT NULL AND CAST(strlen($payload) AS BIGINT) = $clen)"
+    s"{'wtype': regexp_extract($hdrs, 'WARC-Type: ([^\\r\\n]+)', 1)," +
+      s" 'url': regexp_extract($hdrs, 'WARC-Target-URI: ([^\\r\\n]+)', 1)," +
+      s" 'wdate': regexp_extract($hdrs, 'WARC-Date: ([^\\r\\n]+)', 1)," +
+      s" 'clen': coalesce($clen, -1)," +
+      s" 'body_chars': CAST(length($payload) AS BIGINT)," +
+      s" 'ok': coalesce($ok, FALSE)," +
+      s" 'payload': $payload," +
+      s" 'next_off': $hdrPos + 4 + coalesce($clen, 0) + 4}"
+  }
+
+  /** DuckDB twin of `parse` as a full SELECT over a CTE `src` (doc_id,
+    * blob) — bind record structs once, unnest the 2-element list.
+    */
+  def parseSql(src: String): String =
+    s"""SELECT doc_id, CAST(u['rec'] AS BIGINT) AS rec,
+       |  u['r']['wtype'] AS wtype, u['r']['url'] AS url,
+       |  u['r']['wdate'] AS wdate, CAST(u['r']['clen'] AS BIGINT) AS clen,
+       |  CAST(u['r']['body_chars'] AS BIGINT) AS body_chars,
+       |  u['r']['ok'] AS ok, u['r']['payload'] AS payload
+       |FROM (
+       |  SELECT doc_id, unnest(list_transform([r1,
+       |      ${parseRecSql(s"substr(blob, CAST(r1['next_off'] AS INT))")}],
+       |    (r, i) -> {'rec': i, 'r': r})) AS u
+       |  FROM (SELECT doc_id, blob, ${parseRecSql("blob")} AS r1 FROM $src))""".stripMargin
+
+  // ---- URL canonicalization ------------------------------------------------
+
+  /** Canonical form: lowercase scheme+host, strip default port, strip
+    * fragment, drop tracking params (order of the rest preserved),
+    * resolve trailing slash (root '/' stays). Row-local.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = substring_index(u, "#", 1)
+    val scheme = lower(substring_index(noFrag, "://", 1))
+    val rest = noFrag.substr(locate("://", noFrag) + 3, lit(Int.MaxValue))
+    val hostPort = lower(substring_index(rest, "/", 1))
+    val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
+      .otherwise(hostPort)
+    val pathQ0 = rest.substr(length(hostPort) + 1, lit(Int.MaxValue))
+    val pathQ = when(pathQ0 === "", lit("/")).otherwise(pathQ0)
+    val qPos = locate("?", pathQ)
+    val path = when(qPos > 0, pathQ.substr(lit(1), qPos - 1)).otherwise(pathQ)
+    val query = when(qPos > 0, pathQ.substr(qPos + 1, lit(Int.MaxValue)))
+      .otherwise(lit(""))
+    val kept = filter(split(query, "&"), p => {
+      val name = substring_index(p, "=", 1)
+      length(p) > 0 && !name.startsWith(TrackingPrefix) &&
+        !name.isin(TrackingExact: _*)
+    })
+    val q2 = array_join(kept, "&")
+    val path2 = when(path =!= "/" && path.endsWith("/"),
+      path.substr(lit(1), length(path) - 1)).otherwise(path)
+    concat(scheme, lit("://"), host, path2,
+      when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
+  }
+
+  /** DuckDB twin of `canonicalUrl` over expr `u`. */
+  def canonicalSql(u: String): String = {
+    val noFrag = s"CASE WHEN strpos($u, '#') > 0 THEN substr($u, 1, strpos($u, '#') - 1) ELSE $u END"
+    val nf = noFrag // bound inline; the oracle CTEs bind the column once
+    val scheme = s"lower(string_split($nf, '://')[1])"
+    val rest = s"substr($nf, strpos($nf, '://') + 3)"
+    val hostPort = s"lower(string_split($rest, '/')[1])"
+    val host = s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostPort, ':80$$', '')" +
+      s" WHEN $scheme = 'https' THEN regexp_replace($hostPort, ':443$$', '') ELSE $hostPort END"
+    val pathQ = s"CASE WHEN substr($rest, length($hostPort) + 1) = '' THEN '/'" +
+      s" ELSE substr($rest, length($hostPort) + 1) END"
+    val path = s"CASE WHEN strpos($pathQ, '?') > 0 THEN substr($pathQ, 1, strpos($pathQ, '?') - 1) ELSE $pathQ END"
+    val query = s"CASE WHEN strpos($pathQ, '?') > 0 THEN substr($pathQ, strpos($pathQ, '?') + 1) ELSE '' END"
+    val trackList = TrackingExact.map(t => s"'$t'").mkString(", ")
+    val kept = s"list_filter(string_split($query, '&'), p -> length(p) > 0" +
+      s" AND substr(string_split(p, '=')[1], 1, ${TrackingPrefix.length}) <> '$TrackingPrefix'" +
+      s" AND string_split(p, '=')[1] NOT IN ($trackList))"
+    val q2 = s"coalesce(array_to_string($kept, '&'), '')"
+    val path2 = s"CASE WHEN $path <> '/' AND $path LIKE '%/' THEN substr($path, 1, length($path) - 1) ELSE $path END"
+    s"$scheme || '://' || $host || $path2 ||" +
+      s" CASE WHEN ($q2) <> '' THEN '?' || ($q2) ELSE '' END"
+  }
+
+  // ---- crawl-level dedup -----------------------------------------------
+
+  /** Keep the LATEST fetch per canonical URL over parsed `response`
+    * records: (url, doc_id, wdate). ONE partial-aggregable aggregate —
+    * lexicographic ISO dates, doc_id tie-break — never a window over
+    * the full fetch log. String/struct max has no mutable buffer, so
+    * Spark plans a SortAggregate pair; that is the right trade here:
+    * the partial phase sorts only NARROW rows (url, date, id — the
+    * payloads were projected away), collapses each partition to one
+    * candidate per URL before the exchange, and avoids the
+    * agg+join+agg double pass an argmax-by-numeric-key would need.
+    * Plan-locked: no Window, no Join, exactly the partial/final pair.
+    */
+  def dedupLatest(parsed: DataFrame): DataFrame =
+    parsed.filter(col("wtype") === "response" && col("ok"))
+      .select(canonicalUrl(col("url")).as("url"), col("wdate"), col("doc_id"))
+      .groupBy("url")
+      .agg(max(struct(col("wdate"), col("doc_id"))).as("w"))
+      .select(col("url"), col("w").getField("doc_id").as("doc_id"),
+        col("w").getField("wdate").as("wdate"))
+}

@@ -100,6 +100,32 @@ class PipelineSpec extends AnyFunSuite {
     (novelIds, cleanIds, mixedIds, bySplit, packedDocs)
   }
 
+  test("crawl head: WARC blobs -> framing parse -> canonical-URL dedup -> " +
+    "extract -> clean composes and is deterministic") {
+    import graft.operators.TextExtract
+    import graft.sources.Warc
+    val corpus = graft.sources.Tables.documents(spark, TestSpark.sf0001)
+      .select("doc_id", "text")
+    def head(): (Set[Long], Set[Long]) = {
+      val pages = TextExtract.wrapped(corpus)
+      val parsed = Warc.parse(Warc.records(pages))
+      assert(parsed.filter(!col("ok")).count() == 0,
+        "every planted record must frame-parse ok")
+      val winners = Warc.dedupLatest(parsed)
+      val wIds = ids(winners)
+      assert(wIds.subsetOf(ids(corpus)), "winners are fetches of real pages")
+      assert(wIds.size < 500, "re-fetch groups must actually dedup")
+      val ex = TextExtract.extract(pages.join(winners.select("doc_id"), "doc_id"))
+      assert(ex.count() == wIds.size, "extraction is total over winners")
+      val clean = TextAnalysis.cleanCorpus(ex)
+      val cIds = ids(clean)
+      assert(cIds.subsetOf(wIds), "the gate only narrows")
+      assert(cIds.nonEmpty)
+      (wIds, cIds)
+    }
+    assert(head() == head(), "the crawl head must be run-to-run deterministic")
+  }
+
   test("ingest -> clean -> dedup -> mix -> split -> pack: invariants hold and the chain is deterministic") {
     val a = pipeline()
     val b = pipeline()

@@ -636,4 +636,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!s.contains("Exchange hashpartitioning"),
       "per-doc numbers are row-local; only the single-row final agg exchanges")
   }
+
+  test("warc family: framing walk + canonicalization row-local; crawl dedup " +
+    "is one partial agg over narrow rows, never a window") {
+    // the crawl head's scale claim: record parse and URL canonicalization
+    // never cross the wire; latest-fetch-wins shuffles one candidate per
+    // (partition, url), not the fetch log
+    for (q <- Seq("warc_parse", "url_canonical")) {
+      val p = plan(q)
+      assert(!p.contains("ScalaUDF"), s"$q: parse left codegen-native expressions")
+      assert(!p.contains("Join"), s"$q: unexpected join")
+      assert(!p.contains("Aggregate"), s"$q: unexpected aggregate")
+      assert(!p.contains("hashpartitioning("), s"$q: extra shuffle")
+    }
+    val d = plan("crawl_dedup_url")
+    assert(!d.contains("Window"),
+      "latest-fetch must be a partial-aggregable agg, not a window over the fetch log")
+    assert(!d.contains("Join") && !d.contains("ScalaUDF"))
+    assert("hashpartitioning\\(".r.findAllIn(d).size == 1,
+      "exactly one hash exchange (partial -> final)")
+    // the partial/final pair exists (map-side combine collapses each
+    // partition to one candidate per URL before the exchange)
+    assert("SortAggregate".r.findAllIn(d).size >= 2 ||
+      "HashAggregate".r.findAllIn(d).size >= 2,
+      "partial aggregation lost")
+  }
 }
