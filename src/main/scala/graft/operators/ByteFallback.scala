@@ -21,17 +21,22 @@ import org.apache.spark.sql.functions._
   * Fixture: the driver corpus is pure ASCII, so out-of-alphabet words are
   * PLANTED from md5 slices of doc_id (`planted` / `plantedSql` — the Pii
   * discipline): ~30 % of docs get one foreign token appended, drawn from
-  * a fixed BMP-only set (CJK, accented Latin) that mixes in-alphabet
-  * ASCII letters with out-of-alphabet chars, so PARTIAL fallback inside
-  * one word is exercised (known symbols still merge/segment; unknown
-  * chars byte-expand). Non-BMP codepoints (emoji) are deliberately
-  * excluded: the word DPs index UTF-16 units in Scala but codepoints in
-  * SQL — a surrogate-safe DP is documented in SURVEY §2.9, not claimed.
+  * a fixed set (CJK, accented Latin, and since round 18 NON-BMP letters —
+  * CJK Extension B and Gothic, 4-byte UTF-8) that mixes in-alphabet ASCII
+  * letters with out-of-alphabet chars, so PARTIAL fallback inside one
+  * word is exercised (known symbols still merge/segment; unknown chars
+  * byte-expand). Non-BMP is safe because the word DPs index positions by
+  * CODEPOINT (Ulm.cpOffsets — round 18), matching SQL substr/length
+  * semantics; a non-BMP char rides the fallback edge as ONE char and
+  * expands to its 4 UTF-8 bytes. (The plants must be \p{L}/\p{N}: the
+  * Unicode-keeping normalizer strips symbols, so an emoji — \p{So} —
+  * would never reach the model.)
   */
 object ByteFallback {
 
-  /** The planted foreign tokens — BMP-only by contract (see scaladoc). */
-  val Tokens: Seq[String] = Seq("日本", "héllo", "naïve", "中文词", "schön")
+  /** The planted foreign tokens — incl. non-BMP letters (see scaladoc). */
+  val Tokens: Seq[String] = Seq("日本", "héllo", "naïve", "中文词", "schön",
+    "𠀀猫", "x𐍈y")
 
   private def slice(h: Column, pos: Int, len: Int): Column =
     conv(substring(h, pos, len), 16, 10).cast("long")

@@ -130,10 +130,30 @@ object Ulm {
     * Returns (cost, " "-prefixed path) — path null iff unsegmentable.
     * Unbounded in word length: the arrays size per word.
     */
+  /** UTF-16 offsets of each CODEPOINT boundary in `w` (length n+1 for n
+    * codepoints) — the DPs index positions by codepoint so Scala and the
+    * SQL twins (whose substr/length count codepoints) agree beyond the
+    * BMP; for pure-BMP words offs(i) == i and nothing changes.
+    */
+  private def cpOffsets(w: String): Array[Int] = {
+    val buf = new collection.mutable.ArrayBuffer[Int](w.length + 1)
+    buf += 0
+    var i = 0
+    while (i < w.length) {
+      i += Character.charCount(w.codePointAt(i))
+      buf += i
+    }
+    buf.toArray
+  }
+
+  /** Codepoint count of `w` — the DP/oracle-unroll length unit. */
+  private[graft] def cpLen(w: String): Int = w.codePointCount(0, w.length)
+
   private def viterbiDp(w: String, cm: Map[String, Double],
                         maxPieceLen: Int, excl: String,
                         fbCost: Double = 0.0): (Double, String) = {
-    val n = w.length
+    val off = cpOffsets(w)
+    val n = off.length - 1
     val cost = new Array[Double](n + 1)
     val path = new Array[String](n + 1)
     path(0) = ""
@@ -143,7 +163,7 @@ object Ulm {
       var bestP: String = null
       var l = math.min(maxPieceLen, j)
       while (l >= 1) {
-        val piece = w.substring(j - l, j)
+        val piece = w.substring(off(j - l), off(j))
         if (piece != excl) {
           val c = cm.get(piece)
           if (c.isDefined && path(j - l) != null) {
@@ -164,7 +184,7 @@ object Ulm {
       // oracle's fbViterbiCtes unroll.
       if (fbCost > 0 && path(j - 1) != null) {
         val cc = cost(j - 1) + fbCost
-        val pp = path(j - 1) + " " + w.substring(j - 1, j)
+        val pp = path(j - 1) + " " + w.substring(off(j - 1), off(j))
         if (bestP == null || cc < bestC ||
             (cc == bestC && pp.compareTo(bestP) < 0)) {
           bestC = cc; bestP = pp
@@ -197,7 +217,7 @@ object Ulm {
       val cm = bc.value
       rows.map { r =>
         val w = r.getString(0)
-        require(w.length <= maxL,
+        require(cpLen(w) <= maxL,
           s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val (c, p) = viterbiDp(w, cm, maxPieceLen, null)
         // unreachable only under a caller-supplied cost map missing a
@@ -384,7 +404,7 @@ object Ulm {
       val cm = bc.value
       rows.map { r =>
         val w = r.getString(0)
-        require(w.length <= maxL,
+        require(cpLen(w) <= maxL,
           s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val (c, p) = viterbiDp(w, cm, maxPieceLen, null, ByteFallbackCost)
         val pieces = p.substring(1)
@@ -553,7 +573,8 @@ object Ulm {
     */
   private def lattice(w: String, pm: Map[String, Double],
                       maxPieceLen: Int): (Array[Double], Array[Double]) = {
-    val n = w.length
+    val off = cpOffsets(w)
+    val n = off.length - 1
     val a = new Array[Double](n + 1)
     a(0) = 1.0
     var j = 1
@@ -562,7 +583,7 @@ object Ulm {
       var l = 1
       val lm = math.min(maxPieceLen, j)
       while (l <= lm) {
-        val p = pm.getOrElse(w.substring(j - l, j), -1.0)
+        val p = pm.getOrElse(w.substring(off(j - l), off(j)), -1.0)
         if (p >= 0) s += a(j - l) * p
         l += 1
       }
@@ -577,7 +598,7 @@ object Ulm {
       var l = 1
       val lm = math.min(maxPieceLen, n - j)
       while (l <= lm) {
-        val p = pm.getOrElse(w.substring(j, j + l), -1.0)
+        val p = pm.getOrElse(w.substring(off(j), off(j + l)), -1.0)
         if (p >= 0) s += b(j + l) * p
         l += 1
       }
@@ -604,11 +625,11 @@ object Ulm {
       val pm = bc.value
       rows.map { r =>
         val w = r.getString(0)
-        require(w.length <= maxL,
+        require(cpLen(w) <= maxL,
           s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val (a, _) = lattice(w, pm, maxPieceLen)
-        require(a(w.length) > 0, s"word '$w' has no lattice path — singles missing?")
-        Row(w, r.getLong(1), a(w.length))
+        require(a(cpLen(w)) > 0, s"word '$w' has no lattice path — singles missing?")
+        Row(w, r.getLong(1), a(cpLen(w)))
       }
     }
     spark.createDataFrame(out, schema)
@@ -631,17 +652,18 @@ object Ulm {
       val pm = bc.value
       rows.flatMap { r =>
         val w = r.getString(0)
-        require(w.length <= maxL,
+        require(cpLen(w) <= maxL,
           s"word '$w' exceeds the MaxWordLen=$maxL oracle unroll — raise it")
         val freq = r.getLong(1)
-        val n = w.length
+        val off = cpOffsets(w)
+        val n = off.length - 1
         val (a, b) = lattice(w, pm, maxPieceLen)
         require(a(n) > 0, s"word '$w' has no lattice path — singles missing?")
         val an = a(n)
         for {
           i <- 0 until n
           l <- 1 to math.min(maxPieceLen, n - i)
-          piece = w.substring(i, i + l)
+          piece = w.substring(off(i), off(i + l))
           p <- pm.get(piece)
         } yield Row(piece, Stable.stab6(freq * a(i) * p * b(i + l) / an))
       }
@@ -747,15 +769,41 @@ object Ulm {
 
   def pruneFrom(wt: DataFrame, cnt0: DataFrame, p: Params, pp: PruneParams,
                 expectMulti0: Option[Int] = None): PruneResult = {
+    val vocab: Seq[(String, Long)] = cnt0.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    pruneLoop(wt, vocab.map(_._1), costMap(vocab), p, pp, expectMulti0)
+  }
+
+  /** [[pruneFrom]] with SOFT-EM entry pricing — the SentencePiece
+    * composition proper (EM with full-lattice expectations, THEN the
+    * likelihood-loss drop schedule): the entry cost table is the soft
+    * model's stab(6) NLL column (−ln((e+1)/Σ(e+1)) over the DECIMAL soft
+    * counts) instead of hard Viterbi recounts, so the FIRST round's
+    * leave-one-out pricing — the round that drops half the seed — ranks
+    * pieces by what the full segmentation lattice says they are worth.
+    * In-loop re-estimates stay Viterbi recounts (each survivor set gets
+    * re-priced from its own hard paths — the delta formula is
+    * count-source-agnostic), honestly documented in SURVEY §2.9.
+    * Input: the soft model card (piece, cnt_soft, nll).
+    */
+  def pruneFromSoft(wt: DataFrame, softModel: DataFrame, p: Params,
+                    pp: PruneParams, expectMulti0: Option[Int] = None): PruneResult = {
+    val rows = softModel.select("piece", "nll").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    pruneLoop(wt, rows.map(_._1), rows.toMap, p, pp, expectMulti0)
+  }
+
+  private def pruneLoop(wt: DataFrame, pieces0: Seq[String],
+                        cm0: Map[String, Double], p: Params, pp: PruneParams,
+                        expectMulti0: Option[Int]): PruneResult = {
     val spark = wt.sparkSession
     import spark.implicits._
-    var vocab: Seq[(String, Long)] = cnt0.collect()
-      .map(r => (r.getString(0), r.getLong(1))).toSeq
-    var nMulti = vocab.count(_._1.length >= 2)
+    var vocabPieces: Seq[String] = pieces0
+    var nMulti = vocabPieces.count(_.length >= 2)
     expectMulti0.foreach(e => require(nMulti == e,
       s"pruning anchor: trained vocab has $nMulti multi-char pieces, oracle schedule assumes $e"))
     val schedule = pruneSchedule(nMulti, pp)
-    var cm = costMap(vocab)
+    var cm = cm0
     val curve = Seq.newBuilder[(Int, Int, Int, Double, Long)]
 
     def segStats(seg: DataFrame): (Double, Long) = {
@@ -769,10 +817,10 @@ object Ulm {
     schedule.foreach { nDrop =>
       val seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
       val (nll, pc) = segStats(seg)
-      curve += ((round, nMulti, vocab.size, nll, pc))
+      curve += ((round, nMulti, vocabPieces.size, nll, pc))
       // EM recount over the PRE-drop vocabulary (the M step); survivors
       // keep these counts into the renormalized next-round costs
-      val cntMap = pathCounts(seg, vocab.map(_._1).toDF("piece")).collect()
+      val cntMap = pathCounts(seg, vocabPieces.toDF("piece")).collect()
         .map(r => (r.getString(0), r.getLong(1))).toMap
       // leave-one-out deltas over each word's USED multi-char pieces
       val pairs = seg.select(col("word"), col("freq"), col("cost"),
@@ -782,23 +830,21 @@ object Ulm {
         .groupBy("excl")
         .agg(Stable.dsum(Stable.stab(
           col("freq") * (col("alt_cost") - col("cost")), 6), 6).as("delta"))
-      val dropped = vocab.filter(_._1.length >= 2).map(_._1).toDF("piece")
+      val dropped = vocabPieces.filter(_.length >= 2).toDF("piece")
         .join(deltaUsed.withColumnRenamed("excl", "piece"), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("delta"), lit(0.0)).as("delta"))
         .orderBy(col("delta"), col("piece")).limit(nDrop)
         .select("piece").collect().map(_.getString(0)).toSet
-      vocab = vocab.collect {
-        case (pc0, _) if !dropped(pc0) => (pc0, cntMap(pc0))
-      }
-      cm = costMap(vocab)
+      vocabPieces = vocabPieces.filterNot(dropped)
+      cm = costMap(vocabPieces.map(pc0 => (pc0, cntMap(pc0))))
       nMulti -= nDrop
       round += 1
     }
     // the pruned model: one final Viterbi pass + recount + cost card
     val segF = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
     val (nllF, pcF) = segStats(segF)
-    curve += ((round, nMulti, vocab.size, nllF, pcF))
-    val cntF = pathCounts(segF, vocab.map(_._1).toDF("piece")).localCheckpoint()
+    curve += ((round, nMulti, vocabPieces.size, nllF, pcF))
+    val cntF = pathCounts(segF, vocabPieces.toDF("piece")).localCheckpoint()
     val tot = cntF.agg(sum(col("cnt") + lit(1L)).as("t"))
     val card = cntF.crossJoin(broadcast(tot))
       .select(col("piece"), col("cnt"),

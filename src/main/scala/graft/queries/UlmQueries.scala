@@ -241,13 +241,19 @@ object UlmQueries {
     * from integer seed counts, then two forward-backward rounds. Emits
     * wan1/wan2 (the curve's marginals) and scnt2 (the soft model).
     */
-  private def softCtes: String =
+  private def softCtes: String = {
+    // the chain below unrolls EXACTLY 2 EM rounds (sp0→sp1→scnt2,
+    // wan1/wan2); a P.iters change must be mirrored here or the oracle
+    // silently desyncs from softTrain/persistedUlmSoft
+    require(P.iters == 2,
+      s"softCtes unrolls exactly 2 EM rounds; P.iters=${P.iters} desyncs the oracle")
     s"""sp0 AS MATERIALIZED (SELECT piece,
        |  floor((CAST(cnt + 1 AS DOUBLE) / (SELECT CAST(sum(cnt + 1) AS DOUBLE) FROM seed0))
        |    * 1000000000000.0 + 0.5) / 1000000000000.0 AS p
        |  FROM seed0),
        |${softRound(1, "sp0")},
        |${softRound(2, "sp1")}""".stripMargin
+  }
 
   /** Recount CTE cnt{k} over the fixed seed vocabulary from seg{k}. */
   private def recountCte(k: Int): String =
@@ -333,30 +339,78 @@ object UlmQueries {
 
   private val Schedule = Ulm.pruneSchedule(P.seedSize, PP)
   private val KFinal = 3 + Schedule.length
+  // soft-entry prune chain: same schedule, CTE indices offset so both
+  // chains can coexist in one query (the vs-card) without name clashes
+  private val KSoft = 30
+  private val KSoftFinal = KSoft + Schedule.length
+
+  /** (piece, cost) from a SOFT (piece, e DECIMAL) table: stab(6)
+    * −ln((e+1)/Σ(e+1)) with the total computed exactly in DECIMAL then
+    * promoted once (the VARCHAR hop) — the SQL twin of softTrain's
+    * model `nll` column, so `cs2` IS the persisted soft model's pricing.
+    */
+  private def softCostCte(name: String, src: String): String =
+    s"""${name}t AS (SELECT CAST(CAST(sum(e) + count(*) AS VARCHAR) AS DOUBLE) AS t FROM $src),
+       |$name AS MATERIALIZED (SELECT piece,
+       |  floor((ln((SELECT t FROM ${name}t)) - ln(CAST(CAST(e AS VARCHAR) AS DOUBLE) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS cost
+       |  FROM $src)""".stripMargin
+
+  /** The drop-schedule chain from entry cost table `entryCost`, rounds
+    * indexed kBase.., plus the final Viterbi pass and its recount
+    * (cntk{kBase+len}). Requires seed0 and an `mv0` multi-piece CTE
+    * upstream.
+    */
+  private def pruneChain(kBase: Int, entryCost: String): String = {
+    val rounds = Schedule.zipWithIndex.map { case (nDrop, i) =>
+      val k = kBase + i
+      pruneRoundCtes(k,
+        if (i == 0) "mv0" else s"keptm${k - 1}",
+        if (i == 0) entryCost else s"ck${k - 1}", nDrop)
+    }.mkString(",\n")
+    val kF = kBase + Schedule.length
+    s"""$rounds,
+       |${viterbiCtes(kF, s"ck${kF - 1}")},
+       |cntk$kF AS MATERIALIZED (
+       |  SELECT v.piece, CAST(COALESCE(sum(x.freq), 0) AS BIGINT) AS cnt
+       |  FROM vocab${kF - 1} v LEFT JOIN (
+       |    SELECT s.freq, unnest(string_split(s.pieces, ' ')) AS piece
+       |    FROM seg$kF s) x USING (piece)
+       |  GROUP BY v.piece)""".stripMargin
+  }
+
+  private val mv0Cte = "mv0 AS (SELECT piece FROM seed0 WHERE length(piece) >= 2)"
 
   /** The pruning chain appended to the trainer: costs off cnt2, then per
     * schedule round the prune chain, then the final pruned-model Viterbi
     * pass (seg$KFinal) and its recount (cntk$KFinal).
     */
-  def pruneCtes: String = {
-    val rounds = Schedule.zipWithIndex.map { case (nDrop, i) =>
-      val k = 3 + i
-      pruneRoundCtes(k,
-        if (i == 0) "mv0" else s"keptm${k - 1}",
-        if (i == 0) "c2" else s"ck${k - 1}", nDrop)
-    }.mkString(",\n")
+  def pruneCtes: String =
     s"""$trainerCtes,
        |${costCte("c2", "cnt2")},
-       |mv0 AS (SELECT piece FROM seed0 WHERE length(piece) >= 2),
-       |$rounds,
-       |${viterbiCtes(KFinal, s"ck${KFinal - 1}")},
-       |cntk$KFinal AS MATERIALIZED (
-       |  SELECT v.piece, CAST(COALESCE(sum(x.freq), 0) AS BIGINT) AS cnt
-       |  FROM vocab${KFinal - 1} v LEFT JOIN (
-       |    SELECT s.freq, unnest(string_split(s.pieces, ' ')) AS piece
-       |    FROM seg$KFinal s) x USING (piece)
-       |  GROUP BY v.piece)""".stripMargin
-  }
+       |$mv0Cte,
+       |${pruneChain(3, "c2")}""".stripMargin
+
+  /** The SOFT-entry pruning chain: soft-EM lattices → soft model costs
+    * (cs2) → the same drop schedule. Emits cntk$KSoftFinal.
+    */
+  def softPruneCtes: String =
+    s"""$seedCtes,
+       |$softCtes,
+       |${softCostCte("cs2", "scnt2")},
+       |$mv0Cte,
+       |${pruneChain(KSoft, "cs2")}""".stripMargin
+
+  /** BOTH chains in one query (the vs-card): hard rounds at 3.., soft
+    * rounds at KSoft.., shared seed/trainer/soft CTEs.
+    */
+  def bothPruneCtes: String =
+    s"""$trainerCtes,
+       |${costCte("c2", "cnt2")},
+       |$softCtes,
+       |${softCostCte("cs2", "scnt2")},
+       |$mv0Cte,
+       |${pruneChain(3, "c2")},
+       |${pruneChain(KSoft, "cs2")}""".stripMargin
 
   /** wt + trained recounts → the prune run, shared by both prune
     * queries. Starts from the persisted segmentation (cnt2 is a cheap
@@ -369,6 +423,26 @@ object UlmQueries {
       Ulm.seed(wt, P.maxPieceLen, P.seedSize))
     Ulm.pruneFrom(wt, cnt0, P, PP, expectMulti0 = Some(P.seedSize))
   }
+
+  /** The SOFT-entry prune run: entry pricing from the persisted soft-EM
+    * model's nll column (full-lattice expectations), same drop schedule.
+    */
+  private[graft] def softPrunedParts(s: org.apache.spark.sql.SparkSession, d: String) = {
+    val wt = graft.operators.Bpe.wordTypes(Tables.documents(s, d)).drop("sym")
+      .localCheckpoint()
+    Ulm.pruneFromSoft(wt, persistedUlmSoft(s, d), P, PP,
+      expectMulti0 = Some(P.seedSize))
+  }
+
+  /** The soft-pruned MODEL CARD as a persisted artifact (the verdict's
+    * "persist an ulmsoft-pruned model"): soft-EM train → prune →
+    * target-size vocabulary, built once per corpus.
+    */
+  def persistedUlmSoftPruned(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
+    Persisted(s, d, "ulmsoftpruned", "documents.parquet",
+      s"_p${P.maxPieceLen}s${P.seedSize}i${P.iters}t${PP.targetMulti}") {
+      softPrunedParts(s, d).card
+    }
 
   def all: Seq[GraftQuery] = Seq(
 
@@ -666,6 +740,50 @@ object UlmQueries {
            |cpt AS (SELECT CAST(sum(cnt + 1) AS DOUBLE) AS t FROM cntk$KFinal)
            |SELECT piece, cnt,
            |  floor((ln((SELECT t FROM cpt)) - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nll
-           |FROM cntk$KFinal ORDER BY piece""".stripMargin))
+           |FROM cntk$KFinal ORDER BY piece""".stripMargin)),
+
+    // SentencePiece COMPOSED (Kudo 2018 §4.2 end to end): soft-EM
+    // full-lattice expectations price the drop schedule's entry round —
+    // closing §2.9's "soft counts feed the model card, not the pruning".
+    // The oracle chains the soft lattice CTEs into the same unrolled
+    // leave-one-out prune machinery via the cs2 cost table (the exact
+    // SQL twin of the persisted soft model's nll column), so a drift in
+    // any lattice cell, entry price, drop pick, or recount hash-fails.
+    GraftQuery("ulm_vocab_soft_pruned",
+      (s, d) => persistedUlmSoftPruned(s, d).orderBy("piece"),
+      Some(
+        s"""WITH $softPruneCtes,
+           |cpt AS (SELECT CAST(sum(cnt + 1) AS DOUBLE) AS t FROM cntk$KSoftFinal)
+           |SELECT piece, cnt,
+           |  floor((ln((SELECT t FROM cpt)) - ln(CAST(cnt + 1 AS DOUBLE))) * 1000000.0 + 0.5) / 1000000.0 AS nll
+           |FROM cntk$KSoftFinal ORDER BY piece""".stripMargin)),
+
+    // The soft-vs-hard PRUNING honesty card: per prune round, the corpus
+    // Viterbi objective under each path's cost tables (hard-entry at 3..,
+    // soft-entry at 30..) — what full-lattice entry pricing buys (or
+    // costs) through the drop schedule, round by round, both chains
+    // re-derived end to end in one oracle query.
+    GraftQuery("ulm_prune_soft_vs_hard",
+      (s, d) => {
+        val hard = prunedParts(s, d).curve
+          .select(col("round"), col("n_multi"),
+            col("total_nll").as("total_nll_hard"))
+        val soft = softPrunedParts(s, d).curve
+          .select(col("round"), col("total_nll").as("total_nll_soft"))
+        hard.join(soft, "round").orderBy("round")
+      },
+      Some {
+        def nll(k: Int) = s"(SELECT ${graft.functions.Stable.dsumSql(
+          graft.functions.Stable.stabSql("freq * cost", 6), 6)} FROM seg$k)"
+        val multiBefore = Schedule.scanLeft(P.seedSize)(_ - _)
+        val rows = multiBefore.zipWithIndex.map { case (nm, i) =>
+          s"""SELECT CAST(${i + 1} AS INT) AS round, CAST($nm AS INT) AS n_multi,
+             |  ${nll(3 + i)} AS total_nll_hard,
+             |  ${nll(KSoft + i)} AS total_nll_soft""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH $bothPruneCtes
+           |$rows
+           |ORDER BY round""".stripMargin
+      })
   )
 }

@@ -101,6 +101,37 @@ class ByteFallbackSpec extends AnyFunSuite {
     }
   }
 
+  test("non-BMP plants: a 4-byte codepoint rides the fallback as ONE char " +
+    "and round-trips byte-exactly") {
+    // the planted tokens include astral letters (CJK Ext B, Gothic)
+    val astral = ByteFallback.Tokens.filter(t => t.codePointCount(0, t.length) < t.length)
+    assert(astral.nonEmpty, "fixture lost its non-BMP plants")
+    val types = ByteFallback.wordTypes(docsF).select("word").as[String].collect()
+    val astralTypes = types.filter(w => w.codePointCount(0, w.length) < w.length)
+    assert(astralTypes.nonEmpty, "no astral word type reached the model")
+
+    // 'x<gothic>y': the DP walks CODEPOINTS, so the surrogate pair is
+    // ONE fallback char expanding to its 4 UTF-8 bytes — 6 ids total
+    // (x and y ride the 1-byte fallback too when the trained
+    // segmentation never used them as standalone pieces). A UTF-16-unit
+    // DP would have priced TWO phantom chars and emitted a different
+    // piece count (and the SQL twin, which counts codepoints, would
+    // hash-diverge).
+    val gothic = "x𐍈y" // x U+10348 y
+    assert(astralTypes.contains(gothic))
+    val wids = Ulm.wordIdsFromFixedBytes(
+      ByteFallback.wordTypes(docsF).drop("sym"), ulmCosts, maxPieceLen, pids)
+      .as[(String, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val (ids, np) = wids(gothic)
+    val pieceOf = pids.as[(String, Int)].collect()
+      .map { case (p, i) => (i.toLong, p) }.toMap
+    val b0 = pieceOf.keys.max
+    val idSeq = ids.split(" ").map(_.toLong).toSeq
+    assert(np == 6L, s"1+4+1 bytes expected, got $np for ids $idSeq")
+    assert(idSeq.count(_ > b0) >= 4, "the astral char must expand to 4 byte pieces")
+    assert(decode(idSeq, pieceOf, b0) == gothic)
+  }
+
   test("clean ASCII corpus: bytes tier is behavior-identical to the strict tier") {
     val strict = Bpe.wordIdsFromFixed(Bpe.wordTypes(base), merges, symIds)
       .as[(String, String, Long)].collect().sortBy(_._1).toSeq

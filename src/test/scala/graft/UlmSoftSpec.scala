@@ -82,4 +82,47 @@ class UlmSoftSpec extends AnyFunSuite {
     assert(soft(2) < soft(1), "soft-EM objective must improve")
     assert(hard(2) < hard(1), "hard-EM objective must improve")
   }
+
+  test("soft-entry pruning: schedule invariants hold and the entry pricing " +
+    "genuinely differs from hard entry") {
+    val d = TestSpark.sf0001
+    val P = graft.queries.UlmQueries.P
+    val PP = graft.queries.UlmQueries.PP
+    val docs = graft.sources.Tables.documents(spark, d)
+    val wt = graft.operators.Bpe.wordTypes(docs).drop("sym").localCheckpoint()
+    val seedMultis = Ulm.seed(wt, P.maxPieceLen, P.seedSize)
+      .filter(org.apache.spark.sql.functions.length($"piece") >= 2)
+      .select("piece").as[String].collect().toSet
+    val seedSingles = Ulm.seed(wt, P.maxPieceLen, P.seedSize)
+      .filter(org.apache.spark.sql.functions.length($"piece") === 1)
+      .select("piece").as[String].collect().toSet
+
+    val softModel = Ulm.softTrain(docs, P)._1
+    val res = Ulm.pruneFromSoft(wt, softModel, P, PP,
+      expectMulti0 = Some(P.seedSize))
+
+    // schedule invariants on the soft path: n_multi walks the static
+    // schedule, n_vocab = n_multi + singles, final vocab hits the target
+    val curve = res.curve.as[(Int, Int, Int, Double, Long)].collect().sortBy(_._1)
+    val multiBefore = Ulm.pruneSchedule(P.seedSize, PP).scanLeft(P.seedSize)(_ - _)
+    assert(curve.map(_._2).toSeq == multiBefore)
+    curve.foreach { case (_, nm, nv, _, _) =>
+      assert(nv == nm + seedSingles.size, "n_vocab = n_multi + singles")
+    }
+    val card = res.card.as[(String, Long, Double)].collect()
+    val cardMultis = card.map(_._1).filter(_.length >= 2).toSet
+    assert(cardMultis.size == PP.targetMulti)
+    assert(cardMultis.subsetOf(seedMultis), "survivors come from the seed")
+    assert(seedSingles.subsetOf(card.map(_._1).toSet), "single-char pieces never drop")
+
+    // the composition is not a no-op: the soft entry cost table differs
+    // from the hard one (measured at this fixture — the vs-card's round
+    // NLLs diverge), even though both paths may converge downstream
+    val cnt0 = Ulm.pathCounts(
+      Ulm.train(docs, P)._2, Ulm.seed(wt, P.maxPieceLen, P.seedSize))
+    val hardCurve = Ulm.pruneFrom(wt, cnt0, P, PP, Some(P.seedSize))
+      .curve.as[(Int, Int, Int, Double, Long)].collect().sortBy(_._1)
+    assert(curve.map(_._4).toSeq != hardCurve.map(_._4).toSeq,
+      "soft and hard entry pricing must produce different round objectives")
+  }
 }
