@@ -1547,14 +1547,19 @@ object Multimodal {
     spark.createDataFrame(out, schema)
   }
 
-  /** JPEG metadata via a REAL marker walk (ITU T.81 §B): SOI, then
-    * length-prefixed marker segments up to SOS — frame dims and
-    * component count from the SOF segment, quantization/Huffman TABLE
-    * counts parsed from inside the DQT/DHT segments (a segment may carry
-    * several tables — counting segments would be wrong), APP0/JFIF
-    * presence flagged. Malformed streams (no SOI, truncated segment, a
-    * fill-byte-less stray, no SOF before SOS) surface as the null row —
-    * corrupt files are data.
+  /** JPEG metadata via a REAL marker walk (ITU T.81 §B) over the WHOLE
+    * stream, SOI to EOI: frame dims and component count from the SOF
+    * segment, quantization/Huffman TABLE counts parsed from inside the
+    * DQT/DHT segments (a segment may carry several tables — counting
+    * segments would be wrong), APP0/JFIF presence, and since round 18
+    * the SCAN count — each SOS is followed by the entropy-coded-segment
+    * skip (T.81 §B.1.1.5: inside a scan, 0xFF is followed by a 0x00
+    * stuffing byte or an RST marker; the first 0xFF + other byte is the
+    * next true marker), so a PROGRESSIVE stream's between-scan DHT
+    * tables are counted and n_scans reports its scan script length.
+    * Malformed streams (no SOI, truncated segment, a fill-byte-less
+    * stray, no SOF, no EOI) surface as the null row — corrupt files are
+    * data.
     */
   def decodeJpegMarkers(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -1566,13 +1571,14 @@ object Multimodal {
       StructField("n_dqt", IntegerType),
       StructField("n_dht", IntegerType),
       StructField("sof_marker", IntegerType),
-      StructField("n_app0", IntegerType)))
+      StructField("n_app0", IntegerType),
+      StructField("n_scans", IntegerType)))
     val out = media.select("media_id", "payload").rdd.mapPartitions { rows =>
       rows.map { r =>
         val b = r.getAs[Array[Byte]]("payload")
         var ok = b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
         var w, h, nc, sof = -1
-        var nDqt, nDht, nApp0 = 0
+        var nDqt, nDht, nApp0, nScans = 0
         var i = 2
         var done = false
         def u8(o: Int): Int = b(o) & 0xff
@@ -1582,7 +1588,9 @@ object Multimodal {
             // T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
             // fill bytes — skip them so spec-valid foreign streams parse.
             while (i + 1 < b.length && u8(i) == 0xff && u8(i + 1) == 0xff) i += 1
-            if (i + 4 > b.length || u8(i) != 0xff) ok = false
+            if (i + 2 > b.length || u8(i) != 0xff) ok = false
+            else if (u8(i + 1) == 0xd9) done = true // EOI: standalone, ends the stream
+            else if (i + 4 > b.length) ok = false
             else {
               val m = u8(i + 1)
               val len = u16(i + 2)
@@ -1613,7 +1621,7 @@ object Multimodal {
                       }
                     }
                   case 0xe0 => nApp0 += 1
-                  case 0xda => done = true // SOS: entropy-coded data follows
+                  case 0xda => nScans += 1 // SOS: skip the scan's entropy data below
                   case mm if mm >= 0xc0 && mm <= 0xcf && mm != 0xc8 && mm != 0xcc =>
                     // SOF payload is ≥ 6 bytes (precision, h, w, nc)
                     if (len < 8) ok = false
@@ -1621,13 +1629,29 @@ object Multimodal {
                   case _ => () // APPn, COM, others: skip
                 }
                 i = end
+                if (ok && m == 0xda) {
+                  // entropy-coded-segment skip: 0xFF 0x00 is a stuffing
+                  // pair, 0xFF 0xD0-0xD7 a restart marker (both stay in
+                  // the scan); the first other 0xFF-pair is the next
+                  // marker — a truncated scan (no terminating marker)
+                  // is the null row
+                  var scanning = true
+                  while (ok && scanning) {
+                    if (i + 1 >= b.length) { ok = false; scanning = false }
+                    else if (u8(i) == 0xff) {
+                      val nm = u8(i + 1)
+                      if (nm == 0x00 || (nm >= 0xd0 && nm <= 0xd7)) i += 2
+                      else scanning = false
+                    } else i += 1
+                  }
+                }
               }
             }
           }
         } catch { case scala.util.control.NonFatal(_) => ok = false }
-        if (!ok || !done || sof < 0)
-          Row(r.getLong(0), null, null, null, null, null, null, null)
-        else Row(r.getLong(0), w, h, nc, nDqt, nDht, sof, nApp0)
+        if (!ok || !done || sof < 0 || nScans < 1)
+          Row(r.getLong(0), null, null, null, null, null, null, null, null)
+        else Row(r.getLong(0), w, h, nc, nDqt, nDht, sof, nApp0, nScans)
       }
     }
     spark.createDataFrame(out, schema)

@@ -66,15 +66,19 @@ object MultimodalQueries {
 
   def all: Seq[GraftQuery] = Seq(
 
-    // JPEG marker-structure walk, hash-gated: dims and component count
-    // from the SOF segment of a REAL T.81 marker parse, quantization and
-    // Huffman TABLE counts from inside the DQT/DHT segments, APP0/JFIF
-    // presence — now over all THREE variants (round 17): baseline gray,
-    // baseline color, and PROGRESSIVE color, whose first scan carries
-    // SOF2 (194) and only 2 pre-SOS Huffman tables (measured constant
-    // across 50k ids — JpegMetaSweep). The oracle re-derives the variant
-    // from the id formula; a wrong multi-scan walk or variant drift
-    // hash-fails.
+    // JPEG marker-structure walk over the WHOLE stream (SOI to EOI,
+    // round 18): dims and component count from the SOF segment of a
+    // REAL T.81 parse, quantization and Huffman TABLE counts from
+    // inside the DQT/DHT segments ACROSS ALL SCANS (each SOS is
+    // followed by the entropy-coded-segment skip), scan count, APP0
+    // presence — all three variants (baseline gray, baseline color,
+    // PROGRESSIVE color). The pinned literals are the JDK ImageIO
+    // ENCODER's emission constants, measured by `graft.JpegMetaSweep`
+    // over 50k ids on this JRE (Temurin-style Debian 17.0.20: baseline
+    // = 4 DHTs / 1 scan / SOF0; progressive = 10 DHTs total / 10 scans
+    // / SOF2) — a JDK vendor/version change can move them; re-run the
+    // sweep and re-pin rather than debugging a hash-fail blind
+    // (BASELINE.md round-18 note).
     GraftQuery("multimodal_jpeg_meta",
       (s, d) => Multimodal.decodeJpegMarkers(persistedMediaJpeg(s, d))
         .orderBy("media_id"),
@@ -85,10 +89,12 @@ object MultimodalQueries {
           |  CAST(3 AS INT) AS n_components,
           |  CAST(2 AS INT) AS n_dqt,
           |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 AND ((doc_id // 3) // 2) % 3 = 2
-          |       THEN 2 ELSE 4 END AS INT) AS n_dht,
+          |       THEN 10 ELSE 4 END AS INT) AS n_dht,
           |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 AND ((doc_id // 3) // 2) % 3 = 2
           |       THEN 194 ELSE 192 END AS INT) AS sof_marker,
-          |  CAST(1 AS INT) AS n_app0
+          |  CAST(1 AS INT) AS n_app0,
+          |  CAST(CASE WHEN (doc_id // 3) % 2 = 1 AND ((doc_id // 3) // 2) % 3 = 2
+          |       THEN 10 ELSE 1 END AS INT) AS n_scans
           |FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""".stripMargin)),
 
     // The EXISTING image decode path (extractFeatures' javax.imageio

@@ -365,10 +365,15 @@ class MultimodalSpec extends AnyFunSuite {
     meta.foreach { r =>
       val id = r.getLong(0)
       val (w, h, _) = Multimodal.jpegParams(id)
-      // progressive variant: SOF2 first scan with 2 pre-SOS Huffman tables
-      val (nDht, sof) = if (Multimodal.jpegVariant(id) == 2) (2, 0xc2) else (4, 0xc0)
+      // full-stream walk (round 18): progressive = SOF2, 10 scans, 10
+      // Huffman tables TOTAL (2 before the first SOS + the between-scan
+      // tables); baseline = SOF0, 1 scan, 4 tables. JDK-encoder
+      // constants, measured by JpegMetaSweep — see the oracle comment.
+      val (nDht, sof, nScans) =
+        if (Multimodal.jpegVariant(id) == 2) (10, 0xc2, 10) else (4, 0xc0, 1)
       assert((r.getInt(1), r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
-        r.getInt(6), r.getInt(7)) == ((w, h, 3, 2, nDht, sof, 1)), s"media $id")
+        r.getInt(6), r.getInt(7), r.getInt(8)) ==
+        ((w, h, 3, 2, nDht, sof, 1, nScans)), s"media $id")
     }
     // all three textured variants present in the fixture slice
     val variants = meta.map(r => Multimodal.jpegVariant(r.getLong(0))).toSet
@@ -433,9 +438,11 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = Seq(
       (1L, "not-a-jpeg-at-all".getBytes("UTF-8")),
       (2L, badLen),
-      (3L, good.take(3))).toDF("media_id", "payload")
+      (3L, good.take(3)),
+      (4L, good.dropRight(2))). // EOI removed: a scan that never terminates
+      toDF("media_id", "payload")
     val nulls = Multimodal.decodeJpegMarkers(bad).collect()
-    assert(nulls.length == 3 && nulls.forall(_.isNullAt(1)))
+    assert(nulls.length == 4 && nulls.forall(_.isNullAt(1)))
   }
 
   test("webm EBML walk: well-formed foreign files with >32-bit or >8-octet " +
