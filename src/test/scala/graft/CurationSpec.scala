@@ -246,7 +246,12 @@ class CurationSpec extends AnyFunSuite {
     // motivated the parameterization)
     locally {
       val skew = ((0L until 900L).map(i => (i, 137L)) ++ // one dominant class
-        (900L until 950L).map(i => (i, (1 + i % 499)))).toDF("doc_id", "n_tok")
+        (900L until 950L).map(i => (i, (1 + i % 499))) ++
+        // oversize docs (n_tok > C): the singleton branch also rides the
+        // widened k-char pfx rank window — both a dominant OVERSIZE
+        // class and varied oversize values (round-17 advice)
+        (950L until 980L).map(i => (i, 777L)) ++
+        (980L until 990L).map(i => (i, 501L + i % 7))).toDF("doc_id", "n_tok")
       def run(k: Int) = Curation.packBestFitAssignments(skew, C, 20L, k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
         .sortBy(_._1).toSeq
