@@ -11,7 +11,7 @@ import org.apache.spark.sql.SparkSession
   * (see the BASELINE.md round-18 note).
   *
   * Usage: sbt "runMain graft.JpegMetaSweep [nIds]"
-  * Prints the distinct (variant -> width-class, n_dqt, n_dht, sof,
+  * Prints the distinct (variant -> n_components, n_dqt, n_dht, sof,
   * n_scans) combinations and their frequencies; the oracle is only
   * pinnable if each variant collapses to ONE combination.
   */
@@ -29,7 +29,14 @@ object JpegMetaSweep {
       .toDF("doc_id", "text", "source")
     val media = graft.operators.Multimodal.withJpegMedia(docs)
     val meta = graft.operators.Multimodal.decodeJpegMarkers(media)
-    val out = meta.collect().groupBy { r =>
+    val rows = meta.collect()
+    // a rejected stream yields null structure fields — report it as the
+    // diagnostic this tool exists for, not an NPE from inside groupBy
+    val bad = rows.filter(r => (3 to 8).exists(r.isNullAt))
+    require(bad.isEmpty, s"${bad.length} streams rejected by the marker walk " +
+      s"(first: media_id ${bad.head.get(0)}) — this JDK's writer emits a " +
+      "structure the walk cannot parse; fix the walk before re-pinning")
+    val out = rows.groupBy { r =>
       val v = graft.operators.Multimodal.jpegVariant(r.getLong(0))
       (v, r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6), r.getInt(8))
     }.map { case ((v, nc, dqt, dht, sof, scans), rs) =>

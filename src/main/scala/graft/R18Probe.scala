@@ -62,13 +62,8 @@ object R18Probe {
     val pids = Ulm.pieceIds(seg).localCheckpoint()
     val wtTrain = Bpe.wordTypes(train5k).drop("sym")
     val cnt = Ulm.pathCounts(seg, Ulm.seed(wtTrain, P.maxPieceLen, P.seedSize))
-    val costs = cnt.collect().map(r => (r.getString(0), r.getLong(1))) match {
-      case arr =>
-        val tot = arr.map(_._2 + 1L).sum.toDouble
-        arr.map { case (p, c) =>
-          p -> graft.functions.Stable.stab6(math.log(tot) - math.log((c + 1L).toDouble))
-        }.toMap
-    }
+    val costs = Ulm.costMap(
+      cnt.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
 
     // 1. byte-fallback encode growth
     val wtF = ByteFallback.wordTypes(docsF).localCheckpoint()

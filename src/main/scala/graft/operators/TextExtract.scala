@@ -340,14 +340,6 @@ object TextExtract {
       length(s.getField("txt")) >= MinChars &&
       lit(Den) * s.getField("lc") <= length(s.getField("txt"))
 
-  /** jusText/C4-flavored keep rule over a raw block string: a
-    * content-tag block with enough visible text and ≤ 1/3 of it inside
-    * anchors. Integer-only. (Struct-free form for the audit view tests.)
-    */
-  def keepBlock(b: Column): Column =
-    tagOf(b).isin(ContentTags: _*) && length(txtOf(b)) >= MinChars &&
-      lit(Den) * length(linkTxt(b)) <= length(txtOf(b))
-
   /** (doc_id, text): the extracted document — kept blocks' visible text
     * joined with \n. One row-local projection.
     */
@@ -430,11 +422,6 @@ object TextExtract {
 
   private def inTagsSql(x: String): String =
     s"$x IN (${ContentTags.map(c => s"'$c'").mkString(", ")})"
-
-  def keepSql(b: String): String =
-    s"${inTagsSql(s"lower(regexp_extract($b, '$TagRe', 1))")}" +
-      s" AND length(${txtSql(b)}) >= $MinChars" +
-      s" AND $Den * ${linkSql(b)} <= length(${txtSql(b)})"
 
   /** DuckDB per-block struct list — the twin of `infoArr`: tag/txt/lc
     * bound ONCE per block so keep + rebuild don't re-run the entity walk.

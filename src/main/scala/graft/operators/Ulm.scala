@@ -799,7 +799,11 @@ object Ulm {
     val spark = wt.sparkSession
     import spark.implicits._
     var vocabPieces: Seq[String] = pieces0
-    var nMulti = vocabPieces.count(_.length >= 2)
+    // codepoint length, NOT String.length: a single astral piece (1
+    // codepoint, 2 UTF-16 units) is a SINGLE — it must never enter the
+    // drop pool (singles guarantee segmentability) and the SQL oracle's
+    // mv0 counts codepoints
+    var nMulti = vocabPieces.count(cpLen(_) >= 2)
     expectMulti0.foreach(e => require(nMulti == e,
       s"pruning anchor: trained vocab has $nMulti multi-char pieces, oracle schedule assumes $e"))
     val schedule = pruneSchedule(nMulti, pp)
@@ -830,7 +834,7 @@ object Ulm {
         .groupBy("excl")
         .agg(Stable.dsum(Stable.stab(
           col("freq") * (col("alt_cost") - col("cost")), 6), 6).as("delta"))
-      val dropped = vocabPieces.filter(_.length >= 2).toDF("piece")
+      val dropped = vocabPieces.filter(cpLen(_) >= 2).toDF("piece")
         .join(deltaUsed.withColumnRenamed("excl", "piece"), Seq("piece"), "left")
         .select(col("piece"), coalesce(col("delta"), lit(0.0)).as("delta"))
         .orderBy(col("delta"), col("piece")).limit(nDrop)

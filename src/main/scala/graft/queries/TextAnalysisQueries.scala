@@ -12,6 +12,19 @@ object TextAnalysisQueries {
     * single-sourced into text_clean_corpus and text_extract_clean so a
     * threshold tune cannot leave a stale copy behind.
     */
+  /** The clean gate's tokenizer CTE over a CTE named `e` (doc_id, text):
+    * produces `tok` (doc_id, word) — single-sourced into
+    * text_extract_clean and crawl_extract_clean (same rationale as
+    * [[cleanGateTailSql]]: a tokenizer tweak must not leave a stale
+    * copy in the other oracle).
+    */
+  lazy val cleanTokCteSql: String =
+    s"""tok AS (
+       |  SELECT doc_id, t.w AS word
+       |  FROM e, unnest(regexp_split_to_array(
+       |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
+       |  WHERE length(t.w) > 0 AND NOT regexp_matches(t.w, '^[0-9]+$$'))""".stripMargin
+
   lazy val cleanGateTailSql: String =
     s"""f AS (
        |  SELECT doc_id, count(*) AS n_tokens,

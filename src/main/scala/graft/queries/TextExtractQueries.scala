@@ -67,11 +67,7 @@ object TextExtractQueries {
       Some(
         s"""WITH $wrapCte,
            |e AS (SELECT doc_id, ${TextExtract.extractSql} AS text FROM w),
-           |tok AS (
-           |  SELECT doc_id, t.w AS word
-           |  FROM e, unnest(regexp_split_to_array(
-           |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
-           |  WHERE length(t.w) > 0 AND NOT regexp_matches(t.w, '^[0-9]+$$')),
+           |${TextAnalysisQueries.cleanTokCteSql},
            |${TextAnalysisQueries.cleanGateTailSql}""".stripMargin)),
 
     // Corpus extraction card: the datasheet row (block/kept counts,

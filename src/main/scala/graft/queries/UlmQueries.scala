@@ -440,7 +440,10 @@ object UlmQueries {
     */
   def persistedUlmSoftPruned(s: org.apache.spark.sql.SparkSession, d: String): org.apache.spark.sql.DataFrame =
     Persisted(s, d, "ulmsoftpruned", "documents.parquet",
-      s"_p${P.maxPieceLen}s${P.seedSize}i${P.iters}t${PP.targetMulti}") {
+      // eta is part of the key: it shapes the drop schedule, so a tune
+      // must miss the cache rather than serve a stale card
+      s"_p${P.maxPieceLen}s${P.seedSize}i${P.iters}t${PP.targetMulti}" +
+        s"e${math.round(PP.eta * 100)}") {
       softPrunedParts(s, d).card
     }
 

@@ -57,7 +57,7 @@ object WarcQueries {
            |SELECT doc_id, rec, wtype, url, wdate, clen, body_chars, ok
            |FROM p ORDER BY doc_id, rec""".stripMargin)),
 
-    // URL canonicalization over all 8 planted variants: lowercase
+    // URL canonicalization over all 9 planted variants: lowercase
     // scheme+host, default-port strip, fragment strip, tracking-param
     // drop (order of the rest preserved), trailing-slash resolve.
     GraftQuery("url_canonical",
@@ -107,10 +107,6 @@ object WarcQueries {
            |$dedupCte,
            |e AS (SELECT w.doc_id, ${TextExtract.extractSql} AS text
            |      FROM w JOIN d USING (doc_id)),
-           |tok AS (
-           |  SELECT doc_id, t.w AS word
-           |  FROM e, unnest(regexp_split_to_array(
-           |    regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+')) t(w)
-           |  WHERE length(t.w) > 0 AND NOT regexp_matches(t.w, '^[0-9]+$$')),
+           |${TextAnalysisQueries.cleanTokCteSql},
            |${TextAnalysisQueries.cleanGateTailSql}""".stripMargin)))
 }

@@ -46,10 +46,11 @@ import org.apache.spark.sql.functions._
   * doc_id DIV 3 — three fetches of the same logical page, each with an
   * independent URL VARIANT (plain / uppercase scheme+host / explicit :80
   * / #fragment / ?utm_source only / trailing slash / mixed real+tracking
-  * params / https:443+fragment — the https variant canonicalizes to a
-  * DIFFERENT url, deliberately). Slice layout (h = md5('warc:'||doc_id)):
+  * params / https:443+fragment / query-directly-after-host with no path
+  * slash — the https and host-adjacent-query variants canonicalize to
+  * DIFFERENT urls, deliberately). Slice layout (h = md5('warc:'||doc_id)):
   * 1-2 month · 3-4 day · 5-6 hour · 7-8 minute · 9-10 second ·
-  * 13-14 variant (%8).
+  * 13-14 variant (%9).
   */
 object Warc {
 
@@ -84,10 +85,10 @@ object Warc {
     lit(":"), pad2(slice(h, 7, 2) % 60),
     lit(":"), pad2(slice(h, 9, 2) % 60), lit("Z"))
 
-  /** The fetch URL: one of 8 variants of the group's canonical page. */
+  /** The fetch URL: one of 9 variants of the group's canonical page. */
   def urlOf(h: Column): Column = {
     val path = concat(lit("/d/"), gid.cast("string"))
-    val v = slice(h, 13, 2) % 8
+    val v = slice(h, 13, 2) % 9
     when(v === 0, concat(lit("http://"), hostOf, path))
       .when(v === 1, concat(upper(concat(lit("HTTP://"), hostOf)), path))
       .when(v === 2, concat(lit("http://"), hostOf, lit(":80"), path))
@@ -96,7 +97,11 @@ object Warc {
       .when(v === 5, concat(lit("http://"), hostOf, path, lit("/")))
       .when(v === 6, concat(lit("http://"), hostOf, path,
         lit("?id=7&utm_campaign=x&b=2")))
-      .otherwise(concat(lit("https://"), hostOf, lit(":443"), path, lit("#top")))
+      .when(v === 7, concat(lit("https://"), hostOf, lit(":443"), path, lit("#top")))
+      // query directly after the host, no path slash at all — the real-web
+      // shape that breaks naive split-at-'/' host parsing
+      .otherwise(concat(lit("http://"), hostOf, lit("?p="), gid.cast("string"),
+        lit("&fbclid=x")))
   }
 
   private def record(wtype: String, url: Column, wdate: Column,
@@ -142,7 +147,7 @@ object Warc {
   def urlSql: String = {
     val host = hostSql
     val path = s"'/d/' || CAST(doc_id // 3 AS VARCHAR)"
-    val v = s"${slSql(13, 2)} % 8"
+    val v = s"${slSql(13, 2)} % 9"
     s"CASE WHEN $v = 0 THEN 'http://' || $host || $path" +
       s" WHEN $v = 1 THEN upper('HTTP://' || $host) || $path" +
       s" WHEN $v = 2 THEN 'http://' || $host || ':80' || $path" +
@@ -150,7 +155,8 @@ object Warc {
       s" WHEN $v = 4 THEN 'http://' || $host || $path || '?utm_source=feed'" +
       s" WHEN $v = 5 THEN 'http://' || $host || $path || '/'" +
       s" WHEN $v = 6 THEN 'http://' || $host || $path || '?id=7&utm_campaign=x&b=2'" +
-      s" ELSE 'https://' || $host || ':443' || $path || '#top' END"
+      s" WHEN $v = 7 THEN 'https://' || $host || ':443' || $path || '#top'" +
+      s" ELSE 'http://' || $host || '?p=' || CAST(doc_id // 3 AS VARCHAR) || '&fbclid=x' END"
   }
 
   /** DuckDB twin of `records` over a CTE `src` with (doc_id, html). */
@@ -267,7 +273,10 @@ object Warc {
   def canonicalUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
     val scheme = lower(substring_index(noFrag, "://", 1))
-    val rest = noFrag.substr(locate("://", noFrag) + 3, lit(Int.MaxValue))
+    val rest0 = noFrag.substr(locate("://", noFrag) + 3, lit(Int.MaxValue))
+    // a query can directly follow the host ("http://h.example?x=1") —
+    // normalize to ".../?x=1" so the split-at-'/' host cut is safe
+    val rest = regexp_replace(rest0, "^([^/?]*)\\?", "$1/?")
     val hostPort = lower(substring_index(rest, "/", 1))
     val host = when(scheme === "http", regexp_replace(hostPort, ":80$", ""))
       .when(scheme === "https", regexp_replace(hostPort, ":443$", ""))
@@ -295,7 +304,7 @@ object Warc {
     val noFrag = s"CASE WHEN strpos($u, '#') > 0 THEN substr($u, 1, strpos($u, '#') - 1) ELSE $u END"
     val nf = noFrag // bound inline; the oracle CTEs bind the column once
     val scheme = s"lower(string_split($nf, '://')[1])"
-    val rest = s"substr($nf, strpos($nf, '://') + 3)"
+    val rest = s"regexp_replace(substr($nf, strpos($nf, '://') + 3), '^([^/?]*)\\?', '\\1/?')"
     val hostPort = s"lower(string_split($rest, '/')[1])"
     val host = s"CASE WHEN $scheme = 'http' THEN regexp_replace($hostPort, ':80$$', '')" +
       s" WHEN $scheme = 'https' THEN regexp_replace($hostPort, ':443$$', '') ELSE $hostPort END"

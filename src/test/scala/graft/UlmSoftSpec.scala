@@ -125,4 +125,37 @@ class UlmSoftSpec extends AnyFunSuite {
     assert(curve.map(_._4).toSeq != hardCurve.map(_._4).toSeq,
       "soft and hard entry pricing must produce different round objectives")
   }
+
+  test("prune classification is codepoint-based: an astral single-codepoint " +
+    "piece is a SINGLE — never anchored as multi, never in the drop pool") {
+    val gothic = new String(Character.toChars(0x10348)) // 1 codepoint, 2 UTF-16 units
+    val docs = Seq(
+      (0L, s"ab $gothic ${gothic}ab ab ba"),
+      (1L, s"ab${gothic} ab $gothic ba${gothic}"),
+      (2L, s"$gothic ab ${gothic}ab ba")).toDF("doc_id", "text")
+    val P2 = Ulm.Params(maxPieceLen = 3, seedSize = 4, iters = 1)
+    // the foreign-text tier: Bpe.wordTypes' reference-parity ASCII
+    // normalize would strip the astral word before the trainer saw it
+    val wt = graft.operators.ByteFallback.wordTypes(docs)
+      .drop("sym").localCheckpoint()
+    val seedDf = Ulm.seed(wt, P2.maxPieceLen, P2.seedSize).localCheckpoint()
+    val pieces = seedDf.select("piece").as[String].collect().toSeq
+    assert(pieces.contains(gothic), "the astral char seeds as a single")
+    val nMulti = pieces.count(Ulm.cpLen(_) >= 2)
+    assert(pieces.exists(p => Ulm.cpLen(p) >= 2 && p.codePoints().count() < p.length),
+      "the seed holds at least one astral-bearing MULTI piece too")
+    val cm0 = Ulm.costMap(
+      seedDf.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+    val cnt0 = Ulm.pathCounts(
+      Ulm.segment(wt, cm0, P2.maxPieceLen, None), seedDf)
+    // pre-fix this require fired (String.length called the astral single a
+    // multi) or, unanchored, the astral single drew delta 0.0 and dropped
+    val res = Ulm.pruneFrom(wt, cnt0, P2,
+      Ulm.PruneParams(targetMulti = 1, eta = 0.5), Some(nMulti))
+    val card = res.card.select("piece").as[String].collect().toSeq
+    assert(card.contains(gothic), "the astral single survives pruning")
+    assert(card.count(Ulm.cpLen(_) >= 2) == 1, "target multi count reached")
+    pieces.filter(Ulm.cpLen(_) == 1).foreach(p =>
+      assert(card.contains(p), s"single '$p' never drops"))
+  }
 }

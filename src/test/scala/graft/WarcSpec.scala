@@ -5,7 +5,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Warc verified against an INDEPENDENT hand parser (plain Scala, no
   * regex on the framing path, no Spark): every sf0.001 blob must parse
   * to the same records, canonicalization is pinned case-by-case across
-  * all 8 planted variants plus adversarial URLs, crawl dedup is
+  * all 9 planted variants plus adversarial URLs, crawl dedup is
   * brute-forced in Scala, and the decoy pin proves a delimiter split
   * CANNOT parse these blobs (payloads contain "WARC/1.0") while the
   * Content-Length walk does.
@@ -54,7 +54,13 @@ class WarcSpec extends AnyFunSuite {
     val noFrag = u.takeWhile(_ != '#')
     val si = noFrag.indexOf("://")
     val scheme = noFrag.substring(0, si).toLowerCase
-    val rest = noFrag.substring(si + 3)
+    val rest0 = noFrag.substring(si + 3)
+    val qi0 = rest0.indexOf('?')
+    val sl0 = rest0.indexOf('/')
+    val rest = // host-adjacent '?' — insert the missing path slash
+      if (qi0 >= 0 && (sl0 < 0 || qi0 < sl0))
+        rest0.substring(0, qi0) + "/" + rest0.substring(qi0)
+      else rest0
     val slash = rest.indexOf('/')
     val hostPort = (if (slash < 0) rest else rest.substring(0, slash)).toLowerCase
     val host =
@@ -121,13 +127,13 @@ class WarcSpec extends AnyFunSuite {
     got.foreach { case (id, url, canon) =>
       assert(canon == refCanon(url), s"doc $id: $url")
     }
-    // all 8 variants are exercised at n=500
+    // all 9 variants are exercised at n=500
     val variants = got.map { case (id, url, _) =>
       val h = java.security.MessageDigest.getInstance("MD5")
         .digest(s"warc:$id".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-      java.lang.Long.parseLong(h.substring(12, 14), 16) % 8
+      java.lang.Long.parseLong(h.substring(12, 14), 16) % 9
     }.toSet
-    assert(variants == (0L to 7L).toSet)
+    assert(variants == (0L to 8L).toSet)
   }
 
   test("canonicalization unit pins: every rule on adversarial URLs") {
@@ -145,7 +151,11 @@ class WarcSpec extends AnyFunSuite {
       "http://h.example/" -> "http://h.example/", // root slash stays
       "http://h.example" -> "http://h.example/", // empty path -> root
       "http://h.example/p?c=2&a=1" -> "http://h.example/p?c=2&a=1", // order preserved
-      "http://h.example/p?utmx=1" -> "http://h.example/p?utmx=1") // prefix is utm_, not utm
+      "http://h.example/p?utmx=1" -> "http://h.example/p?utmx=1", // prefix is utm_, not utm
+      // query directly after the host — no path slash at all
+      "http://h.example?fbclid=1" -> "http://h.example/",
+      "http://H.EXAMPLE?a=1&utm_x=2" -> "http://h.example/?a=1",
+      "http://h.example:80?a=1" -> "http://h.example/?a=1")
     val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
     val got = df.select($"doc_id", Warc.canonicalUrl($"url").as("c"))
