@@ -5,12 +5,15 @@ import graft.operators.TextExtract
 import graft.sources.{Tables, Warc}
 
 /** Crawl-record ingest registry — the stage BEFORE extraction: WARC-style
-  * framed records in, canonical-URL-deduplicated pages out. All queries
-  * run over the deterministic 2-record blob fixture (`Warc.records` over
-  * the HTML-wrapper pages; the DuckDB twin re-derives identical blobs).
-  * Record 1's payload plants a "WARC/1.0" decoy line, so only the
-  * Content-Length framing walk parses correctly — a delimiter split
-  * would shear record 1 in half.
+  * framed records in, canonical-URL-deduplicated pages out. The fixed
+  * queries run over the deterministic 2-record blob fixture
+  * (`Warc.records` over the HTML-wrapper pages); the `*_stream` queries
+  * run over the VARIABLE-record fixture (`Warc.streamRecords`, 1..5
+  * records per blob). Both fixtures plant "WARC/1.0" decoy payloads, so
+  * only the Content-Length framing walk parses correctly — a delimiter
+  * split would shear records; the DuckDB twins re-derive identical
+  * blobs and walk them with an INDEPENDENT formulation (fixed unroll /
+  * recursive CTE vs the Spark fold).
   */
 object WarcQueries {
 
@@ -18,11 +21,17 @@ object WarcQueries {
   private val recCte = s"r AS (${Warc.recordsSql("w")})"
   private val parseCte = s"p AS (${Warc.parseSql("r")})"
 
+  private val sbCte = s"sb AS (${Warc.streamRecordsSql("documents")})"
+
   private def pages(s: org.apache.spark.sql.SparkSession, d: String) =
     TextExtract.wrapped(Tables.documents(s, d).select("doc_id", "text"))
 
   private def parsed(s: org.apache.spark.sql.SparkSession, d: String) =
     Warc.parse(Warc.records(pages(s, d)))
+
+  private def parsedStream(s: org.apache.spark.sql.SparkSession, d: String) =
+    Warc.parseStream(Warc.streamRecords(
+      Tables.documents(s, d).select("doc_id")))
 
   /** Canonical fetches CTE: response records only, canonical url. */
   private val canonCte =
@@ -56,6 +65,37 @@ object WarcQueries {
            |$parseCte
            |SELECT doc_id, rec, wtype, url, wdate, clen, body_chars, ok
            |FROM p ORDER BY doc_id, rec""".stripMargin)),
+
+    // The ARBITRARY-record-count walk: 1..5 records per blob (decoy
+    // payloads included), record starts discovered by a linear native
+    // fold on the Spark side and a recursive CTE in the oracle — two
+    // INDEPENDENT walk formulations that must land on identical frames.
+    // Row-local; the only exchange is the gate sort's.
+    GraftQuery("warc_parse_stream",
+      (s, d) => parsedStream(s, d)
+        .select("doc_id", "rec", "wtype", "url", "wdate", "clen",
+          "body_chars", "ok")
+        .orderBy("doc_id", "rec"),
+      Some(
+        s"""WITH RECURSIVE $sbCte,
+           |${Warc.walkCteSql},
+           |p AS (${Warc.parseStreamSql})
+           |SELECT doc_id, rec, wtype, url, wdate, clen, body_chars, ok
+           |FROM p ORDER BY doc_id, rec""".stripMargin)),
+
+    // Crawl dedup over the VARIABLE-record stream: same latest-fetch
+    // aggregate, fed by the fold walk — proves the dedup stage is
+    // frame-source-agnostic (2-record and n-record heads compose with
+    // the identical downstream plan).
+    GraftQuery("crawl_dedup_stream",
+      (s, d) => Warc.dedupLatest(parsedStream(s, d)).orderBy("url"),
+      Some(
+        s"""WITH RECURSIVE $sbCte,
+           |${Warc.walkCteSql},
+           |p AS (${Warc.parseStreamSql}),
+           |$canonCte,
+           |$dedupCte
+           |SELECT url, doc_id, wdate FROM d ORDER BY url""".stripMargin)),
 
     // URL canonicalization over all 9 planted variants: lowercase
     // scheme+host, default-port strip, fragment strip, tracking-param

@@ -20,12 +20,14 @@ import org.apache.spark.sql.functions._
   * fixed 2-record unroll per blob (record 1 = a synthetic `metadata`
   * record with the decoy payload, record 2 = the `response` carrying the
   * wrapped HTML page), which exercises the length-based traversal while
-  * staying a pure projection. Payload slicing is char-based in both
-  * engines with an `ok` flag asserting `Content-Length == payload bytes`
-  * — the fixture pages are ASCII (entities, not raw codepoints), so
-  * chars == octets; a violation flips `ok` loudly instead of silently
-  * corrupting. (Multi-record STREAM splitting at arbitrary k — the
-  * byte-offset iterative walk — is out of scope; see SURVEY §2.9.)
+  * staying a pure projection; `parseStream` generalizes to ARBITRARY
+  * record counts per blob with a linear native fold (see its scaladoc).
+  * Payload slicing is char-based in both engines with an `ok` flag
+  * asserting `Content-Length == payload bytes` — the fixture pages are
+  * ASCII (entities, not raw codepoints), so chars == octets; a violation
+  * flips `ok` loudly instead of silently corrupting. (The FILE layer —
+  * splitting one multi-GB WARC object into blob rows at record
+  * boundaries — is the remaining gap; see SURVEY §2.9.)
   *
   * URL canonicalization (the crawl-dedup key): lowercase scheme + host,
   * strip the scheme's default port (:80 / :443), strip the fragment,
@@ -104,10 +106,10 @@ object Warc {
         lit("&fbclid=x")))
   }
 
-  private def record(wtype: String, url: Column, wdate: Column,
+  private def record(wtype: Column, url: Column, wdate: Column,
       recId: Column, payload: Column): Column = concat(
     lit("WARC/1.0" + CrLf),
-    lit(s"WARC-Type: $wtype" + CrLf),
+    lit("WARC-Type: "), wtype, lit(CrLf),
     lit("WARC-Target-URI: "), url, lit(CrLf),
     lit("WARC-Date: "), wdate, lit(CrLf),
     lit("WARC-Record-ID: <urn:md5:"), recId, lit(">" + CrLf),
@@ -130,12 +132,87 @@ object Warc {
     val h = hOf
     val decoy = concat(lit("# robots "), (col("doc_id") % 7).cast("string"),
       lit("\nWARC/1.0 decoy line\nallow: /"))
-    val r1 = record("metadata",
+    val r1 = record(lit("metadata"),
       concat(lit("http://"), hostOf, lit("/robots.txt")),
       dateOf(h), md5(concat(lit("w1:"), col("doc_id").cast("string"))), decoy)
-    val r2 = record("response", urlOf(h), dateOf(h),
+    val r2 = record(lit("response"), urlOf(h), dateOf(h),
       md5(concat(lit("w2:"), col("doc_id").cast("string"))), col("html"))
     pages.select(col("doc_id"), concat(r1, r2).as("blob"))
+  }
+
+  // ---- planted STREAM fixture: variable-record WARC blobs -----------------
+
+  private def hbOf: Column =
+    md5(concat(lit("warcs:"), col("doc_id").cast("string")))
+
+  private def hsOf(i: Column): Column = md5(concat(
+    lit("warcs:"), col("doc_id").cast("string"), lit(":"), i.cast("string")))
+
+  /** (doc_id, blob): a VARIABLE-record WARC blob — 1..5 records keyed on
+    * md5 slices (n = 1 + slice(1-2) % 5 of the per-doc hash), each record
+    * with its own type (metadata 1-in-4), URL (site/fragment/tracking
+    * variants), ISO date, and payload; roughly half the payloads plant the
+    * "WARC/1.0" decoy line and a variable x-pad, so neither a delimiter
+    * split nor any fixed unroll can parse the stream. One `transform`
+    * over `sequence` + `array_join` in both engines. Input: (doc_id).
+    */
+  def streamRecords(docs: DataFrame): DataFrame = {
+    val nRec = lit(1L) + slice(hbOf, 1, 2) % 5
+    val recs = transform(sequence(lit(0L), nRec - 1), i => {
+      val hs = hsOf(i)
+      val wtype = when(slice(hs, 3, 1) % 4 === 0, lit("metadata"))
+        .otherwise(lit("response"))
+      val v = slice(hs, 13, 2) % 3
+      val url = concat(lit("http://www.site"),
+        ((col("doc_id") + i) % 50).cast("string"), lit(".example/s/"),
+        expr("doc_id DIV 2").cast("string"),
+        when(v === 1, lit("#f")).when(v === 2, lit("?utm_source=s&q=1"))
+          .otherwise(lit("")))
+      val decoy = when(slice(hs, 15, 1) % 2 === 0,
+        lit("\nWARC/1.0 decoy\n")).otherwise(lit(""))
+      val payload = concat(lit("seg "), i.cast("string"), lit(" of "),
+        col("doc_id").cast("string"), decoy,
+        call_function("repeat", lit("x"), (slice(hs, 16, 1) % 13).cast("int")))
+      record(wtype, url, dateOf(hs), md5(concat(
+        lit("ws:"), col("doc_id").cast("string"), lit(":"), i.cast("string"))),
+        payload)
+    })
+    docs.select(col("doc_id"), array_join(recs, "").as("blob"))
+  }
+
+  /** DuckDB twin of `streamRecords` over a CTE `src` with (doc_id). */
+  def streamRecordsSql(src: String): String = {
+    def sl(pos: Int, len: Int): String =
+      s"CAST(CONCAT('0x', substr(md5('warcs:' || CAST(doc_id AS VARCHAR)" +
+        s" || ':' || CAST(i AS VARCHAR)), $pos, $len)) AS BIGINT)"
+    def p2(x: String) = s"lpad(CAST(($x) AS VARCHAR), 2, '0')"
+    val wdate = s"'2014-' || ${p2(s"1 + ${sl(1, 2)} % 12")} || '-' || ${p2(s"1 + ${sl(3, 2)} % 28")}" +
+      s" || 'T' || ${p2(s"${sl(5, 2)} % 24")} || ':' || ${p2(s"${sl(7, 2)} % 60")}" +
+      s" || ':' || ${p2(s"${sl(9, 2)} % 60")} || 'Z'"
+    val crlf = "chr(13) || chr(10)"
+    val hdrEnd = s"$crlf || $crlf"
+    val wtype = s"CASE WHEN ${sl(3, 1)} % 4 = 0 THEN 'metadata' ELSE 'response' END"
+    val v = s"${sl(13, 2)} % 3"
+    val url = s"'http://www.site' || CAST((doc_id + i) % 50 AS VARCHAR) ||" +
+      s" '.example/s/' || CAST(doc_id // 2 AS VARCHAR) ||" +
+      s" CASE WHEN $v = 1 THEN '#f' WHEN $v = 2 THEN '?utm_source=s&q=1' ELSE '' END"
+    val decoy = s"CASE WHEN ${sl(15, 1)} % 2 = 0" +
+      s" THEN chr(10) || 'WARC/1.0 decoy' || chr(10) ELSE '' END"
+    val payload = s"'seg ' || CAST(i AS VARCHAR) || ' of ' ||" +
+      s" CAST(doc_id AS VARCHAR) || $decoy ||" +
+      s" repeat('x', CAST(${sl(16, 1)} % 13 AS INT))"
+    val rec =
+      s"'WARC/1.0' || $crlf || 'WARC-Type: ' || ($wtype) || $crlf ||" +
+        s" 'WARC-Target-URI: ' || ($url) || $crlf || 'WARC-Date: ' || ($wdate) || $crlf ||" +
+        s" 'WARC-Record-ID: <urn:md5:' || md5('ws:' || CAST(doc_id AS VARCHAR)" +
+        s" || ':' || CAST(i AS VARCHAR)) || '>' || $crlf ||" +
+        s" 'Content-Type: text/html' || $crlf ||" +
+        s" 'Content-Length: ' || CAST(strlen($payload) AS VARCHAR) || $hdrEnd ||" +
+        s" ($payload) || $hdrEnd"
+    val nRec = "1 + CAST(CONCAT('0x', substr(md5('warcs:' ||" +
+      " CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) % 5"
+    s"SELECT doc_id, array_to_string(list_transform(" +
+      s"range(0, CAST(($nRec) AS BIGINT)), i -> $rec), '') AS blob FROM $src"
   }
 
   private def slSql(pos: Int, len: Int): String =
@@ -228,6 +305,67 @@ object Warc {
         col("r").getField("payload").as("payload"))
   }
 
+  // ---- the STREAM parser (arbitrary record count per blob) ---------------
+
+  private val VersionLine = "WARC/1.0" + CrLf
+
+  /** Absolute 1-based record-start offsets of a multi-record blob: a
+    * LINEAR native fold — no UDF, no driver, no fixed unroll. The
+    * iteration bound is the count of "WARC/1.0" occurrences in the blob
+    * (each record's version line contributes exactly one; payload decoys
+    * only ADD spare iterations, never remove one), and each step advances
+    * the frontier by the Content-Length frame — `locate` with a dynamic
+    * start position, so no tail copies on the advance path. Once the
+    * frontier's next position is not a version line the fold is a no-op
+    * for the remaining iterations. The final filter keeps only true
+    * record heads (a blob not starting with a version line yields zero
+    * offsets, the contractual empty parse).
+    */
+  private def streamOffsets(blob: Column): Column = {
+    val folded = aggregate(
+      sequence(lit(1L), greatest(
+        size(regexp_extract_all(blob, lit("WARC/1\\.0"), lit(0))).cast("long"),
+        lit(1L))),
+      array(lit(1L)),
+      (acc, _) => {
+        val cur = element_at(acc, -1)
+        val hdrAbs = call_function("locate", lit(HdrEnd), blob,
+          cur.cast("int")).cast("long")
+        val hdrs = blob.substr(cur.cast("int"), (hdrAbs - cur).cast("int"))
+        val clen = regexp_extract(hdrs, "Content-Length: ([0-9]+)", 1)
+          .cast("long")
+        val nxt = hdrAbs + 4 + clen + 4
+        when(hdrAbs > 0 && clen.isNotNull &&
+            blob.substr(nxt.cast("int"), lit(10)) === VersionLine,
+          concat(acc, array(nxt))).otherwise(acc)
+      })
+    filter(folded, o =>
+      blob.substr(o.cast("int"), lit(10)) === VersionLine)
+  }
+
+  /** (doc_id, rec, wtype, url, wdate, clen, body_chars, ok, payload): the
+    * ARBITRARY-record-count framing walk — same per-record fields as
+    * `parse`, record starts discovered by the linear offsets fold instead
+    * of the fixed 2-record unroll. Row-local: fold + posexplode, no
+    * shuffle, no UDF. This is the real-WARC shape; `parse` remains the
+    * minimal fixed-frame teaching form.
+    */
+  def parseStream(blobs: DataFrame): DataFrame =
+    blobs
+      .select(col("doc_id"), col("blob"),
+        posexplode(streamOffsets(col("blob"))).as(Seq("rec0", "off")))
+      .select(col("doc_id"), (col("rec0") + 1).cast("long").as("rec"),
+        parseRec(col("blob").substr(col("off").cast("int"),
+          lit(Int.MaxValue))).as("r"))
+      .select(col("doc_id"), col("rec"),
+        col("r").getField("wtype").as("wtype"),
+        col("r").getField("url").as("url"),
+        col("r").getField("wdate").as("wdate"),
+        col("r").getField("clen").as("clen"),
+        col("r").getField("body_chars").as("body_chars"),
+        col("r").getField("ok").as("ok"),
+        col("r").getField("payload").as("payload"))
+
   // ---- the parser (DuckDB twin) --------------------------------------------
 
   /** DuckDB record parse over expr `r`, as a struct literal. */
@@ -263,6 +401,43 @@ object Warc {
        |      ${parseRecSql(s"substr(blob, CAST(r1['next_off'] AS INT))")}],
        |    (r, i) -> {'rec': i, 'r': r})) AS u
        |  FROM (SELECT doc_id, blob, ${parseRecSql("blob")} AS r1 FROM $src))""".stripMargin
+
+  /** DuckDB twin of `parseStream`: a RECURSIVE walk CTE over a CTE `sb`
+    * (doc_id, blob) — the caller's WITH must carry the RECURSIVE keyword.
+    * Each level advances by the same Content-Length frame as the Spark
+    * fold and recurses only while the next position is a version line
+    * with a parseable length (the exact fold-append condition).
+    */
+  def walkCteSql: String = {
+    val r = parseRecSql("substr(b.blob, CAST(w.off AS INT))")
+    val vline = "'WARC/1.0' || chr(13) || chr(10)"
+    s"""walk(doc_id, rec, off) AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT), CAST(1 AS BIGINT) FROM sb
+       |  UNION ALL
+       |  SELECT t.doc_id, t.rec + 1, t.nxt FROM (
+       |    SELECT w.doc_id, w.rec, b.blob,
+       |      CAST(($r)['clen'] AS BIGINT) AS clen,
+       |      w.off + CAST(($r)['next_off'] AS BIGINT) - 1 AS nxt
+       |    FROM walk w JOIN sb b USING (doc_id)) t
+       |  WHERE t.clen >= 0 AND substr(t.blob, CAST(t.nxt AS INT), 10) = $vline)""".stripMargin
+  }
+
+  /** The stream-parse SELECT over CTEs `sb` + `walk` (from
+    * [[walkCteSql]]): same columns as `parseSql`.
+    */
+  def parseStreamSql: String = {
+    val vline = "'WARC/1.0' || chr(13) || chr(10)"
+    s"""SELECT doc_id, rec,
+       |  r['wtype'] AS wtype, r['url'] AS url, r['wdate'] AS wdate,
+       |  CAST(r['clen'] AS BIGINT) AS clen,
+       |  CAST(r['body_chars'] AS BIGINT) AS body_chars,
+       |  r['ok'] AS ok, r['payload'] AS payload
+       |FROM (
+       |  SELECT w.doc_id, w.rec,
+       |    ${parseRecSql("substr(b.blob, CAST(w.off AS INT))")} AS r
+       |  FROM walk w JOIN sb b USING (doc_id)
+       |  WHERE substr(b.blob, CAST(w.off AS INT), 10) = $vline)""".stripMargin
+  }
 
   // ---- URL canonicalization ------------------------------------------------
 

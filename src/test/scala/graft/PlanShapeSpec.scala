@@ -642,23 +642,28 @@ class PlanShapeSpec extends AnyFunSuite {
     // the crawl head's scale claim: record parse and URL canonicalization
     // never cross the wire; latest-fetch-wins shuffles one candidate per
     // (partition, url), not the fetch log
-    for (q <- Seq("warc_parse", "url_canonical")) {
+    // warc_parse_stream's offsets FOLD is an expression (lowercase
+    // "aggregate" inside Project), not an Aggregate operator — the
+    // row-local assertions below hold for it identically
+    for (q <- Seq("warc_parse", "warc_parse_stream", "url_canonical")) {
       val p = plan(q)
       assert(!p.contains("ScalaUDF"), s"$q: parse left codegen-native expressions")
       assert(!p.contains("Join"), s"$q: unexpected join")
       assert(!p.contains("Aggregate"), s"$q: unexpected aggregate")
       assert(!p.contains("hashpartitioning("), s"$q: extra shuffle")
     }
-    val d = plan("crawl_dedup_url")
-    assert(!d.contains("Window"),
-      "latest-fetch must be a partial-aggregable agg, not a window over the fetch log")
-    assert(!d.contains("Join") && !d.contains("ScalaUDF"))
-    assert("hashpartitioning\\(".r.findAllIn(d).size == 1,
-      "exactly one hash exchange (partial -> final)")
-    // the partial/final pair exists (map-side combine collapses each
-    // partition to one candidate per URL before the exchange)
-    assert("SortAggregate".r.findAllIn(d).size >= 2 ||
-      "HashAggregate".r.findAllIn(d).size >= 2,
-      "partial aggregation lost")
+    for (q <- Seq("crawl_dedup_url", "crawl_dedup_stream")) {
+      val d = plan(q)
+      assert(!d.contains("Window"),
+        s"$q: latest-fetch must be a partial-aggregable agg, not a window over the fetch log")
+      assert(!d.contains("Join") && !d.contains("ScalaUDF"), s"$q")
+      assert("hashpartitioning\\(".r.findAllIn(d).size == 1,
+        s"$q: exactly one hash exchange (partial -> final)")
+      // the partial/final pair exists (map-side combine collapses each
+      // partition to one candidate per URL before the exchange)
+      assert("SortAggregate".r.findAllIn(d).size >= 2 ||
+        "HashAggregate".r.findAllIn(d).size >= 2,
+        s"$q: partial aggregation lost")
+    }
   }
 }

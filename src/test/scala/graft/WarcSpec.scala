@@ -25,10 +25,10 @@ class WarcSpec extends AnyFunSuite {
     hdrs.split("\r\n").find(_.startsWith(name + ": "))
       .map(_.substring(name.length + 2)).getOrElse("")
 
-  private def refParse(blob: String): Seq[Rec] = {
+  private def refParse(blob: String, cap: Int = 2): Seq[Rec] = {
     val out = collection.mutable.ArrayBuffer[Rec]()
     var off = 0
-    while (off < blob.length && out.size < 2) {
+    while (off < blob.length && out.size < cap) {
       val rest = blob.substring(off)
       val he = rest.indexOf("\r\n\r\n")
       if (he < 0) { out += Rec("", "", "", -1, "", ok = false); off = blob.length }
@@ -117,6 +117,32 @@ class WarcSpec extends AnyFunSuite {
       assert(blob.sliding("WARC/1.0".length).count(_ == "WARC/1.0") >= 3)
       assert(refParse(blob).length == 2 && refParse(blob).forall(_.ok))
     }
+  }
+
+  test("stream blobs (1..5 records, decoy payloads): the Spark fold walk == " +
+    "the independent hand parse, every count exercised") {
+    val ids = docs.select($"doc_id")
+    val blobs = Warc.streamRecords(ids).as[(Long, String)].collect().toMap
+    val got = Warc.parseStream(Warc.streamRecords(ids))
+      .as[(Long, Long, String, String, String, Long, Long, Boolean, String)]
+      .collect().groupBy(_._1)
+    val counts = collection.mutable.Set[Int]()
+    var decoys = 0
+    blobs.foreach { case (id, blob) =>
+      val ref = refParse(blob, cap = 16)
+      counts += ref.length
+      decoys += ref.count(_.body.contains("WARC/1.0"))
+      val g = got(id).sortBy(_._2)
+      assert(g.length == ref.length, s"doc $id: record count")
+      g.zip(ref).foreach { case (gr, r) =>
+        assert(gr._3 == r.wtype && gr._4 == r.url && gr._5 == r.wdate &&
+          gr._6 == r.clen && gr._9 == r.body && gr._8 == r.ok,
+          s"doc $id rec ${gr._2}")
+      }
+      assert(ref.forall(_.ok), s"doc $id")
+    }
+    assert(counts == Set(1, 2, 3, 4, 5), s"record counts exercised: $counts")
+    assert(decoys > 0, "decoy payloads present in the stream fixture")
   }
 
   test("every planted URL canonicalizes identically in Spark and the hand walk") {
