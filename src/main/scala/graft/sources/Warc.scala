@@ -31,10 +31,12 @@ import org.apache.spark.sql.functions._
   *
   * URL canonicalization (the crawl-dedup key): lowercase scheme + host,
   * strip the scheme's default port (:80 / :443), strip the fragment,
-  * drop tracking query params (utm_* prefix, fbclid/gclid) while
-  * PRESERVING the order of the rest, and resolve a trailing slash
-  * (except the root path). Scheme is NOT folded across http/https — they
-  * are different resources.
+  * percent-normalize per RFC 3986 §6.2.2.2 (decode unreserved %XX,
+  * uppercase the rest), remove dot segments per §5.2.4 (also collapsing
+  * duplicate and trailing slashes; root '/' stays), and drop tracking
+  * query params (utm_* prefix, fbclid/gclid) while PRESERVING the order
+  * of the rest. Scheme is NOT folded across http/https — they are
+  * different resources.
   *
   * Crawl-level dedup: keep the LATEST fetch per canonical URL —
   * `max(struct(wdate, doc_id))` so the aggregate is partial-aggregable
@@ -150,8 +152,10 @@ object Warc {
 
   /** (doc_id, blob): a VARIABLE-record WARC blob — 1..5 records keyed on
     * md5 slices (n = 1 + slice(1-2) % 5 of the per-doc hash), each record
-    * with its own type (metadata 1-in-4), URL (site/fragment/tracking
-    * variants), ISO date, and payload; roughly half the payloads plant the
+    * with its own type (metadata 1-in-4), URL (6 variants: plain,
+    * fragment, tracking-param, dot-segment path, percent-encoded path,
+    * percent-encoded query), ISO date, and payload; roughly half the
+    * payloads plant the
     * "WARC/1.0" decoy line and a variable x-pad, so neither a delimiter
     * split nor any fixed unroll can parse the stream. One `transform`
     * over `sequence` + `array_join` in both engines. Input: (doc_id).
@@ -162,12 +166,22 @@ object Warc {
       val hs = hsOf(i)
       val wtype = when(slice(hs, 3, 1) % 4 === 0, lit("metadata"))
         .otherwise(lit("response"))
-      val v = slice(hs, 13, 2) % 3
+      val v = slice(hs, 13, 2) % 6
+      val gidS = expr("doc_id DIV 2").cast("string")
+      // v3/v4 spell the same resource as v0 via a dot segment / an
+      // unreserved percent-encoding (%73 = 's') — only RFC 3986
+      // normalization makes them collide in the dedup; v5's %41/%3a
+      // normalize to A/%3A in the kept query
+      val pathPart = when(v === 3, concat(lit("/x/../s/"), gidS))
+        .when(v === 4, concat(lit("/%73/"), gidS))
+        .otherwise(concat(lit("/s/"), gidS))
+      val suffix = when(v === 1, lit("#f"))
+        .when(v === 2, lit("?utm_source=s&q=1"))
+        .when(v === 5, lit("?q=%41%3a"))
+        .otherwise(lit(""))
       val url = concat(lit("http://www.site"),
-        ((col("doc_id") + i) % 50).cast("string"), lit(".example/s/"),
-        expr("doc_id DIV 2").cast("string"),
-        when(v === 1, lit("#f")).when(v === 2, lit("?utm_source=s&q=1"))
-          .otherwise(lit("")))
+        ((col("doc_id") + i) % 50).cast("string"), lit(".example"),
+        pathPart, suffix)
       val decoy = when(slice(hs, 15, 1) % 2 === 0,
         lit("\nWARC/1.0 decoy\n")).otherwise(lit(""))
       val payload = concat(lit("seg "), i.cast("string"), lit(" of "),
@@ -192,10 +206,15 @@ object Warc {
     val crlf = "chr(13) || chr(10)"
     val hdrEnd = s"$crlf || $crlf"
     val wtype = s"CASE WHEN ${sl(3, 1)} % 4 = 0 THEN 'metadata' ELSE 'response' END"
-    val v = s"${sl(13, 2)} % 3"
+    val v = s"${sl(13, 2)} % 6"
+    val gidS = "CAST(doc_id // 2 AS VARCHAR)"
+    val pathPart = s"CASE WHEN $v = 3 THEN '/x/../s/' || $gidS" +
+      s" WHEN $v = 4 THEN '/%73/' || $gidS ELSE '/s/' || $gidS END"
+    val suffix = s"CASE WHEN $v = 1 THEN '#f'" +
+      s" WHEN $v = 2 THEN '?utm_source=s&q=1'" +
+      s" WHEN $v = 5 THEN '?q=%41%3a' ELSE '' END"
     val url = s"'http://www.site' || CAST((doc_id + i) % 50 AS VARCHAR) ||" +
-      s" '.example/s/' || CAST(doc_id // 2 AS VARCHAR) ||" +
-      s" CASE WHEN $v = 1 THEN '#f' WHEN $v = 2 THEN '?utm_source=s&q=1' ELSE '' END"
+      s" '.example' || ($pathPart) || ($suffix)"
     val decoy = s"CASE WHEN ${sl(15, 1)} % 2 = 0" +
       s" THEN chr(10) || 'WARC/1.0 decoy' || chr(10) ELSE '' END"
     val payload = s"'seg ' || CAST(i AS VARCHAR) || ' of ' ||" +
@@ -441,9 +460,49 @@ object Warc {
 
   // ---- URL canonicalization ------------------------------------------------
 
+  /** RFC 3986 §6.2.2.2: decode %XX triplets of UNRESERVED characters
+    * (ALPHA / DIGIT / '-' '.' '_' '~') and uppercase the hex of the
+    * rest — the same-URI-different-bytes class ("%7Ea" vs "~a", "%3a"
+    * vs "%3A"). Sentinel + indexed transform (neither engine has
+    * replace-with-callback); decoding never produces a delimiter
+    * (delimiters are all reserved), so this is safe AFTER the
+    * path/query split.
+    */
+  private def pctNorm(s: Column): Column = {
+    val toks = split(regexp_replace(s, "%([0-9a-fA-F]{2})", "\u0001$1"),
+      "\u0001")
+    array_join(transform(toks, (t, i) => {
+      val hex = substring(t, 1, 2)
+      val c = conv(hex, 16, 10).cast("int")
+      val rest = t.substr(lit(3), lit(Int.MaxValue))
+      val unreserved = (c >= 48 && c <= 57) || (c >= 65 && c <= 90) ||
+        (c >= 97 && c <= 122) || c.isin(45, 46, 95, 126)
+      when(i === 0, t).otherwise( // i is 0-based in Spark (1-based in DuckDB)
+        when(unreserved, concat(call_function("chr", c), rest))
+          .otherwise(concat(lit("%"), upper(hex), rest)))
+    }), "")
+  }
+
+  /** RFC 3986 §5.2.4 dot-segment removal as a string fold over '/'-split
+    * segments: '.' and '' are no-ops (so '//' collapses and trailing
+    * slashes resolve in the same pass), '..' pops (clamped at root),
+    * anything else appends. The absolute path's leading '' segment
+    * doubles as the fold's empty init in both engines.
+    */
+  private def dotFold(path: Column): Column = {
+    val folded = aggregate(split(path, "/"), lit(""),
+      (acc, seg) =>
+        when(seg === "" || seg === ".", acc)
+          .when(seg === "..", regexp_replace(acc, "/[^/]*$", ""))
+          .otherwise(concat(acc, lit("/"), seg)))
+    when(folded === "", lit("/")).otherwise(folded)
+  }
+
   /** Canonical form: lowercase scheme+host, strip default port, strip
-    * fragment, drop tracking params (order of the rest preserved),
-    * resolve trailing slash (root '/' stays). Row-local.
+    * fragment, percent-normalize (decode unreserved %XX, uppercase the
+    * rest), remove dot segments + collapse duplicate/trailing slashes
+    * (root '/' stays), drop tracking params (order of the rest
+    * preserved). Row-local.
     */
   def canonicalUrl(u: Column): Column = {
     val noFrag = substring_index(u, "#", 1)
@@ -460,16 +519,20 @@ object Warc {
     val pathQ = when(pathQ0 === "", lit("/")).otherwise(pathQ0)
     val qPos = locate("?", pathQ)
     val path = when(qPos > 0, pathQ.substr(lit(1), qPos - 1)).otherwise(pathQ)
-    val query = when(qPos > 0, pathQ.substr(qPos + 1, lit(Int.MaxValue)))
-      .otherwise(lit(""))
+    // percent-normalize AFTER the split (decoding unreserved chars never
+    // produces a delimiter), BEFORE param filtering (so "%75tm_source"
+    // can't smuggle a tracking param past the name match)
+    val query = pctNorm(when(qPos > 0, pathQ.substr(qPos + 1, lit(Int.MaxValue)))
+      .otherwise(lit("")))
     val kept = filter(split(query, "&"), p => {
       val name = substring_index(p, "=", 1)
       length(p) > 0 && !name.startsWith(TrackingPrefix) &&
         !name.isin(TrackingExact: _*)
     })
     val q2 = array_join(kept, "&")
-    val path2 = when(path =!= "/" && path.endsWith("/"),
-      path.substr(lit(1), length(path) - 1)).otherwise(path)
+    // the dot-segment fold also collapses '//' and resolves the trailing
+    // slash (root stays '/'), subsuming the old trailing-slash rule
+    val path2 = dotFold(pctNorm(path))
     concat(scheme, lit("://"), host, path2,
       when(q2 =!= "", concat(lit("?"), q2)).otherwise(lit("")))
   }
@@ -486,15 +549,41 @@ object Warc {
     val pathQ = s"CASE WHEN substr($rest, length($hostPort) + 1) = '' THEN '/'" +
       s" ELSE substr($rest, length($hostPort) + 1) END"
     val path = s"CASE WHEN strpos($pathQ, '?') > 0 THEN substr($pathQ, 1, strpos($pathQ, '?') - 1) ELSE $pathQ END"
-    val query = s"CASE WHEN strpos($pathQ, '?') > 0 THEN substr($pathQ, strpos($pathQ, '?') + 1) ELSE '' END"
+    val query = pctNormSql(
+      s"CASE WHEN strpos($pathQ, '?') > 0 THEN substr($pathQ, strpos($pathQ, '?') + 1) ELSE '' END")
     val trackList = TrackingExact.map(t => s"'$t'").mkString(", ")
     val kept = s"list_filter(string_split($query, '&'), p -> length(p) > 0" +
       s" AND substr(string_split(p, '=')[1], 1, ${TrackingPrefix.length}) <> '$TrackingPrefix'" +
       s" AND string_split(p, '=')[1] NOT IN ($trackList))"
     val q2 = s"coalesce(array_to_string($kept, '&'), '')"
-    val path2 = s"CASE WHEN $path <> '/' AND $path LIKE '%/' THEN substr($path, 1, length($path) - 1) ELSE $path END"
+    val path2 = dotFoldSql(pctNormSql(path))
     s"$scheme || '://' || $host || $path2 ||" +
       s" CASE WHEN ($q2) <> '' THEN '?' || ($q2) ELSE '' END"
+  }
+
+  /** DuckDB twin of `pctNorm` — note the indexed list_transform lambda
+    * is 1-BASED here (0-based in Spark).
+    */
+  private def pctNormSql(s: String): String = {
+    val c = "CAST(CONCAT('0x', substr(t, 1, 2)) AS INT)"
+    s"array_to_string(list_transform(string_split(" +
+      s"regexp_replace($s, '%([0-9a-fA-F]{2})', chr(1) || '\\1', 'g'), chr(1))," +
+      s" (t, i) -> CASE WHEN i = 1 THEN t ELSE" +
+      s" CASE WHEN ($c BETWEEN 48 AND 57) OR ($c BETWEEN 65 AND 90)" +
+      s" OR ($c BETWEEN 97 AND 122) OR $c IN (45, 46, 95, 126)" +
+      s" THEN chr($c) || substr(t, 3)" +
+      s" ELSE '%' || upper(substr(t, 1, 2)) || substr(t, 3) END END), '')"
+  }
+
+  /** DuckDB twin of `dotFold`: list_reduce's first element — the
+    * absolute path's leading '' segment — doubles as the empty init.
+    */
+  private def dotFoldSql(p: String): String = {
+    val folded = s"list_reduce(string_split($p, '/'), (a, s) ->" +
+      s" CASE WHEN s = '' OR s = '.' THEN a" +
+      s" WHEN s = '..' THEN regexp_replace(a, '/[^/]*$$', '')" +
+      s" ELSE a || '/' || s END)"
+    s"CASE WHEN $folded = '' THEN '/' ELSE $folded END"
   }
 
   // ---- crawl-level dedup -----------------------------------------------

@@ -49,6 +49,35 @@ class WarcSpec extends AnyFunSuite {
     out.toSeq
   }
 
+  /** Hand percent-normalize: decode unreserved %XX, uppercase the rest. */
+  private def refPct(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    def hex(c: Char) = c.isDigit || ('a' to 'f').contains(c) || ('A' to 'F').contains(c)
+    while (i < s.length) {
+      if (s.charAt(i) == '%' && i + 2 < s.length &&
+          hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        val c = Integer.parseInt(s.substring(i + 1, i + 3), 16)
+        val unres = (c >= 48 && c <= 57) || (c >= 65 && c <= 90) ||
+          (c >= 97 && c <= 122) || Set(45, 46, 95, 126).contains(c)
+        if (unres) sb += c.toChar
+        else sb ++= "%" + s.substring(i + 1, i + 3).toUpperCase
+        i += 3
+      } else { sb += s.charAt(i); i += 1 }
+    }
+    sb.toString
+  }
+
+  /** Hand dot-segment fold: '.'/'' skip, '..' pops, else appends. */
+  private def refDotFold(p: String): String = {
+    val acc = p.split("/", -1).foldLeft("") { (a, s) =>
+      if (s == "" || s == ".") a
+      else if (s == "..") a.replaceAll("/[^/]*$", "")
+      else a + "/" + s
+    }
+    if (acc == "") "/" else acc
+  }
+
   /** Independent canonicalizer (java.net-free, hand string walk). */
   private def refCanon(u: String): String = {
     val noFrag = u.takeWhile(_ != '#')
@@ -71,13 +100,13 @@ class WarcSpec extends AnyFunSuite {
     val pathQ = if (pathQ0.isEmpty) "/" else pathQ0
     val qi = pathQ.indexOf('?')
     val path = if (qi < 0) pathQ else pathQ.substring(0, qi)
-    val query = if (qi < 0) "" else pathQ.substring(qi + 1)
+    val query = refPct(if (qi < 0) "" else pathQ.substring(qi + 1))
     val kept = query.split("&").filter { p =>
       val name = p.takeWhile(_ != '=')
       p.nonEmpty && !name.startsWith(Warc.TrackingPrefix) &&
         !Warc.TrackingExact.contains(name)
     }
-    val path2 = if (path != "/" && path.endsWith("/")) path.dropRight(1) else path
+    val path2 = refDotFold(refPct(path))
     scheme + "://" + host + path2 +
       (if (kept.nonEmpty) "?" + kept.mkString("&") else "")
   }
@@ -181,7 +210,16 @@ class WarcSpec extends AnyFunSuite {
       // query directly after the host — no path slash at all
       "http://h.example?fbclid=1" -> "http://h.example/",
       "http://H.EXAMPLE?a=1&utm_x=2" -> "http://h.example/?a=1",
-      "http://h.example:80?a=1" -> "http://h.example/?a=1")
+      "http://h.example:80?a=1" -> "http://h.example/?a=1",
+      // RFC 3986: dot segments, duplicate slashes, percent normalization
+      "http://h.example/a/./b/../c" -> "http://h.example/a/c",
+      "http://h.example//a//b/" -> "http://h.example/a/b",
+      "http://h.example/x/../" -> "http://h.example/",
+      "http://h.example/../p" -> "http://h.example/p", // '..' clamps at root
+      "http://h.example/%7Eu/%41b" -> "http://h.example/~u/Ab",
+      "http://h.example/p?q=%41%3a" -> "http://h.example/p?q=A%3A",
+      "http://h.example/p?%75tm_source=x" -> "http://h.example/p", // decoded name IS tracking
+      "http://h.example/%zz" -> "http://h.example/%zz") // broken triplet passes through
     val df = cases.map(_._1).zipWithIndex.map { case (u, i) => (i.toLong, u) }
       .toDF("doc_id", "url")
     val got = df.select($"doc_id", Warc.canonicalUrl($"url").as("c"))
