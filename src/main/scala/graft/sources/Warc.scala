@@ -598,6 +598,13 @@ object Warc {
     * candidate per URL before the exchange, and avoids the
     * agg+join+agg double pass an argmax-by-numeric-key would need.
     * Plan-locked: no Window, no Join, exactly the partial/final pair.
+    *
+    * STREAMING-LEGAL as-is: applied to an unbounded frame the same agg
+    * runs in update/complete mode with one narrow struct per url as
+    * state, and because max is COMMUTATIVE the winners are
+    * arrival-order-INDEPENDENT — no in-order caveat, unlike the
+    * first-wins dedup twins (StreamingSpec pins equality with the
+    * batch result under reverse-order cross-batch arrival).
     */
   def dedupLatest(parsed: DataFrame): DataFrame =
     parsed.filter(col("wtype") === "response" && col("ok"))

@@ -1361,4 +1361,38 @@ class StreamingSpec extends AnyFunSuite {
       assert(ledger == want)
     } finally q.stop()
   }
+
+  test("streaming crawl dedup: the latest-fetch max-struct is COMMUTATIVE, " +
+    "so winners are arrival-order-independent (unlike first-wins dedup)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    import graft.sources.Warc
+    val ids = spark.range(60L).select(org.apache.spark.sql.functions.col("id")
+      .as("doc_id"))
+    val all = Warc.streamRecords(ids).as[(Long, String)].collect()
+    val mem = MemoryStream[(Long, String)]
+    val blobs = mem.toDF.toDF("doc_id", "blob")
+    // the BATCH operator applied unchanged to the unbounded frame:
+    // parseStream is stateless row-local, the dedup agg carries one
+    // narrow (wdate, doc_id) struct per canonical url as state
+    val q = Warc.dedupLatest(Warc.parseStream(blobs))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("crawl_latest").start()
+    try {
+      // adversarial arrival: REVERSE doc order, split by doc_id % 3 —
+      // every later-fetch/earlier-fetch pair of the same url is
+      // arbitrarily ordered across micro-batches
+      (0 to 2).foreach { b =>
+        mem.addData(all.filter(_._1 % 3 == b).sortBy(-_._1).toSeq: _*)
+        q.processAllAvailable()
+      }
+      val got = spark.table("crawl_latest")
+        .as[(String, Long, String)].collect().toSet
+      val want = Warc.dedupLatest(Warc.parseStream(
+          all.toSeq.toDF("doc_id", "blob")))
+        .as[(String, Long, String)].collect().toSet
+      assert(got == want, "streamed winners == batch winners, any order")
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
 }
