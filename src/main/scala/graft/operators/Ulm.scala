@@ -547,9 +547,18 @@ object Ulm {
   // order-free — into soft counts; totals Σ(e+1) go through exact
   // micro-unit integer arithmetic on both sides.
 
+  // the documented grid cliff, enforced LOUDLY: beyond this total the
+  // stab(12) quantization of p = (c+1)/tot collapses small pieces to 0
+  // and the oracle drifts silently — fail at the source instead
+  private def requireGridHeadroom(tot: Double): Unit =
+    require(tot < 1e12,
+      f"soft-EM stab(12) grid overflow: piece-count total $tot%.3g >= 1e12 — " +
+        "raise the probability-grid digits (stab12 -> stab15) in BOTH engines")
+
   /** stab(12)-quantized piece probabilities from integer seed counts. */
   private[graft] def probMap0(pieces: Seq[(String, Long)]): Map[String, Double] = {
     val tot = pieces.map(_._2 + 1L).sum.toDouble
+    requireGridHeadroom(tot)
     pieces.map { case (p, c) =>
       p -> Stable.stab12((c + 1L).toDouble / tot)
     }.toMap
@@ -561,6 +570,7 @@ object Ulm {
   private[graft] def probMapSoft(pieces: Seq[(String, Double)]): Map[String, Double] = {
     val micros = pieces.map { case (_, e) => math.floor(e * 1e6 + 0.5).toLong }.sum
     val tot = (micros + pieces.size * 1000000L).toDouble / 1e6
+    requireGridHeadroom(tot)
     pieces.map { case (p, e) =>
       p -> Stable.stab12((e + 1.0) / tot)
     }.toMap

@@ -126,6 +126,20 @@ class UlmSoftSpec extends AnyFunSuite {
       "soft and hard entry pricing must produce different round objectives")
   }
 
+  test("the stab(12) grid cliff fails LOUDLY at the source, not as silent " +
+    "oracle drift") {
+    val e = intercept[IllegalArgumentException] {
+      Ulm.probMap0(Seq(("a", 2_000_000_000_000L)))
+    }
+    assert(e.getMessage.contains("grid overflow"))
+    val e2 = intercept[IllegalArgumentException] {
+      Ulm.probMapSoft(Seq(("a", 2.0e12)))
+    }
+    assert(e2.getMessage.contains("grid overflow"))
+    // well inside the domain: no throw
+    assert(Ulm.probMap0(Seq(("a", 3L), ("b", 1L))).size == 2)
+  }
+
   test("prune classification is codepoint-based: an astral single-codepoint " +
     "piece is a SINGLE — never anchored as multi, never in the drop pool") {
     val gothic = new String(Character.toChars(0x10348)) // 1 codepoint, 2 UTF-16 units
