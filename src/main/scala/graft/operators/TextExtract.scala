@@ -107,12 +107,32 @@ object TextExtract {
     */
   val EntityRe: String = "&(#[xX][0-9a-fA-F]{1,6}|#[0-9]{1,7}|[a-zA-Z]{2,8});"
 
-  /** Named core (case-sensitive, HTML5 lowercase forms). Unknown names
-    * reconstruct literally — `&copy;` stays `&copy;`, honest passthrough.
+  /** Named entities (case-sensitive, HTML5 lowercase forms): the XML
+    * core plus the common typographic / symbol / Latin-1 accent set a
+    * real crawl hits constantly. One char per value (the SQL twin emits
+    * each as chr(codepoint)). Names NOT here reconstruct literally —
+    * `&blorf;` stays `&blorf;`, honest passthrough, never silently
+    * wrong.
     */
   val Named: Seq[(String, String)] = Seq(
     "lt" -> "<", "gt" -> ">", "quot" -> "\"", "apos" -> "'",
-    "nbsp" -> "\u00a0", "amp" -> "&")
+    "nbsp" -> "\u00a0", "amp" -> "&",
+    // typography
+    "ndash" -> "\u2013", "mdash" -> "\u2014", "lsquo" -> "\u2018",
+    "rsquo" -> "\u2019", "ldquo" -> "\u201c", "rdquo" -> "\u201d",
+    "hellip" -> "\u2026", "bull" -> "\u2022", "prime" -> "\u2032",
+    // symbols / currency
+    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122",
+    "deg" -> "\u00b0", "middot" -> "\u00b7", "sect" -> "\u00a7",
+    "para" -> "\u00b6", "laquo" -> "\u00ab", "raquo" -> "\u00bb",
+    "iexcl" -> "\u00a1", "iquest" -> "\u00bf", "times" -> "\u00d7",
+    "divide" -> "\u00f7", "plusmn" -> "\u00b1", "micro" -> "\u00b5",
+    "euro" -> "\u20ac", "pound" -> "\u00a3", "yen" -> "\u00a5",
+    "cent" -> "\u00a2",
+    // Latin-1 accents (the high-frequency crawl set)
+    "eacute" -> "\u00e9", "egrave" -> "\u00e8", "agrave" -> "\u00e0",
+    "ccedil" -> "\u00e7", "ntilde" -> "\u00f1", "ouml" -> "\u00f6",
+    "uuml" -> "\u00fc", "auml" -> "\u00e4", "szlig" -> "\u00df")
 
   /** Keep rule constants: visible chars ≥ MinChars, link density ≤ 1/Den. */
   val MinChars = 2
@@ -172,11 +192,12 @@ object TextExtract {
     val entUnknown = slice(h, 31, 2) % 10 === 5
     val para2Html = concat(
       when(italic, concat(lit("<i>"), para2, lit("</i>"))).otherwise(para2),
-      when(entity, lit(" x &lt; y &amp; z")).otherwise(lit("")),
+      when(entity,
+        lit(" x &lt; y &amp; z &copy; &mdash; d&eacute;j&agrave;")).otherwise(lit("")),
       when(entityNum, lit(" q &#60; r &#38; s &quot;t&#39;")).otherwise(lit("")),
       when(entArb, lit(" a&#8217;b &#x2014; c")).otherwise(lit("")),
       when(entAstral, lit(" e&#x1F600;f")).otherwise(lit("")),
-      when(entUnknown, lit(" AT&amp;T &copy; rights")).otherwise(lit("")))
+      when(entUnknown, lit(" AT&amp;T &blorf; rights")).otherwise(lit("")))
     val pOpen = when(mixed, lit("<P>")).otherwise(lit("<p>"))
     val pClose = when(mixed, lit("</P>")).otherwise(lit("</p>"))
     val divSoup = slice(h, 23, 2) % 10 < 4
@@ -242,11 +263,12 @@ object TextExtract {
     val para1Html = s"CASE WHEN ${sl(9, 2)} % 10 < 3 THEN" +
       s" '<a href=\"/w\">' || $words[1] || '</a> ' || $rest1 ELSE $para1 END"
     val para2Html = s"(CASE WHEN ${sl(11, 2)} % 10 < 5 THEN '<i>' || $para2 || '</i>' ELSE $para2 END)" +
-      s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN ' x &lt; y &amp; z' ELSE '' END)" +
+      s" || (CASE WHEN ${sl(13, 2)} % 10 = 7 THEN" +
+      s" ' x &lt; y &amp; z &copy; &mdash; d&eacute;j&agrave;' ELSE '' END)" +
       s" || (CASE WHEN ${sl(13, 2)} % 10 = 3 THEN ' q &#60; r &#38; s &quot;t&#39;' ELSE '' END)" +
       s" || (CASE WHEN ${sl(27, 2)} % 10 = 4 THEN ' a&#8217;b &#x2014; c' ELSE '' END)" +
       s" || (CASE WHEN ${sl(27, 2)} % 10 = 6 THEN ' e&#x1F600;f' ELSE '' END)" +
-      s" || (CASE WHEN ${sl(31, 2)} % 10 = 5 THEN ' AT&amp;T &copy; rights' ELSE '' END)"
+      s" || (CASE WHEN ${sl(31, 2)} % 10 = 5 THEN ' AT&amp;T &blorf; rights' ELSE '' END)"
     val pOpen = s"CASE WHEN $mixed THEN '<P>' ELSE '<p>' END"
     val pClose = s"CASE WHEN $mixed THEN '</P>' ELSE '</p>' END"
     val divSoup = s"${sl(23, 2)} % 10 < 4"

@@ -286,7 +286,17 @@ class TextExtractSpec extends AnyFunSuite {
       hexSlice(id, 17, 2) % 10 != 8)
     assert(entUnknown.nonEmpty)
     entUnknown.foreach(id =>
-      assert(extractedById(id).contains("AT&T &copy; rights"), s"doc $id"))
+      assert(extractedById(id).contains("AT&T &blorf; rights"), s"doc $id"))
+
+    // the extended named table decodes in content: copy/mdash + the
+    // accent pair inside a word (dÉjÀ-shape)
+    val entNamed = htmlById.keys.filter(id => hexSlice(id, 13, 2) % 10 == 7 &&
+      hexSlice(id, 17, 2) % 10 != 8)
+    assert(entNamed.nonEmpty)
+    entNamed.foreach { id =>
+      val t = extractedById(id)
+      assert(t.contains("x < y & z © — déjà"), s"doc $id")
+    }
 
     // empty-content docs extract to '' unless a planted li/td block adds text
     val empty = htmlById.keys.filter(id => hexSlice(id, 17, 2) % 10 == 8 &&
