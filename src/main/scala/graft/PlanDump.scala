@@ -21,10 +21,28 @@ object PlanDump {
       .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val q = Registry.all.find(_.name == name)
-      .getOrElse(sys.error(s"unknown query '$name'"))
-    println(q.fn(spark, sfDir).queryExecution.explainString(
-      org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+    // Batch mode (round-18 deliverable): comma-separated names + an output
+    // template "dir/SUFFIX" write one formatted plan per query to
+    // dir/<query>_SUFFIX.txt in ONE JVM (a per-query JVM costs ~30 s each).
+    val outTpl = args.lift(2)
+    val names = name.split(",").toSeq
+    names.foreach { n =>
+      val q = Registry.all.find(_.name == n)
+        .getOrElse(sys.error(s"unknown query '$n'"))
+      val plan = try q.fn(spark, sfDir).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      catch { case e: Throwable => s"PLAN FAILED: ${e.getMessage}" }
+      outTpl match {
+        case Some(tpl) =>
+          val slash = tpl.lastIndexOf('/')
+          val (dir, suffix) = (tpl.substring(0, slash), tpl.substring(slash + 1))
+          new java.io.File(dir).mkdirs()
+          java.nio.file.Files.writeString(
+            java.nio.file.Paths.get(s"$dir/${n}_$suffix.txt"), plan)
+          println(s"wrote $dir/${n}_$suffix.txt")
+        case None => println(plan)
+      }
+    }
     spark.stop()
   }
 }

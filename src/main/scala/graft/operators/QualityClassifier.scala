@@ -103,8 +103,30 @@ object QualityClassifier {
     * w ← stab6(w − lr·stab6(mean((p−y)·s))) over the checkpointed
     * standardized features — one 5-value aggregate per round.
     */
-  def train(docs: DataFrame, lr: Double = 0.5, iters: Int = 24): Model = {
-    val f = features(docs).localCheckpoint() // one tokenize pass, reused by every round
+  def train(docs: DataFrame, lr: Double = 0.5, iters: Int = 24): Model =
+    trainWithFeatures(docs, lr, iters)._1
+
+  /** [[train]] that also RETURNS the checkpointed feature table it
+    * trained on, so a caller that scores the same corpus next
+    * (score/select/evaluate/calibration — every registered lr query)
+    * reuses the one tokenize pass instead of re-running it from the
+    * docs scan. Features are a pure deterministic function of the
+    * corpus, so scoring from the training checkpoint is value-identical
+    * to recomputing them.
+    *
+    * Round-18 loop tightening (see Spread.tight): the checkpointed
+    * feature table at bench scale is a single post-AQE partition that
+    * still planned `UnknownPartitioning` — every gradient round paid a
+    * partial/final exchange pair, 2 AQE stage jobs for a 5-value
+    * aggregate (measured: 54 jobs, 0.27 s summed task time,
+    * 2.3 s wall). The guarded SinglePartition pin makes each round ONE
+    * exchange-free stage; at scale the guard keeps the partial
+    * aggregation path untouched.
+    */
+  def trainWithFeatures(docs: DataFrame, lr: Double = 0.5,
+                        iters: Int = 24): (Model, DataFrame) = {
+    val f0 = features(docs).localCheckpoint() // one tokenize pass, reused by every round
+    val f = graft.operators.Spread.tight(f0)
     val (means, stds) = moments(f)
     val s = standardized(f, means, stds)
     var w = Array.fill(5)(0.0)
@@ -119,14 +141,18 @@ object QualityClassifier {
         Stable.fixMean(r * col("s4"), n).as("g4")).collect()(0)
       w = Array.tabulate(5)(j => stab6(w(j) - lr * g.getDouble(j)))
     }
-    Model(means, stds, w)
+    (Model(means, stds, w), f)
   }
 
   /** Per-doc soft quality score under a fitted model (row-local,
     * plan-literal weights) alongside the rule battery's hard keep bit.
     */
   def score(docs: DataFrame, m: Model): DataFrame =
-    standardized(features(docs), m.means, m.stds)
+    scoreFeatures(features(docs), m)
+
+  /** Score a prebuilt feature table (the [[trainWithFeatures]] reuse). */
+  def scoreFeatures(feats: DataFrame, m: Model): DataFrame =
+    standardized(feats, m.means, m.stds)
       .select(col("doc_id"), prob(margin(m.w)).as("score"), col("keep"))
 
   /** "Keep the best P%" by the LEARNED score — the model-based sibling

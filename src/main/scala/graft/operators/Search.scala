@@ -308,7 +308,10 @@ object Search {
 
   def phraseTopK(spark: SparkSession, dir: String,
                  phrase: String = "table hash", k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Spread: the row-local bigram scoring ran in the single scan task of
+    // the one-row-group corpus parquet (see operators.Spread); the top-k
+    // heap merge is partition-count-agnostic
+    val docs = Spread(Tables.documents(spark, dir))
     val arr = TextOps.splitWords(TextOps.normalize(col("text")))
     val n = size(col("arr"))
     val bigrams = zip_with(

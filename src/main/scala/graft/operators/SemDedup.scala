@@ -46,6 +46,13 @@ object SemDedup {
   def model(embeddings: DataFrame, k: Int = 8,
             iters: Int = 3): (DataFrame, DataFrame) = {
     val p = Similarity.prepared(embeddings) // vec_id, e, nrm
+    // Round-18 loop tightening: the per-round update shuffled its
+    // explode + per-(cell, dim) means because the assign⋈p join output
+    // planned UnknownPartitioning — the guarded SinglePartition pin in
+    // `update` removes both exchanges when the corpus side is a tiny
+    // single-split scan. The PAIR join downstream keeps its own
+    // partitioning (this flag never touches it).
+    val tiny = p.rdd.getNumPartitions <= 4
     var cent: DataFrame = p
       .withColumn("rn", row_number().over(
         Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
@@ -54,7 +61,7 @@ object SemDedup {
       .withColumn("cnrm", Similarity.norm(col("c")))
     for (_ <- 1 to iters) {
       val asg = assign(p, cent)
-      cent = update(p, asg)
+      cent = update(p, asg, tiny)
     }
     (assign(p, cent), cent)
   }
@@ -103,10 +110,12 @@ object SemDedup {
     * collects k×dim doubles so the next round starts from a
     * LocalRelation (O(1) lineage across rounds).
     */
-  private def update(p: DataFrame, asg: DataFrame): DataFrame = {
+  private def update(p: DataFrame, asg: DataFrame,
+                     tiny: Boolean = false): DataFrame = {
     val spark = p.sparkSession
     import spark.implicits._
-    val rows = asg.join(p, "vec_id")
+    val joined = asg.join(p, "vec_id")
+    val rows = (if (tiny) joined.coalesce(1) else joined)
       .select(col("cell"), posexplode(col("e")).as(Seq("i", "x")))
       .groupBy("cell", "i").agg(Stable.stab(avg("x"), 6).as("c"))
       .groupBy("cell")

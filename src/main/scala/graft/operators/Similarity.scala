@@ -436,7 +436,13 @@ object Similarity {
   def kmeansCentroidsPrepared(prep: DataFrame, k: Int, iters: Int): DataFrame = {
     val spark = prep.sparkSession
     import spark.implicits._
-    val p = prep
+    // Round-18 loop tightening (see Spread.tight): a tiny single-split
+    // prep pinned to SinglePartition makes each Lloyd round's k-row mean
+    // aggregate exchange-free — one job per round instead of the AQE
+    // map/reduce stage pair. Guard keeps the partitioned path at scale.
+    // (Every caller passes a scan/projection, so the partition probe is
+    // plan-only.)
+    val p = graft.operators.Spread.tight(prep)
     // Seeds: first k vectors in (md5(vec_id), vec_id) order — a
     // deterministic uniform sample DuckDB re-derives exactly (the SemDedup
     // seed rule; md5 hex compares identically as a binary string in both

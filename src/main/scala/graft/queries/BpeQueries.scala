@@ -255,7 +255,7 @@ object BpeQueries {
     // frames, epoch sizing all consume it).
     GraftQuery("bpe_token_count",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = graft.operators.Spread(Tables.documents(s, d))
         val merges = trainedMerges(s, d)
         Bpe.docTokenCounts(docs, merges).orderBy("doc_id")
       },
@@ -275,7 +275,7 @@ object BpeQueries {
     // hash-fail on the full concatenated stream.
     GraftQuery("bpe_encode",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = graft.operators.Spread(Tables.documents(s, d))
         val merges = trainedMerges(s, d)
         Bpe.encode(docs, merges).orderBy("doc_id")
       },
@@ -334,7 +334,7 @@ object BpeQueries {
     // both gates already pin.
     GraftQuery("bpe_pack",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = graft.operators.Spread(Tables.documents(s, d))
         val merges = trainedMerges(s, d)
         graft.operators.Curation.packSequencesFrom(
           Bpe.docTokenCounts(docs, merges)
@@ -377,7 +377,7 @@ object BpeQueries {
     // hash-gated end to end; the oracle replays the batched chain to the
     // final symbol table bw80 and re-derives every doc's full id stream.
     GraftQuery("bpe_encode_deep",
-      (s, d) => Bpe.encode(Tables.documents(s, d), trainedMergesDeep(s, d))
+      (s, d) => Bpe.encode(graft.operators.Spread(Tables.documents(s, d)), trainedMergesDeep(s, d))
         .orderBy("doc_id"),
       Some(
         s"""WITH RECURSIVE ${batchedChainCtes(DeepMerges, batch = 64)},
@@ -416,7 +416,7 @@ object BpeQueries {
         val bf = graft.operators.ByteFallback
         val base = Tables.documents(s, d)
         val merges = trainedMerges(s, d)
-        val docsF = bf.planted(base.select("doc_id", "text"))
+        val docsF = bf.planted(graft.operators.Spread(base.select("doc_id", "text")))
         val symIds = Bpe.symbolIds(Bpe.wordTypes(base), merges)
         bf.encodeFrom(docsF,
           Bpe.wordIdsFromFixedBytes(bf.wordTypes(docsF), merges, symIds),

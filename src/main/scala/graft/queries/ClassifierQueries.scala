@@ -111,9 +111,8 @@ object ClassifierQueries {
     // text_quality_topp-style selection consumes.
     GraftQuery("text_quality_lr_score",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        QualityClassifier.score(docs, QualityClassifier.train(docs))
-          .orderBy("doc_id")
+        val (m, f) = QualityClassifier.trainWithFeatures(Tables.documents(s, d))
+        QualityClassifier.scoreFeatures(f, m).orderBy("doc_id")
       },
       Some(
         s"""WITH $lrCtes
@@ -125,9 +124,8 @@ object ClassifierQueries {
     // ties at the bar kept whole, window bounded by score cardinality.
     GraftQuery("text_quality_lr_select",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        QualityClassifier.selectTopP(
-          QualityClassifier.score(docs, QualityClassifier.train(docs)), 0.3)
+        val (m, f) = QualityClassifier.trainWithFeatures(Tables.documents(s, d))
+        QualityClassifier.selectTopP(QualityClassifier.scoreFeatures(f, m), 0.3)
           .orderBy("doc_id")
       },
       Some(
@@ -150,9 +148,8 @@ object ClassifierQueries {
     // concept; the gate pins the exact counts).
     GraftQuery("text_quality_lr_eval",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        QualityClassifier.evaluate(
-          QualityClassifier.score(docs, QualityClassifier.train(docs)))
+        val (m, f) = QualityClassifier.trainWithFeatures(Tables.documents(s, d))
+        QualityClassifier.evaluate(QualityClassifier.scoreFeatures(f, m))
       },
       Some(
         s"""WITH $lrCtes,
@@ -171,9 +168,8 @@ object ClassifierQueries {
     // Bounded-cardinality aggregate; bin means ride the fixMean path.
     GraftQuery("text_quality_lr_calibration",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        QualityClassifier.calibration(
-          QualityClassifier.score(docs, QualityClassifier.train(docs)))
+        val (m, f) = QualityClassifier.trainWithFeatures(Tables.documents(s, d))
+        QualityClassifier.calibration(QualityClassifier.scoreFeatures(f, m))
           .orderBy("bin")
       },
       Some(

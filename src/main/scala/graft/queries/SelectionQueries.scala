@@ -56,7 +56,9 @@ object SelectionQueries {
 
     // Per-document importance weights against the src0 target domain.
     GraftQuery("text_dsir_weights",
-      (s, d) => Selection.weights(Tables.documents(s, d), col("source") === "src0")
+      // Spread: the unigram+bigram gram scan ran in one task (see operators.Spread)
+      (s, d) => Selection.weights(
+        graft.operators.Spread(Tables.documents(s, d)), col("source") === "src0")
         .orderBy("doc_id"),
       Some(
         s"""WITH $weightsCtes
@@ -65,7 +67,7 @@ object SelectionQueries {
 
     // The selection: top-K raw docs by weight, ranked, deterministic ties.
     GraftQuery("text_dsir_select",
-      (s, d) => Selection.selectTopK(Tables.documents(s, d),
+      (s, d) => Selection.selectTopK(graft.operators.Spread(Tables.documents(s, d)),
         col("source") === "src0", K),
       Some(
         s"""WITH $weightsCtes,

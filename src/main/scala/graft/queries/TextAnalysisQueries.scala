@@ -382,7 +382,10 @@ object TextAnalysisQueries {
     // shared 6-token run between two docs is guaranteed a shared
     // fingerprint; ~2/(w+1) of grams survive.
     GraftQuery("text_winnowing",
-      (s, d) => TextAnalysis.winnowing(Tables.documents(s, d))
+      // Spread: the single-split docs scan serialized the gram hashing
+      // projection ahead of the per-doc window (see operators.Spread)
+      (s, d) => TextAnalysis.winnowing(
+        graft.operators.Spread(Tables.documents(s, d)))
         .orderBy("doc_id", "fp"),
       Some(
         """WITH d AS (SELECT doc_id, regexp_split_to_array(lower(text), '\s+') AS arr FROM documents),
@@ -775,7 +778,10 @@ object TextAnalysisQueries {
     // currency is xxhash64(gram) — re-derived in SQL by XxhashSql, like
     // the fast dedup tier.
     GraftQuery("text_dup_spans",
-      (s, d) => TextAnalysis.duplicateSpans(Tables.documents(s, d), 8)
+      // Spread: the 8-gram posexplode + xxhash projection ran in ONE scan
+      // task (measured 3.0 s wall ~= serial taskTime; see operators.Spread)
+      (s, d) => TextAnalysis.duplicateSpans(
+        graft.operators.Spread(Tables.documents(s, d)), 8)
         .orderBy("doc_id", "pos"),
       Some {
         val gram = (0 until 8).map(k => if (k == 0) "arr[i]" else s"arr[i+$k]")
@@ -804,7 +810,7 @@ object TextAnalysisQueries {
     // string_aggs in position order.
     GraftQuery("text_dup_cut",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = graft.operators.Spread(Tables.documents(s, d))
         TextAnalysis.cutSpans(docs, TextAnalysis.duplicateSpans(docs, 8), 8)
           .orderBy("doc_id")
       },
@@ -893,8 +899,10 @@ object TextAnalysisQueries {
     // composes the same CTEs the per-signal oracles already pin, so the
     // whole pipeline decision is hash-gated, not just its parts.
     GraftQuery("text_curate",
+      // Spread: curate's three corpus passes (clean gate, repetition,
+      // bigram NLL) each tokenized the single-split scan serially
       (s, d) => graft.operators.Curation.curate(
-          Tables.documents(s, d),
+          graft.operators.Spread(Tables.documents(s, d)),
           DedupQueries.persistedShingles(s, d),
           persistedBigramLm(s, d),
           DedupQueries.lshKeepPairs(s, d))
@@ -914,7 +922,7 @@ object TextAnalysisQueries {
           .evalContamination(Tables.embeddings(s, d), 10, 0.35)
           .select(col("vec_id").as("doc_id"))
         graft.operators.Curation.curate(
-            Tables.documents(s, d),
+            graft.operators.Spread(Tables.documents(s, d)),
             DedupQueries.persistedShingles(s, d),
             persistedBigramLm(s, d),
             DedupQueries.lshKeepPairs(s, d))

@@ -19,6 +19,17 @@ object TextExtractQueries {
   private def pages(s: org.apache.spark.sql.SparkSession, d: String) =
     TextExtract.wrapped(Tables.documents(s, d).select("doc_id", "text"))
 
+  /** pages over a SPREAD scan (see operators.Spread): the block walk +
+    * entity unescape are expression-heavy and row-local, and the
+    * single-row-group corpus parquet pins them to one scan task. Used by
+    * the queries whose timed action EVALUATES the extraction
+    * (blocks/clean); extract_html's benched count() prunes the
+    * projection, so there the exchange would be pure overhead.
+    */
+  private def pagesSpread(s: org.apache.spark.sql.SparkSession, d: String) =
+    TextExtract.wrapped(graft.operators.Spread(
+      Tables.documents(s, d).select("doc_id", "text")))
+
   def all: Seq[GraftQuery] = Seq(
 
     // The headline: HTML page -> extracted document. Row-local block walk
@@ -35,7 +46,7 @@ object TextExtractQueries {
     // Per-block audit view: position, tag, visible chars, anchor chars,
     // keep decision — the table a curation engineer tunes thresholds on.
     GraftQuery("text_extract_blocks",
-      (s, d) => TextExtract.blocks(pages(s, d)).orderBy("doc_id", "pos"),
+      (s, d) => TextExtract.blocks(pagesSpread(s, d)).orderBy("doc_id", "pos"),
       Some(
         // the info struct (tag/txt/lc) is bound ONCE per block — the twin
         // of the Spark side's infoArr; keep + fields never re-run the
@@ -63,7 +74,7 @@ object TextExtractQueries {
     // run FIRST. Both stages row-local; one hash aggregate.
     GraftQuery("text_extract_clean",
       (s, d) => graft.operators.TextAnalysis.cleanCorpus(
-          TextExtract.extract(pages(s, d))).orderBy("doc_id"),
+          TextExtract.extract(pagesSpread(s, d))).orderBy("doc_id"),
       Some(
         s"""WITH $wrapCte,
            |e AS (SELECT doc_id, ${TextExtract.extractSql} AS text FROM w),

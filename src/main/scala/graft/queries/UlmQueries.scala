@@ -479,7 +479,9 @@ object UlmQueries {
     // Per-doc subword budget under the trained model — the ULM twin of
     // bpe_token_count: doc tokens join the |types|-sized segmentation.
     GraftQuery("ulm_token_count",
-      (s, d) => Ulm.docTokenCounts(Tables.documents(s, d), persistedUlmSeg(s, d))
+      // Spread: the doc-token explode ahead of the broadcast join ran in
+      // one scan task (see operators.Spread)
+      (s, d) => Ulm.docTokenCounts(graft.operators.Spread(Tables.documents(s, d)), persistedUlmSeg(s, d))
         .orderBy("doc_id"),
       Some(
         s"""WITH $trainerCtes
@@ -493,7 +495,7 @@ object UlmQueries {
     // other tokenizer family: per-doc piece-id streams in document
     // order, ids dense over the USED vocabulary in binary piece order.
     GraftQuery("ulm_encode",
-      (s, d) => Ulm.encode(Tables.documents(s, d), persistedUlmSeg(s, d))
+      (s, d) => Ulm.encode(graft.operators.Spread(Tables.documents(s, d)), persistedUlmSeg(s, d))
         .orderBy("doc_id"),
       Some(
         s"""WITH $trainerCtes,
@@ -536,7 +538,8 @@ object UlmQueries {
         val costs = vocabFrom(s, d).select("piece", "nll").collect()
           .map(r => (r.getString(0), r.getDouble(1))).toMap
         val pids = Ulm.pieceIds(seg)
-        val docsF = bf.planted(Tables.documents(s, d).select("doc_id", "text"))
+        val docsF = bf.planted(graft.operators.Spread(
+          Tables.documents(s, d).select("doc_id", "text")))
         val fwt = bf.wordTypes(docsF).drop("sym")
         bf.encodeFrom(docsF,
           Ulm.wordIdsFromFixedBytes(fwt, costs, P.maxPieceLen, pids,
@@ -594,7 +597,7 @@ object UlmQueries {
     // both trained tokenizer families.
     GraftQuery("ulm_pack",
       (s, d) => graft.operators.Curation.packSequencesFrom(
-          Ulm.docTokenCounts(Tables.documents(s, d), persistedUlmSeg(s, d))
+          Ulm.docTokenCounts(graft.operators.Spread(Tables.documents(s, d)), persistedUlmSeg(s, d))
             .select(col("doc_id"), col("ulm_tokens").as("n_tok")), 500L)
         .orderBy("seq_id"),
       Some(
@@ -768,12 +771,22 @@ object UlmQueries {
     // re-derived end to end in one oracle query.
     GraftQuery("ulm_prune_soft_vs_hard",
       (s, d) => {
-        val hard = prunedParts(s, d).curve
+        // The hard and soft prune runs are INDEPENDENT driver loops, each
+        // a sequence of small jobs with idle scheduler tails — so they run
+        // as concurrent jobs from two driver threads (guide §2.6 overlap:
+        // one loop's tasks back-fill the other's gaps). Each loop's
+        // result is deterministic on its own, so concurrency cannot
+        // affect the gate.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val hardF = Future(prunedParts(s, d).curve
           .select(col("round"), col("n_multi"),
-            col("total_nll").as("total_nll_hard"))
-        val soft = softPrunedParts(s, d).curve
-          .select(col("round"), col("total_nll").as("total_nll_soft"))
-        hard.join(soft, "round").orderBy("round")
+            col("total_nll").as("total_nll_hard")))
+        val softF = Future(softPrunedParts(s, d).curve
+          .select(col("round"), col("total_nll").as("total_nll_soft")))
+        Await.result(hardF, Duration.Inf)
+          .join(Await.result(softF, Duration.Inf), "round").orderBy("round")
       },
       Some {
         def nll(k: Int) = s"(SELECT ${graft.functions.Stable.dsumSql(

@@ -23,15 +23,21 @@ object WarcQueries {
 
   private val sbCte = s"sb AS (${Warc.streamRecordsSql("documents")})"
 
+  // Spread the narrow scan BEFORE the heavy row-local projections (blob
+  // build, framing walk, canonicalization): the single-row-group corpus
+  // parquet yields a 1-split scan, which serialized this whole family on
+  // one core (measured crawl_dedup_url 2.9 s wall ≈ its serial taskTime,
+  // 3 tasks total on 32 cores). See operators.Spread for the scale guard.
   private def pages(s: org.apache.spark.sql.SparkSession, d: String) =
-    TextExtract.wrapped(Tables.documents(s, d).select("doc_id", "text"))
+    TextExtract.wrapped(graft.operators.Spread(
+      Tables.documents(s, d).select("doc_id", "text")))
 
   private def parsed(s: org.apache.spark.sql.SparkSession, d: String) =
     Warc.parse(Warc.records(pages(s, d)))
 
   private def parsedStream(s: org.apache.spark.sql.SparkSession, d: String) =
-    Warc.parseStream(Warc.streamRecords(
-      Tables.documents(s, d).select("doc_id")))
+    Warc.parseStream(Warc.streamRecords(graft.operators.Spread(
+      Tables.documents(s, d).select("doc_id"))))
 
   /** Canonical fetches CTE: response records only, canonical url. */
   private val canonCte =

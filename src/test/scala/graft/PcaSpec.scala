@@ -134,8 +134,14 @@ class PcaSpec extends AnyFunSuite {
     assert(!cp.contains("Join"), "covariance must be a single-pass aggregate")
     assert(!cp.contains("ScalaUDF"), "covariance kernel left codegen")
     assert("\\) Exchange".r.findAllIn(cp).size == 1,
-      "covariance needs exactly the d²-group aggregate exchange")
-    assert(cp.contains("outer_product_flat"), "native kernel not in the plan")
+      "covariance needs exactly the one-buffer aggregate exchange")
+    // round-18 kernel: the buffer-vectorized OuterFixSumAgg (one flat
+    // long-array buffer per task) replaced the posexplode +
+    // outer_product_flat + d²-keyed hash aggregate — same quantized
+    // arithmetic (PcaSpec values unchanged), ~5× the covariance pass
+    assert(cp.toLowerCase.contains("outerfixsumagg"), "buffer kernel not in the plan")
+    assert(!cp.contains("outer_product_flat"),
+      "the d²-row explode kernel is retired (round-18 optimization)")
     val comps = Pca.powerComponents(
       cov.collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2))), 64)
     val pj = Pca.project(p, mu, comps).queryExecution.explainString(
