@@ -1196,7 +1196,9 @@ object TextAnalysisQueries {
     GraftQuery("text_decontaminate_long",
       (s, d) => {
         import org.apache.spark.sql.functions._
-        val docs = Tables.documents(s, d)
+        // Spread: the 8-gram explode over the augmented side ran in the
+        // single scan task (see operators.Spread)
+        val docs = graft.operators.Spread(Tables.documents(s, d))
         val evalTexts = docs.filter(col("doc_id") < 10)
           .select(col("doc_id").as("eid"), col("text").as("etext"))
         val aug = docs.filter(col("doc_id") >= 10)
