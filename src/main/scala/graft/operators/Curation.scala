@@ -41,7 +41,40 @@ object Curation {
   def curate(docs: DataFrame, sh: DataFrame, lm: DataFrame, pairs: DataFrame,
              evalMax: Long = 10, maxRep: Double = 0.05, maxNll: Double = 3.45,
              maxContam: Long = 4): DataFrame = {
-    val clean = TextAnalysis.cleanCorpus(docs)
+    import graft.functions.TextOps
+    // Round-19 restructure (guide §1.2, measured branch by branch at
+    // sf0.1): the CLEAN signal is a per-doc function of the kept-token
+    // array, so it is computed row-locally — one projection instead of a
+    // tokenize + doc_id hash aggregate (0.58 s vs 1.29 s for the
+    // aggregate pass over the same Spread input). Values are
+    // bit-identical (the cleanGate ≡ cleanCorpus equivalence
+    // TextAnalysisSpec pins: countDistinct ≡ size(array_distinct),
+    // count ≡ size, sum(when) ≡ size(filter), same single IEEE
+    // divisions). Repetition deliberately stays the AGGREGATE form: a
+    // fully row-local variant computing clean AND the 3-gram ratio in
+    // one projection was implemented and measured SLOWER than the two
+    // passes it replaced (2.4 s vs 1.4 s — the HOF-heavy projection
+    // re-evaluates the shared token array across consumers), so only
+    // the clean pass moved.
+    val arrAll = TextOps.splitWords(TextOps.normalize(col("text")))
+    val base = docs
+      .filter(col("doc_id") >= evalMax)
+      .select(col("doc_id"), arrAll.as("aa"))
+      .withColumn("ak", filter(col("aa"), w => TextOps.isKeptToken(w)))
+    val nK = size(col("ak"))
+    val nKd = nK.cast("double")
+    val stopwordRatio =
+      size(filter(col("ak"), w => w.isin(TextAnalysis.Stopwords: _*))).cast("double") / nKd
+    val digitRatio = size(filter(col("ak"), w => w.rlike("[0-9]"))).cast("double") / nKd
+    val ttr = size(array_distinct(col("ak"))).cast("double") / nKd
+    val quality = least(lit(1.0), nKd / lit(50.0)) * ttr * (lit(1.0) - digitRatio)
+    val clean = base
+      .select(col("doc_id"), nK.cast("long").as("n_tokens"),
+        quality.as("quality"), stopwordRatio.as("stopword_ratio"))
+      // cleanCorpus's gates: length floor, quality floor, language gate
+      .filter(col("n_tokens") >= 30 && col("quality") >= 0.32 &&
+        col("stopword_ratio") >= 0.02)
+      .select("doc_id", "n_tokens", "quality")
     val rep = TextAnalysis.repetition(docs).select(col("doc_id"), col("rep_ratio"))
     val nll = TextAnalysis
       .bigramNllFrom(TextAnalysis.bigramStream(docs), lm)
@@ -54,7 +87,7 @@ object Curation {
       .select("doc_id")
     val dupDrop = Dedup.clusters(pairs)
       .filter(col("doc_id") =!= col("keep_id")).select("doc_id")
-    clean.filter(col("doc_id") >= evalMax)
+    clean
       .join(rep, "doc_id").join(nll, "doc_id")
       .filter(col("rep_ratio") <= maxRep && col("avg_nll") <= maxNll)
       .join(contam, Seq("doc_id"), "left_anti")

@@ -608,42 +608,38 @@ object Dedup {
     val symC = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
       .unionAll(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
       .localCheckpoint()
-    // Round-18 loop tightening (see Spread.tight): when the checkpointed
-    // edge table is already tiny (≤4 post-AQE partitions), pin the loop
-    // state to SinglePartition so each round's join + aggregate + sum
-    // plans with ZERO exchanges — one stage, one job per round. Combined
-    // with the LAZY per-round checkpoint (materialized by the same job
-    // that reads the convergence sum), the loop runs 1 job/round where it
-    // ran 2 jobs + 2 exchanges. At scale the guard keeps the partitioned
-    // path — and per-round cost — exactly as before.
-    val small = symC.rdd.getNumPartitions <= 4
-    def t(df: DataFrame): DataFrame = if (small) df.coalesce(1) else df
-    // under the guard, ALSO keep the per-round join in-stage: the planner
-    // would broadcast the tiny label side, paying a broadcast-build job
-    // per round (the dominant job count of this loop, measured); a
-    // shuffled-hash join over two SinglePartition sides needs no
-    // exchange and no broadcast. At scale the hint is absent.
-    def sh(df: DataFrame): DataFrame = if (small) df.hint("shuffle_hash") else df
-    val sym = t(symC)
+    // Round-19 (guide §1.2 — the profile showed the min-label loop at
+    // ~1 job/round plus a labelSum collect/round, the dominant job count
+    // of every clusters consumer): min-label propagation's fixed point is
+    // the COMPONENT MINIMUM — a purely structural value with no
+    // arithmetic to replicate — so when the checkpointed edge table is
+    // already metadata-scale (the same ≤4-post-AQE-partition guard the
+    // round-18 SinglePartition pin used), the whole convergence loop
+    // collapses to ONE in-task union-find job over the edge list, with
+    // union-by-min linking so find() lands on each component's minimum.
+    // Output is the identical (doc_id, keep_id) table. At scale the
+    // distributed loop below runs exactly as before.
+    if (symC.rdd.getNumPartitions <= 4) return clustersUnionFind(symC)
+    // Below: the distributed min-label loop — the ONLY path at scale.
+    // (The round-18 tiny-side pins that used to live here are subsumed by
+    // the union-find fast path, which covers exactly the same guard.)
+    val sym = symC
     def labelSum(df: DataFrame): java.math.BigDecimal = {
       val s = df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
       if (s == null) java.math.BigDecimal.ZERO else s // empty pair set → sum NULL
     }
     var cp = sym.select(col("src").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(false) // lazy: the labelSum below materializes it
-    var labels = t(cp)
+    var labels = cp
     var prevSum = labelSum(labels)
     var converged = false
     while (!converged) {
-      val prop = sym.join(sh(labels), sym("dst") === labels("node"))
+      val prop = sym.join(labels, sym("dst") === labels("node"))
         .select(sym("src").as("node"), col("label"))
-      // t() ALSO collapses the 2-partition union (labels ⊎ prop) — left
-      // as-is it would re-introduce the groupBy exchange the whole guard
-      // exists to remove
-      val nextCp = t(labels.unionAll(prop))
+      val nextCp = labels.unionAll(prop)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(false) // lazy: materialized by the labelSum job
-      val next = t(nextCp)
+      val next = nextCp
       val nextSum = labelSum(next)
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
@@ -652,6 +648,40 @@ object Dedup {
       labels = next
     }
     labels.select(col("node").as("doc_id"), col("label").as("keep_id"))
+  }
+
+  /** The metadata-scale fast path of [[clusters]]: union-find with
+    * union-by-min over the single-partition symmetric edge checkpoint —
+    * one job, no convergence loop. find() returns each component's
+    * minimum node id (links always point toward the smaller root), which
+    * IS min-label propagation's fixed point, so the output table is
+    * value-identical to the distributed loop's.
+    */
+  private def clustersUnionFind(symC: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val spark = symC.sparkSession
+    val rows = symC.coalesce(1).select("src", "dst").rdd.mapPartitions { it =>
+      val parent = new scala.collection.mutable.LongMap[Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      val nodes = new scala.collection.mutable.LongMap[Unit]()
+      it.foreach { r =>
+        val a = r.getLong(0); val b = r.getLong(1)
+        nodes.update(a, ()); nodes.update(b, ())
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      nodes.keysIterator.map(n => Row(n, find(n)))
+    }
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("keep_id", LongType, nullable = false))))
   }
 
   /** 16-bit SimHash per document. Bit j of the hash of token w is bit 3 of

@@ -56,8 +56,13 @@ object Search {
     * plans (the reference's hand-written combiner, Vocabulary.java:58-79,
     * for free).
     */
-  def vocabulary(docs: DataFrame): DataFrame =
-    vocabularyFrom(docWordCounts(docs))
+  def vocabulary(docs: DataFrame): DataFrame = {
+    // metadata-scale path: probe the SOURCE scan (derived frames carry
+    // aggregates and must not be probed), pin + cut — see vocabularyFrom
+    val tiny = Spread.isTiny(docs)
+    val src = if (tiny) docs.coalesce(1) else docs
+    vocabularyFrom(docWordCounts(src), tiny)
+  }
 
   /** Id assignment is the classic distributed dense-rank: a naive
     * `row_number().over(Window.orderBy("word"))` would funnel the whole
@@ -71,10 +76,17 @@ object Search {
     * only ever sees the ≤36 aggregated prefix rows, never the vocabulary.
     * Ids are identical to the single-partition formulation.
     */
-  def vocabularyFrom(byDocWord: DataFrame): DataFrame = {
-    val agg = byDocWord
+  def vocabularyFrom(byDocWord: DataFrame, tiny: Boolean = false): DataFrame = {
+    // `tiny` (round 19): the word-level aggregate below feeds TWO
+    // branches (prefix offsets + the rank join); at scale ReuseExchange
+    // dedups the upstream tokenize, but on the SinglePartition-pinned
+    // metadata path there is no exchange to reuse — an eager
+    // localCheckpoint of the (vocab-bounded) aggregate cuts the shared
+    // subtree instead, so the corpus is still tokenized exactly once.
+    val agg0 = byDocWord
       .groupBy("word").agg(count(lit(1)).as("df")) // rows are distinct (doc,word)
       .withColumn("pfx", substring(col("word"), 1, 1))
+    val agg = if (tiny) agg0.localCheckpoint(false) else agg0 // lazy — see queryPostings
     val offsets = agg.groupBy("pfx").agg(count(lit(1)).as("n"))
       .withColumn("off", coalesce(
         sum("n").over(Window.orderBy("pfx")
@@ -141,10 +153,28 @@ object Search {
     */
   def queryPostings(docs: DataFrame, query: String): DataFrame = {
     val qwords = TextOps.tokenizeScala(TextOps.filterTextScala(query)).distinct
-    val post = tokens(docs).filter(col("word").isin(qwords: _*))
+    // Round-19 metadata-scale path (guide §2.4): on a tiny single-split
+    // scan, pin to SinglePartition and CUT the shared (doc_id, word, tf)
+    // subtree with an eager localCheckpoint — post is query-term-filtered
+    // (≤ |q| words' occurrences aggregated per doc), so the materialized
+    // table is small by construction. Both consumers (df branch + join)
+    // then read the checkpointed partition, tokenize runs exactly once
+    // (the invariant the PlanShapeSpec lock pins), and with the
+    // shuffle_hash hint the df join plans exchange-free — ONE stage where
+    // the reuse-dependent broadcast form paid 4+ AQE stage jobs. At
+    // production split counts `tiny` is false and the plan is unchanged
+    // (ReuseExchange dedups the tokenize, df broadcasts).
+    val tiny = Spread.isTiny(docs)
+    val src = if (tiny) docs.coalesce(1) else docs
+    val post0 = tokens(src).filter(col("word").isin(qwords: _*))
       .groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    // lazy checkpoint: plan construction stays job-free (SearchSpec's
+    // zero-jobs lock); the first consumer materializes the partition and
+    // the second reads the persisted blocks
+    val post = if (tiny) post0.localCheckpoint(false) else post0
     val df = post.groupBy("word").agg(sum(least(col("tf"), lit(1L))).as("df"))
-    post.join(broadcast(df), "word")
+    if (tiny) post.join(df.hint("shuffle_hash"), "word")
+    else post.join(broadcast(df), "word")
   }
 
   /** Q2-Q4 core: reference scoring over the single-pass query postings. */
@@ -167,7 +197,12 @@ object Search {
     */
   def searchTopK(spark: SparkSession, dir: String,
                  query: String = DefaultQuery, k: Int = 10): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // Round-19 (guide §2.4 remove shuffles outright): the profile read
+    // 7 AQE stage jobs for 0.4 s of task time — scheduler latency on
+    // query-term-sized aggregates. A tiny single-split scan pinned to
+    // SinglePartition (guarded — no-op at production split counts) lets
+    // every downstream aggregate/join plan exchange-free.
+    val docs = Spread.tight(Tables.documents(spark, dir))
     scoresInPlan(spark, docs, query)
       .orderBy(desc("score"), asc("doc_id")).limit(k)
       .join(broadcast(docInfo(docs).select("doc_id", "source", "lang")), "doc_id")
@@ -193,7 +228,8 @@ object Search {
   def searchTopKBm25(spark: SparkSession, dir: String,
                      query: String = DefaultQuery, k: Int = 10,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // guarded SinglePartition pin — see searchTopK
+    val docs = Spread.tight(Tables.documents(spark, dir))
     val dl = tokens(docs).groupBy("doc_id")
       .agg(count(lit(1)).cast("double").as("dl"))
     // sum/count explicitly (not avg): dl is integer-valued, so the sum is
@@ -231,7 +267,8 @@ object Search {
   def searchTopKBm25Stats(spark: SparkSession, dir: String, dlStats: DataFrame,
                           query: String = DefaultQuery, k: Int = 10,
                           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val docs = Tables.documents(spark, dir)
+    // guarded SinglePartition pin — see searchTopK
+    val docs = Spread.tight(Tables.documents(spark, dir))
     val dl = dlStats.filter(col("n_tokens") > 0)
       .select(col("doc_id"), col("n_tokens").cast("double").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n_docs"),
@@ -277,8 +314,15 @@ object Search {
     // derive). The per-(query, doc) term-presence count doubles as the
     // relevance label, so scoring and labeling share one aggregate.
     import graft.functions.Stable
-    val bdw = docWordCounts(docs)
-    val vocab = vocabularyFrom(bdw)
+    // metadata-scale path (round 19): bdw feeds the vocabulary AND the
+    // postings branch, vocab is consumed three times — cut both shared
+    // subtrees when the source scan is tiny (see queryPostings)
+    val tiny = Spread.isTiny(docs)
+    val src = if (tiny) docs.coalesce(1) else docs
+    val bdw0 = docWordCounts(src)
+    val bdw = if (tiny) bdw0.localCheckpoint(false) else bdw0
+    val vocab0 = vocabularyFrom(bdw, tiny)
+    val vocab = if (tiny) vocab0.localCheckpoint(false) else vocab0
     val post = postingsFrom(bdw, vocab)
       .join(broadcast(vocab.select("word_id", "df")), "word_id")
     val qt = vocab.select((col("word_id") / 2).cast("long").as("query_id"),
@@ -400,7 +444,8 @@ object Search {
   def searchCorpus(spark: SparkSession, corpusDir: String,
                    query: String = "the good person", k: Int = 10): DataFrame = {
     val corpus = Tables.corpusJson(spark, corpusDir)
-    val docs = corpus.select(col("id").as("doc_id"), col("text"))
+    // guarded SinglePartition pin — see searchTopK
+    val docs = Spread.tight(corpus.select(col("id").as("doc_id"), col("text")))
     scoresInPlan(spark, docs, query)
       .orderBy(desc("score"), asc("doc_id")).limit(k)
       .join(broadcast(corpus.select(col("id").as("doc_id"), col("url"), col("title"))),
@@ -438,8 +483,10 @@ object Search {
     val qWordIds = queryTerms(spark, query).join(vocab, "word")
       .select("word_id").collect().map(_.getLong(0)) // ≤ |query terms| rows
     val qBuckets = qWordIds.map(w => (w % IndexBuckets).toInt).distinct.toSeq
-    val post = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("wb").isin(qBuckets: _*))
+    // guarded SinglePartition pin on the bucket-pruned scan (≤ |q| bucket
+    // dirs; at a production index each bucket is many splits → no-op)
+    val post = Spread.tight(spark.read.parquet(s"$indexDir/postings")
+      .filter(col("wb").isin(qBuckets: _*)))
     scoreAndRank(spark, post, vocab, docinfo, query, k)
   }
 
@@ -460,8 +507,9 @@ object Search {
       .select("word_id", "qtf", "df")
     val qWordIds = qt.select("word_id").collect().map(_.getLong(0)) // ≤ |q| rows
     val qBuckets = qWordIds.map(w => (w % IndexBuckets).toInt).distinct.toSeq
-    val post = spark.read.parquet(s"$indexDir/postings")
-      .filter(col("wb").isin(qBuckets: _*))
+    // guarded SinglePartition pin — see searchTopKIndexed
+    val post = Spread.tight(spark.read.parquet(s"$indexDir/postings")
+      .filter(col("wb").isin(qBuckets: _*)))
     // docs whose every token was filtered carry n_tokens = 0 and are
     // excluded from the corpus statistics — matching the in-plan twin,
     // whose dl table only has rows for docs with ≥ 1 kept token

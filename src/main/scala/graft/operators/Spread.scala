@@ -32,7 +32,45 @@ object Spread {
   // plans with no Exchange (planned lazily, not AQE-wrapped). On a plan
   // that contains an exchange, `.rdd.getNumPartitions` under AQE would
   // MATERIALIZE the upstream stages — an accidental eager execution.
+  // Enforced by assertNarrow below (round-19: the contract was a comment;
+  // a misuse would have silently executed upstream stages instead of
+  // failing loudly).
+  private def narrowViolations(df: DataFrame): Seq[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    df.queryExecution.optimizedPlan.collect {
+      // coalesce (Repartition with shuffle=false) is narrow — probing
+      // through it is free, and tight() is then idempotent-safe
+      case r: Repartition if r.shuffle => r.nodeName
+      case r: RepartitionByExpression => r.nodeName
+      case n @ (_: Aggregate | _: Join | _: Window | _: Sort |
+                _: GlobalLimit | _: Deduplicate |
+                _: Except | _: Intersect) => n.nodeName
+    }
+  }
+
+  private def assertNarrow(df: DataFrame, who: String): Unit = {
+    val bad = narrowViolations(df)
+    require(bad.isEmpty,
+      s"Spread.$who called on a plan containing ${bad.distinct.mkString("/")} — " +
+        "only scan/projection-only plans or localCheckpoint leaves are safe " +
+        "(.rdd on an exchange-bearing plan under AQE materializes upstream stages)")
+  }
+
+  /** The tight() guard as a caller-visible probe: true iff the plan is
+    * narrow AND its planned partition count is ≤ `maxParts`. Lets a
+    * caller decide once, on the SOURCE scan, whether to take the
+    * metadata-scale path (SinglePartition pins + shared-subtree cuts)
+    * for frames DERIVED from it — whose own plans carry aggregates and
+    * must never be probed directly. A non-narrow input (a caller feeding
+    * a pre-shuffled frame, as SearchSpec's order-robustness test does)
+    * is NOT an error here — it simply takes the scale path, because
+    * probing it would materialize upstream stages.
+    */
+  def isTiny(df: DataFrame, maxParts: Int = 4): Boolean =
+    narrowViolations(df).isEmpty && df.rdd.getNumPartitions <= maxParts
+
   def apply(df: DataFrame): DataFrame = {
+    assertNarrow(df, "apply")
     val cores = df.sparkSession.sparkContext.defaultParallelism
     // planned (not executed) partition count: cheap for the narrow scans
     // this is applied to, and exact where file/split math would guess
@@ -54,6 +92,8 @@ object Spread {
     * partitions (post-AQE-coalesce checkpoints, single-split scans). A
     * production-scale table keeps its partitioning and its shuffles.
     */
-  def tight(df: DataFrame, maxParts: Int = 4): DataFrame =
+  def tight(df: DataFrame, maxParts: Int = 4): DataFrame = {
+    assertNarrow(df, "tight")
     if (df.rdd.getNumPartitions <= maxParts) df.coalesce(1) else df
+  }
 }

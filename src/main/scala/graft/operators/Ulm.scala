@@ -518,6 +518,9 @@ object Ulm {
     val vocab = seed(wt, p.maxPieceLen, p.seedSize).localCheckpoint()
     var cm = costMap(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     val rows = (1 to p.iters).map { k =>
+      // eager per-round checkpoint: a lazy variant (materialized by the
+      // objective collect) was measured SLOWER on the quiet pair
+      // (ulm_em_curve 0.82 -> 0.96 s) — reverted
       val seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()
       val t = seg.agg(
           Stable.dsum(Stable.stab(col("freq") * col("cost"), 6), 6).as("t"),
@@ -709,13 +712,24 @@ object Ulm {
     var pm = probMap0(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
     var e: Seq[(String, Double)] = null
     var eDf: DataFrame = null
+    // Round-19 job fusion (§2.6 overlap): the round's objective collect
+    // (marginals) and E-step recount (softCounts) are INDEPENDENT reads
+    // under the same round-input probabilities — run them from two
+    // driver threads so one job's scheduler tail back-fills the other.
+    // Neither depends on the other's result, so values are untouched.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
     val curve = (1 to p.iters).map { k =>
-      val nll = marginals(wt, pm, p.maxPieceLen, p.assertMaxWordLen)
+      val pmRound = pm
+      val nllF = Future(marginals(wt, pmRound, p.maxPieceLen, p.assertMaxWordLen)
         .agg(Stable.dsum(Stable.stab(col("freq") * -log(col("an")), 6), 6))
-        .collect()(0).getDouble(0)
-      eDf = softCounts(wt, pm, p.maxPieceLen, vocab, p.assertMaxWordLen)
-        .localCheckpoint()
-      e = eDf.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+        .collect()(0).getDouble(0))
+      val eRound = softCounts(wt, pmRound, p.maxPieceLen, vocab, p.assertMaxWordLen)
+        .localCheckpoint(false) // lazy: materialized by the collect below
+      e = eRound.collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      eDf = eRound
+      val nll = Await.result(nllF, Duration.Inf)
       pm = probMapSoft(e)
       (k, nll)
     }
@@ -827,6 +841,14 @@ object Ulm {
       (r.getDouble(0), r.getLong(1))
     }
 
+    // Round-19 NEGATIVE results, both reverted (don't redo): (a) per-round
+    // overlap — recount + drop-pick collects from two inner futures
+    // (§2.6) — regressed ulm_prune_soft_vs_hard 1.96 → 3.95 s where it
+    // nested under that query's two concurrent outer loops, while buying
+    // nothing single-loop (ulm_vocab_pruned 0.99×); (b) LAZY per-round
+    // seg checkpoints (the Dedup.clusters discipline) — measured slower
+    // than eager on this loop's mapPartitions-built seg (ulm_em_curve
+    // 0.82 → 0.96 s on the quiet pair).
     var round = 1
     schedule.foreach { nDrop =>
       val seg = segment(wt, cm, p.maxPieceLen, p.assertMaxWordLen).localCheckpoint()

@@ -336,9 +336,16 @@ object BpeQueries {
       (s, d) => {
         val docs = graft.operators.Spread(Tables.documents(s, d))
         val merges = trainedMerges(s, d)
+        // ONE tokenize+encode pass (round 19): the packer reads its counts
+        // table on TWO branches (bucket offsets + the probe side) and the
+        // exchange between them is not reused across the differing
+        // projections — uncheckpointed, the expensive merge-chain count
+        // ran twice (profiled 67 CPU-s vs bpe_encode's 27). The
+        // mixByTokens localCheckpoint discipline halves it.
         graft.operators.Curation.packSequencesFrom(
           Bpe.docTokenCounts(docs, merges)
-            .select(col("doc_id"), col("bpe_tokens").as("n_tok")), 500L)
+            .select(col("doc_id"), col("bpe_tokens").as("n_tok"))
+            .localCheckpoint(), 500L)
           .orderBy("seq_id")
       },
       Some(

@@ -913,7 +913,15 @@ object DedupQueries {
         import org.apache.spark.sql.expressions.Window
         val docs = Tables.documents(s, d)
         val cl = Dedup.clusters(lshKeepPairs(s, d))
-        val q6 = graft.operators.TextAnalysis.qualityScore(docs)
+        // Round-19 (guide §2.3 filter before the heavy pass): quality is
+        // only ever consulted for CLUSTERED docs (the window ranks within
+        // clusters), so the corpus tokenize+aggregate is pruned to cluster
+        // members by a broadcast semi-join on the checkpointed labels —
+        // qualityScore is a per-doc aggregate, so the surviving q6 values
+        // are identical; the members inner join below already discarded
+        // every other doc's score.
+        val q6 = graft.operators.TextAnalysis.qualityScore(
+            docs.join(broadcast(cl.select("doc_id")), Seq("doc_id"), "left_semi"))
           .select(col("doc_id"), graft.functions.Stable.stab(col("quality"), 6).as("q6"))
         val members = cl.join(q6, "doc_id")
         val drop = members.withColumn("rn", row_number().over(

@@ -47,6 +47,8 @@ object SearchQueries {
   def all: Seq[GraftQuery] = Seq(
 
     GraftQuery("vocab_build",
+      // Search.vocabulary takes the metadata-scale path internally
+      // (round 19): SinglePartition pin + vocab-bounded aggregate cut
       (s, d) => Search.vocabulary(Tables.documents(s, d)).orderBy("word"),
       Some(
         s"""WITH $tokCte
@@ -60,9 +62,16 @@ object SearchQueries {
 
     GraftQuery("postings_tf",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-        val bdw = Search.docWordCounts(docs)
-        Search.postingsFrom(bdw, Search.vocabularyFrom(bdw))
+        // metadata-scale path (round 19): bdw feeds BOTH the vocabulary
+        // and the postings branch — on the SinglePartition-pinned path
+        // the exchange ReuseExchange would have deduped is gone, so the
+        // shared subtree is cut with a guarded checkpoint instead
+        val docs0 = Tables.documents(s, d)
+        val tiny = graft.operators.Spread.isTiny(docs0)
+        val docs = if (tiny) docs0.coalesce(1) else docs0
+        val bdw0 = Search.docWordCounts(docs)
+        val bdw = if (tiny) bdw0.localCheckpoint(false) else bdw0 // lazy
+        Search.postingsFrom(bdw, Search.vocabularyFrom(bdw, tiny))
           .select("doc_id", "word_id", "tf").orderBy("doc_id", "word_id")
       },
       Some(
@@ -96,10 +105,14 @@ object SearchQueries {
     // Indexer.java:110,131-137), against the postings_tf oracle.
     GraftQuery("tsv_roundtrip_postings",
       (s, d) => {
-        val bdw = Search.docWordCounts(Tables.documents(s, d))
+        // same shared-bdw cut as postings_tf
+        val docs0 = Tables.documents(s, d)
+        val tiny = graft.operators.Spread.isTiny(docs0)
+        val bdw0 = Search.docWordCounts(if (tiny) docs0.coalesce(1) else docs0)
+        val bdw = if (tiny) bdw0.localCheckpoint(false) else bdw0 // lazy
         val out = s"/tmp/graft-tsvrt/${d.replaceAll("[^A-Za-z0-9.]", "_")}_postings"
         graft.sources.Tsv.writePostings(
-          Search.postingsFrom(bdw, Search.vocabularyFrom(bdw))
+          Search.postingsFrom(bdw, Search.vocabularyFrom(bdw, tiny))
             .select("doc_id", "word_id", "tf"), out)
         graft.sources.Tsv.readPostings(s, out).orderBy("doc_id", "word_id")
       },
@@ -196,7 +209,7 @@ object SearchQueries {
     // score = Σ tf_d · tf_q · ln(N/df). Kept alongside the parity formula.
     GraftQuery("search_topk_logidf",
       (s, d) => {
-        val docs = Tables.documents(s, d)
+        val docs = graft.operators.Spread.tight(Tables.documents(s, d))
         // Corpus size N stays IN the plan (single-row broadcast joined to
         // every posting) — an eager docs.count() here would run a separate
         // full-scan job per invocation, doubling corpus reads at scale.

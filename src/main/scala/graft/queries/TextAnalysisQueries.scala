@@ -902,7 +902,7 @@ object TextAnalysisQueries {
       // Spread: curate's three corpus passes (clean gate, repetition,
       // bigram NLL) each tokenized the single-split scan serially
       (s, d) => graft.operators.Curation.curate(
-          graft.operators.Spread(Tables.documents(s, d)),
+          Tables.documents(s, d),
           DedupQueries.persistedShingles(s, d),
           persistedBigramLm(s, d),
           DedupQueries.lshKeepPairs(s, d))
@@ -922,7 +922,7 @@ object TextAnalysisQueries {
           .evalContamination(Tables.embeddings(s, d), 10, 0.35)
           .select(col("vec_id").as("doc_id"))
         graft.operators.Curation.curate(
-            graft.operators.Spread(Tables.documents(s, d)),
+            Tables.documents(s, d),
             DedupQueries.persistedShingles(s, d),
             persistedBigramLm(s, d),
             DedupQueries.lshKeepPairs(s, d))

@@ -597,8 +597,10 @@ object UlmQueries {
     // both trained tokenizer families.
     GraftQuery("ulm_pack",
       (s, d) => graft.operators.Curation.packSequencesFrom(
+          // one count pass — the bpe_pack localCheckpoint discipline
           Ulm.docTokenCounts(graft.operators.Spread(Tables.documents(s, d)), persistedUlmSeg(s, d))
-            .select(col("doc_id"), col("ulm_tokens").as("n_tok")), 500L)
+            .select(col("doc_id"), col("ulm_tokens").as("n_tok"))
+            .localCheckpoint(), 500L)
         .orderBy("seq_id"),
       Some(
         s"""WITH $trainerCtes,
@@ -653,10 +655,19 @@ object UlmQueries {
     // discarded.
     GraftQuery("ulm_em_curve_soft",
       (s, d) => {
-        val soft = Ulm.softTrain(Tables.documents(s, d), P)._2
-        val hard = Ulm.emCurve(Tables.documents(s, d), P)
-          .select(col("round"), col("total_nll").as("total_nll_hard"))
-        soft.join(hard, "round").orderBy("round")
+        // The soft and hard trainers are INDEPENDENT driver loops (each
+        // seeds from its own wt checkpoint) — run them concurrently from
+        // two driver threads (§2.6 overlap, the ulm_prune_soft_vs_hard
+        // pattern). Each is deterministic alone, so concurrency cannot
+        // move the gate.
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        import scala.concurrent.duration.Duration
+        val softF = Future(Ulm.softTrain(Tables.documents(s, d), P)._2)
+        val hardF = Future(Ulm.emCurve(Tables.documents(s, d), P)
+          .select(col("round"), col("total_nll").as("total_nll_hard")))
+        Await.result(softF, Duration.Inf)
+          .join(Await.result(hardF, Duration.Inf), "round").orderBy("round")
       },
       Some {
         def softNll(k: Int) = graft.functions.Stable.dsumSql(

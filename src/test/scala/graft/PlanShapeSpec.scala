@@ -95,13 +95,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "df must not ride a window")
   }
 
-  test("search_topk runtime plan: corpus tokenized ONCE (df branch reuses the exchange)") {
-    // AQE applies exchange reuse when query stages materialize, so this
-    // lock reads the FINAL adaptive plan after execution, not the static
-    // explain: the df branch is forked off the same (doc_id, word, tf)
-    // aggregate and its sum(least(tf,1)) form keeps the subtree
-    // canonically identical to the postings branch (count(tf) would be
-    // rewritten to count(1) and the fork specialized apart).
+  test("search_topk runtime plan: corpus tokenized ONCE (shared post subtree cut)") {
+    // Round-19 shape: on the metadata-scale path queryPostings pins the
+    // scan to SinglePartition and CUTS the shared (doc_id, word, tf)
+    // aggregate with an eager localCheckpoint — the tokenize runs exactly
+    // once, in the checkpoint's own job, and the runtime plan reads the
+    // materialized partition (Scan ExistingRDD) on both branches with
+    // ZERO tokenize explodes of its own. (The pre-r19 form relied on AQE
+    // exchange reuse for the same once-only invariant; SinglePartition
+    // removed the exchange, so the reuse lock moved here.) The corpus
+    // parquet may appear at most once more — the doc-info broadcast.
     val df = SparkEntry.queries("search_topk")(spark, d)
     df.collect()
     val whole = df.queryExecution.executedPlan.toString
@@ -110,10 +113,16 @@ class PlanShapeSpec extends AnyFunSuite {
       case -1 => whole
       case i => whole.substring(0, i)
     }
-    assert("Generate explode".r.findAllIn(fin).size == 1, "corpus tokenized more than once")
-    assert(fin.contains("ReusedExchange"), "df branch must reuse the postings exchange")
-    // exactly two file scans: the tokenize pass + the doc-info broadcast
-    assert("FileScan parquet".r.findAllIn(fin).size <= 2, "extra corpus scans")
+    assert("Generate explode".r.findAllIn(fin).size == 0,
+      "runtime plan re-tokenizes — the shared post checkpoint was lost")
+    assert(fin.contains("Scan ExistingRDD"), "post must read the checkpointed partition")
+    assert("FileScan parquet".r.findAllIn(fin).size <= 1, "extra corpus scans")
+    // and the checkpointed post itself was built from ONE tokenize
+    val post = graft.operators.Search.queryPostings(
+      graft.sources.Tables.documents(spark, d), graft.operators.Search.DefaultQuery)
+    val pp = post.queryExecution.executedPlan.toString
+    assert("Generate explode".r.findAllIn(pp).size == 0,
+      "post join should read the checkpoint, not re-derive the token stream")
   }
 
   test("dedup_minhash_lsh: all aggregates are hash aggregates") {
