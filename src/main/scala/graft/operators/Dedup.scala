@@ -106,8 +106,15 @@ object Dedup {
     */
   def ngramJaccardPairsFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = shk.as("a").join(shk.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+    // round-19: same tiny-scan repair as verifyCandidates — spread the
+    // probe side round-robin, broadcast the build side, so the inverted-
+    // index join runs on every core instead of AQE's one byte-sized
+    // reduce task. No-op at production split counts.
+    val inter = (if (Spread.isTiny(shk)) Spread(shk).as("a")
+                   .join(broadcast(shk).as("b"),
+                     col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+                 else shk.as("a").join(shk.as("b"),
+                   col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
     jaccardFromInter(inter, sizes, threshold)
@@ -124,8 +131,12 @@ object Dedup {
     */
   def containmentPairsFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = shk.as("a").join(shk.as("b"),
-        col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+    // round-19: same tiny-scan repair as ngramJaccardPairsFromKeys
+    val inter = (if (Spread.isTiny(shk)) Spread(shk).as("a")
+                   .join(broadcast(shk).as("b"),
+                     col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
+                 else shk.as("a").join(shk.as("b"),
+                   col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id")))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_common"))
       .join(sizes.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -151,24 +162,39 @@ object Dedup {
     */
   def containmentPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // round-19 tiny-scan repair throughout (see verifyCandidates /
+    // prefixKeys): broadcast model-sized sides, explicit user
+    // repartitions where AQE would coalesce the CPU-heavy stages to one
+    // byte-sized reduce task. At scale: the shuffled form, unchanged.
+    val tiny = Spread.isTiny(shk)
+    val par = shk.sparkSession.sparkContext.defaultParallelism
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-    val pref = shk.join(dfreq, "shk")
+    val base =
+      if (tiny) shk.join(broadcast(dfreq), "shk").repartition(par, col("doc_id"))
+      else shk.join(dfreq, "shk")
+    val pref = base
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
-      .join(sizes, "doc_id")
+      .join(if (tiny) broadcast(sizes) else sizes, "doc_id")
       // same epsilon-nudged ceil as the Jaccard prefix (fp rounding may
       // only lengthen the prefix, never shorten it)
       .filter(col("rnk") <= col("n_sh") - ceil(lit(threshold) * col("n_sh") - lit(1e-9)) + 1)
       .select("doc_id", "shk")
-    val cand = pref.as("a").join(shk.as("b"),
+    val cand = (if (tiny) pref.as("a").join(broadcast(shk).as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") =!= col("b.doc_id"))
+      else pref.as("a").join(shk.as("b"),
+        col("a.shk") === col("b.shk") && col("a.doc_id") =!= col("b.doc_id")))
       .select(col("a.doc_id").as("doc_contained"), col("b.doc_id").as("doc_container"))
       .distinct()
-    cand
-      .join(shk.as("x"), col("doc_contained") === col("x.doc_id"))
-      .join(shk.as("y"),
-        col("doc_container") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+    (if (tiny) cand.repartition(par)
+        .join(broadcast(shk).as("x"), col("doc_contained") === col("x.doc_id"))
+        .join(broadcast(shk).as("y"),
+          col("doc_container") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+      else cand
+        .join(shk.as("x"), col("doc_contained") === col("x.doc_id"))
+        .join(shk.as("y"),
+          col("doc_container") === col("y.doc_id") && col("x.shk") === col("y.shk")))
       .groupBy("doc_contained", "doc_container").agg(count(lit(1)).as("n_common"))
       .join(sizes.as("sa"), col("doc_contained") === col("sa.doc_id"))
       .select(col("doc_contained"), col("doc_container"),
@@ -219,14 +245,28 @@ object Dedup {
     * Returns (doc_id, shk) — each doc's |d| − ceil(t·|d|) + 1 rarest
     * shingle keys under the global (df asc, key asc) order.
     */
-  def prefixKeys(shk: DataFrame, threshold: Double): DataFrame = {
+  def prefixKeys(shk: DataFrame, threshold: Double): DataFrame =
+    prefixKeysImpl(shk, threshold, Spread.isTiny(shk))
+
+  private def prefixKeysImpl(shk: DataFrame, threshold: Double,
+                             tiny: Boolean): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val dfreq = shk.groupBy("shk").agg(count(lit(1)).as("df"))
-    shk.join(dfreq, "shk")
+    // round-19 tiny-scan repair (see verifyCandidates): broadcast the
+    // model-sized df/size tables and give the rank window an explicit
+    // doc-keyed repartition (user repartitions satisfy the window's
+    // required distribution and AQE never coalesces them) so the df-rank
+    // stage runs on every core instead of one byte-sized reduce task.
+    // At scale: unchanged shuffled joins.
+    val base =
+      if (tiny) shk.join(broadcast(dfreq), "shk")
+        .repartition(shk.sparkSession.sparkContext.defaultParallelism, col("doc_id"))
+      else shk.join(dfreq, "shk")
+    base
       .withColumn("rnk", row_number().over(
         Window.partitionBy("doc_id").orderBy(asc("df"), asc("shk"))))
-      .join(sizes, "doc_id")
+      .join(if (tiny) broadcast(sizes) else sizes, "doc_id")
       // ceil over an epsilon-nudged product: t·n computed in doubles can
       // land an ulp ABOVE an exact integer (e.g. t=0.55, n=20), and a bare
       // ceil then shortens the prefix by one — enough to drop a qualifying
@@ -239,7 +279,13 @@ object Dedup {
 
   /** Distinct candidate pairs whose prefixes share a key (doc_a < doc_b). */
   def prefixCandidates(shk: DataFrame, threshold: Double): DataFrame = {
-    val pref = prefixKeys(shk, threshold)
+    val tiny = Spread.isTiny(shk)
+    val pref0 = prefixKeysImpl(shk, threshold, tiny)
+    // tiny: an explicit shk-keyed user repartition keeps the self-join at
+    // full parallelism, and the two identical exchanges are deduped by
+    // ReuseExchange — the prefix is still computed once
+    val pref = if (tiny) pref0.repartition(
+      shk.sparkSession.sparkContext.defaultParallelism, col("shk")) else pref0
     pref.as("a").join(pref.as("b"),
         col("a.shk") === col("b.shk") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -249,10 +295,17 @@ object Dedup {
   def ngramJaccardPairsPrefixFromKeys(shk: DataFrame, threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
     val cand = prefixCandidates(shk, threshold)
-    val inter = cand
-      .join(shk.as("x"), col("doc_a") === col("x.doc_id"))
-      .join(shk.as("y"),
-        col("doc_b") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+    // same tiny verify repair as verifyCandidates
+    val inter =
+      (if (Spread.isTiny(shk))
+        cand.repartition(shk.sparkSession.sparkContext.defaultParallelism)
+          .join(broadcast(shk).as("x"), col("doc_a") === col("x.doc_id"))
+          .join(broadcast(shk).as("y"),
+            col("doc_b") === col("y.doc_id") && col("x.shk") === col("y.shk"))
+      else cand
+        .join(shk.as("x"), col("doc_a") === col("x.doc_id"))
+        .join(shk.as("y"),
+          col("doc_b") === col("y.doc_id") && col("x.shk") === col("y.shk")))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
     jaccardFromInter(inter, sizes, threshold)
   }
@@ -417,10 +470,29 @@ object Dedup {
   private def verifyCandidates(cand: DataFrame, shk: DataFrame,
                                threshold: Double): DataFrame = {
     val sizes = shk.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val inter = cand.join(shk.as("a"), col("doc_a") === col("a.doc_id"))
-      .join(shk.as("b"),
-        col("doc_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+    // Round-19 (guide §2.5): at bench scale the candidate×key shuffles
+    // are byte-tiny, so AQE coalesces them to ONE reduce task while the
+    // per-pair intersection work is CPU-bound — dedup_natural2_lsh
+    // profiled wall ≈ summed task time (2.2 s, one effective task). When
+    // the key table is a tiny single-split scan, spread the candidate
+    // list round-robin (a user repartition, which AQE never coalesces)
+    // and broadcast the key table into BOTH sides of the intersect —
+    // every core verifies its slice of the pairs and the only remaining
+    // shuffle is the pair-count aggregate. At scale shk has many splits,
+    // the guard is false, and the shuffled form is unchanged.
+    val inter =
+      if (Spread.isTiny(shk)) {
+        val c = cand.repartition(cand.sparkSession.sparkContext.defaultParallelism)
+        c.join(broadcast(shk).as("a"), col("doc_a") === col("a.doc_id"))
+          .join(broadcast(shk).as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      } else {
+        cand.join(shk.as("a"), col("doc_a") === col("a.doc_id"))
+          .join(shk.as("b"),
+            col("doc_b") === col("b.doc_id") && col("a.shk") === col("b.shk"))
+          .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_common"))
+      }
     jaccardFromInter(inter, sizes, threshold)
   }
 

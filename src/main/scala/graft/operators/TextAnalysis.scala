@@ -394,16 +394,15 @@ object TextAnalysis {
     */
   def bigramNllKn(docs: DataFrame, discount: Double = 0.75): DataFrame = {
     import graft.functions.Stable
-    // Round-19 (guide §2.4): guarded SinglePartition pins on the two
-    // checkpointed intermediates — the KN model chain (four type-bounded
-    // aggregates + three model joins + the scoring groupBy) then plans
-    // exchange-free at bench scale (profile: 15 AQE stage jobs for 0.9 s
-    // of summed task time). At production partition counts the guards
-    // no-op and every aggregate keeps its map-side partials.
-    val b = Spread.tight(
-      bigramStream(docs).localCheckpoint()) // reused: counts + scoring
-    val cb = Spread.tight(b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
-      .localCheckpoint()) // reused: model + both type counts + the total
+    // Round-19 NEGATIVE result (don't redo): guarded SinglePartition pins
+    // on the two checkpointed intermediates cut the chain 15 → 8 AQE
+    // stage jobs but measured FLAT in isolation (1.30 → 1.27 s profile)
+    // and SLOWER in two full bench runs (1.42 → 1.60 → 1.84 s min-of-3)
+    // — serializing the scoring join+aggregate costs more than the saved
+    // exchanges. Reverted to the round-18 shape.
+    val b = bigramStream(docs).localCheckpoint() // reused: counts + scoring
+    val cb = b.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+      .localCheckpoint() // reused: model + both type counts + the total
     val cf = b.groupBy("w1").agg(count(lit(1)).as("cf"))
     val n1f = cb.groupBy("w1").agg(count(lit(1)).as("n1f"))
     val n1p = cb.groupBy("w2").agg(count(lit(1)).as("n1p"))
